@@ -1,0 +1,444 @@
+"""
+Topology transformations
+========================
+
+Initial-position generation and periodic-boundary transforms
+(reference: ``/root/reference/src/mdhelper/algorithm/topology.py``).
+
+Position generation (:func:`create_atoms`) is host-side setup code
+(NumPy); the per-frame transforms (:func:`wrap`, :func:`unwrap`,
+:func:`minimize_vectors`) are pure functions that work on both NumPy
+and JAX arrays so they can run inside jitted analysis steps.  The
+trajectory-long unwrap scan lives in :mod:`mdhelper_tpu.ops.pbc`.
+"""
+
+import warnings
+from typing import Any, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import FOUND_OPENMM
+from .molecule import center_of_mass
+from .unit import strip_unit
+from .utility import find_connected_nodes, get_closest_factors, replicate
+
+if FOUND_OPENMM:
+    from openmm import app
+
+__all__ = [
+    "create_atoms",
+    "minimize_vectors",
+    "triclinic_vectors",
+    "unwrap",
+    "unwrap_edge",
+    "wrap",
+]
+
+
+def triclinic_vectors(dimensions: np.ndarray) -> np.ndarray:
+    r"""Convert box parameters ``(a, b, c, alpha, beta, gamma)`` into a
+    lower-triangular box matrix (rows are the box vectors).
+
+    Equivalent to MDAnalysis ``triclinic_vectors`` (used implicitly by
+    the reference through ``MDAnalysis.lib.distances.minimize_vectors``).
+    """
+
+    a, b, c = (float(x) for x in dimensions[:3])
+    alpha, beta, gamma = (np.deg2rad(float(x)) for x in dimensions[3:6])
+    cos_a, cos_b, cos_g = np.cos(alpha), np.cos(beta), np.cos(gamma)
+    sin_g = np.sin(gamma)
+    bx, by = b * cos_g, b * sin_g
+    cx = c * cos_b
+    cy = c * (cos_a - cos_b * cos_g) / sin_g
+    cz = np.sqrt(max(c * c - cx * cx - cy * cy, 0.0))
+    return np.array([[a, 0.0, 0.0], [bx, by, 0.0], [cx, cy, cz]])
+
+
+def minimize_vectors(
+    vectors: np.ndarray, dimensions: np.ndarray
+) -> np.ndarray:
+    r"""Apply the minimum-image convention to displacement vectors.
+
+    Parity target: ``MDAnalysis.lib.distances.minimize_vectors`` as used
+    by ``algorithm/topology.py:385-529``.  Supports orthorhombic boxes
+    (``(3,)`` or ``(6,)`` with 90-degree angles) and triclinic boxes.
+    """
+
+    dimensions = np.asarray(dimensions, dtype=float)
+    xp = jnp if isinstance(vectors, jax.Array) else np
+    single = np.ndim(vectors) == 1
+    vecs = xp.atleast_2d(vectors)
+
+    ortho = dimensions.shape[-1] == 3 or np.allclose(dimensions[3:6], 90.0)
+    if ortho:
+        box = dimensions[:3]
+        out = vecs - box * xp.round(vecs / box)
+    else:
+        box_mat = triclinic_vectors(dimensions)
+        # Reduce in fractional coordinates, then take the shortest
+        # candidate among neighboring images (fractional rounding alone
+        # is not guaranteed minimal for strongly tilted cells).
+        frac = vecs @ np.linalg.inv(box_mat)
+        frac = frac - xp.round(frac)
+        base = frac @ box_mat
+        out = base
+        best = (out**2).sum(axis=-1)
+        for sx in (-1, 0, 1):
+            for sy in (-1, 0, 1):
+                for sz in (-1, 0, 1):
+                    if sx == sy == sz == 0:
+                        continue
+                    cand = base + np.array([sx, sy, sz]) @ box_mat
+                    d2 = (cand**2).sum(axis=-1)
+                    mask = d2 < best
+                    best = xp.where(mask, d2, best)
+                    out = xp.where(mask[..., None], cand, out)
+    return out[0] if single else out
+
+
+def create_atoms(
+    dims: Any,
+    N: int = None,
+    N_p: int = 1,
+    *,
+    lattice: str = None,
+    length: Union[float, Any] = 0.34,
+    flexible: bool = False,
+    bonds: bool = False,
+    angles: bool = False,
+    dihedrals: bool = False,
+    randomize: bool = False,
+    length_unit=None,
+    wrap: bool = False,
+) -> Any:
+    r"""Generate initial particle positions for coarse-grained systems.
+
+    Parity: ``algorithm/topology.py:26-292``.  Supports random melts,
+    random-walk polymers replicated on a close-factor grid, and
+    fcc/hcp/cubic/honeycomb lattices, with optional bond/angle/dihedral
+    index generation for polymers and flexible lattice dimensions.
+    """
+
+    if FOUND_OPENMM and isinstance(dims, app.Topology):
+        dims = dims.getUnitCellDimensions()
+    dims, length_unit = strip_unit(dims, length_unit)
+    length, length_unit = strip_unit(length, length_unit)
+    dims = np.asarray(dims, dtype=float)
+    scale = length_unit if length_unit is not None else 1
+
+    if lattice is None:
+        if N is None:
+            raise ValueError("The number of particles N must be specified.")
+        if not isinstance(N, (int, np.integer)):
+            raise ValueError("The number of particles N must be an integer.")
+        if not (isinstance(N_p, (int, np.integer)) and 1 <= N_p <= N):
+            emsg = ("The number of particles N_p in each segment must "
+                    "be an integer between 1 and N.")
+            raise ValueError(emsg)
+        if N_p > 1 and N % N_p:
+            emsg = (f"{N=} particles cannot be evenly divided into "
+                    f"segments with {N_p=} particles.")
+            raise ValueError(emsg)
+
+        rng = np.random.default_rng()
+        if N_p == 1:
+            return rng.random((N, 3)) * dims * scale
+
+        # Random-walk polymer replicated across a grid of unit cells.
+        segments = N // N_p
+        n_cells = get_closest_factors(segments, 3)
+        cell_dims = dims / n_cells
+
+        cell_pos = np.zeros((N_p, 3))
+        cell_pos[0] = cell_dims / 4
+        steps = rng.random((N_p - 1, 3)) * 2 - 1
+        steps *= length / np.linalg.norm(steps, axis=1, keepdims=True)
+        cell_pos[1:] = cell_pos[0] + np.cumsum(steps, axis=0)
+
+        pos = replicate(cell_dims, cell_pos, n_cells)
+        if randomize:
+            pos = rng.permutation(pos.reshape(segments, -1, 3)).reshape(-1, 3)
+        if wrap:
+            for i in range(3):
+                pos[pos[:, i] < 0, i] += dims[i]
+                pos[pos[:, i] > dims[i], i] -= dims[i]
+
+        out = [pos * scale]
+        chain_starts = N_p * np.arange(segments)[:, None]
+        if bonds:
+            offsets = np.arange(N_p - 1)[None, :, None]
+            out.append(
+                (chain_starts[:, :, None] + offsets
+                 + np.arange(2)).reshape(-1, 2)
+            )
+        if angles:
+            offsets = np.arange(N_p - 2)[None, :, None]
+            out.append(
+                (chain_starts[:, :, None] + offsets
+                 + np.arange(3)).reshape(-1, 3)
+            )
+        if dihedrals:
+            offsets = np.arange(N_p - 3)[None, :, None]
+            out.append(
+                (chain_starts[:, :, None] + offsets
+                 + np.arange(4)).reshape(-1, 4)
+            )
+        return out[0] if len(out) == 1 else tuple(out)
+
+    # Lattice systems.
+    around = np.around if flexible else np.floor
+    if lattice == "cubic":
+        _dims = dims.copy()
+        _dims[dims == 0] = 1
+        n_cells = around(_dims / length).astype(int)
+        cell_dims = length * np.ones(3)
+        axes = [length * np.arange(n) for n in n_cells]
+        pos = np.stack(np.meshgrid(*axes), axis=-1).reshape(-1, 3)
+    else:
+        if lattice == "fcc":
+            cell_dims = length * np.array(
+                (1.0, np.sqrt(3), 3 * np.sqrt(6) / 3)
+            )
+            cell_pos = length * np.array((
+                (0, 0, 0),
+                (0.5, np.sqrt(3) / 2, 0),
+                (0.5, np.sqrt(3) / 6, np.sqrt(6) / 3),
+                (0, 2 * np.sqrt(3) / 3, np.sqrt(6) / 3),
+                (0, np.sqrt(3) / 3, 2 * np.sqrt(6) / 3),
+                (0.5, 5 * np.sqrt(3) / 6, 2 * np.sqrt(6) / 3),
+            ))
+        elif lattice == "hcp":
+            cell_dims = length * np.array(
+                (1.0, np.sqrt(3), 2 * np.sqrt(6) / 3)
+            )
+            cell_pos = length * np.array((
+                (0, 0, 0),
+                (0.5, np.sqrt(3) / 2, 0),
+                (0.5, np.sqrt(3) / 6, np.sqrt(6) / 3),
+                (0, 2 * np.sqrt(3) / 3, np.sqrt(6) / 3),
+            ))
+        elif lattice == "honeycomb":
+            cell_dims = length * np.array((np.sqrt(3), 3.0, np.inf))
+            cell_pos = length * np.array((
+                (0, 0, 0),
+                (0, 1, 0),
+                (np.sqrt(3) / 2, 1.5, 0),
+                (np.sqrt(3) / 2, 2.5, 0),
+            ))
+        else:
+            raise ValueError(f"Invalid lattice type: '{lattice}'.")
+
+        n_cells = around(dims / cell_dims).astype(int)
+        n_cells[n_cells == 0] = 1
+        cell_dims[np.isinf(cell_dims)] = 0
+        pos = replicate(cell_dims, cell_pos, n_cells)
+
+    if flexible:
+        n_cells[dims == 0] = 0
+        pos = pos[~np.any(pos[:, dims == 0] > 0, axis=1)]
+    else:
+        pos = pos[~np.any(pos > dims, axis=1)]
+    return pos * scale, n_cells * cell_dims * scale
+
+
+def unwrap(
+    positions,
+    positions_old,
+    dimensions,
+    *,
+    thresholds: float = None,
+    images: np.ndarray = None,
+    in_place: bool = True,
+):
+    r"""Globally unwrap particle positions by tracking image flags.
+
+    Parity: ``algorithm/topology.py:294-383``.  A particle that moved
+    more than `thresholds` in some direction since the previous frame is
+    assumed to have crossed the corresponding boundary; its image count
+    is updated and its position shifted by ``images * dimensions``.
+
+    For NumPy inputs with ``in_place=True`` the arrays are updated in
+    place (returns ``None``); otherwise returns
+    ``(positions, positions_old, images)``.  JAX arrays are immutable,
+    so ``in_place`` is ignored for them and the tuple is returned.
+    """
+
+    dimensions = np.asarray(dimensions) if not isinstance(
+        dimensions, jax.Array
+    ) else dimensions
+    if thresholds is None:
+        thresholds = np.min(np.asarray(dimensions)) / 2
+
+    is_jax = isinstance(positions, jax.Array)
+    if images is None:
+        images = (jnp if is_jax else np).zeros(
+            np.shape(positions), dtype=int
+        )
+
+    dpos = positions - positions_old
+    if is_jax:
+        crossings = jnp.where(
+            jnp.abs(dpos) >= thresholds, jnp.sign(dpos).astype(int), 0
+        )
+        images = images - crossings
+        new_old = positions
+        new_pos = positions + images * dimensions
+        return new_pos, new_old, images
+
+    mask = np.abs(dpos) >= thresholds
+    if in_place:
+        images[mask] -= np.sign(dpos[mask]).astype(int)
+        positions_old[:] = positions[:]
+        positions += images * dimensions
+        return None
+    images = images.copy()
+    images[mask] -= np.sign(dpos[mask]).astype(int)
+    new_old = positions.copy()
+    new_pos = positions + images * dimensions
+    return new_pos, new_old, images
+
+
+def _unwrap_molecule(
+    positions: np.ndarray,
+    adjacency: dict[int, list[int]],
+    order: list[int],
+    dimensions: np.ndarray,
+) -> None:
+    """Unwrap one molecule in place by walking its bond graph in DFS
+    order, placing each atom at the minimum-image location relative to
+    an already-placed bonded neighbor."""
+
+    placed = {order[0]}
+    for idx in order[1:]:
+        for neighbor in adjacency[idx]:
+            if neighbor in placed:
+                positions[idx] = positions[neighbor] + minimize_vectors(
+                    positions[idx] - positions[neighbor], dimensions
+                )
+                placed.add(idx)
+                break
+        else:  # pragma: no cover - DFS order guarantees a placed neighbor
+            placed.add(idx)
+
+
+def unwrap_edge(
+    *,
+    group=None,
+    positions: np.ndarray = None,
+    bonds: np.ndarray = None,
+    dimensions: np.ndarray = None,
+    thresholds: np.ndarray = None,
+    masses: np.ndarray = None,
+) -> np.ndarray:
+    r"""Locally unwrap molecules split across the box edge.
+
+    Parity: ``algorithm/topology.py:385-529``.  Each bonded molecule is
+    made whole by walking its bond graph with minimum-image steps; in
+    the raw-array form the molecules are then recentered so their
+    centers of mass sit inside the primary cell.
+
+    Either `group` (an atom-group object exposing ``positions``,
+    ``fragments``/``bonds`` and ``dimensions``) or the raw `positions`,
+    `bonds` and `dimensions` arrays must be provided.
+    """
+
+    if group is not None:
+        positions = np.array(group.positions, dtype=float)
+        dims = np.asarray(group.dimensions, dtype=float)
+        # Make each fragment whole (no recentering, matching
+        # MDAnalysis.make_whole semantics used by the reference).
+        local_bonds = getattr(group, "bonds_within", None)
+        bonds_arr = (
+            local_bonds() if callable(local_bonds) else group.bonds
+        )
+        adjacency: dict[int, list[int]] = {
+            i: [] for i in range(len(positions))
+        }
+        ix_to_local = {ix: i for i, ix in enumerate(group.ix)}
+        for a, b in np.asarray(bonds_arr):
+            if a in ix_to_local and b in ix_to_local:
+                adjacency[ix_to_local[a]].append(ix_to_local[b])
+                adjacency[ix_to_local[b]].append(ix_to_local[a])
+        for molecule in find_connected_nodes(adjacency):
+            _unwrap_molecule(positions, adjacency, molecule, dims)
+        return positions
+
+    if positions is None:
+        raise ValueError("Either 'group' or 'positions' must be specified.")
+    if bonds is None:
+        raise ValueError("Bond information must be specified in 'bonds'.")
+    if dimensions is None:
+        raise ValueError(
+            "System dimensions must be specified in 'dimensions'."
+        )
+    dimensions = np.asarray(dimensions, dtype=float)
+    if len(dimensions) == 3:
+        dimensions = np.concatenate((dimensions, (90.0, 90.0, 90.0)))
+
+    positions = np.array(positions, dtype=float)
+    adjacency = {i: [] for i in range(len(positions))}
+    for a, b in np.asarray(bonds):
+        adjacency[int(a)].append(int(b))
+        adjacency[int(b)].append(int(a))
+    molecules = find_connected_nodes(adjacency)
+    for molecule in molecules:
+        _unwrap_molecule(positions, adjacency, molecule, dimensions)
+
+    if masses is None:
+        warnings.warn(
+            "No masses specified. All atoms are assumed to have a mass "
+            "of 1."
+        )
+        masses = np.ones(len(positions))
+    elif len(masses) == len(molecules):
+        masses = np.concatenate(masses)
+    elif len(masses) != len(positions):
+        emsg = ("The number of masses must be equal to the number of "
+                "atoms or the number of molecules.")
+        raise ValueError(emsg)
+    masses = np.asarray(masses, dtype=float)
+
+    # Recenter each molecule so its center of mass lies inside the box.
+    for molecule in molecules:
+        idx = np.asarray(molecule)
+        com = center_of_mass(
+            positions=positions[idx], masses=masses[idx]
+        )
+        positions[idx] += (
+            wrap(com, dimensions[:3], in_place=False) - com
+        )
+    return positions
+
+
+def wrap(positions, dimensions, *, in_place: bool = True):
+    r"""Wrap particle positions back into the primary simulation cell.
+
+    Parity: ``algorithm/topology.py:531-578``: only coordinates strictly
+    outside ``[0, L]`` are shifted by an integer number of box lengths
+    (a coordinate exactly at ``L`` stays put).
+
+    For NumPy inputs with ``in_place=True`` the array is modified in
+    place (returns ``None``); JAX arrays always get a new array back.
+    """
+
+    if isinstance(positions, jax.Array):
+        dimensions = jnp.asarray(dimensions)
+        outside = (positions < 0) | (positions > dimensions)
+        return jnp.where(
+            outside,
+            positions - jnp.floor(positions / dimensions) * dimensions,
+            positions,
+        )
+
+    positions_arr = np.asarray(positions, dtype=float)
+    dimensions = np.asarray(dimensions, dtype=float)
+    outside = (positions_arr < 0) | (positions_arr > dimensions)
+    shift = (np.floor(positions_arr / dimensions) * dimensions)
+    if in_place:
+        positions[outside] -= shift[outside]
+        return None
+    out = positions_arr.copy()
+    out[outside] -= shift[outside]
+    return out
