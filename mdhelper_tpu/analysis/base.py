@@ -1,0 +1,385 @@
+"""
+Analysis base classes
+=====================
+
+The analysis runtime (reference:
+``/root/reference/src/mdhelper/analysis/base.py``).  The public class
+names and the ``run(start, stop, step, frames, ...)`` / ``results`` /
+``save()`` contract match the reference, but the execution model is
+TPU-native:
+
+* Frames are a **batch axis, not a loop**.  Analyses that implement the
+  batched protocol (:meth:`_batched_update`) stream fixed-shape
+  coordinate chunks from the host reader into HBM and fold them into a
+  pytree accumulator ("carry") with a jitted update — one XLA program,
+  executed per chunk.
+* ``SerialAnalysisBase`` runs the stream on a single device.
+  ``ParallelAnalysisBase`` — the reference's multiprocessing / joblib /
+  dask frame-parallel scheduler (``base.py:312-507``) — instead shards
+  the chunk's frame axis across a :class:`jax.sharding.Mesh` of local
+  devices; XLA compiles the cross-device reductions onto ICI.  The
+  ``module=``/``method=``/``block=`` knobs of the reference are
+  accepted for API compatibility and ignored (there are no worker
+  processes to configure).
+* ``NumbaAnalysisBase`` (``base.py:212-279``) exists for parity; its
+  ``n_threads`` knob is a no-op because XLA owns the thread pool.
+
+Analyses that do not implement the batched protocol fall back to a
+classic per-frame host loop via :meth:`_single_frame`, preserving the
+MDAnalysis-style extension contract for user subclasses.
+"""
+
+import logging
+import warnings
+from datetime import datetime
+from typing import Iterator, Optional, TextIO, Union
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import (
+    frame_sharding,
+    get_mesh,
+    pad_to_multiple,
+    replicated_sharding,
+)
+
+__all__ = [
+    "Hash",
+    "SerialAnalysisBase",
+    "NumbaAnalysisBase",
+    "JittedAnalysisBase",
+    "ParallelAnalysisBase",
+    "DynamicAnalysisBase",
+]
+
+
+class Hash(dict):
+    """A `dict` with attribute access; the results container.
+    Parity: ``analysis/base.py:79-113``."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        for arg in args:
+            if not isinstance(arg, dict):
+                raise TypeError(
+                    "Positional arguments must be dictionaries."
+                )
+            for key, value in arg.items():
+                self[key] = value
+        for key, value in kwargs.items():
+            self[key] = value
+
+    def __getattr__(self, name):
+        return self.get(name)
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __delattr__(self, name):
+        del self[name]
+
+
+class _Batch:
+    """One device-ready chunk of trajectory data."""
+
+    __slots__ = ("positions", "dimensions", "mask", "indices")
+
+    def __init__(self, positions, dimensions, mask, indices):
+        self.positions = positions
+        self.dimensions = dimensions
+        self.mask = mask
+        self.indices = indices
+
+
+class SerialAnalysisBase:
+    """Single-device streaming analysis driver.
+
+    Parity: ``analysis/base.py:115-210``.  Subclasses implement either
+
+    * the **batched protocol**: :meth:`_prepare` allocates the carry,
+      :meth:`_batched_update` folds one ``(B, N, 3)`` chunk into it,
+      :meth:`_conclude` normalizes into ``results``; or
+    * the **frame protocol**: :meth:`_single_frame`, executed in a host
+      loop with ``self._ts`` set to the current frame.
+    """
+
+    #: set True by analyses whose update is order-dependent (e.g. a
+    #: trajectory unwrap scan); forces single-device execution even
+    #: under ParallelAnalysisBase.
+    _sequential: bool = False
+
+    def __init__(self, trajectory, verbose: bool = False, **kwargs):
+        self._trajectory = trajectory
+        self._verbose = verbose
+        self.results = Hash()
+
+    # -- frame bookkeeping -------------------------------------------------
+    def _setup_frames(
+        self,
+        trajectory=None,
+        start: int = None,
+        stop: int = None,
+        step: int = None,
+        frames=None,
+    ) -> None:
+        trajectory = trajectory or self._trajectory
+        if frames is not None:
+            if start is not None or stop is not None or step is not None:
+                raise ValueError(
+                    "start/stop/step cannot be combined with frames."
+                )
+            self.frames = np.arange(trajectory.n_frames)[frames]
+            self.start = self.stop = self.step = None
+        else:
+            start, stop, step = trajectory.check_slice_indices(
+                start, stop, step
+            )
+            self.start, self.stop, self.step = start, stop, step
+            self.frames = np.arange(start, stop, step)
+        self.n_frames = len(self.frames)
+        self.times = np.asarray(
+            [trajectory._read_time(int(i)) for i in self.frames]
+        )
+
+    # -- extension points --------------------------------------------------
+    def _prepare(self) -> None:
+        pass
+
+    def _single_frame(self) -> None:
+        raise NotImplementedError
+
+    def _batched_update(self, carry, batch: _Batch):
+        return NotImplemented
+
+    def _conclude(self) -> None:
+        pass
+
+    # -- batching ------------------------------------------------------------
+    #: atom indices to read per frame (None = all atoms); subclasses may
+    #: set this in __init__/_prepare to slice reader columns on the host.
+    _atom_indices: Optional[np.ndarray] = None
+    #: HBM budget per coordinate chunk.
+    _chunk_bytes: int = 256 << 20
+    #: dtype coordinates are cast to before device_put.
+    _coord_dtype = np.float64
+
+    def _n_shards(self) -> int:
+        return 1
+
+    def _iter_batches(self) -> Iterator[_Batch]:
+        """Stream device-ready chunks of the selected frames."""
+
+        n_shards = 1 if self._sequential else self._n_shards()
+        mesh = get_mesh(n_shards)
+        data_sharding = frame_sharding(mesh)
+        box_sharding = frame_sharding(mesh, batch_ndim=2)
+        mask_sharding = frame_sharding(mesh, batch_ndim=1)
+
+        n_atoms = (
+            len(self._atom_indices)
+            if self._atom_indices is not None
+            else self._trajectory.n_atoms
+        )
+        itemsize = np.dtype(self._coord_dtype).itemsize
+        per_frame = max(n_atoms * 3 * itemsize, 1)
+        chunk = int(max(1, self._chunk_bytes // per_frame))
+        chunk = max(n_shards, chunk - chunk % n_shards)
+
+        for lo in range(0, self.n_frames, chunk):
+            block = self.frames[lo:lo + chunk]
+            positions, dimensions = self._trajectory.read_frames(block)
+            if self._atom_indices is not None:
+                positions = positions[:, self._atom_indices]
+            positions = positions.astype(self._coord_dtype, copy=False)
+            positions, mask = pad_to_multiple(positions, n_shards)
+            dimensions, _ = pad_to_multiple(dimensions, n_shards)
+            yield _Batch(
+                jax.device_put(positions, data_sharding),
+                jax.device_put(dimensions, box_sharding),
+                jax.device_put(mask, mask_sharding),
+                block,
+            )
+
+    # -- driver ----------------------------------------------------------
+    def run(
+        self,
+        start: int = None,
+        stop: int = None,
+        step: int = None,
+        frames=None,
+        verbose: bool = None,
+        **kwargs,
+    ) -> "SerialAnalysisBase":
+        """Run the analysis over the selected frames."""
+
+        verbose = self._verbose if verbose is None else verbose
+        if verbose:
+            time_start = datetime.now()
+            logging.info(f"Starting {type(self).__name__} analysis...")
+
+        self._setup_frames(
+            self._trajectory, start=start, stop=stop, step=step,
+            frames=frames,
+        )
+        self._prepare()
+
+        carry = getattr(self, "_carry", None)
+        if carry is not None:
+            for batch in self._iter_batches():
+                carry = self._batched_update(carry, batch)
+            self._carry = carry
+        else:
+            # Classic per-frame host loop for user subclasses.
+            for index, frame in enumerate(self.frames):
+                self._ts = self._trajectory[int(frame)]
+                self._frame_index = index
+                self._single_frame()
+
+        self._conclude()
+        if verbose:
+            logging.info(
+                f"Analysis finished in {datetime.now() - time_start}."
+            )
+        return self
+
+    # -- persistence -------------------------------------------------------
+    def save(
+        self,
+        file: Union[str, TextIO],
+        archive: bool = True,
+        compress: bool = True,
+        **kwargs,
+    ) -> None:
+        """Save ``results`` to ``.npz``/``.npy``.
+        Parity: ``analysis/base.py:174-210``."""
+
+        data = {
+            key: np.asarray(value)
+            if isinstance(value, jax.Array)
+            else value
+            for key, value in self.results.items()
+        }
+        if archive and compress:
+            np.savez_compressed(file, **data, **kwargs)
+        elif archive:
+            np.savez(file, **data, **kwargs)
+        else:
+            for key, value in data.items():
+                np.save(f"{file}_{key}", value, **kwargs)
+
+
+class NumbaAnalysisBase(SerialAnalysisBase):
+    """Parity shim for the reference's Numba-threaded base
+    (``analysis/base.py:212-279``).  XLA owns the device thread pool,
+    so ``n_threads`` is accepted and ignored."""
+
+    def run(
+        self,
+        start: int = None,
+        stop: int = None,
+        step: int = None,
+        frames=None,
+        n_threads: int = None,
+        verbose: bool = None,
+        **kwargs,
+    ) -> "NumbaAnalysisBase":
+        if n_threads is not None:
+            logging.debug(
+                "n_threads is ignored: XLA manages device parallelism."
+            )
+        return super().run(
+            start=start, stop=stop, step=step, frames=frames,
+            verbose=verbose, **kwargs,
+        )
+
+
+#: Honest name for the jit-compiled single-device base.
+JittedAnalysisBase = NumbaAnalysisBase
+
+
+class ParallelAnalysisBase(SerialAnalysisBase):
+    """Frame-parallel analysis over a device mesh.
+
+    The reference's ``ParallelAnalysisBase`` (``analysis/base.py:281-
+    507``) forks multiprocessing/joblib/dask workers that each re-open
+    the trajectory and re-run ``_single_frame_parallel``; results are
+    merged on the driver.  Here the same split–apply–combine happens
+    inside XLA: each coordinate chunk's frame axis is sharded across
+    the mesh, every device folds its sub-batch into the (replicated)
+    carry, and the implied ``psum`` rides the ICI links.
+    """
+
+    def __init__(self, trajectory, verbose: bool = False, **kwargs):
+        super().__init__(trajectory, verbose, **kwargs)
+        self._n_jobs = None
+
+    def _n_shards(self) -> int:
+        available = len(jax.devices())
+        n = self._n_jobs or available
+        return max(1, min(n, available, self.n_frames or 1))
+
+    def _single_frame_parallel(self, frame: int, index: int):
+        """Per-frame worker hook retained for user subclasses that port
+        reference-style analyses."""
+
+        raise NotImplementedError
+
+    def run(
+        self,
+        start: int = None,
+        stop: int = None,
+        step: int = None,
+        frames=None,
+        verbose: bool = None,
+        n_jobs: int = None,
+        module: str = None,
+        block: bool = True,
+        method: str = None,
+        **kwargs,
+    ) -> "ParallelAnalysisBase":
+        if module not in (None, "multiprocessing", "joblib", "dask"):
+            raise ValueError(f"Invalid parallelization module: {module}.")
+        if module is not None:
+            logging.debug(
+                f"module={module!r} is accepted for API compatibility; "
+                "execution is sharded over the XLA device mesh."
+            )
+        self._n_jobs = n_jobs
+        return super().run(
+            start=start, stop=stop, step=step, frames=frames,
+            verbose=verbose, **kwargs,
+        )
+
+
+class DynamicAnalysisBase(ParallelAnalysisBase, SerialAnalysisBase):
+    """Serial/parallel-switchable base.
+    Parity: ``analysis/base.py:509-584``."""
+
+    def __init__(
+        self, trajectory, parallel: bool, verbose: bool = False, **kwargs
+    ):
+        self._parallel = parallel
+        (ParallelAnalysisBase if parallel else SerialAnalysisBase).__init__(
+            self, trajectory, verbose=verbose, **kwargs
+        )
+
+    def _n_shards(self) -> int:
+        if self._parallel:
+            return ParallelAnalysisBase._n_shards(self)
+        return 1
+
+    def run(
+        self,
+        start: int = None,
+        stop: int = None,
+        step: int = None,
+        frames=None,
+        verbose: bool = None,
+        **kwargs,
+    ):
+        base = ParallelAnalysisBase if self._parallel else SerialAnalysisBase
+        return base.run(
+            self, start=start, stop=stop, step=step, frames=frames,
+            verbose=verbose, **kwargs,
+        )

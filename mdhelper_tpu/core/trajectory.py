@@ -1,0 +1,238 @@
+"""
+Trajectory readers
+==================
+
+Host-side trajectory data layer.  The reference delegates frame I/O to
+MDAnalysis readers (``/root/reference/src/mdhelper/analysis/base.py``
+drives ``MDAnalysis.coordinates.base.ReaderBase``); MDHelper-TPU ships
+its own thin reader protocol designed for the TPU streaming model:
+besides the classic one-frame-at-a-time interface, every reader
+exposes :meth:`TrajectoryReader.read_frames`, a *batched* fetch that
+returns fixed-shape ``(F, N, 3)`` coordinate blocks ready to be
+device-put onto a sharded mesh axis.
+
+Readers included here: in-memory arrays and ``.npz`` archives.  The
+AMBER NetCDF reader/writer lives in :mod:`mdhelper_tpu.io.netcdf`.
+"""
+
+from dataclasses import dataclass
+from typing import Iterator, Sequence, Union
+
+import numpy as np
+
+__all__ = ["Frame", "TrajectoryReader", "ArrayReader", "NPZReader"]
+
+
+@dataclass
+class Frame:
+    """A single trajectory frame (the MDAnalysis ``Timestep`` analog)."""
+
+    positions: np.ndarray  # (N, 3)
+    dimensions: np.ndarray  # (6,): lengths + angles (deg)
+    time: float
+    frame: int
+
+    @property
+    def velocities(self):  # pragma: no cover - optional payloads
+        return getattr(self, "_velocities", None)
+
+    @property
+    def forces(self):  # pragma: no cover
+        return getattr(self, "_forces", None)
+
+
+def _normalize_dimensions(dimensions, n_frames: int) -> np.ndarray:
+    """Broadcast box input to shape (n_frames, 6)."""
+
+    dims = np.asarray(dimensions, dtype=float)
+    if dims.ndim == 1:
+        dims = np.tile(dims, (n_frames, 1))
+    if dims.shape[-1] == 3:
+        dims = np.concatenate(
+            (dims, np.full((len(dims), 3), 90.0)), axis=-1
+        )
+    if dims.shape != (n_frames, 6):
+        raise ValueError(
+            "Dimensions must have shape (3,), (6,), (n_frames, 3) or "
+            f"(n_frames, 6); got {np.shape(dimensions)}."
+        )
+    return dims
+
+
+class TrajectoryReader:
+    """Reader protocol: random frame access plus batched block reads.
+
+    Subclasses must set ``_n_frames``, ``_n_atoms`` and implement
+    :meth:`_read_positions` (and optionally override
+    :meth:`_read_dimensions` / :meth:`read_frames` with faster batched
+    I/O).
+    """
+
+    _n_frames: int
+    _n_atoms: int
+    dt: float = 1.0
+
+    # -- required low-level hooks -------------------------------------
+    def _read_positions(self, index: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def _read_dimensions(self, index: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def _read_time(self, index: int) -> float:
+        return index * self.dt
+
+    # -- public API ----------------------------------------------------
+    @property
+    def n_frames(self) -> int:
+        return self._n_frames
+
+    @property
+    def n_atoms(self) -> int:
+        return self._n_atoms
+
+    @property
+    def times(self) -> np.ndarray:
+        return np.array([self._read_time(i) for i in range(self._n_frames)])
+
+    def __len__(self) -> int:
+        return self._n_frames
+
+    def __getitem__(self, index) -> Union[Frame, list[Frame]]:
+        if isinstance(index, (slice, list, np.ndarray)):
+            indices = np.arange(self._n_frames)[index]
+            return [self[int(i)] for i in indices]
+        index = int(index)
+        if index < 0:
+            index += self._n_frames
+        if not 0 <= index < self._n_frames:
+            raise IndexError(
+                f"Frame index {index} out of range for a trajectory "
+                f"with {self._n_frames} frames."
+            )
+        self.ts = Frame(
+            positions=self._read_positions(index),
+            dimensions=self._read_dimensions(index),
+            time=self._read_time(index),
+            frame=index,
+        )
+        return self.ts
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(self._n_frames):
+            yield self[i]
+
+    def read_frames(
+        self, indices: Sequence[int]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched read: returns ``(positions (F, N, 3),
+        dimensions (F, 6))`` for the requested frame indices."""
+
+        indices = np.asarray(indices, dtype=int)
+        positions = np.empty(
+            (len(indices), self._n_atoms, 3), dtype=np.float64
+        )
+        dimensions = np.empty((len(indices), 6), dtype=np.float64)
+        for out, index in enumerate(indices):
+            positions[out] = self._read_positions(int(index))
+            dimensions[out] = self._read_dimensions(int(index))
+        return positions, dimensions
+
+    def check_slice_indices(
+        self, start: int, stop: int, step: int
+    ) -> tuple[int, int, int]:
+        """Clamp (start, stop, step) to the trajectory bounds, mirroring
+        the MDAnalysis reader contract used by the reference."""
+
+        start = 0 if start is None else start
+        stop = self._n_frames if stop is None else stop
+        step = 1 if step is None else step
+        if start < 0:
+            start += self._n_frames
+        if stop < 0:
+            stop += self._n_frames
+        stop = min(stop, self._n_frames)
+        if step <= 0:
+            raise ValueError("step must be a positive integer.")
+        return start, stop, step
+
+
+class ArrayReader(TrajectoryReader):
+    """In-memory trajectory over NumPy arrays.
+
+    Parameters
+    ----------
+    positions : `numpy.ndarray`
+        Coordinates, shape ``(n_frames, n_atoms, 3)``.
+    dimensions : array-like, optional
+        Box parameters: ``(3,)``/``(6,)`` (constant box) or per-frame
+        ``(n_frames, 3)``/``(n_frames, 6)``.  Defaults to a zero box.
+    dt : `float`, optional
+        Time between consecutive frames (ps).
+    times : `numpy.ndarray`, optional
+        Explicit per-frame times; overrides `dt`.
+    """
+
+    def __init__(
+        self,
+        positions: np.ndarray,
+        dimensions=None,
+        *,
+        dt: float = 1.0,
+        times: np.ndarray = None,
+        velocities: np.ndarray = None,
+        forces: np.ndarray = None,
+    ):
+        positions = np.asarray(positions, dtype=np.float64)
+        if positions.ndim != 3 or positions.shape[-1] != 3:
+            raise ValueError(
+                "positions must have shape (n_frames, n_atoms, 3); got "
+                f"{positions.shape}."
+            )
+        self._positions = positions
+        self._n_frames, self._n_atoms = positions.shape[:2]
+        if dimensions is None:
+            dimensions = np.zeros(6)
+        self._dimensions = _normalize_dimensions(dimensions, self._n_frames)
+        self.dt = float(dt)
+        self._times = (
+            None if times is None else np.asarray(times, dtype=float)
+        )
+        self._velocities = velocities
+        self._forces = forces
+
+    def _read_positions(self, index: int) -> np.ndarray:
+        return self._positions[index]
+
+    def _read_dimensions(self, index: int) -> np.ndarray:
+        return self._dimensions[index]
+
+    def _read_time(self, index: int) -> float:
+        if self._times is not None:
+            return float(self._times[index])
+        return index * self.dt
+
+    def read_frames(self, indices):
+        indices = np.asarray(indices, dtype=int)
+        return self._positions[indices], self._dimensions[indices]
+
+
+class NPZReader(ArrayReader):
+    """Trajectory stored in a NumPy ``.npz`` archive with arrays
+    ``positions`` (``(T, N, 3)``), optional ``dimensions`` and
+    ``times``.  The counterpart of the reference's ``.npz`` results
+    persistence (``analysis/base.py:174-210``) on the input side."""
+
+    def __init__(self, filename: str, *, dt: float = 1.0):
+        archive = np.load(filename)
+        if "positions" not in archive:
+            raise ValueError(
+                f"'{filename}' does not contain a 'positions' array."
+            )
+        super().__init__(
+            archive["positions"],
+            archive.get("dimensions"),
+            dt=dt,
+            times=archive.get("times"),
+        )
+        self.filename = filename

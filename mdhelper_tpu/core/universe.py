@@ -1,0 +1,359 @@
+"""
+Universe and atom groups
+========================
+
+A lightweight topology + trajectory container standing in for the
+MDAnalysis ``Universe``/``AtomGroup`` objects the reference analyses
+consume.  Only the surface actually used by the toolkit is provided:
+masses/charges/types/names, residue/segment groupings, bond-graph
+fragments, current-frame positions, and simple selections.
+
+Design note (TPU): the Universe is *host-side metadata only*.  Analysis
+classes pull static per-atom arrays (masses, charges, indices) from it
+once at construction and then stream coordinate batches straight from
+``universe.trajectory.read_frames`` onto the device mesh.
+"""
+
+import re
+from typing import Sequence
+
+import numpy as np
+
+from ..algorithm.utility import find_connected_nodes
+from .trajectory import ArrayReader, TrajectoryReader
+
+__all__ = ["Topology", "Universe", "AtomGroup"]
+
+
+class Topology:
+    """Static per-atom attributes.
+
+    All arrays are optional; sensible defaults are synthesized (unit
+    masses, zero charges, one residue/segment per atom).
+    """
+
+    def __init__(
+        self,
+        n_atoms: int,
+        *,
+        masses: np.ndarray = None,
+        charges: np.ndarray = None,
+        types: Sequence[str] = None,
+        names: Sequence[str] = None,
+        resindices: np.ndarray = None,
+        segindices: np.ndarray = None,
+        resids: np.ndarray = None,
+        bonds: np.ndarray = None,
+    ):
+        self.n_atoms = int(n_atoms)
+
+        def _arr(value, default, dtype):
+            if value is None:
+                return default
+            out = np.asarray(value, dtype=dtype)
+            if len(out) != self.n_atoms:
+                raise ValueError(
+                    "Topology attribute length does not match n_atoms."
+                )
+            return out
+
+        self.masses = _arr(masses, np.ones(n_atoms), np.float64)
+        self.charges = _arr(charges, np.zeros(n_atoms), np.float64)
+        self.types = _arr(
+            types, np.array(["X"] * n_atoms, dtype=object), object
+        )
+        self.names = _arr(
+            names, np.array(["X"] * n_atoms, dtype=object), object
+        )
+        self.resindices = _arr(
+            resindices, np.arange(n_atoms), np.int64
+        )
+        self.segindices = _arr(
+            segindices, np.zeros(n_atoms, dtype=int), np.int64
+        )
+        self.resids = _arr(resids, self.resindices + 1, np.int64)
+        self.bonds = (
+            np.empty((0, 2), dtype=np.int64)
+            if bonds is None
+            else np.asarray(bonds, dtype=np.int64).reshape(-1, 2)
+        )
+
+    @property
+    def n_residues(self) -> int:
+        return len(np.unique(self.resindices))
+
+    @property
+    def n_segments(self) -> int:
+        return len(np.unique(self.segindices))
+
+
+class Universe:
+    """Topology + trajectory pair.
+
+    Parameters
+    ----------
+    topology : :class:`Topology`
+    trajectory : :class:`~mdhelper_tpu.core.trajectory.TrajectoryReader`
+
+    Use :meth:`Universe.from_arrays` for quick in-memory construction.
+    """
+
+    def __init__(self, topology: Topology, trajectory: TrajectoryReader):
+        if topology.n_atoms != trajectory.n_atoms:
+            raise ValueError(
+                f"Topology has {topology.n_atoms} atoms but the "
+                f"trajectory has {trajectory.n_atoms}."
+            )
+        self._topology = topology
+        self.trajectory = trajectory
+        self.trajectory[0]  # load first frame
+
+    @classmethod
+    def from_arrays(
+        cls,
+        positions: np.ndarray,
+        dimensions=None,
+        *,
+        dt: float = 1.0,
+        times: np.ndarray = None,
+        **topology_attrs,
+    ) -> "Universe":
+        positions = np.asarray(positions, dtype=np.float64)
+        if positions.ndim == 2:
+            positions = positions[None]
+        reader = ArrayReader(positions, dimensions, dt=dt, times=times)
+        topology = Topology(positions.shape[1], **topology_attrs)
+        return cls(topology, reader)
+
+    # -- accessors -------------------------------------------------------
+    @property
+    def atoms(self) -> "AtomGroup":
+        return AtomGroup(self, np.arange(self._topology.n_atoms))
+
+    @property
+    def dimensions(self) -> np.ndarray:
+        return self.trajectory.ts.dimensions
+
+    @property
+    def bonds(self) -> np.ndarray:
+        return self._topology.bonds
+
+    @property
+    def residues(self):
+        return self.atoms.residues
+
+    @property
+    def segments(self):
+        return self.atoms.segments
+
+    def select_atoms(self, selection: str) -> "AtomGroup":
+        return self.atoms.select_atoms(selection)
+
+
+class _SubGroup:
+    """A residue or segment view: exposes ``.atoms``."""
+
+    __slots__ = ("atoms", "index")
+
+    def __init__(self, atoms: "AtomGroup", index: int):
+        self.atoms = atoms
+        self.index = index
+
+
+class AtomGroup:
+    """An ordered set of atoms in a :class:`Universe`."""
+
+    def __init__(self, universe: Universe, indices: np.ndarray):
+        self.universe = universe
+        self._ix = np.asarray(indices, dtype=np.int64)
+
+    # -- identity ----------------------------------------------------------
+    @property
+    def ix(self) -> np.ndarray:
+        return self._ix
+
+    indices = ix
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self._ix)
+
+    def __len__(self) -> int:
+        return len(self._ix)
+
+    def __getitem__(self, item) -> "AtomGroup":
+        return AtomGroup(self.universe, np.atleast_1d(self._ix[item]))
+
+    def __add__(self, other: "AtomGroup") -> "AtomGroup":
+        return AtomGroup(
+            self.universe, np.concatenate((self._ix, other._ix))
+        )
+
+    def union(self, other: "AtomGroup") -> "AtomGroup":
+        return AtomGroup(
+            self.universe,
+            np.unique(np.concatenate((self._ix, other._ix))),
+        )
+
+    # -- static attributes ---------------------------------------------
+    @property
+    def masses(self) -> np.ndarray:
+        return self.universe._topology.masses[self._ix]
+
+    @property
+    def charges(self) -> np.ndarray:
+        return self.universe._topology.charges[self._ix]
+
+    @property
+    def types(self) -> np.ndarray:
+        return self.universe._topology.types[self._ix]
+
+    @property
+    def names(self) -> np.ndarray:
+        return self.universe._topology.names[self._ix]
+
+    @property
+    def resindices(self) -> np.ndarray:
+        return self.universe._topology.resindices[self._ix]
+
+    @property
+    def segindices(self) -> np.ndarray:
+        return self.universe._topology.segindices[self._ix]
+
+    @property
+    def dimensions(self) -> np.ndarray:
+        return self.universe.dimensions
+
+    # -- dynamic attributes ----------------------------------------------
+    @property
+    def positions(self) -> np.ndarray:
+        return self.universe.trajectory.ts.positions[self._ix]
+
+    # -- groupings ---------------------------------------------------------
+    def _grouped(self, labels: np.ndarray) -> list[_SubGroup]:
+        order = np.argsort(labels, kind="stable")
+        sorted_labels = labels[order]
+        boundaries = np.flatnonzero(
+            np.diff(sorted_labels)
+        ) + 1
+        groups = np.split(order, boundaries)
+        return [
+            _SubGroup(AtomGroup(self.universe, self._ix[g]), i)
+            for i, g in enumerate(groups)
+        ]
+
+    @property
+    def residues(self) -> list[_SubGroup]:
+        return self._grouped(self.resindices)
+
+    @property
+    def segments(self) -> list[_SubGroup]:
+        return self._grouped(self.segindices)
+
+    @property
+    def n_residues(self) -> int:
+        return len(np.unique(self.resindices))
+
+    @property
+    def n_segments(self) -> int:
+        return len(np.unique(self.segindices))
+
+    @property
+    def bonds(self) -> np.ndarray:
+        """Bonds (absolute indices) with both endpoints in this group."""
+
+        bonds = self.universe._topology.bonds
+        if not len(bonds):
+            return bonds
+        member = np.zeros(self.universe._topology.n_atoms, dtype=bool)
+        member[self._ix] = True
+        keep = member[bonds[:, 0]] & member[bonds[:, 1]]
+        return bonds[keep]
+
+    @property
+    def fragments(self) -> list["AtomGroup"]:
+        """Connected components of the bond graph restricted to this
+        group (the MDAnalysis ``fragments`` analog)."""
+
+        adjacency = {int(i): [] for i in self._ix}
+        for a, b in self.bonds:
+            adjacency[int(a)].append(int(b))
+            adjacency[int(b)].append(int(a))
+        return [
+            AtomGroup(self.universe, np.array(sorted(component)))
+            for component in find_connected_nodes(adjacency)
+        ]
+
+    # -- reductions ----------------------------------------------------------
+    def center_of_mass(self) -> np.ndarray:
+        masses = self.masses
+        return (masses[:, None] * self.positions).sum(axis=0) / masses.sum()
+
+    def total_charge(self) -> float:
+        return float(self.charges.sum())
+
+    def total_mass(self) -> float:
+        return float(self.masses.sum())
+
+    # -- selection -------------------------------------------------------
+    _TOKEN = re.compile(
+        r"(all|none|type|name|resid|index|charged)\s*([\w\s\-:]*)"
+    )
+
+    def select_atoms(self, selection: str) -> "AtomGroup":
+        """Minimal selection language: ``all``, ``none``,
+        ``type A [B ...]``, ``name N [M ...]``, ``resid i[:j]``,
+        ``index i[:j]``, ``charged``, joined with `` and `` / `` or ``.
+        """
+
+        clauses = re.split(r"\s+or\s+", selection.strip())
+        mask = np.zeros(len(self._ix), dtype=bool)
+        for clause in clauses:
+            sub = np.ones(len(self._ix), dtype=bool)
+            for term in re.split(r"\s+and\s+", clause.strip()):
+                sub &= self._select_term(term.strip())
+            mask |= sub
+        return AtomGroup(self.universe, self._ix[mask])
+
+    def _select_term(self, term: str) -> np.ndarray:
+        match = self._TOKEN.fullmatch(term)
+        if not match:
+            raise ValueError(f"Unsupported selection term: '{term}'.")
+        keyword, args = match.group(1), match.group(2).split()
+        if keyword == "all":
+            return np.ones(len(self._ix), dtype=bool)
+        if keyword == "none":
+            return np.zeros(len(self._ix), dtype=bool)
+        if keyword == "charged":
+            return self.charges != 0
+        if keyword == "type":
+            return np.isin(self.types, args)
+        if keyword == "name":
+            return np.isin(self.names, args)
+        values = (
+            self.universe._topology.resids[self._ix]
+            if keyword == "resid"
+            else self._ix
+        )
+        mask = np.zeros(len(self._ix), dtype=bool)
+        for arg in args:
+            if ":" in arg:
+                lo, hi = (int(x) for x in arg.split(":"))
+                mask |= (values >= lo) & (values <= hi)
+            else:
+                mask |= values == int(arg)
+        return mask
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, AtomGroup)
+            and self.universe is other.universe
+            and len(self._ix) == len(other._ix)
+            and bool(np.all(self._ix == other._ix))
+        )
+
+    def __hash__(self):
+        return hash((id(self.universe), self._ix.tobytes()))
+
+    def __repr__(self) -> str:
+        return f"<AtomGroup with {self.n_atoms} atoms>"

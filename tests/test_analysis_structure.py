@@ -1,0 +1,294 @@
+"""Tests for mdhelper_tpu.analysis.structure (parity:
+/root/reference/tests/test_analysis_structure.py).
+
+The reference validates the RDF against MDAnalysis InterRDF; here the
+oracle is `oracle_rdf`, an independent brute-force NumPy implementation
+of the same definition (min-image distances + np.histogram + shell
+normalization).
+"""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis import structure
+from mdhelper_tpu.core import Universe
+
+rng = np.random.default_rng(13)
+
+BOX = 10.0
+N_FRAMES = 6
+N1, N2 = 40, 60
+
+
+def oracle_histogram(p1, p2, n_bins, r_range, box, exclusion=None):
+    """Brute-force min-image histogram (independent of the library)."""
+
+    delta = p1[:, None, :] - p2[None, :, :]
+    delta -= box * np.round(delta / box)
+    dist = np.sqrt((delta**2).sum(-1))
+    if exclusion is not None:
+        i = np.arange(len(p1))[:, None] // exclusion[0]
+        j = np.arange(len(p2))[None, :] // exclusion[1]
+        dist = dist[i != j]
+    return np.histogram(dist.ravel(), bins=n_bins, range=r_range)[0]
+
+
+def oracle_rdf(traj1, traj2, n_bins, r_range, box, exclusion=None):
+    counts = np.zeros(n_bins)
+    for p1, p2 in zip(traj1, traj2):
+        counts += oracle_histogram(p1, p2, n_bins, r_range, box, exclusion)
+    edges = np.linspace(*r_range, n_bins + 1)
+    shell = 4 * np.pi * np.diff(edges**3) / 3
+    volume = box**3
+    n2 = traj2.shape[1] - (exclusion[1] if exclusion else 0)
+    return counts / (
+        len(traj1) * shell * traj1.shape[1] * n2 / volume
+    )
+
+
+@pytest.fixture(scope="module")
+def universe():
+    positions = rng.random((N_FRAMES, N1 + N2, 3)) * BOX
+    return Universe.from_arrays(
+        positions,
+        np.array([BOX, BOX, BOX]),
+        types=np.array(["A"] * N1 + ["B"] * N2, dtype=object),
+        resindices=np.concatenate(
+            (np.repeat(np.arange(N1 // 2), 2), N1 + np.arange(N2))
+        ),
+        masses=np.concatenate((np.full(N1, 2.0), np.full(N2, 3.0))),
+    )
+
+
+def test_radial_histogram_function(universe):
+    ag1 = universe.select_atoms("type A")
+    ag2 = universe.select_atoms("type B")
+    universe.trajectory[0]
+    counts = structure.radial_histogram(
+        ag1.positions, ag2.positions, 75, (0.0, 5.0),
+        np.array([BOX, BOX, BOX, 90, 90, 90]),
+    )
+    ref = oracle_histogram(
+        ag1.positions, ag2.positions, 75, (0.0, 5.0), BOX
+    )
+    np.testing.assert_array_equal(counts, ref)
+
+
+def test_radial_histogram_exclusion(universe):
+    ag1 = universe.select_atoms("type A")
+    universe.trajectory[0]
+    counts = structure.radial_histogram(
+        ag1.positions, ag1.positions, 50, (0.0, 5.0),
+        np.array([BOX, BOX, BOX]), exclusion=(1, 1),
+    )
+    ref = oracle_histogram(
+        ag1.positions, ag1.positions, 50, (0.0, 5.0), BOX, (1, 1)
+    )
+    np.testing.assert_array_equal(counts, ref)
+
+
+def test_radial_fourier_transform_analytic():
+    # FT of exp(-a r)/r is 4 pi / (a^2 + q^2).
+    r = np.linspace(1e-6, 60, 20_000)
+    a = 1.5
+    f = np.exp(-a * r) / r
+    q = np.linspace(0.5, 4, 8)
+    rft = structure.radial_fourier_transform(r, f, q)
+    assert np.allclose(rft, 4 * np.pi / (a**2 + q**2), rtol=1e-4)
+
+
+def test_hankel_transform_analytic():
+    # Hankel transform of exp(-a r): 2 pi a / (a^2 + q^2)^(3/2).
+    r = np.linspace(1e-6, 80, 40_000)
+    a = 1.2
+    q = np.linspace(0.5, 3, 6)
+    ht = structure.zeroth_order_hankel_transform(r, np.exp(-a * r), q)
+    assert np.allclose(ht, 2 * np.pi * a / (a**2 + q**2) ** 1.5,
+                       rtol=1e-4)
+
+
+def test_rdf_cross_group(universe):
+    ag1 = universe.select_atoms("type A")
+    ag2 = universe.select_atoms("type B")
+    rdf = structure.RadialDistributionFunction(
+        ag1, ag2, n_bins=60, range=(0.0, 4.5), verbose=False
+    ).run()
+    traj = universe.trajectory._positions
+    ref = oracle_rdf(
+        traj[:, :N1], traj[:, N1:], 60, (0.0, 4.5), BOX
+    )
+    assert np.allclose(rdf.results.rdf, ref)
+    # An ideal-gas (uniform random) RDF should hover around 1.
+    assert abs(np.nanmean(rdf.results.rdf[10:]) - 1) < 0.2
+
+
+def test_rdf_self_with_exclusion(universe):
+    ag1 = universe.select_atoms("type A")
+    rdf = structure.RadialDistributionFunction(
+        ag1, n_bins=40, range=(0.0, 4.0), exclusion=(1, 1), verbose=False
+    ).run()
+    traj = universe.trajectory._positions
+    ref = oracle_rdf(
+        traj[:, :N1], traj[:, :N1], 40, (0.0, 4.0), BOX, (1, 1)
+    )
+    assert np.allclose(rdf.results.rdf, ref)
+
+
+def test_rdf_serial_parallel_equal(universe):
+    ag1 = universe.select_atoms("type A")
+    ag2 = universe.select_atoms("type B")
+    serial = structure.RadialDistributionFunction(
+        ag1, ag2, n_bins=50, range=(0.0, 4.0), verbose=False,
+        parallel=False,
+    ).run()
+    parallel = structure.RadialDistributionFunction(
+        ag1, ag2, n_bins=50, range=(0.0, 4.0), verbose=False,
+        parallel=True,
+    ).run()
+    np.testing.assert_array_equal(
+        serial.results.counts, parallel.results.counts
+    )
+    assert np.allclose(serial.results.rdf, parallel.results.rdf)
+
+
+def test_rdf_norms(universe):
+    ag1 = universe.select_atoms("type A")
+    ag2 = universe.select_atoms("type B")
+    kwargs = dict(n_bins=30, range=(0.5, 4.0), verbose=False)
+    counts = structure.RadialDistributionFunction(
+        ag1, ag2, norm=None, **kwargs
+    ).run()
+    density = structure.RadialDistributionFunction(
+        ag1, ag2, norm="density", **kwargs
+    ).run()
+    edges = counts.results.edges
+    shell = 4 * np.pi * np.diff(edges**3) / 3
+    # norm=None divides by n_frames only (reference structure.py:847);
+    # norm="density" additionally divides by the shell volumes.
+    assert np.allclose(density.results.rdf, counts.results.rdf / shell)
+    # _get_rdf reconstructs the proper RDF from raw counts.
+    rdf = structure.RadialDistributionFunction(
+        ag1, ag2, **kwargs
+    ).run()
+    assert np.allclose(counts._get_rdf(), rdf.results.rdf)
+
+
+def test_rdf_drop_axis(universe):
+    """2-D RDF: distances computed without the dropped axis."""
+
+    ag1 = universe.select_atoms("type A")
+    rdf = structure.RadialDistributionFunction(
+        ag1, n_bins=30, range=(0.0, 4.0), drop_axis="z",
+        exclusion=(1, 1), verbose=False,
+    ).run()
+    traj = universe.trajectory._positions[:, :N1].copy()
+    traj[:, :, 2] = 0.0
+    counts = np.zeros(30)
+    for p in traj:
+        counts += oracle_histogram(p, p, 30, (0.0, 4.0),
+                                   np.array([BOX, BOX, BOX]), (1, 1))
+    edges = np.linspace(0, 4, 31)
+    shell = np.pi * np.diff(edges**2)
+    area = BOX * BOX
+    ref = counts / (
+        N_FRAMES * shell * N1 * (N1 - 1) / area
+    )
+    assert np.allclose(rdf.results.rdf, ref)
+
+
+def test_rdf_com_grouping(universe):
+    """residues grouping uses centers of mass."""
+
+    ag1 = universe.select_atoms("type A")  # residues of 2 atoms each
+    rdf = structure.RadialDistributionFunction(
+        ag1, groupings="residues", n_bins=25, range=(0.0, 4.0),
+        exclusion=(1, 1), verbose=False,
+    ).run()
+    traj = universe.trajectory._positions[:, :N1]
+    masses = universe.atoms.masses[:N1]
+    pair_masses = masses[:2]
+    coms = (
+        traj.reshape(N_FRAMES, N1 // 2, 2, 3)
+        * pair_masses[None, None, :, None]
+    ).sum(axis=2) / pair_masses.sum()
+    counts = np.zeros(25)
+    for p in coms:
+        counts += oracle_histogram(
+            p, p, 25, (0.0, 4.0), BOX, (1, 1)
+        )
+    edges = np.linspace(0, 4, 26)
+    shell = 4 * np.pi * np.diff(edges**3) / 3
+    n_g = N1 // 2
+    ref = counts / (N_FRAMES * shell * n_g * (n_g - 1) / BOX**3)
+    assert np.allclose(rdf.results.rdf, ref)
+
+
+def test_rdf_postprocessing(universe):
+    ag1 = universe.select_atoms("type A")
+    ag2 = universe.select_atoms("type B")
+    rdf = structure.RadialDistributionFunction(
+        ag1, ag2, n_bins=50, range=(0.05, 4.0), verbose=False
+    ).run()
+    rho = N2 / BOX**3
+    rdf.calculate_structure_factor(rho)
+    assert rdf.results.ssf.shape == rdf.results.wavenumbers.shape
+    rdf.calculate_pmf(300.0)
+    kbt = 8.31446261815324e-3 * 300
+    expected = -kbt * np.log(rdf.results.rdf)
+    mask = np.isfinite(expected)
+    assert np.allclose(rdf.results.pmf[mask], expected[mask])
+
+
+def test_coordination_numbers_synthetic():
+    bins = np.linspace(0.05, 10, 400)
+    # g(r) with a clear first peak at 2 and minimum at 3.
+    rdf = 1 + 2 * np.exp(-((bins - 2) ** 2)) - np.exp(
+        -((bins - 3) ** 2) / 0.1
+    )
+    coord = structure.calculate_coordination_numbers(
+        bins, rdf, rho=0.5, n_coord_nums=2
+    )
+    assert np.isfinite(coord[0]) and coord[0] > 0
+
+
+def test_structure_factor_formalisms():
+    r = np.linspace(0.05, 8, 500)
+    g = 1 + np.exp(-((r - 1.5) ** 2) * 4)
+    q, s_fz = structure.calculate_structure_factor(r, g, False, 0.4,
+                                                   0.5, 0.5)
+    _, s_al = structure.calculate_structure_factor(
+        r, g, False, 0.4, 0.5, 0.5, formalism="AL"
+    )
+    _, s_gen = structure.calculate_structure_factor(
+        r, g, False, 0.4, 0.5, 0.5, formalism="general"
+    )
+    # Relationships between the formalisms.
+    base = s_fz - 1
+    assert np.allclose(s_al - 1, np.sqrt(0.25) * base)
+    assert np.allclose(s_gen - 1, 0.25 * base)
+    with pytest.raises(ValueError):
+        structure.calculate_structure_factor(
+            r, g, False, 0.4, 0.5, 0.5, formalism="XX"
+        )
+
+
+def test_rdf_tiled_kernel_matches_direct():
+    """Force the tiled (scan) code path with a small tile size."""
+
+    import jax.numpy as jnp
+
+    from mdhelper_tpu.ops.histogram import radial_histogram_frame
+
+    p1 = rng.random((37, 3)) * BOX
+    p2 = rng.random((53, 3)) * BOX
+    edges = jnp.linspace(0.0, 4.0, 41)
+    box = jnp.array([BOX, BOX, BOX])
+    direct = radial_histogram_frame(
+        jnp.asarray(p1), jnp.asarray(p2), box, edges
+    )
+    tiled = radial_histogram_frame(
+        jnp.asarray(p1), jnp.asarray(p2), box, edges, tile=16
+    )
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(tiled))
+    ref = oracle_histogram(p1, p2, 40, (0.0, 4.0), BOX)
+    np.testing.assert_array_equal(np.asarray(direct).astype(int), ref)

@@ -1,0 +1,149 @@
+"""Tests for the core runtime: readers, Universe/AtomGroup, analysis
+base classes and the batched streaming driver."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis.base import Hash, SerialAnalysisBase
+from mdhelper_tpu.core import ArrayReader, Topology, Universe
+
+rng = np.random.default_rng(5)
+
+
+def make_universe(n_frames=12, n_atoms=24, box=10.0):
+    positions = rng.random((n_frames, n_atoms, 3)) * box
+    return Universe.from_arrays(
+        positions,
+        np.array([box, box, box]),
+        masses=np.arange(1, n_atoms + 1, dtype=float),
+        charges=np.tile([1.0, -1.0], n_atoms // 2),
+        types=np.array(["A", "B"] * (n_atoms // 2), dtype=object),
+        resindices=np.repeat(np.arange(n_atoms // 4), 4),
+        segindices=np.repeat(np.arange(2), n_atoms // 2),
+        bonds=[[0, 1], [1, 2], [4, 5]],
+        dt=0.5,
+    )
+
+
+def test_hash():
+    h = Hash({"a": 1}, b=2)
+    assert h.a == 1 and h["b"] == 2
+    h.c = 3
+    assert h["c"] == 3
+    del h.c
+    assert h.c is None
+    with pytest.raises(TypeError):
+        Hash([1, 2])
+
+
+def test_array_reader():
+    u = make_universe()
+    traj = u.trajectory
+    assert traj.n_frames == 12 and traj.n_atoms == 24
+    frame = traj[3]
+    assert frame.frame == 3 and frame.time == 1.5
+    pos, dims = traj.read_frames([1, 5, 7])
+    assert pos.shape == (3, 24, 3) and dims.shape == (3, 6)
+    assert np.allclose(dims[0][:3], 10.0) and np.allclose(dims[0][3:], 90)
+    with pytest.raises(IndexError):
+        traj[100]
+
+
+def test_atomgroup_attributes():
+    u = make_universe()
+    ag = u.atoms
+    assert ag.n_atoms == 24
+    assert ag.n_residues == 6 and ag.n_segments == 2
+    assert len(ag.residues) == 6
+    assert ag.residues[1].atoms.n_atoms == 4
+    np.testing.assert_array_equal(ag.residues[1].atoms.ix, [4, 5, 6, 7])
+    # COM matches the manual mass-weighted mean.
+    com = ag.center_of_mass()
+    manual = (ag.masses[:, None] * ag.positions).sum(0) / ag.masses.sum()
+    assert np.allclose(com, manual)
+
+
+def test_atomgroup_selection():
+    u = make_universe()
+    ag = u.atoms
+    assert u.select_atoms("all").n_atoms == 24
+    a_atoms = u.select_atoms("type A")
+    assert a_atoms.n_atoms == 12
+    assert set(a_atoms.types) == {"A"}
+    sel = u.select_atoms("type A and index 0:7")
+    np.testing.assert_array_equal(sel.ix, [0, 2, 4, 6])
+    both = u.select_atoms("type A or type B")
+    assert both.n_atoms == 24
+    with pytest.raises(ValueError):
+        u.select_atoms("around 5 type A")
+
+
+def test_atomgroup_fragments():
+    u = make_universe()
+    frags = u.atoms.fragments
+    # bonds: 0-1-2 connected, 4-5 connected, rest isolated.
+    sizes = sorted(len(f) for f in frags)
+    assert sizes == [1] * 19 + [2, 3]
+
+
+def test_serial_frame_loop_contract():
+    """User subclasses using the classic _single_frame protocol work."""
+
+    u = make_universe()
+
+    class MeanZ(SerialAnalysisBase):
+        def __init__(self, universe):
+            super().__init__(universe.trajectory)
+            self._u = universe
+
+        def _prepare(self):
+            self._z = []
+
+        def _single_frame(self):
+            self._z.append(self._ts.positions[:, 2].mean())
+
+        def _conclude(self):
+            self.results.mean_z = np.array(self._z)
+
+    analysis = MeanZ(u).run(start=2, stop=10, step=2)
+    assert analysis.n_frames == 4
+    ref = [u.trajectory[i].positions[:, 2].mean() for i in (2, 4, 6, 8)]
+    assert np.allclose(analysis.results.mean_z, ref)
+
+
+def test_save_roundtrip(tmp_path):
+    u = make_universe()
+
+    class Noop(SerialAnalysisBase):
+        def _single_frame(self):
+            pass
+
+        def _conclude(self):
+            self.results.data = np.arange(5.0)
+
+    analysis = Noop(u.trajectory).run(stop=1)
+    out = tmp_path / "results.npz"
+    analysis.save(out)
+    loaded = np.load(out)
+    assert np.allclose(loaded["data"], np.arange(5.0))
+
+
+def test_frames_argument():
+    u = make_universe()
+
+    class Count(SerialAnalysisBase):
+        def _prepare(self):
+            self.seen = []
+
+        def _single_frame(self):
+            self.seen.append(self._ts.frame)
+
+    picked = [0, 3, 7]
+    analysis = Count(u.trajectory).run(frames=picked)
+    assert analysis.seen == picked
+    mask = np.zeros(12, dtype=bool)
+    mask[[1, 2]] = True
+    analysis = Count(u.trajectory).run(frames=mask)
+    assert analysis.seen == [1, 2]
+    with pytest.raises(ValueError):
+        Count(u.trajectory).run(start=1, frames=picked)
