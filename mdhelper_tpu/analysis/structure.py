@@ -22,8 +22,12 @@ from scipy.special import jv
 
 from .. import Q_, ureg
 from ..algorithm.unit import strip_unit
+from itertools import combinations_with_replacement
+
+from ..algorithm.utility import get_closest_factors
 from ..ops.histogram import radial_histogram_batch
-from .base import DynamicAnalysisBase
+from ..ops.scattering import trig_sums_frame
+from .base import DynamicAnalysisBase, NumbaAnalysisBase
 
 __all__ = [
     "radial_histogram",
@@ -32,6 +36,8 @@ __all__ = [
     "calculate_coordination_numbers",
     "calculate_structure_factor",
     "RadialDistributionFunction",
+    "StructureFactor",
+    "IntermediateScatteringFunction",
 ]
 
 
@@ -539,3 +545,640 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 formalism=formalism,
             )
         )
+
+
+def _wavevector_grid(
+    dimensions: np.ndarray,
+    n_points: int,
+    n_surfaces: int = None,
+    n_surface_points: int = 8,
+) -> np.ndarray:
+    r"""Scattering wavevector grid :math:`2\pi\mathbf{n}/L` with
+    optional extra spherical-surface points for cubic boxes.
+
+    Parity: ``analysis/structure.py:1375-1410`` (meshgrid ordering and
+    the first-octant surface-point construction are preserved exactly,
+    since ``unique=False`` exposes the raw ordering).
+    """
+
+    dimensions = np.asarray(dimensions, dtype=float)
+    if np.allclose(dimensions, dimensions[0]):
+        grid = 2 * np.pi * np.arange(n_points) / dimensions[0]
+        wavevectors = np.stack(
+            np.meshgrid(grid, grid, grid), axis=-1
+        ).reshape(-1, 3)
+        if n_surfaces:
+            n_theta, n_phi = get_closest_factors(
+                n_surface_points, 2, reverse=True
+            )
+            theta = np.linspace(
+                np.pi / (2 * n_theta + 4),
+                np.pi / 2 - np.pi / (2 * n_theta + 4),
+                n_theta,
+            )
+            phi = np.linspace(
+                np.pi / (2 * n_phi + 4),
+                np.pi / 2 - np.pi / (2 * n_phi + 4),
+                n_phi,
+            )
+            directions = np.stack(
+                (
+                    np.sin(theta) * np.cos(phi)[:, None],
+                    np.sin(theta) * np.sin(phi)[:, None],
+                    np.tile(np.cos(theta)[None, :], (n_phi, 1)),
+                ),
+                axis=-1,
+            )
+            surface = np.einsum(
+                "o,tpd->otpd", grid[1:n_surfaces + 1], directions
+            ).reshape(n_surfaces * n_surface_points, 3)
+            wavevectors = np.vstack((wavevectors, surface))
+    else:
+        if n_surfaces:
+            warnings.warn(
+                "Spherical-surface wavevectors require a cubic box; "
+                "n_surfaces is ignored."
+            )
+        wavevectors = np.stack(
+            np.meshgrid(
+                *[2 * np.pi * np.arange(n_points) / L for L in dimensions]
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+    return wavevectors
+
+
+class StructureFactor(NumbaAnalysisBase):
+    r"""Static structure factor :math:`S(q)` and partial structure
+    factors :math:`S_{\alpha\beta}(q)` computed directly from particle
+    positions.
+
+    .. math::
+
+       S(q) = \frac{1}{N}\left\langle\left(\sum_j
+       \cos(\mathbf{q}\cdot\mathbf{r}_j)\right)^2 + \left(\sum_j
+       \sin(\mathbf{q}\cdot\mathbf{r}_j)\right)^2\right\rangle
+
+    Parity: ``analysis/structure.py:1034-1550``.  The reference's
+    Numba :math:`\sum_j \exp(i\mathbf{q}\cdot\mathbf{r}_j)` kernels
+    (``accelerated.py:81-165``) become an ``(N_q, 3) @ (3, N)`` MXU
+    matmul with fused cos/sin reductions on the VPU
+    (:mod:`mdhelper_tpu.ops.scattering`).  The ``form`` parameter is
+    accepted for API compatibility; both the ``"exp"`` and ``"trig"``
+    expressions evaluate the identical trig-sum kernel here (they only
+    differed in rounding in the reference, and complex arrays cannot be
+    materialized on TPU).  With ``parallel=True`` frame batches are
+    sharded over the device mesh.
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Group(s) of atoms sharing a grouping type.  With
+        ``mode=None`` the groups must jointly contain every atom in the
+        universe; with ``mode="pair"`` exactly one or two groups.
+    groupings : `str` or array-like, default ``"atoms"``
+        ``"atoms"`` or ``"residues"`` (COM positions).
+    mode : `str`, keyword-only, optional
+        ``None`` (total S(q)), ``"pair"`` or ``"partial"``.
+    form : `str`, keyword-only, default ``"exp"``
+        Accepted for parity; see above.
+    dimensions : array-like, keyword-only, optional
+        Box lengths (defaults to the trajectory's first frame).
+    n_points : `int`, keyword-only, default 32
+        Wavevector grid points per axis.
+    n_surfaces, n_surface_points : `int`, keyword-only
+        Extra spherical-surface wavevectors (cubic boxes).
+    q_max : `float`, keyword-only, optional
+        Wavenumber cutoff.
+    wavevectors : `numpy.ndarray`, keyword-only, optional
+        Explicit wavevectors (overrides the grid).
+    sort, unique : `bool`, keyword-only, default True
+        Sort by wavenumber / average equal-magnitude wavevectors.
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches across all local devices.
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings="atoms",
+        *,
+        mode: str = None,
+        form: str = "exp",
+        dimensions=None,
+        n_points: int = 32,
+        n_surfaces: int = None,
+        n_surface_points: int = 8,
+        q_max=None,
+        wavevectors: np.ndarray = None,
+        sort: bool = True,
+        unique: bool = True,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        self.universe = self._groups[0].universe
+        super().__init__(self.universe.trajectory, verbose, **kwargs)
+
+        self._n_groups = len(self._groups)
+        valid_groupings = {"atoms", "residues"}
+        if isinstance(groupings, str):
+            if groupings not in valid_groupings:
+                raise ValueError(
+                    f"Invalid grouping '{groupings}'. Valid values: "
+                    f"{', '.join(sorted(valid_groupings))}."
+                )
+            self._groupings = self._n_groups * [groupings]
+        else:
+            if self._n_groups != len(groupings):
+                raise ValueError(
+                    "The number of grouping values is not equal to the "
+                    "number of groups."
+                )
+            for g in groupings:
+                if g not in valid_groupings:
+                    raise ValueError(
+                        f"Invalid grouping '{g}'. Valid values: "
+                        f"{', '.join(sorted(valid_groupings))}."
+                    )
+            self._groupings = list(groupings)
+
+        if form not in {"exp", "trig"}:
+            raise ValueError("Invalid form. Valid values: 'exp', 'trig'.")
+        self._form = form
+
+        self._mode = mode
+        if mode == "pair" and not 1 <= self._n_groups <= 2:
+            raise ValueError(
+                "There must be exactly one or two groups when "
+                "mode='pair'."
+            )
+        if mode is None and sum(
+            g.n_atoms for g in self._groups
+        ) != self.universe.atoms.n_atoms:
+            raise ValueError(
+                "The provided atom groups do not contain all atoms in "
+                "the universe."
+            )
+        if mode not in {None, "pair", "partial"}:
+            raise ValueError("Invalid mode.")
+
+        if dimensions is not None:
+            if len(dimensions) != 3:
+                raise ValueError("'dimensions' must have length 3.")
+            self._dimensions = np.asarray(
+                strip_unit(dimensions, "angstrom")[0]
+            )
+        elif self.universe.dimensions is not None:
+            self._dimensions = self.universe.dimensions[:3].copy()
+        elif wavevectors is None:
+            raise ValueError("No system dimensions found or provided.")
+
+        if wavevectors is not None:
+            self._wavevectors = np.asarray(wavevectors, dtype=float)
+        else:
+            self._wavevectors = _wavevector_grid(
+                self._dimensions, n_points, n_surfaces, n_surface_points
+            )
+        self._wavenumbers = np.linalg.norm(self._wavevectors, axis=1)
+
+        if q_max is not None:
+            q_max = strip_unit(q_max, "angstrom**-1")[0]
+            keep = self._wavenumbers <= q_max
+            self._wavevectors = self._wavevectors[keep]
+            self._wavenumbers = self._wavenumbers[keep]
+
+        # Group bookkeeping: column selection + per-group COM reduction.
+        self._atom_indices = np.concatenate(
+            [g.ix for g in self._groups]
+        )
+        self._sels, self._segs, self._Ns = [], [], []
+        offset = 0
+        for group, grouping in zip(self._groups, self._groupings):
+            self._sels.append(offset + np.arange(group.n_atoms))
+            seg, n = _group_segment_ids(group, grouping)
+            self._segs.append(seg)
+            self._Ns.append(n)
+            offset += group.n_atoms
+        self._Ns = np.asarray(self._Ns)
+        self._N = int(self._Ns.sum())
+
+        self._sort = sort
+        self._unique = unique
+        self._parallel = parallel
+        self._verbose = verbose
+
+    def _n_shards(self) -> int:
+        if not getattr(self, "_parallel", False):
+            return 1
+        import jax as _jax
+
+        return max(1, min(len(_jax.devices()), self.n_frames or 1))
+
+    def _group_trig_sums(self, positions, qs):
+        """Per-group (cos, sin) sums for one frame batch: returns a pair
+        of ``(B, G, N_q)`` arrays."""
+
+        cos_all, sin_all = [], []
+        for group, grouping, sel, seg, n in zip(
+            self._groups, self._groupings, self._sels, self._segs,
+            self._Ns,
+        ):
+            pos = positions[:, jnp.asarray(sel)]
+            if seg is not None:
+                pos = _com_positions(
+                    pos, jnp.asarray(group.masses), jnp.asarray(seg), n
+                )
+            c, s = jax.vmap(lambda p: trig_sums_frame(qs, p))(pos)
+            cos_all.append(c)
+            sin_all.append(s)
+        return jnp.stack(cos_all, axis=1), jnp.stack(sin_all, axis=1)
+
+    def _prepare(self) -> None:
+        self.results.pairs = (
+            tuple(combinations_with_replacement(range(self._n_groups), 2))
+            if self._mode == "partial"
+            else ((0, self._n_groups - 1),)
+            if self._mode == "pair"
+            else ((None, None),)
+        )
+        self.results.wavenumbers = (
+            np.unique(self._wavenumbers.round(11))
+            if self._unique
+            else self._wavenumbers
+        )
+        self.results.units = {
+            "results.wavenumbers": ureg.angstrom**-1
+        }
+
+        n_pairs = len(self.results.pairs)
+        n_q = len(self._wavenumbers)
+        self._carry = {"ssf": jnp.zeros((n_pairs, n_q), jnp.float64)}
+
+        qs = jnp.asarray(self._wavevectors)
+        pairs = self.results.pairs
+        mode = self._mode
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            cos, sin = self._group_trig_sums(positions, qs)  # (B, G, Nq)
+            if mode is None:
+                total_c = cos.sum(axis=1)
+                total_s = sin.sum(axis=1)
+                frame_ssf = (total_c**2 + total_s**2)[:, None, :]
+            else:
+                rows = []
+                for j, k in pairs:
+                    if j == k:
+                        rows.append(cos[:, j] ** 2 + sin[:, j] ** 2)
+                    else:
+                        rows.append(
+                            2 * (cos[:, j] * cos[:, k]
+                                 + sin[:, j] * sin[:, k])
+                        )
+                frame_ssf = jnp.stack(rows, axis=1)  # (B, P, Nq)
+            ssf = carry["ssf"] + (
+                frame_ssf * mask[:, None, None]
+            ).sum(axis=0)
+            return {"ssf": ssf}
+
+        self._update = jax.jit(update, donate_argnums=0)
+
+    def _batched_update(self, carry, batch):
+        return self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+
+    def _conclude(self) -> None:
+        ssf = np.asarray(self._carry["ssf"]) / (self.n_frames * self._N)
+
+        if self._unique:
+            ssf = np.hstack(
+                [
+                    ssf[:, np.isclose(q, self._wavenumbers)].mean(
+                        axis=1, keepdims=True
+                    )
+                    for q in self.results.wavenumbers
+                ]
+            )
+        if self._sort:
+            order = np.argsort(self.results.wavenumbers)
+            self.results.wavenumbers = self.results.wavenumbers[order]
+            ssf = ssf[:, order]
+        self.results.ssf = ssf
+
+
+class IntermediateScatteringFunction(StructureFactor):
+    r"""Coherent :math:`F(q, t)`, partial :math:`F_{\alpha\beta}(q,t)`
+    and incoherent (self) :math:`F_s(q, t)` intermediate scattering
+    functions.
+
+    Parity: ``analysis/structure.py:1552-2127``.  The reference keeps a
+    host-side ring buffer of per-frame :math:`\sum_j e^{iqr_j}` values
+    of length ``n_lags`` and cross-multiplies against all resident lags
+    every frame; here the ring buffer is a device-resident
+    ``(n_lags, G, N_q)`` carry updated inside a :func:`jax.lax.scan`
+    over the frame axis, with the per-frame lag products vectorized as
+    a gather + elementwise contraction.  The update is order-dependent,
+    so execution is always single-device (``_sequential``).
+
+    Extra parameters over :class:`StructureFactor`:
+
+    dt : `float`, keyword-only, optional
+        Time between frames (defaults to the trajectory's ``dt``).
+    n_lags : `int`, keyword-only, optional
+        Number of time lags (defaults to the analyzed frame count).
+    incoherent : `bool`, keyword-only, default False
+        Also compute :math:`F_s(q, t)` (keeps an ``(n_lags, N, 3)``
+        position ring buffer on device).
+    """
+
+    _sequential = True
+
+    def __init__(
+        self,
+        groups,
+        groupings="atoms",
+        *,
+        mode: str = None,
+        form: str = "exp",
+        dimensions=None,
+        dt=None,
+        n_points: int = 32,
+        n_surfaces: int = None,
+        n_surface_points: int = 8,
+        q_max=None,
+        wavevectors: np.ndarray = None,
+        sort: bool = True,
+        unique: bool = True,
+        n_lags: int = None,
+        incoherent: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        super().__init__(
+            groups,
+            groupings,
+            mode=mode,
+            form=form,
+            dimensions=dimensions,
+            n_points=n_points,
+            n_surfaces=n_surfaces,
+            n_surface_points=n_surface_points,
+            q_max=q_max,
+            wavevectors=wavevectors,
+            sort=sort,
+            unique=unique,
+            parallel=parallel,
+            verbose=verbose,
+            **kwargs,
+        )
+        self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
+        self._n_lags = n_lags
+        self._incoherent = incoherent
+
+    def _prepare(self) -> None:
+        n_lags = self._n_lags or self.n_frames
+        if n_lags > self.n_frames:
+            n_lags = self.n_frames
+        self._lags = n_lags
+
+        df = np.diff(self.frames)
+        if len(df) and (df[0] <= 0 or not np.allclose(df, df[0])):
+            raise ValueError(
+                "The selected frames must be evenly spaced and proceed "
+                "forward in time."
+            )
+        step = int(df[0]) if len(df) else 1
+
+        self.results.pairs = (
+            tuple(combinations_with_replacement(range(self._n_groups), 2))
+            if self._mode == "partial"
+            else ((0, self._n_groups - 1),)
+            if self._mode == "pair"
+            else ((None, None),)
+        )
+        self.results.times = step * self._dt * np.arange(n_lags)
+        self.results.wavenumbers = (
+            np.unique(self._wavenumbers.round(11))
+            if self._unique
+            else self._wavenumbers
+        )
+        self.results.units = {
+            "results.times": ureg.picosecond,
+            "results.wavenumbers": ureg.angstrom**-1,
+        }
+
+        n_q = len(self._wavenumbers)
+        n_groups = 1 if self._mode is None else self._n_groups
+        n_pairs = 1 if self._mode is None else len(self.results.pairs)
+        qs = jnp.asarray(self._wavevectors)
+        pairs = self.results.pairs
+        mode = self._mode
+        incoherent = self._incoherent
+
+        self._carry = {
+            "ring_cos": jnp.zeros((n_lags, n_groups, n_q), jnp.float64),
+            "ring_sin": jnp.zeros((n_lags, n_groups, n_q), jnp.float64),
+            "cisf": jnp.zeros((n_lags, n_pairs, n_q), jnp.float64),
+            "frame": jnp.zeros((), jnp.int64),
+        }
+        if incoherent:
+            self._carry["ring_pos"] = jnp.zeros(
+                (n_lags, self._N, 3), jnp.float64
+            )
+            self._carry["iisf"] = jnp.zeros(
+                (n_lags, n_groups, n_q), jnp.float64
+            )
+
+        group_slices = []
+        offset = 0
+        for n in self._Ns:
+            group_slices.append((offset, int(n)))
+            offset += int(n)
+
+        def frame_positions(positions):
+            """(B, N_sel, 3) -> (B, N_grouped, 3) group-ordered
+            positions (COMs where requested)."""
+
+            parts = []
+            for group, grouping, sel, seg, n in zip(
+                self._groups, self._groupings, self._sels, self._segs,
+                self._Ns,
+            ):
+                pos = positions[:, jnp.asarray(sel)]
+                if seg is not None:
+                    pos = _com_positions(
+                        pos, jnp.asarray(group.masses),
+                        jnp.asarray(seg), n,
+                    )
+                parts.append(pos)
+            return jnp.concatenate(parts, axis=1)
+
+        lag_range = jnp.arange(n_lags)
+
+        def scan_step(carry, inputs):
+            pos, valid = inputs  # (N, 3), scalar mask
+            fi = carry["frame"]
+            rcfi = (fi % n_lags).astype(jnp.int32)
+
+            # Current frame's per-group trig sums, shape (G, Nq).
+            cos_rows, sin_rows = [], []
+            if mode is None:
+                c, s = trig_sums_frame(qs, pos)
+                cos_rows.append(c)
+                sin_rows.append(s)
+            else:
+                for lo, n in group_slices:
+                    c, s = trig_sums_frame(
+                        qs, jax.lax.dynamic_slice_in_dim(pos, lo, n)
+                    )
+                    cos_rows.append(c)
+                    sin_rows.append(s)
+            cur_cos = jnp.stack(cos_rows)
+            cur_sin = jnp.stack(sin_rows)
+
+            ring_cos = jnp.where(
+                valid > 0,
+                carry["ring_cos"].at[rcfi].set(cur_cos),
+                carry["ring_cos"],
+            )
+            ring_sin = jnp.where(
+                valid > 0,
+                carry["ring_sin"].at[rcfi].set(cur_sin),
+                carry["ring_sin"],
+            )
+
+            # Resident lags: rifi[l] = (fi - l) mod n_lags, l <= fi.
+            rifi = ((fi - lag_range) % n_lags).astype(jnp.int32)
+            lag_ok = (
+                (lag_range <= fi) & (valid > 0)
+            ).astype(jnp.float64)
+            past_cos = ring_cos[rifi]  # (n_lags, G, Nq)
+            past_sin = ring_sin[rifi]
+
+            if mode is None:
+                contrib = (
+                    past_cos[:, 0] * cur_cos[0]
+                    + past_sin[:, 0] * cur_sin[0]
+                )[:, None, :]
+            else:
+                rows = []
+                for j, k in pairs:
+                    if j == k:
+                        rows.append(
+                            past_cos[:, j] * cur_cos[j]
+                            + past_sin[:, j] * cur_sin[j]
+                        )
+                    else:
+                        rows.append(
+                            past_cos[:, j] * cur_cos[k]
+                            + past_sin[:, j] * cur_sin[k]
+                            + past_cos[:, k] * cur_cos[j]
+                            + past_sin[:, k] * cur_sin[j]
+                        )
+                contrib = jnp.stack(rows, axis=1)
+            cisf = carry["cisf"] + contrib * lag_ok[:, None, None]
+
+            new_carry = {
+                "ring_cos": ring_cos,
+                "ring_sin": ring_sin,
+                "cisf": cisf,
+                "frame": fi + (valid > 0),
+            }
+
+            if incoherent:
+                ring_pos = jnp.where(
+                    valid > 0,
+                    carry["ring_pos"].at[rcfi].set(pos),
+                    carry["ring_pos"],
+                )
+
+                def lag_body(lag, iisf):
+                    past = ring_pos[rifi[lag]]
+                    delta = pos - past
+                    rows = []
+                    if mode is None:
+                        c, _ = trig_sums_frame(qs, delta)
+                        rows.append(c)
+                    else:
+                        for lo, n in group_slices:
+                            c, _ = trig_sums_frame(
+                                qs,
+                                jax.lax.dynamic_slice_in_dim(
+                                    delta, lo, n
+                                ),
+                            )
+                            rows.append(c)
+                    return iisf.at[lag].add(
+                        jnp.stack(rows) * lag_ok[lag]
+                    )
+
+                new_carry["iisf"] = jax.lax.fori_loop(
+                    0, n_lags, lag_body, carry["iisf"]
+                )
+                new_carry["ring_pos"] = ring_pos
+            return new_carry, None
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            grouped = frame_positions(positions)
+            carry, _ = jax.lax.scan(scan_step, carry, (grouped, mask))
+            return carry
+
+        self._update = jax.jit(update, donate_argnums=0)
+
+    def _batched_update(self, carry, batch):
+        return self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+
+    def _conclude(self) -> None:
+        n_lags = self._lags
+        normalization = (
+            self._N
+            * np.arange(
+                self.n_frames, self.n_frames - n_lags, -1
+            )[:, None, None]
+        )
+        cisf = np.asarray(self._carry["cisf"]) / normalization
+        iisf = (
+            np.asarray(self._carry["iisf"]) / normalization
+            if self._incoherent
+            else None
+        )
+
+        if self._unique:
+            cisf = np.stack(
+                [
+                    cisf[:, :, np.isclose(q, self._wavenumbers)].mean(
+                        axis=2
+                    )
+                    for q in self.results.wavenumbers
+                ],
+                axis=-1,
+            )
+            if iisf is not None:
+                iisf = np.stack(
+                    [
+                        iisf[
+                            :, :, np.isclose(q, self._wavenumbers)
+                        ].mean(axis=2)
+                        for q in self.results.wavenumbers
+                    ],
+                    axis=-1,
+                )
+        if self._sort:
+            order = np.argsort(self.results.wavenumbers)
+            self.results.wavenumbers = self.results.wavenumbers[order]
+            cisf = cisf[:, :, order]
+            if iisf is not None:
+                iisf = iisf[:, :, order]
+
+        self.results.cisf = cisf
+        if iisf is not None:
+            self.results.iisf = iisf

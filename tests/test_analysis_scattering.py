@@ -1,0 +1,271 @@
+"""Tests for StructureFactor and IntermediateScatteringFunction
+(parity: /root/reference/tests/test_analysis_structure.py:148-303,
+which validated against the dynasor package; here the oracles are
+direct-sum NumPy implementations)."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis.structure import (
+    IntermediateScatteringFunction,
+    StructureFactor,
+    _wavevector_grid,
+)
+from mdhelper_tpu.core import Universe
+
+rng = np.random.default_rng(21)
+
+BOX = 8.0
+T, NA, NB = 10, 30, 20
+N = NA + NB
+
+
+@pytest.fixture(scope="module")
+def universe():
+    positions = rng.random((T, N, 3)) * BOX
+    return Universe.from_arrays(
+        positions,
+        np.array([BOX] * 3),
+        types=np.array(["A"] * NA + ["B"] * NB, dtype=object),
+        dt=2.0,
+    )
+
+
+def oracle_trig_sums(qs, pos):
+    phases = qs @ pos.T
+    return np.cos(phases).sum(1), np.sin(phases).sum(1)
+
+
+def oracle_ssf(qs, traj):
+    """S(q) = <|sum exp(iqr)|^2>/N."""
+
+    out = np.zeros(len(qs))
+    for pos in traj:
+        c, s = oracle_trig_sums(qs, pos)
+        out += c**2 + s**2
+    return out / (len(traj) * traj.shape[1])
+
+
+def test_wavevector_grid_cubic():
+    qs = _wavevector_grid(np.array([BOX] * 3), 4)
+    assert qs.shape == (64, 3)
+    mags = 2 * np.pi * np.arange(4) / BOX
+    assert np.allclose(sorted(set(qs[:, 0])), mags)
+    # Surface points add n_surfaces * n_surface_points rows.
+    qs_s = _wavevector_grid(np.array([BOX] * 3), 4, 2, 8)
+    assert qs_s.shape == (64 + 16, 3)
+    # Surface points sit on grid-magnitude spheres.
+    extra = np.linalg.norm(qs_s[64:], axis=1)
+    assert np.allclose(np.unique(extra.round(9)), mags[1:3])
+
+
+def test_ssf_total(universe):
+    sf = StructureFactor(
+        universe.atoms, n_points=5, unique=False, sort=False,
+        verbose=False,
+    ).run()
+    traj = universe.trajectory._positions
+    qs = _wavevector_grid(np.array([BOX] * 3), 5)
+    ref = oracle_ssf(qs, traj)
+    assert np.allclose(sf.results.ssf[0], ref)
+    # Sanity: S(q=0) = N.
+    assert np.isclose(sf.results.ssf[0][0], N)
+
+
+def test_ssf_unique_sort(universe):
+    sf = StructureFactor(universe.atoms, n_points=5, verbose=False).run()
+    qs = _wavevector_grid(np.array([BOX] * 3), 5)
+    mags = np.linalg.norm(qs, axis=1)
+    raw = oracle_ssf(qs, universe.trajectory._positions)
+    uniq = np.unique(mags.round(11))
+    ref = np.array(
+        [raw[np.isclose(q, mags)].mean() for q in uniq]
+    )
+    order = np.argsort(uniq)
+    assert np.allclose(sf.results.wavenumbers, uniq[order])
+    assert np.allclose(sf.results.ssf[0], ref[order])
+
+
+def test_ssf_partial_sums_to_total(universe):
+    ag_a = universe.select_atoms("type A")
+    ag_b = universe.select_atoms("type B")
+    total = StructureFactor(universe.atoms, n_points=4,
+                            verbose=False).run()
+    partial = StructureFactor(
+        [ag_a, ag_b], mode="partial", n_points=4, verbose=False
+    ).run()
+    assert partial.results.pairs == ((0, 0), (0, 1), (1, 1))
+    assert partial.results.ssf.shape[0] == 3
+    assert np.allclose(
+        partial.results.ssf.sum(axis=0), total.results.ssf[0]
+    )
+
+
+def test_ssf_pair_mode(universe):
+    ag_a = universe.select_atoms("type A")
+    ag_b = universe.select_atoms("type B")
+    pair = StructureFactor(
+        [ag_a, ag_b], mode="pair", n_points=4, unique=False,
+        sort=False, verbose=False,
+    ).run()
+    qs = _wavevector_grid(np.array([BOX] * 3), 4)
+    traj = universe.trajectory._positions
+    ref = np.zeros(len(qs))
+    for pos in traj:
+        ca, sa = oracle_trig_sums(qs, pos[:NA])
+        cb, sb = oracle_trig_sums(qs, pos[NA:])
+        ref += 2 * (ca * cb + sa * sb)
+    ref /= T * N
+    assert np.allclose(pair.results.ssf[0], ref)
+
+
+def test_ssf_q_max_and_wavevectors(universe):
+    sf = StructureFactor(
+        universe.atoms, n_points=5, q_max=2.0, unique=False,
+        sort=False, verbose=False,
+    ).run()
+    assert (np.linalg.norm(sf._wavevectors, axis=1) <= 2.0).all()
+    custom = np.array([[0.5, 0, 0], [0, 0.5, 0.5]])
+    sf2 = StructureFactor(
+        universe.atoms, wavevectors=custom, unique=False, sort=False,
+        verbose=False,
+    ).run()
+    assert sf2.results.ssf.shape == (1, 2)
+
+
+def test_ssf_serial_parallel_equal(universe):
+    serial = StructureFactor(
+        universe.atoms, n_points=4, verbose=False, parallel=False
+    ).run()
+    parallel = StructureFactor(
+        universe.atoms, n_points=4, verbose=False, parallel=True
+    ).run()
+    assert np.allclose(serial.results.ssf, parallel.results.ssf)
+
+
+def test_ssf_exp_trig_equal(universe):
+    exp = StructureFactor(
+        universe.atoms, form="exp", n_points=4, verbose=False
+    ).run()
+    trig = StructureFactor(
+        universe.atoms, form="trig", n_points=4, verbose=False
+    ).run()
+    assert np.allclose(exp.results.ssf, trig.results.ssf)
+
+
+def test_ssf_validation(universe):
+    ag_a = universe.select_atoms("type A")
+    with pytest.raises(ValueError):
+        StructureFactor(ag_a, verbose=False)  # not all atoms, mode=None
+    with pytest.raises(ValueError):
+        StructureFactor(universe.atoms, groupings="invalid",
+                        verbose=False)
+    with pytest.raises(ValueError):
+        StructureFactor(universe.atoms, form="bad", verbose=False)
+    with pytest.raises(ValueError):
+        StructureFactor(
+            [ag_a] * 3, mode="pair", verbose=False
+        )
+
+
+def oracle_isf(qs, traj, n_lags):
+    """Coherent F(q, t) by direct sliding-window sums."""
+
+    n_frames, n_particles = traj.shape[:2]
+    sums = [oracle_trig_sums(qs, pos) for pos in traj]
+    out = np.zeros((n_lags, len(qs)))
+    for lag in range(n_lags):
+        for t0 in range(n_frames - lag):
+            c0, s0 = sums[t0]
+            c1, s1 = sums[t0 + lag]
+            out[lag] += c0 * c1 + s0 * s1
+        out[lag] /= (n_frames - lag) * n_particles
+    return out
+
+
+def oracle_iisf(qs, traj, n_lags):
+    """Incoherent F_s(q, t) by direct sums."""
+
+    n_frames, n_particles = traj.shape[:2]
+    out = np.zeros((n_lags, len(qs)))
+    for lag in range(n_lags):
+        for t0 in range(n_frames - lag):
+            delta = traj[t0 + lag] - traj[t0]
+            out[lag] += np.cos(qs @ delta.T).sum(1)
+        out[lag] /= (n_frames - lag) * n_particles
+    return out
+
+
+def test_isf_coherent(universe):
+    isf = IntermediateScatteringFunction(
+        universe.atoms, n_points=4, unique=False, sort=False,
+        verbose=False,
+    ).run()
+    qs = _wavevector_grid(np.array([BOX] * 3), 4)
+    ref = oracle_isf(qs, universe.trajectory._positions, T)
+    assert np.allclose(isf.results.cisf[:, 0, :], ref)
+    assert np.allclose(isf.results.times, 2.0 * np.arange(T))
+
+
+def test_isf_zero_lag_equals_ssf(universe):
+    isf = IntermediateScatteringFunction(
+        universe.atoms, n_points=4, verbose=False
+    ).run()
+    sf = StructureFactor(universe.atoms, n_points=4,
+                         verbose=False).run()
+    assert np.allclose(isf.results.cisf[0, 0], sf.results.ssf[0])
+
+
+def test_isf_incoherent(universe):
+    isf = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, unique=False, sort=False,
+        n_lags=5, incoherent=True, verbose=False,
+    ).run()
+    qs = _wavevector_grid(np.array([BOX] * 3), 3)
+    ref = oracle_iisf(qs, universe.trajectory._positions, 5)
+    assert np.allclose(isf.results.iisf[:, 0, :], ref)
+    # F_s(q=0, t) = 1 for all t.
+    assert np.allclose(isf.results.iisf[:, 0, 0], 1.0)
+
+
+def test_isf_partial(universe):
+    ag_a = universe.select_atoms("type A")
+    ag_b = universe.select_atoms("type B")
+    isf = IntermediateScatteringFunction(
+        [ag_a, ag_b], mode="partial", n_points=3, n_lags=4,
+        verbose=False,
+    ).run()
+    total = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, n_lags=4, verbose=False
+    ).run()
+    assert np.allclose(
+        isf.results.cisf.sum(axis=1), total.results.cisf[:, 0, :]
+    )
+
+
+def test_isf_chunked_ring_buffer(universe):
+    """Ring-buffer carry must hand off correctly across host chunks."""
+
+    isf_full = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, n_lags=4, unique=False, sort=False,
+        verbose=False,
+    )
+    isf_full.run()
+    isf_chunked = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, n_lags=4, unique=False, sort=False,
+        verbose=False,
+    )
+    # Force tiny chunks (3 frames per device batch).
+    isf_chunked._chunk_bytes = 3 * N * 3 * 8
+    isf_chunked.run()
+    assert np.allclose(
+        isf_full.results.cisf, isf_chunked.results.cisf
+    )
+
+
+def test_isf_uneven_frames_error(universe):
+    isf = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, verbose=False
+    )
+    with pytest.raises(ValueError):
+        isf.run(frames=[0, 1, 5])
