@@ -23,6 +23,7 @@ scalars, with a trailing dimension of vector components when
 
 import warnings
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy import fft as _scipy_fft
@@ -67,6 +68,28 @@ def _validate(arr1, arr2, axis, min_ndim=1, name="The arrays"):
             "second axis."
         )
     return arr1, arr2, axis, ndim
+
+
+def _fft_device_fallback(*arrays):
+    """TPU backends cannot lower complex128 FFTs; route float64 inputs
+    living on such devices through the host CPU backend.  (The
+    benchmark-grade TPU path uses the float32 correlators in
+    :mod:`mdhelper_tpu.ops`; this fallback keeps the float64 reference
+    semantics correct everywhere.)"""
+
+    needs_move = any(
+        a is not None
+        and isinstance(a, jax.Array)
+        and a.dtype == jnp.float64
+        and any(d.platform == "tpu" for d in a.devices())
+        for a in arrays
+    )
+    if not needs_move:
+        return arrays
+    cpu = jax.devices("cpu")[0]
+    return tuple(
+        None if a is None else jax.device_put(a, cpu) for a in arrays
+    )
 
 
 def correlation_fft(
@@ -122,6 +145,7 @@ def correlation_fft(
     if arr2 is not None:
         arr2 = jnp.asarray(arr2)
         is_real = is_real and not jnp.iscomplexobj(arr2)
+    arr1, arr2 = _fft_device_fallback(arr1, arr2)
 
     # Work with the time axis leading; restore at the end.
     work1 = jnp.moveaxis(arr1, axis, 0)
@@ -283,6 +307,7 @@ def msd_fft(
     )
     pos1 = jnp.asarray(pos1)
     pos2js = jnp.asarray(pos2) if pos2 is not None else None
+    pos1, pos2js = _fft_device_fallback(pos1, pos2js)
 
     s2 = correlation_fft(
         pos1, pos2js, axis, average=False, double=True, vector=True

@@ -6,7 +6,15 @@ User-facing trajectory analyses (reference:
 ``/root/reference/src/mdhelper/analysis/__init__.py``).
 """
 
-from . import base, structure  # noqa: F401
+from . import (  # noqa: F401
+    base,
+    electrostatics,
+    polymer,
+    profile,
+    structure,
+    thermodynamics,
+    transport,
+)
 from .base import (  # noqa: F401
     DynamicAnalysisBase,
     Hash,
@@ -17,7 +25,12 @@ from .base import (  # noqa: F401
 
 __all__ = [
     "base",
+    "electrostatics",
+    "polymer",
+    "profile",
     "structure",
+    "thermodynamics",
+    "transport",
     "Hash",
     "SerialAnalysisBase",
     "NumbaAnalysisBase",

@@ -1,0 +1,716 @@
+r"""
+Polymer analysis
+================
+
+Radius of gyration, end-to-end vector autocorrelation and single-chain
+structure factor for homopolymers (reference:
+``/root/reference/src/mdhelper/analysis/polymer.py``).
+
+TPU formulation: per-frame chain reductions (COMs, gyration tensors,
+end-to-end vectors, per-chain trig sums) are batched einsums /
+segment reductions; the single-chain S(q) phase matrix
+:math:`\mathbf{q}\cdot\mathbf{r}^T` rides the MXU.  Image-flag
+unwrapping runs as a sequential ``lax.scan`` when requested.
+
+Intentional deviation: for ``groupings="residues"`` the monomer count
+per chain is derived from the *residue* count (``n_residues //
+n_chains``), and monomer masses are residue totals.  The reference
+divides the atom count (``polymer.py:107``), which is only correct for
+1-atom residues (its test fixtures); both conventions coincide there.
+"""
+
+import warnings
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import optimize, special
+
+from .. import Q_, ureg
+from ..algorithm.correlation import correlation_fft, correlation_shift
+from ..algorithm.topology import unwrap_edge
+from ..algorithm.unit import strip_unit
+from ..fit.exponential import stretched_exp
+from ..ops.scattering import trig_sums_frame
+from .base import DynamicAnalysisBase
+from .structure import _com_positions, _group_segment_ids, _wavevector_grid
+
+__all__ = [
+    "calculate_relaxation_time",
+    "Gyradius",
+    "EndToEndVector",
+    "SingleChainStructureFactor",
+]
+
+
+def calculate_relaxation_time(
+    time: np.ndarray, acf: np.ndarray
+) -> float:
+    r"""Orientational relaxation time from an end-to-end vector ACF via
+    a stretched-exponential fit:
+
+    .. math::
+
+       C_\mathrm{ee}(t) = e^{-(t/\tau)^\beta},\qquad
+       \tau_\mathrm{r} = \tau\,\Gamma(1 + 1/\beta)
+
+    Parity: ``analysis/polymer.py:59-108``.
+    """
+
+    tau, beta = optimize.curve_fit(
+        stretched_exp, time / time[1], acf, bounds=(0, np.inf)
+    )[0]
+    return tau * time[1] * special.gamma(1 + beta**-1)
+
+
+class _PolymerAnalysisBase(DynamicAnalysisBase):
+    """Chain/monomer bookkeeping shared by the polymer analyses.
+    Parity: ``analysis/polymer.py:110-237``."""
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        n_chains=None,
+        n_monomers=None,
+        *,
+        unwrap: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        self.universe = self._groups[0].universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+
+        self._dimensions = (
+            None
+            if self.universe.dimensions is None
+            else self.universe.dimensions[:3].copy()
+        )
+
+        self._n_groups = len(self._groups)
+        valid = {"atoms", "residues"}
+        if isinstance(groupings, str):
+            if groupings not in valid:
+                raise ValueError(
+                    f"Invalid grouping '{groupings}'. Valid values: "
+                    f"{', '.join(sorted(valid))}."
+                )
+            self._groupings = self._n_groups * [groupings]
+        else:
+            if self._n_groups != len(groupings):
+                raise ValueError(
+                    "The number of grouping values is not equal to the "
+                    "number of groups."
+                )
+            for g in groupings:
+                if g not in valid:
+                    raise ValueError(
+                        f"Invalid grouping '{g}'. Valid values: "
+                        f"{', '.join(sorted(valid))}."
+                    )
+            self._groupings = list(groupings)
+
+        if n_chains is None or n_monomers is None:
+            self._internal = True
+            self._n_chains = np.empty(self._n_groups, dtype=int)
+            self._n_monomers = np.empty_like(self._n_chains)
+            for i, (g, gr) in enumerate(
+                zip(self._groups, self._groupings)
+            ):
+                self._n_chains[i] = g.n_segments
+                entities = (
+                    g.n_atoms if gr == "atoms" else g.n_residues
+                )
+                self._n_monomers[i] = entities // self._n_chains[i]
+        else:
+            self._internal = False
+            self._n_chains = (
+                n_chains * np.ones(self._n_groups, dtype=int)
+                if isinstance(n_chains, (int, np.integer))
+                else np.asarray(n_chains, dtype=int)
+            )
+            self._n_monomers = (
+                n_monomers * np.ones(self._n_groups, dtype=int)
+                if isinstance(n_monomers, (int, np.integer))
+                else np.asarray(n_monomers, dtype=int)
+            )
+            if len(self._n_chains) != self._n_groups or len(
+                self._n_monomers
+            ) != self._n_groups:
+                raise ValueError(
+                    "The number of chain/monomer counts must match the "
+                    "number of groups."
+                )
+
+        self._unwrap = unwrap
+        self._sequential = unwrap
+        self._verbose = verbose
+
+        # Per-group monomer reduction metadata.
+        self._atom_indices = np.concatenate(
+            [g.ix for g in self._groups]
+        )
+        self._sels, self._segs = [], []
+        offset = 0
+        for g, gr in zip(self._groups, self._groupings):
+            self._sels.append(offset + np.arange(g.n_atoms))
+            seg, _ = (
+                (None, g.n_atoms)
+                if gr == "atoms"
+                else _group_segment_ids(g, "residues")
+            )
+            self._segs.append(seg)
+            offset += g.n_atoms
+
+    def _monomer_masses(self, i: int) -> np.ndarray:
+        """(M, N_p) monomer masses for group i (residue totals when
+        grouped by residues)."""
+
+        g = self._groups[i]
+        if self._groupings[i] == "atoms":
+            masses = g.masses
+        else:
+            seg, n = _group_segment_ids(g, "residues")
+            masses = np.zeros(n)
+            np.add.at(masses, seg, g.masses)
+        return masses.reshape(self._n_chains[i], self._n_monomers[i])
+
+    def _monomer_positions_fn(self, i: int):
+        """Returns a traceable (B, N_sel, 3) -> (B, M, N_p, 3) monomer
+        position extractor for group i."""
+
+        sel = jnp.asarray(self._sels[i])
+        seg = self._segs[i]
+        m = self._n_chains[i]
+        n_p = self._n_monomers[i]
+        if seg is None:
+
+            def extract(positions):
+                return positions[:, sel].reshape(-1, m, n_p, 3)
+
+        else:
+            seg = jnp.asarray(seg)
+            masses = jnp.asarray(self._groups[i].masses)
+            n_entities = m * n_p
+
+            def extract(positions):
+                coms = _com_positions(
+                    positions[:, sel], masses, seg, n_entities
+                )
+                return coms.reshape(-1, m, n_p, 3)
+
+        return extract
+
+    def _initial_unwrapped_monomers(self, i: int) -> np.ndarray:
+        """Edge-unwrapped (M, N_p, 3) monomer positions at the first
+        analyzed frame (for seeding image-flag tracking).
+        Parity: ``analysis/polymer.py:365-436``."""
+
+        g = self._groups[i]
+        m, n_p = self._n_chains[i], self._n_monomers[i]
+        if self._internal and self._groupings[i] == "residues":
+            whole = unwrap_edge(group=g)
+        else:
+            chain_starts = n_p * np.arange(m)[:, None]
+            offsets = np.arange(n_p - 1)[None, :, None]
+            bonds = (
+                chain_starts[:, :, None] + offsets + np.arange(2)
+            ).reshape(-1, 2)
+            whole = unwrap_edge(
+                positions=g.positions,
+                bonds=bonds,
+                dimensions=self._dimensions,
+                masses=g.masses,
+            )
+        if self._groupings[i] == "atoms":
+            return whole.reshape(m, n_p, 3)
+        seg, n = _group_segment_ids(g, "residues")
+        out = np.asarray(
+            _com_positions(
+                jnp.asarray(whole)[None],
+                jnp.asarray(g.masses),
+                jnp.asarray(seg),
+                n,
+            )[0]
+        )
+        return out.reshape(m, n_p, 3)
+
+
+def _unwrap_step(box):
+    """Image-flag unwrap scan step factory (monomer positions)."""
+
+    def step(carry, inputs):
+        pos, valid = inputs
+        prev, images = carry
+        half = box / 2
+        delta = pos - prev
+        crossings = jnp.where(
+            jnp.abs(delta) >= half, jnp.sign(delta).astype(jnp.int32), 0
+        )
+        images = jnp.where(valid > 0, images - crossings, images)
+        prev = jnp.where(valid > 0, pos, prev)
+        return (prev, images), pos + images * box
+
+    return step
+
+
+class Gyradius(_PolymerAnalysisBase):
+    r"""Radius of gyration :math:`R_\mathrm{g}` per chain, averaged
+    over chains, per frame.
+
+    Parity: ``analysis/polymer.py:239-508`` — overall or per-axis
+    ``components``, optional image-flag ``unwrap`` seeded by an
+    edge-unwrap of the first frame.
+
+    Results: ``results.gyradii`` with shape ``(N_g, N_t)`` (or
+    ``(N_g, N_t, 3)`` with components).
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        n_chains=None,
+        n_monomers=None,
+        *,
+        components: bool = False,
+        unwrap: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        super().__init__(
+            groups,
+            groupings,
+            n_chains,
+            n_monomers,
+            unwrap=unwrap,
+            parallel=parallel,
+            verbose=verbose,
+            **kwargs,
+        )
+        self._components = components
+
+    def _prepare(self) -> None:
+        shape = [self._n_groups, self.n_frames]
+        if self._components:
+            shape.append(3)
+        self.results.gyradii = np.empty(shape)
+        self.results.units = {"results.gyradii": ureg.angstrom}
+        self._store_offset = 0
+
+        extractors = [
+            self._monomer_positions_fn(i) for i in range(self._n_groups)
+        ]
+        monomer_masses = [
+            jnp.asarray(self._monomer_masses(i))
+            for i in range(self._n_groups)
+        ]
+        components = self._components
+        unwrap = self._unwrap
+
+        if unwrap:
+            box = jnp.asarray(self._dimensions)
+            self.universe.trajectory[int(self.frames[0])]
+            prev0 = [
+                jnp.asarray(self._initial_unwrapped_monomers(i))
+                for i in range(self._n_groups)
+            ]
+            images0 = [
+                jnp.zeros(p.shape, dtype=jnp.int32) for p in prev0
+            ]
+            self._carry = (tuple(prev0), tuple(images0))
+            step = _unwrap_step(box)
+        else:
+            self._carry = (jnp.zeros(()), jnp.zeros(()))
+
+        def chain_gyradii(monomers, masses):
+            """(B, M, N_p, 3), (M, N_p) -> (B,) or (B, 3) chain-mean
+            radii of gyration."""
+
+            total = masses.sum(axis=-1)  # (M,)
+            com = jnp.einsum(
+                "mp,bmpd->bmd", masses, monomers
+            ) / total[None, :, None]
+            sq = (monomers - com[:, :, None, :]) ** 2
+            if components:
+                all_sq = sq.sum(axis=-1, keepdims=True)
+                ortho = all_sq - sq
+                rg = jnp.sqrt(
+                    jnp.einsum("mp,bmpd->bmd", masses, ortho)
+                    / total[None, :, None]
+                )
+                return rg.mean(axis=1)
+            rg = jnp.sqrt(
+                jnp.einsum("mp,bmpd->bm", masses, sq) / total[None, :]
+            )
+            return rg.mean(axis=1)
+
+        if unwrap:
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions
+                prevs, imagess = carry
+                new_prevs, new_imagess, outputs = [], [], []
+                for extract, masses, prev, images in zip(
+                    extractors, monomer_masses, prevs, imagess
+                ):
+                    monomers = extract(positions)
+                    (prev, images), unwrapped = jax.lax.scan(
+                        step, (prev, images), (monomers, mask)
+                    )
+                    new_prevs.append(prev)
+                    new_imagess.append(images)
+                    outputs.append(chain_gyradii(unwrapped, masses))
+                return (
+                    (tuple(new_prevs), tuple(new_imagess)),
+                    jnp.stack(outputs, axis=1),
+                )
+
+        else:
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions, mask
+                outputs = [
+                    chain_gyradii(extract(positions), masses)
+                    for extract, masses in zip(
+                        extractors, monomer_masses
+                    )
+                ]
+                return carry, jnp.stack(outputs, axis=1)
+
+        self._update = jax.jit(update)
+
+    def _batched_update(self, carry, batch):
+        carry, gyradii = self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+        n_real = int(batch.mask.sum())
+        lo = self._store_offset
+        block = np.asarray(gyradii)[:n_real]  # (B, G[, 3])
+        self.results.gyradii[:, lo:lo + n_real] = np.moveaxis(
+            block, 0, 1
+        )
+        self._store_offset += n_real
+        return carry
+
+    def _conclude(self) -> None:
+        pass
+
+
+class EndToEndVector(_PolymerAnalysisBase):
+    r"""Normalized end-to-end vector autocorrelation function
+    :math:`C_\mathrm{ee}(t) = \langle\hat{\mathbf{R}}(t)\cdot
+    \hat{\mathbf{R}}(0)\rangle` and the derived orientational
+    relaxation time.
+
+    Parity: ``analysis/polymer.py:510-803``.  The end monomers' image
+    flags are tracked when ``unwrap=True``; the ACF is evaluated with
+    the FFT correlator over (blocks, frames, chains).
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        n_chains=None,
+        n_monomers=None,
+        *,
+        n_blocks: int = 1,
+        dt=None,
+        fft: bool = True,
+        unwrap: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        kwargs.pop("parallel", None)
+        super().__init__(
+            groups,
+            groupings,
+            n_chains,
+            n_monomers,
+            unwrap=unwrap,
+            parallel=False,
+            verbose=verbose,
+            **kwargs,
+        )
+        self._N_chains = int(self._n_chains.sum())
+        self._chain_slices = []
+        index = 0
+        for m in self._n_chains:
+            self._chain_slices.append(slice(index, index + int(m)))
+            index += int(m)
+        self._n_blocks = n_blocks
+        self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
+        self._fft = fft
+
+    def _prepare(self) -> None:
+        self._n_frames_block = self.n_frames // self._n_blocks
+        self._n_frames = self._n_blocks * self._n_frames_block
+        extra = self.n_frames - self._n_frames
+        if extra > 0:
+            warnings.warn(
+                f"The trajectory is not divisible into "
+                f"{self._n_blocks:,} blocks, so the last {extra:,} "
+                "frame(s) will be discarded."
+            )
+
+        df = np.diff(self.frames)
+        step = int(df[0]) if len(df) else 1
+        self.results.times = (
+            step * self._dt * np.arange(self._n_frames_block)
+        )
+        self.results.units = {"results.times": ureg.picosecond}
+
+        self._e2e = np.empty((self.n_frames, self._N_chains, 3))
+        self._store_offset = 0
+
+        extractors = [
+            self._monomer_positions_fn(i) for i in range(self._n_groups)
+        ]
+        end_masses = [
+            jnp.asarray(self._monomer_masses(i)[:, (0, -1)])
+            for i in range(self._n_groups)
+        ]
+        unwrap = self._unwrap
+
+        if unwrap:
+            box = jnp.asarray(self._dimensions)
+            self.universe.trajectory[int(self.frames[0])]
+            prev0 = [
+                jnp.asarray(
+                    self._initial_unwrapped_monomers(i)[:, (0, -1)]
+                )
+                for i in range(self._n_groups)
+            ]
+            images0 = [
+                jnp.zeros(p.shape, dtype=jnp.int32) for p in prev0
+            ]
+            self._carry = (tuple(prev0), tuple(images0))
+            step_fn = _unwrap_step(box)
+        else:
+            self._carry = (jnp.zeros(()), jnp.zeros(()))
+
+        def ends_of(extract, positions):
+            monomers = extract(positions)  # (B, M, N_p, 3)
+            return monomers[:, :, (0, -1), :]  # (B, M, 2, 3)
+
+        if unwrap:
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions
+                prevs, imagess = carry
+                new_prevs, new_imagess, vectors = [], [], []
+                for extract, prev, images in zip(
+                    extractors, prevs, imagess
+                ):
+                    ends = ends_of(extract, positions)
+                    (prev, images), unwrapped = jax.lax.scan(
+                        step_fn, (prev, images), (ends, mask)
+                    )
+                    new_prevs.append(prev)
+                    new_imagess.append(images)
+                    vectors.append(
+                        unwrapped[:, :, 1] - unwrapped[:, :, 0]
+                    )
+                return (
+                    (tuple(new_prevs), tuple(new_imagess)),
+                    jnp.concatenate(vectors, axis=1),
+                )
+
+        else:
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions, mask
+                vectors = [
+                    ends_of(extract, positions)[:, :, 1]
+                    - ends_of(extract, positions)[:, :, 0]
+                    for extract in extractors
+                ]
+                return carry, jnp.concatenate(vectors, axis=1)
+
+        self._update = jax.jit(update)
+
+    def _batched_update(self, carry, batch):
+        carry, vectors = self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+        n_real = int(batch.mask.sum())
+        lo = self._store_offset
+        self._e2e[lo:lo + n_real] = np.asarray(vectors)[:n_real]
+        self._store_offset += n_real
+        return carry
+
+    def _conclude(self) -> None:
+        acf_fn = correlation_fft if self._fft else correlation_shift
+        self.results.acf = np.empty(
+            (self._n_groups, self._n_blocks, self._n_frames_block)
+        )
+        e2e = self._e2e[:self._n_frames]
+        for i, (s, m) in enumerate(
+            zip(self._chain_slices, self._n_chains)
+        ):
+            unit_vectors = e2e[:, s] / np.linalg.norm(
+                e2e[:, s], axis=-1, keepdims=True
+            )
+            self.results.acf[i] = np.asarray(
+                acf_fn(
+                    unit_vectors.reshape(
+                        self._n_blocks, -1, int(m), 3
+                    ),
+                    average=True,
+                    vector=True,
+                )
+            )
+
+    def calculate_relaxation_time(self) -> None:
+        """Stretched-exponential relaxation times per group and block.
+        Parity: ``analysis/polymer.py:783-803``."""
+
+        if self.results.acf is None:
+            raise RuntimeError(
+                "Call EndToEndVector.run() before "
+                "EndToEndVector.calculate_relaxation_time()."
+            )
+        self.results.relaxation_times = np.empty(
+            (self._n_groups, self._n_blocks)
+        )
+        self.results.units["results.relaxation_times"] = ureg.picosecond
+        for i, group_acf in enumerate(self.results.acf):
+            for j, acf in enumerate(group_acf):
+                valid = np.where(acf >= 0)[0]
+                self.results.relaxation_times[i, j] = (
+                    calculate_relaxation_time(
+                        self.results.times[valid], acf[valid]
+                    )
+                )
+
+
+class SingleChainStructureFactor(_PolymerAnalysisBase):
+    r"""Single-chain structure factor of a homopolymer:
+
+    .. math::
+
+       S_\mathrm{sc}(q) = \frac{1}{MN_p}\left\langle\sum_\mathrm{chains}
+       \left[\left(\sum_j \cos\mathbf{q}\cdot\mathbf{r}_j\right)^2
+       + \left(\sum_j \sin\mathbf{q}\cdot\mathbf{r}_j\right)^2\right]
+       \right\rangle
+
+    Parity: ``analysis/polymer.py:805-1130``.  The per-chain trig sums
+    are one phase matmul reshaped to (chains, monomers) and reduced.
+    """
+
+    def __init__(
+        self,
+        group,
+        grouping: str = "atoms",
+        n_points: int = 32,
+        *,
+        n_chains: int = None,
+        n_monomers: int = None,
+        dimensions=None,
+        unwrap: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        super().__init__(
+            group,
+            grouping,
+            n_chains,
+            n_monomers,
+            unwrap=unwrap,
+            parallel=parallel,
+            verbose=verbose,
+            **kwargs,
+        )
+        if dimensions is not None:
+            if len(dimensions) != 3:
+                raise ValueError("'dimensions' must have length 3.")
+            self._dimensions = np.asarray(
+                strip_unit(dimensions, "angstrom")[0]
+            )
+        elif self._dimensions is None:
+            raise ValueError("No system dimensions found or provided.")
+
+        self._wavevectors = _wavevector_grid(self._dimensions, n_points)
+        self._wavenumbers = np.linalg.norm(self._wavevectors, axis=1)
+
+    def _prepare(self) -> None:
+        self.results.wavenumbers = np.unique(
+            self._wavenumbers.round(11)
+        )
+        self.results.units = {
+            "results.wavenumbers": ureg.angstrom**-1
+        }
+        self._carry_scsf = None
+
+        qs = jnp.asarray(self._wavevectors)
+        extract = self._monomer_positions_fn(0)
+        m = int(self._n_chains[0])
+        n_p = int(self._n_monomers[0])
+        unwrap = self._unwrap
+
+        if unwrap:
+            box = jnp.asarray(self._dimensions)
+            self.universe.trajectory[int(self.frames[0])]
+            prev0 = jnp.asarray(self._initial_unwrapped_monomers(0))
+            images0 = jnp.zeros(prev0.shape, dtype=jnp.int32)
+            unwrap_state = (prev0, images0)
+            step_fn = _unwrap_step(box)
+        else:
+            unwrap_state = (jnp.zeros(()), jnp.zeros(()))
+
+        def frame_scsf(monomers):
+            """(M, N_p, 3) -> (N_q,) single-chain structure factor
+            contribution."""
+
+            phases = (qs @ monomers.reshape(-1, 3).T).reshape(
+                -1, m, n_p
+            )
+            cos = jnp.cos(phases).sum(axis=-1)
+            sin = jnp.sin(phases).sum(axis=-1)
+            return (cos**2 + sin**2).sum(axis=-1)
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            state, scsf = carry
+            monomers = extract(positions)  # (B, M, N_p, 3)
+            if unwrap:
+                state, monomers = jax.lax.scan(
+                    step_fn, state, (monomers, mask)
+                )
+            contributions = jax.vmap(frame_scsf)(monomers)
+            scsf = scsf + (contributions * mask[:, None]).sum(axis=0)
+            return (state, scsf)
+
+        self._carry = (
+            unwrap_state,
+            jnp.zeros(len(self._wavevectors), jnp.float64),
+        )
+        self._update = jax.jit(update, donate_argnums=0)
+
+    def _batched_update(self, carry, batch):
+        return self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+
+    def _conclude(self) -> None:
+        scsf = np.asarray(self._carry[1]) / (
+            self._n_chains[0] * self._n_monomers[0] * self.n_frames
+        )
+        self.results.scsf = np.fromiter(
+            (
+                scsf[np.isclose(q, self._wavenumbers)].mean()
+                for q in self.results.wavenumbers
+            ),
+            dtype=float,
+            count=len(self.results.wavenumbers),
+        )

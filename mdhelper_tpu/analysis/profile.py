@@ -1,0 +1,733 @@
+r"""
+Density and potential profiles
+==============================
+
+Number/charge density profiles along box axes and the electric
+potential from Poisson's equation (reference:
+``/root/reference/src/mdhelper/analysis/profile.py``).
+
+TPU formulation: the per-frame ``numpy.histogram`` loops
+(``profile.py:807-818``) become mask-weighted batched bin-scatters
+(:mod:`mdhelper_tpu.ops.profiles`).  With ``recenter`` the
+unwrap -> COM-shift -> wrap pipeline is order-dependent and runs as a
+``lax.scan`` with the (previous positions, image flags) carry handed
+across chunks.  The Poisson solves (cumulative trapezoids / sparse
+tridiagonal FD) stay host-side scipy.
+"""
+
+import logging
+import warnings
+from numbers import Real
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import integrate, sparse
+
+from .. import Q_, ureg
+from ..algorithm.unit import strip_unit
+from ..ops.pbc import wrap_positions
+from ..ops.profiles import axis_histogram_batch
+from .base import DynamicAnalysisBase
+from .structure import _com_positions, _group_segment_ids
+
+__all__ = ["calculate_potential_profile", "DensityProfile"]
+
+
+def calculate_potential_profile(
+    bins: np.ndarray,
+    charge_density: np.ndarray,
+    L: float,
+    dielectric: float = 1,
+    *,
+    sigma_q: float = None,
+    dV: float = None,
+    threshold: float = 1e-5,
+    V0: float = 0,
+    method: str = "integral",
+    pbc: bool = False,
+    reduced: bool = False,
+) -> np.ndarray:
+    r"""Solve Poisson's equation
+    :math:`\varepsilon_0\varepsilon_r \nabla^2\Psi(z) = -\rho_q(z)`
+    for the potential profile.
+
+    Parity: ``analysis/profile.py:28-285``.  ``method="integral"``
+    double-integrates the charge density with the bulk-field boundary
+    condition :math:`\Psi'(0) = -\sigma_q/\varepsilon_0\varepsilon_r`
+    (extracting :math:`\sigma_q` from the plateau of the first integral
+    when not given); ``method="matrix"`` assembles the second-order
+    finite-difference tridiagonal system with periodic or slab boundary
+    rows and solves it sparsely.
+
+    Parameters
+    ----------
+    bins : array-like
+        Bin centers. Shape ``(N_bins,)``.
+    charge_density : array-like
+        Charge density profile (e/A^3). Shape ``(N_bins,)``.
+    L : `float`
+        System length along the profiled axis.
+    dielectric : `float`, default 1
+        Relative permittivity.
+    sigma_q : `float`, keyword-only, optional
+        Surface charge density (e/A^2).
+    dV : `float`, keyword-only, optional
+        Potential difference used to derive `sigma_q` when absent.
+    threshold : `float`, keyword-only, default 1e-5
+        Plateau-detection threshold for the automatic `sigma_q`.
+    V0 : `float`, keyword-only, default 0
+        Potential at the left boundary.
+    method : `str`, keyword-only, default ``"integral"``
+        ``"integral"`` or ``"matrix"``.
+    pbc : `bool`, keyword-only, default False
+        Periodic boundary rows (matrix method only).
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+
+    Returns
+    -------
+    potential : `numpy.ndarray`
+        Potential profile (V). Shape ``(N_bins,)``.
+    """
+
+    bins = np.asarray(bins, dtype=float)
+    charge_density = np.asarray(charge_density, dtype=float)
+    if len(bins) != len(charge_density):
+        raise ValueError(
+            "'bins' and 'charge_density' arrays must have the same "
+            "length."
+        )
+
+    conversion = (
+        4 * np.pi
+        if reduced
+        else (
+            1
+            * ureg.elementary_charge
+            / (ureg.vacuum_permittivity * ureg.angstrom)
+        ).m_as(ureg.volt)
+    )
+
+    if sigma_q is None and dV is not None:
+        sigma_q = (
+            integrate.trapezoid(bins * charge_density, bins)
+            - dielectric * dV / conversion
+        ) / L
+
+    if method == "integral":
+        first = integrate.cumulative_trapezoid(
+            charge_density, bins, initial=0
+        )
+        if sigma_q is None:
+            warnings.warn(
+                "No surface charge density information. The value will "
+                "be extracted from the integrated charge density "
+                "profile, which may be inaccurate due to numerical "
+                "errors."
+            )
+            cuts = np.where(
+                np.diff(np.abs(np.gradient(first)) < threshold)
+            )[0] + 1
+            if len(cuts) == 0:
+                logging.warning(
+                    "No bulk plateau region found in the charge "
+                    "density profile. The average value over the "
+                    "entire profile will be used."
+                )
+                sigma_q = first.mean()
+            else:
+                middle = len(first) // 2
+                sigma_q = first[
+                    cuts[cuts <= middle][-1]:cuts[cuts >= middle][0]
+                ].mean()
+        return (
+            -conversion
+            * integrate.cumulative_trapezoid(
+                first + sigma_q, bins, initial=V0
+            )
+            / dielectric
+        )
+
+    if method == "matrix":
+        if sigma_q is None:
+            raise ValueError(
+                "No surface charge density information. Either "
+                "'sigma_q' or 'dV' must be provided when "
+                "method='matrix'."
+            )
+        h = bins[1] - bins[0]
+        if not np.allclose(np.diff(bins), h):
+            raise ValueError("'bins' must be uniformly spaced.")
+
+        n = len(bins)
+        A = sparse.diags(
+            (1.0, -2.0, 1.0), (-1, 0, 1), shape=(n, n), format="csc"
+        )
+        b = charge_density.copy()
+        with warnings.catch_warnings():
+            warnings.simplefilter(
+                "ignore", category=sparse.SparseEfficiencyWarning
+            )
+            if pbc:
+                A[0, -1] = A[-1, 0] = 1
+                b *= -conversion * h**2 / dielectric
+                psi = np.empty_like(b)
+                psi[1:] = sparse.linalg.spsolve(A[1:, 1:], b[1:])
+                psi[0] = psi[-1]
+                return psi
+            A[0, :3] = -1.5, 2, -0.5
+            A[-1, 0] = 1
+            A[-1, -2:] = 0
+            b[0] = -conversion * h * sigma_q / dielectric
+            b[1:-1] *= -conversion * h**2 / dielectric
+            b[-1] = 0
+            return sparse.linalg.spsolve(A, b)
+
+    raise ValueError("Invalid method. Valid values: 'integral', 'matrix'.")
+
+
+class DensityProfile(DynamicAnalysisBase):
+    r"""Number and charge density profiles along one or more axes.
+
+    Parity: ``analysis/profile.py:287-996`` — multi-axis binning,
+    per-group charges (auto-detected from the topology when uniform),
+    ``average`` toggle for time-resolved profiles, ``recenter`` on a
+    group's center of mass (with the unwrap/shift/wrap pipeline), box
+    ``scales``, and the post-hoc :meth:`calculate_potential_profile`.
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Group(s) to profile.
+    groupings : `str` or array-like, default ``"atoms"``
+        ``"atoms"``, ``"residues"`` or ``"segments"``.
+    axes : `int`, `str` or array-like, default ``"xyz"``
+        Axes to bin along.
+    n_bins : `int` or array-like, default 201
+        Bins per axis.
+    charges : array-like, keyword-only, optional
+        Group charge numbers.
+    dimensions : array-like, keyword-only, optional
+        Box lengths; multiplied by `scales`.
+    dt : `float`, keyword-only, optional
+        Time between frames.
+    scales : `float` or array-like, keyword-only, default 1
+        Box scaling factors.
+    average : `bool`, keyword-only, default True
+        Time-average (False keeps per-frame profiles).
+    recenter : group, `int` or `tuple`, keyword-only, optional
+        Group (or its index, optionally with a target position) whose
+        COM is recentered every frame.
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh (no recentering
+        sequencing constraint: the unwrap scan forces single-device
+        order when ``recenter`` is set).
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        axes: Union[int, str, tuple] = "xyz",
+        n_bins: Union[int, tuple] = 201,
+        *,
+        charges=None,
+        dimensions=None,
+        dt=None,
+        scales: Union[float, tuple] = 1,
+        average: bool = True,
+        recenter=None,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        self.universe = self._groups[0].universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+
+        self._n_groups = len(self._groups)
+        valid = {"atoms", "residues", "segments"}
+        if isinstance(groupings, str):
+            if groupings not in valid:
+                raise ValueError(
+                    f"Invalid grouping '{groupings}'. Valid values: "
+                    f"{', '.join(sorted(valid))}."
+                )
+            self._groupings = self._n_groups * [groupings]
+        else:
+            if self._n_groups != len(groupings):
+                raise ValueError(
+                    "The number of grouping values is not equal to the "
+                    "number of groups."
+                )
+            for g in groupings:
+                if g not in valid:
+                    raise ValueError(
+                        f"Invalid grouping '{g}'. Valid values: "
+                        f"{', '.join(sorted(valid))}."
+                    )
+            self._groupings = list(groupings)
+
+        if isinstance(axes, int):
+            self._axes = np.array((axes,), dtype=int)
+        else:
+            self._axes = np.fromiter(
+                (
+                    ord(a.lower()) - 120 if isinstance(a, str) else a
+                    for a in axes
+                ),
+                count=len(axes),
+                dtype=int,
+            )
+
+        if isinstance(n_bins, (int, np.integer)):
+            self._n_bins = int(n_bins) * np.ones(
+                self._axes.shape, dtype=int
+            )
+        else:
+            n_bins = np.asarray(n_bins, dtype=int)
+            if len(n_bins) != len(self._axes):
+                raise ValueError(
+                    "The dimension of the array of bin counts is "
+                    "incompatible with the number of axes."
+                )
+            self._n_bins = n_bins
+
+        if charges is not None:
+            if len(charges) != self._n_groups:
+                raise ValueError(
+                    "The number of group charges is not equal to the "
+                    "number of groups."
+                )
+            charges, unit_ = strip_unit(charges, "elementary_charge")
+            if reduced and not isinstance(unit_, (str, type(None))):
+                raise TypeError(
+                    "'charges' cannot have units when reduced=True."
+                )
+            self._charges = np.asarray(charges)
+        else:
+            self._charges = np.empty(self._n_groups)
+            for i, (group, grouping) in enumerate(
+                zip(self._groups, self._groupings)
+            ):
+                entity = _entity_charges(group, grouping)
+                if not np.allclose(entity[0], entity):
+                    self._charges = None
+                    warnings.warn(
+                        f"Not all {grouping} in group {i} share the "
+                        "same charge. No charge density profile will "
+                        "be calculated."
+                    )
+                    break
+                self._charges[i] = entity[0]
+
+        if dimensions is not None:
+            if len(dimensions) != 3:
+                raise ValueError("'dimensions' must have length 3.")
+            self._dimensions = np.asarray(
+                strip_unit(dimensions, "angstrom")[0]
+            )
+        elif self.universe.dimensions is not None:
+            self._dimensions = self.universe.dimensions[:3].copy()
+        else:
+            raise ValueError("No system dimensions found or provided.")
+
+        if isinstance(scales, Real) or (
+            len(scales) == 3 and isinstance(scales[0], Real)
+        ):
+            self._dimensions = self._dimensions * scales
+        else:
+            raise ValueError(
+                "The scaling factor(s) must be provided as a "
+                "floating-point number or in an array with shape (3,)."
+            )
+
+        self._dt, unit_ = strip_unit(
+            dt or self._trajectory.dt, "picosecond"
+        )
+        if reduced and not isinstance(unit_, (str, type(None))):
+            raise TypeError("'dt' cannot have units when reduced=True.")
+
+        # Recentering configuration.
+        if recenter is None:
+            self._recenter = None
+        else:
+            if isinstance(recenter, (int, np.integer)) or hasattr(
+                recenter, "universe"
+            ):
+                recenter_group = recenter
+                recenter_position = self._dimensions / 2
+            elif isinstance(recenter, tuple) and len(recenter) == 2:
+                recenter_group, recenter_position = recenter
+                recenter_position = np.asarray(recenter_position)
+            else:
+                raise ValueError(
+                    "Invalid value passed to 'recenter': provide a "
+                    "group (or its index in 'groups'), optionally in a "
+                    "tuple with a target center-of-mass position."
+                )
+            if hasattr(recenter_group, "universe"):
+                for i, g in enumerate(self._groups):
+                    if g == recenter_group:
+                        recenter_group = i
+                        break
+                else:
+                    raise ValueError(
+                        "The specified group in 'recenter' is not in "
+                        "'groups'."
+                    )
+            elif not 0 <= recenter_group < self._n_groups:
+                raise ValueError(
+                    "Invalid group index passed to 'recenter'."
+                )
+            self._recenter = (int(recenter_group), recenter_position)
+            self._sequential = True
+
+        # Entity bookkeeping.
+        self._atom_indices = np.concatenate(
+            [g.ix for g in self._groups]
+        )
+        self._sels, self._segs, self._Ns = [], [], []
+        offset = 0
+        for group, grouping in zip(self._groups, self._groupings):
+            self._sels.append(offset + np.arange(group.n_atoms))
+            seg, n = _group_segment_ids(group, grouping)
+            self._segs.append(seg)
+            self._Ns.append(int(n))
+            offset += group.n_atoms
+        self._N = int(sum(self._Ns))
+        self._entity_slices = []
+        index = 0
+        for n in self._Ns:
+            self._entity_slices.append(slice(index, index + n))
+            index += n
+
+        self._average = average
+        self._reduced = reduced
+        self._verbose = verbose
+
+    def _prepare(self) -> None:
+        dims = self._dimensions
+        self.results.bins = [
+            np.linspace(
+                dims[a] / (2 * n), dims[a] - dims[a] / (2 * n), n
+            )
+            for a, n in zip(self._axes, self._n_bins)
+        ]
+        self.results.units = {
+            "results.bins": ureg.angstrom,
+            "results.number_densities": ureg.angstrom**-3,
+        }
+        if self._charges is not None:
+            self.results.units["results.charge_densities"] = (
+                ureg.elementary_charge / ureg.angstrom**3
+            )
+        if not self._average:
+            self.results.times = self.frames * self._dt
+
+        box = jnp.asarray(dims)
+        edge_list = [
+            jnp.linspace(0.0, dims[a], n + 1)
+            for a, n in zip(self._axes, self._n_bins)
+        ]
+        axes = [int(a) for a in self._axes]
+        sels = [jnp.asarray(s) for s in self._sels]
+        segs = [
+            None if s is None else jnp.asarray(s) for s in self._segs
+        ]
+        masses_per_group = [jnp.asarray(g.masses) for g in self._groups]
+        ns = self._Ns
+        entity_slices = self._entity_slices
+        average = self._average
+        recenter = self._recenter
+        if recenter is not None:
+            rec_slice = entity_slices[recenter[0]]
+            rec_masses = jnp.asarray(
+                _entity_masses(
+                    self._groups[recenter[0]],
+                    self._groupings[recenter[0]],
+                )
+            )
+            rec_target = jnp.asarray(recenter[1], dtype=jnp.float64)
+            # Initial unwrap state from the first analyzed frame.
+            first = self.universe.trajectory[int(self.frames[0])]
+            init_entities = np.empty((self._N, 3))
+            for g, gr, s in zip(
+                self._groups, self._groupings, entity_slices
+            ):
+                if gr == "atoms":
+                    init_entities[s] = g.positions
+                else:
+                    seg, n = _group_segment_ids(g, gr)
+                    init_entities[s] = np.asarray(
+                        _com_positions(
+                            jnp.asarray(g.positions)[None],
+                            jnp.asarray(g.masses),
+                            jnp.asarray(seg),
+                            n,
+                        )[0]
+                    )
+            prev0 = jnp.asarray(init_entities)
+            images0 = jnp.zeros((self._N, 3), dtype=jnp.int32)
+            del first
+
+        def entity_positions(positions):
+            parts = []
+            for sel, seg, m, n in zip(sels, segs, masses_per_group, ns):
+                pos = positions[:, sel]
+                if seg is not None:
+                    pos = _com_positions(pos, m, seg, n)
+                parts.append(pos)
+            return jnp.concatenate(parts, axis=1)
+
+        def histograms(entities, mask):
+            """entities: (B, N, 3) -> list per axis of (G, n_bins) or,
+            for time-resolved profiles, (B, G, n_bins)."""
+
+            out = []
+            for axis, edges in zip(axes, edge_list):
+                per_group = []
+                for s in entity_slices:
+                    coords = entities[:, s, axis]
+                    if average:
+                        per_group.append(
+                            axis_histogram_batch(coords, mask, edges)
+                        )
+                    else:
+                        per_frame = jax.vmap(
+                            lambda c: axis_histogram_batch(
+                                c[None], jnp.ones(1), edges
+                            )
+                        )(coords)
+                        per_group.append(per_frame)
+                out.append(
+                    jnp.stack(per_group, axis=0 if average else 1)
+                )
+            return out
+
+        if recenter is None:
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions
+                entities = entity_positions(positions)
+                entities = wrap_positions(entities, box)
+                hists = histograms(entities, mask)
+                if average:
+                    return [c + h for c, h in zip(carry, hists)], None
+                return carry, hists
+
+        else:
+
+            def scan_step(carry, inputs):
+                pos, valid = inputs
+                prev, images = carry
+                half = box / 2
+                delta = pos - prev
+                crossings = jnp.where(
+                    jnp.abs(delta) >= half,
+                    jnp.sign(delta).astype(jnp.int32),
+                    0,
+                )
+                images = jnp.where(
+                    valid > 0, images - crossings, images
+                )
+                prev = jnp.where(valid > 0, pos, prev)
+                unwrapped = pos + images * box
+                scom = (
+                    rec_masses[:, None] * unwrapped[rec_slice]
+                ).sum(axis=0) / rec_masses.sum()
+                shift = jnp.where(
+                    jnp.isnan(scom), 0.0, scom - rec_target
+                )
+                return (prev, images), unwrapped - shift
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions
+                entities = entity_positions(positions)
+                carry, shifted = jax.lax.scan(
+                    scan_step, carry, (entities, mask)
+                )
+                shifted = wrap_positions(shifted, box)
+                return carry, histograms(shifted, mask)
+
+        # Carry layout: counts only (averaged mode, no recenter), or
+        # (unwrap state, counts handled separately).
+        if recenter is None:
+            if average:
+                self._carry = [
+                    jnp.zeros((self._n_groups, n), jnp.float64)
+                    for n in self._n_bins
+                ]
+            else:
+                self._carry = [jnp.zeros(())]
+            self._update = jax.jit(update)
+        else:
+            self._counts = [
+                np.zeros((self._n_groups, n)) for n in self._n_bins
+            ]
+            self._carry = (prev0, images0)
+            self._update = jax.jit(update)
+
+        if not average:
+            self.results.number_densities = [
+                np.zeros((self._n_groups, self.n_frames, n))
+                for n in self._n_bins
+            ]
+            self._store_offset = 0
+
+    def _batched_update(self, carry, batch):
+        if self._recenter is None:
+            if self._average:
+                carry, _ = self._update(
+                    carry, batch.positions, batch.dimensions, batch.mask
+                )
+                return carry
+            _, hists = self._update(
+                carry, batch.positions, batch.dimensions, batch.mask
+            )
+            n_real = int(batch.mask.sum())
+            for a, h in enumerate(hists):
+                block = np.asarray(h)[:n_real]  # (B, G, n_bins)
+                self.results.number_densities[a][
+                    :, self._store_offset:self._store_offset + n_real
+                ] = block.transpose(1, 0, 2)
+            self._store_offset += n_real
+            return carry
+
+        state, hists = self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+        if self._average:
+            for a, h in enumerate(hists):
+                self._counts[a] += np.asarray(h)
+        else:
+            n_real = int(batch.mask.sum())
+            for a, h in enumerate(hists):
+                block = np.asarray(h)[:n_real]
+                self.results.number_densities[a][
+                    :, self._store_offset:self._store_offset + n_real
+                ] = block.transpose(1, 0, 2)
+            self._store_offset += n_real
+        return state
+
+    def _conclude(self) -> None:
+        if self._average:
+            if self._recenter is None:
+                counts = [np.asarray(c) for c in self._carry]
+            else:
+                counts = self._counts
+            self.results.number_densities = counts
+
+        volume = np.prod(self._dimensions)
+        self.results.charge_densities = (
+            [None] * len(self._axes)
+            if self._charges is not None
+            else None
+        )
+        for a in range(len(self._axes)):
+            denom = self._n_bins[a] / volume
+            if self._average:
+                denom = denom / self.n_frames
+            self.results.number_densities[a] = (
+                self.results.number_densities[a] * denom
+            )
+            if self._charges is not None:
+                self.results.charge_densities[a] = np.einsum(
+                    "g,g...b->...b",
+                    self._charges,
+                    self.results.number_densities[a],
+                )
+
+    def calculate_potential_profile(
+        self,
+        dielectric: float,
+        axis: Union[int, str],
+        *,
+        sigma_q=None,
+        dV=None,
+        threshold: float = 1e-5,
+        V0=0,
+        method: str = "integral",
+        pbc: bool = False,
+    ) -> None:
+        """Average potential profile along `axis` from the charge
+        density.  Parity: ``analysis/profile.py:879-996``."""
+
+        if self.results.charge_densities is None:
+            raise RuntimeError(
+                "Either call run() before "
+                "calculate_potential_profile() or provide charge "
+                "information when initializing the DensityProfile "
+                "object."
+            )
+        if self.results.potentials is None:
+            self.results.potentials = {}
+            self.results.units["results.potentials"] = ureg.volt
+
+        if isinstance(axis, str):
+            axis = ord(axis.lower()) - 120
+        index = int(np.where(self._axes == axis)[0][0])
+
+        for name, value, target in (
+            ("sigma_q", sigma_q, "elementary_charge/angstrom**2"),
+            ("dV", dV, "volt"),
+            ("V0", V0, "volt"),
+        ):
+            if value is not None:
+                stripped, unit_ = strip_unit(value, target)
+                if self._reduced and not isinstance(
+                    unit_, (str, type(None))
+                ):
+                    raise ValueError(
+                        f"'{name}' cannot have units when reduced=True."
+                    )
+                if name == "sigma_q":
+                    sigma_q = stripped
+                elif name == "dV":
+                    dV = stripped
+                else:
+                    V0 = stripped
+
+        charge_density = self.results.charge_densities[index]
+        if charge_density.ndim == 2:
+            charge_density = charge_density.mean(axis=0)
+        self.results.potentials[index] = calculate_potential_profile(
+            self.results.bins[index],
+            charge_density,
+            self._dimensions[axis],
+            dielectric,
+            sigma_q=sigma_q,
+            dV=dV,
+            threshold=threshold,
+            V0=V0,
+            method=method,
+            pbc=pbc,
+            reduced=self._reduced,
+        )
+
+
+def _entity_charges(group, grouping: str) -> np.ndarray:
+    if grouping == "atoms":
+        return group.charges
+    seg, n = _group_segment_ids(group, grouping)
+    out = np.zeros(n)
+    np.add.at(out, seg, group.charges)
+    return out
+
+
+def _entity_masses(group, grouping: str) -> np.ndarray:
+    if grouping == "atoms":
+        return group.masses
+    seg, n = _group_segment_ids(group, grouping)
+    out = np.zeros(n)
+    np.add.at(out, seg, group.masses)
+    return out

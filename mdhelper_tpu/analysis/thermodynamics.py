@@ -1,0 +1,231 @@
+r"""
+Thermodynamics
+==============
+
+Constant-volume heat capacity from energy fluctuations (reference:
+``/root/reference/src/mdhelper/analysis/thermodynamics.py``):
+
+.. math::
+
+   C_V = \frac{\langle U^2\rangle - \langle U\rangle^2}
+   {k_\mathrm{B}T^2}
+
+Host-only: parses LAMMPS or OpenMM log files (column auto-detection)
+with pandas, or accepts raw energy series.
+"""
+
+import warnings
+from io import StringIO
+from pathlib import Path
+from typing import Union
+
+import numpy as np
+import pandas as pd
+
+from .. import Q_, ureg
+from ..algorithm.unit import strip_unit
+from .base import Hash
+
+__all__ = ["ConstantVolumeHeatCapacity"]
+
+
+class ConstantVolumeHeatCapacity:
+    r"""Constant-volume heat capacity :math:`C_V` from total-energy
+    fluctuations.
+
+    Parity: ``analysis/thermodynamics.py:25-257`` — LAMMPS/OpenMM log
+    parsing with the same column-priority rules (total energy, else
+    kinetic + potential, else kinetic + per-term sums), temperature
+    from the log or given explicitly, and reduced-unit support.
+
+    Parameters
+    ----------
+    log_file : `str` or `Path`, optional
+        LAMMPS or OpenMM log/state-data file.
+    log_format : `str`, optional
+        ``"lammps"`` or ``"openmm"`` (auto-detected if omitted).
+    energies : array-like, keyword-only, optional
+        Raw total-energy series (kJ/mol) instead of a log file.
+    temperature : `float`, keyword-only, optional
+        System temperature (K); defaults to the log's mean temperature.
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+    sep : `str`, keyword-only, default ``","``
+        Column separator for OpenMM state-data files.
+    """
+
+    _COLUMNS = {
+        "lammps": {
+            "energy": [
+                "TotEng", "KinEng", "PotEng", "E_angle", "E_bond",
+                "E_coul", "E_dihed", "E_impro", "E_long", "E_vdwl",
+            ],
+            "temperature": "Temp",
+        },
+        "openmm": {
+            "energy": [
+                "Total Energy (kJ/mole)",
+                "Kinetic Energy (kJ/mole)",
+                "Potential Energy (kJ/mole)",
+            ],
+            "temperature": "Temperature (K)",
+        },
+    }
+
+    def __init__(
+        self,
+        log_file: Union[str, Path] = None,
+        log_format: str = None,
+        *,
+        energies=None,
+        temperature: Union[float, Q_] = None,
+        reduced: bool = False,
+        sep: str = ",",
+    ) -> None:
+        self.results = Hash(units={})
+        self._reduced = reduced
+        df = None
+
+        if energies is not None:
+            # (The reference only sets a mis-keyed "results.energy"
+            # here, thermodynamics.py:117, so its run() would KeyError
+            # on raw-energy input; set both units properly.)
+            self.results.units["results.energies"] = (
+                ureg.kilojoule / ureg.mole
+            )
+            self.results.units["results.heat_capacity"] = (
+                ureg.kilojoule / ureg.kelvin
+            )
+            self.results.energies = np.asarray(
+                strip_unit(
+                    energies, self.results.units["results.energies"]
+                )[0]
+            )
+        elif log_file:
+            self._file = Path(log_file)
+            with open(self._file) as f:
+                log = f.read()
+
+            if log_format is None:
+                for fmt, cols in self._COLUMNS.items():
+                    if any(c in log for c in cols["energy"]):
+                        log_format = fmt
+                        break
+                else:
+                    raise ValueError(
+                        "Could not determine log file format."
+                    )
+            self._format = log_format
+
+            if self._format == "lammps":
+                if "minimize" in log:
+                    log = log[log.index("Minimization stats:"):]
+                lines = log.split("\n")
+                for i, line in enumerate(lines):
+                    if "Step" in line:
+                        lines = lines[i:]
+                        break
+                else:
+                    raise ValueError(
+                        "No thermodynamic data found in log file "
+                        f"'{log_file}'."
+                    )
+                log = "\n".join(lines)
+                if "Loop time of " in log:
+                    log = log[:log.index("Loop time of ")]
+                read_kwargs = {"sep": r"\s+"}
+                self.results.units["results.energies"] = (
+                    ureg.kilocalorie / ureg.mole
+                )
+                self.results.units["results.heat_capacity"] = (
+                    ureg.kilocalorie / ureg.kelvin
+                )
+            elif self._format == "openmm":
+                read_kwargs = {"sep": sep}
+                if reduced:
+                    warnings.warn(
+                        "OpenMM simulations always use real units."
+                    )
+                self.results.units["results.energies"] = (
+                    ureg.kilojoule / ureg.mole
+                )
+                self.results.units["results.heat_capacity"] = (
+                    ureg.kilojoule / ureg.kelvin
+                )
+            else:
+                raise ValueError(f"Invalid log format '{log_format}'.")
+
+            catalog = self._COLUMNS[self._format]["energy"]
+            if catalog[0] in log:
+                cols = catalog[:1]
+            elif catalog[1] in log:
+                cols = catalog[1:2]
+                if catalog[2] in log:
+                    cols.append(catalog[2])
+                elif any(e in log for e in catalog[3:]):
+                    cols.extend(e for e in catalog[3:] if e in log)
+                else:
+                    raise ValueError(
+                        "Potential energy column not found."
+                    )
+            else:
+                raise ValueError(
+                    "Total or kinetic energy column not found."
+                )
+
+            df = pd.read_csv(StringIO(log), **read_kwargs)
+            self.results.energies = df[cols].sum(axis=1).to_numpy()
+        else:
+            raise ValueError("No log file or energy values provided.")
+
+        if temperature is not None:
+            self.temperature, unit_ = strip_unit(temperature)
+            self.results.units["temperature"] = (
+                ureg.kelvin if unit_ is None else unit_
+            )
+        elif df is None:
+            raise ValueError(
+                "No log file or temperature value provided."
+            )
+        else:
+            self.temperature = df[
+                self._COLUMNS[self._format]["temperature"]
+            ].mean()
+            self.results.units["temperature"] = ureg.kelvin
+
+    def run(
+        self,
+        start: int = None,
+        stop: int = None,
+        step: int = None,
+        frames=None,
+    ) -> "ConstantVolumeHeatCapacity":
+        """Compute :math:`C_V` over the selected energy samples."""
+
+        if frames is None:
+            frames = np.arange(
+                start or 0,
+                stop if stop is not None else len(self.results.energies),
+                step,
+            )
+        U = self.results.energies[frames]
+        if self._reduced:
+            self.results.heat_capacity = (
+                (U**2).mean() - U.mean() ** 2
+            ) / self.temperature**2
+        else:
+            Uq = U * self.results.units["results.energies"]
+            self.results.heat_capacity = strip_unit(
+                ((Uq**2).mean() - Uq.mean() ** 2)
+                / (
+                    ureg.avogadro_constant**2
+                    * ureg.boltzmann_constant
+                    * (
+                        self.temperature
+                        * self.results.units["temperature"]
+                    )
+                    ** 2
+                ),
+                self.results.units["results.heat_capacity"],
+            )[0]
+        return self

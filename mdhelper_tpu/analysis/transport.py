@@ -1,0 +1,789 @@
+r"""
+Transport properties
+====================
+
+Onsager transport coefficients, self-diffusion, conductivity,
+electrophoretic mobility and transference numbers (reference:
+``/root/reference/src/mdhelper/analysis/transport.py``).
+
+TPU formulation: per-frame work (trajectory unwrap, per-entity centers
+of mass, system-COM drift removal) runs as a jitted ``lax.scan`` over
+streamed frame chunks with the (previous positions, image flags) carry
+handed between chunks; the post-pass MSD/cross-displacement evaluation
+uses the batched Wiener–Khinchin FFT correlators
+(:func:`mdhelper_tpu.algorithm.correlation.msd_fft`) with the
+statistical blocks as a leading batch axis.  The tiny L_ij / D_i curve
+fits stay host-side (scipy).
+"""
+
+import itertools
+import warnings
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import optimize
+
+from .. import Q_, ureg
+from ..algorithm import correlation
+from ..algorithm.topology import unwrap_edge
+from ..algorithm.unit import strip_unit
+from ..fit.polynomial import poly1
+from ..ops.pbc import unwrap_scan, wrap_positions
+from .base import SerialAnalysisBase
+from .structure import _com_positions, _group_segment_ids
+
+__all__ = [
+    "msd_fft",
+    "msd_shift",
+    "calculate_transport_coefficients",
+    "calculate_conductivity",
+    "calculate_electrophoretic_mobility",
+    "calculate_transference_number",
+    "Onsager",
+]
+
+
+def msd_fft(*args, **kwargs):
+    """Alias of :func:`mdhelper_tpu.algorithm.correlation.msd_fft`
+    (parity: ``analysis/transport.py:31-43``)."""
+
+    return correlation.msd_fft(*args, **kwargs)
+
+
+def msd_shift(*args, **kwargs):
+    """Alias of :func:`mdhelper_tpu.algorithm.correlation.msd_shift`
+    (parity: ``analysis/transport.py:45-57``)."""
+
+    return correlation.msd_shift(*args, **kwargs)
+
+
+def _fit_slope_or_intercept(x, y, scale, enforce_linear, label):
+    """One MSD-vs-time fit: linear slope, or exp(intercept) of the
+    log-log fit (optionally with the slope pinned to 1)."""
+
+    if scale == "linear":
+        return np.polyfit(x, y, 1)[0]
+    if scale == "log":
+        if enforce_linear:
+            return float(
+                np.exp(
+                    optimize.curve_fit(
+                        lambda t, b: poly1(t, 1, b), np.log(x), np.log(y)
+                    )[0]
+                )
+            )
+        fit = np.polyfit(np.log(x), np.log(y), 1)
+        if abs(1 - fit[0]) >= 0.01:
+            warnings.warn(
+                f"The slope for log({label}) vs. log(t) fit is "
+                f"{fit[0]:.6f}."
+            )
+        return np.exp(fit[1])
+    raise ValueError("Invalid scale. Valid values: 'linear', 'log'.")
+
+
+def calculate_transport_coefficients(
+    time: np.ndarray,
+    msd_cross: np.ndarray,
+    msd_self: np.ndarray,
+    Ns: np.ndarray,
+    dimensions: np.ndarray,
+    kBT: float,
+    start: int = 1,
+    stop: int = None,
+    scale: str = "log",
+    *,
+    start_self: int = None,
+    stop_self: int = None,
+    scale_self: str = None,
+    enforce_linear: bool = True,
+    verbose: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r"""Fit MSDs/cross displacements to extract the self-diffusion
+    coefficients :math:`D_i` and Onsager coefficients :math:`L_{ij}`,
+    :math:`L_{ii}^\mathrm{self}`.
+
+    Parity: ``analysis/transport.py:59-286`` — including the
+    positive/finite filtering of fit windows, the ``"log"`` scale with
+    slope-1 enforcement, the NaN fill for unfittable series, and the
+    upper-triangle mirroring of :math:`L_{ij}`.
+
+    Parameters mirror the reference; `msd_cross` has shape
+    ``(C(N_g+1, 2), [N_b,] N_t)`` (already divided by :math:`2D`), and
+    the returned arrays have a leading block axis.
+    """
+
+    if start_self is None:
+        start_self = start
+    if stop_self is None:
+        stop_self = stop
+    if scale_self is None:
+        scale_self = scale
+
+    msd_self = np.asarray(msd_self)
+    msd_cross = np.asarray(msd_cross)
+    if msd_self.ndim == 2:
+        msd_self = msd_self[:, None]
+        msd_cross = msd_cross[:, None]
+    elif msd_self.ndim != 3:
+        raise ValueError(
+            "The arrays containing the cross- and self-MSDs have "
+            "invalid shapes."
+        )
+    n_groups, n_blocks = msd_self.shape[:2]
+
+    L_ij = np.zeros((n_blocks, n_groups, n_groups))
+    D_i = np.zeros((n_blocks, n_groups))
+    rows, cols = np.triu_indices(n_groups)
+    denom = kBT * np.asarray(dimensions)[
+        ~np.isclose(dimensions, 0)
+    ].prod()
+
+    for b in range(n_blocks):
+        for i, msd in enumerate(msd_cross[:, b] / denom):
+            y = msd[start:stop]
+            valid = np.isfinite(y) & (y > 0)
+            y = y[valid]
+            x = time[start:stop][valid]
+            L_ij[b, rows[i], cols[i]] = (
+                _fit_slope_or_intercept(x, y, scale, enforce_linear,
+                                        "MSDc")
+                if len(x) > 1
+                else np.nan
+            )
+        L_ij[b] = L_ij[b] + L_ij[b].T - np.diag(np.diag(L_ij[b]))
+
+        for i, msd in enumerate(msd_self[:, b]):
+            y = msd[start_self:stop_self]
+            valid = np.isfinite(y) & (y > 0)
+            y = y[valid]
+            x = time[start_self:stop_self][valid]
+            D_i[b, i] = (
+                _fit_slope_or_intercept(x, y, scale_self,
+                                        enforce_linear, "MSD")
+                if len(x) > 1
+                else np.nan
+            )
+
+    return L_ij, np.asarray(Ns) * D_i / denom, D_i
+
+
+def calculate_conductivity(
+    L_ij: np.ndarray, z: np.ndarray, *, reduced: bool = False
+) -> np.ndarray:
+    r"""Ionic conductivity :math:`\kappa = \sum_{ij} z_i z_j L_{ij}`.
+
+    Parity: ``analysis/transport.py:288-336``.  Returned in
+    :math:`\mathrm{C^2/(kJ\,\AA\,ps)}` unless `reduced`.
+    """
+
+    z = np.asarray(z, dtype=float)
+    kappas = np.einsum("bij,ij->b", L_ij, z * z[:, None])
+    if not reduced:
+        kappas = (
+            kappas
+            * ureg.avogadro_constant
+            * ureg.elementary_charge**2
+            * ureg.mole
+            / ureg.coulomb**2
+        ).to_reduced_units().magnitude
+    return kappas
+
+
+def calculate_electrophoretic_mobility(
+    L_ij: np.ndarray,
+    z: np.ndarray,
+    rho: np.ndarray,
+    *,
+    reduced: bool = False,
+) -> np.ndarray:
+    r"""Electrophoretic mobility
+    :math:`\mu_i = \sum_j z_j L_{ij} / n_i`.
+
+    Parity: ``analysis/transport.py:338-395``.
+    """
+
+    z = np.asarray(z, dtype=float)
+    rho = np.asarray(rho, dtype=float)
+    mus = (L_ij * z / rho[:, None]).sum(axis=-1)
+    if not reduced:
+        mus = (
+            mus
+            * ureg.avogadro_constant
+            * ureg.elementary_charge
+            * ureg.mole
+            / ureg.coulomb
+        ).to_reduced_units().magnitude
+    return mus
+
+
+def calculate_transference_number(
+    L_ij: np.ndarray, z: np.ndarray
+) -> np.ndarray:
+    r"""Transference numbers
+    :math:`t_i = z_i\sum_j z_j L_{ij} / \sum_{ij} z_i z_j L_{ij}`.
+
+    Parity: ``analysis/transport.py:397-433``.
+    """
+
+    z = np.asarray(z, dtype=float)
+    s = z * (L_ij * z).sum(axis=-1)
+    return s / s.sum(axis=-1, keepdims=True)
+
+
+def _entity_values(group, grouping: str, values: np.ndarray):
+    """Per-entity (atom/residue/segment) sums of a per-atom array."""
+
+    if grouping == "atoms":
+        return values
+    seg, n = _group_segment_ids(group, grouping)
+    out = np.zeros(n)
+    np.add.at(out, seg, values)
+    return out
+
+
+class Onsager(SerialAnalysisBase):
+    r"""Onsager transport coefficients from mean-squared and cross
+    displacements.
+
+    .. math::
+
+       L_{ij} = \frac{1}{6k_\mathrm{B}TV}\lim_{t\to\infty}
+       \frac{d}{dt}\left\langle\sum_\alpha
+       [\mathbf{r}_\alpha(t)-\mathbf{r}_\alpha(0)]\cdot\sum_\beta
+       [\mathbf{r}_\beta(t)-\mathbf{r}_\beta(0)]\right\rangle
+
+    Parity: ``analysis/transport.py:435-1321``.  Per-frame unwrap /
+    COM / drift-removal run as a sequential ``lax.scan`` over streamed
+    chunks (image-flag carry across chunks); the MSD post-pass is the
+    batched FFT correlator with blocks as the leading axis.  Note the
+    reference convention: ``results.msd_cross`` holds *summed* squared
+    displacements (not per-particle averages), while
+    ``results.msd_self`` is particle-averaged; both include the
+    :math:`1/2D` dimensionality factor.
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Group(s) to analyze.
+    groupings : `str` or array-like, default ``"atoms"``
+        ``"atoms"``, ``"residues"`` or ``"segments"``.
+    temperature : `float` or `Quantity`, default 300
+        System temperature (or energy scale when ``reduced=True``).
+    charges : array-like, keyword-only, optional
+        Charge numbers per group (defaults to the first entity's charge
+        from the topology).
+    dimensions : array-like, keyword-only, optional
+        Box lengths (defaults to the trajectory).
+    dt : `float`, keyword-only, optional
+        Time between frames.
+    n_blocks : `int`, keyword-only, default 1
+        Statistical blocks.
+    center, center_atom, center_wrap : `bool`, keyword-only
+        Remove system-COM motion (using all atoms or group entities,
+        optionally wrapped).
+    fft : `bool`, keyword-only, default True
+        FFT (True) or sliding-window (False) displacement evaluation.
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+    unwrap : `bool`, keyword-only, default False
+        Unwrap positions via image-flag tracking (fragments are made
+        whole at the first frame).
+    """
+
+    _sequential = True
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        temperature: Union[float, Q_] = 300,
+        *,
+        charges=None,
+        dimensions=None,
+        dt=None,
+        n_blocks: int = 1,
+        center: bool = False,
+        center_atom: bool = False,
+        center_wrap: bool = False,
+        fft: bool = True,
+        reduced: bool = False,
+        unwrap: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        self.universe = self._groups[0].universe
+        super().__init__(
+            self.universe.trajectory, verbose=verbose, **kwargs
+        )
+        self.results.units = {"_kBT": ureg.kilojoule / ureg.mole}
+
+        self._n_groups = len(self._groups)
+        valid = {"atoms", "residues", "segments"}
+        if isinstance(groupings, str):
+            if groupings not in valid:
+                raise ValueError(
+                    f"Invalid grouping '{groupings}'. Valid values: "
+                    f"{', '.join(sorted(valid))}."
+                )
+            self._groupings = self._n_groups * [groupings]
+        else:
+            if self._n_groups != len(groupings):
+                raise ValueError(
+                    "The number of grouping values is not equal to the "
+                    "number of groups."
+                )
+            for g in groupings:
+                if g not in valid:
+                    raise ValueError(
+                        f"Invalid grouping '{g}'. Valid values: "
+                        f"{', '.join(sorted(valid))}."
+                    )
+            self._groupings = list(groupings)
+
+        temperature, unit_ = strip_unit(temperature, "kelvin")
+        if reduced:
+            if not isinstance(unit_, (str, type(None))):
+                raise TypeError(
+                    "'temperature' cannot have units when reduced=True."
+                )
+            self._kBT = temperature
+        else:
+            self._kBT = (
+                ureg.avogadro_constant
+                * ureg.boltzmann_constant
+                * temperature
+                * ureg.kelvin
+            ).m_as(self.results.units["_kBT"])
+
+        if dimensions is not None:
+            if len(dimensions) != 3:
+                raise ValueError("'dimensions' must have length 3.")
+            self._dimensions = np.asarray(
+                strip_unit(dimensions, "angstrom")[0]
+            )
+        elif self.universe.dimensions is not None:
+            self._dimensions = self.universe.dimensions[:3].copy()
+        else:
+            raise ValueError("No system dimensions found or provided.")
+
+        self._dt, unit_ = strip_unit(
+            dt or self._trajectory.dt, "picosecond"
+        )
+        if reduced and not isinstance(unit_, (str, type(None))):
+            raise TypeError("'dt' cannot have units when reduced=True.")
+
+        if charges is not None:
+            if len(charges) != self._n_groups:
+                raise ValueError(
+                    "The number of group charges is not equal to the "
+                    "number of groups."
+                )
+            charges, unit_ = strip_unit(charges, "elementary_charge")
+            if reduced and not isinstance(unit_, (str, type(None))):
+                raise TypeError(
+                    "'charges' cannot have units when reduced=True."
+                )
+            self._charges = np.asarray(charges)
+        else:
+            self._charges = np.array(
+                [
+                    _entity_values(g, gr, g.charges)[0]
+                    for g, gr in zip(self._groups, self._groupings)
+                ]
+            )
+
+        # Entity bookkeeping (atom column selection + COM segments).
+        self._atom_indices = np.concatenate(
+            [g.ix for g in self._groups]
+        )
+        self._sels, self._segs, self._Ns = [], [], []
+        offset = 0
+        for group, grouping in zip(self._groups, self._groupings):
+            self._sels.append(offset + np.arange(group.n_atoms))
+            seg, n = _group_segment_ids(group, grouping)
+            self._segs.append(seg)
+            self._Ns.append(int(n))
+            offset += group.n_atoms
+        self._N = int(sum(self._Ns))
+        self._entity_slices = []
+        index = 0
+        for n in self._Ns:
+            self._entity_slices.append(slice(index, index + n))
+            index += n
+
+        if np.all(~np.isclose(self._dimensions, 0)):
+            self._rhos = np.asarray(self._Ns, dtype=float) / (
+                self._dimensions.prod()
+            )
+        else:
+            self._rhos = None
+
+        self._n_blocks = n_blocks
+        self._center = center
+        self._center_atom = center_atom
+        self._center_wrap = center_wrap
+        self._fft = fft
+        self._reduced = reduced
+        self._unwrap = unwrap
+        self._verbose = verbose
+
+        if self._unwrap or (self._center and self._center_atom):
+            # Need every atom of the universe on device.
+            self._atom_indices = None
+
+    def _prepare(self) -> None:
+        df = np.diff(self.frames)
+        if len(df) and (df[0] <= 0 or not np.allclose(df, df[0])):
+            raise ValueError(
+                "The selected frames must be evenly spaced and proceed "
+                "forward in time."
+            )
+        self._frame_step = int(df[0]) if len(df) else 1
+
+        self.results.pairs = tuple(
+            itertools.combinations_with_replacement(
+                range(self._n_groups), 2
+            )
+        )
+
+        self._n_frames_block = self.n_frames // self._n_blocks
+        self._n_frames = self._n_blocks * self._n_frames_block
+        extra = self.n_frames - self._n_frames
+        if extra > 0:
+            warnings.warn(
+                f"The trajectory is not divisible into "
+                f"{self._n_blocks:,} blocks, so the last {extra:,} "
+                "frame(s) will be discarded."
+            )
+
+        self.results.times = (
+            self._frame_step * self._dt * np.arange(self._n_frames_block)
+        )
+        self.results.units["results.times"] = ureg.picosecond
+        self.results.units["results.msd_cross"] = ureg.angstrom**2
+        self.results.units["results.msd_self"] = ureg.angstrom**2
+
+        # Host-side store of per-frame entity positions.
+        self._positions = np.empty((self.n_frames, self._N, 3))
+        self._store_offset = 0
+
+        box = jnp.asarray(self._dimensions)
+        universe_masses = jnp.asarray(self.universe.atoms.masses)
+        grouping_masses = jnp.asarray(
+            np.concatenate(
+                [
+                    _entity_values(g, gr, g.masses)
+                    for g, gr in zip(self._groups, self._groupings)
+                ]
+            )
+        )
+        sels = [jnp.asarray(s) for s in self._sels]
+        segs = [
+            None if s is None else jnp.asarray(s) for s in self._segs
+        ]
+        masses_per_group = [jnp.asarray(g.masses) for g in self._groups]
+        ns = self._Ns
+        unwrap = self._unwrap
+        center = self._center
+        center_atom = self._center_atom
+        center_wrap = self._center_wrap
+
+        # Initial unwrap state: fragments made whole at the first frame
+        # (reference transport.py:933-943).
+        if unwrap:
+            first = self.universe.trajectory[int(self.frames[0])]
+            made_whole = unwrap_edge(group=self.universe.atoms)
+            prev0 = jnp.asarray(made_whole)
+            images0 = jnp.zeros(
+                (self.universe.atoms.n_atoms, 3), dtype=jnp.int32
+            )
+            del first
+        else:
+            prev0 = None
+            images0 = None
+
+        def entity_positions(positions):
+            """(N_univ_or_sel, 3) -> (N_entities, 3) frame positions."""
+
+            parts = []
+            for sel, seg, m, n in zip(sels, segs, masses_per_group, ns):
+                pos = positions[sel]
+                if seg is not None:
+                    pos = _com_positions(pos[None], m, seg, n)[0]
+                parts.append(pos)
+            return jnp.concatenate(parts, axis=0)
+
+        def scan_step(carry, inputs):
+            pos, valid = inputs
+            prev, images = carry
+            if unwrap:
+                half = box / 2
+                delta = pos - prev
+                crossings = jnp.where(
+                    jnp.abs(delta) >= half,
+                    jnp.sign(delta).astype(jnp.int32),
+                    0,
+                )
+                images = jnp.where(valid > 0, images - crossings, images)
+                prev = jnp.where(valid > 0, pos, prev)
+                unwrapped = pos + images * box
+            else:
+                unwrapped = pos
+
+            entities = entity_positions(unwrapped)
+
+            if center:
+                if center_atom:
+                    ref = (
+                        wrap_positions(unwrapped, box)
+                        if center_wrap
+                        else unwrapped
+                    )
+                    scom = (
+                        universe_masses[:, None] * ref
+                    ).sum(axis=0) / universe_masses.sum()
+                else:
+                    ref = (
+                        wrap_positions(entities, box)
+                        if center_wrap
+                        else entities
+                    )
+                    scom = (
+                        grouping_masses[:, None] * ref
+                    ).sum(axis=0) / grouping_masses.sum()
+                entities = entities - scom
+
+            return (prev, images), entities
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            carry, entities = jax.lax.scan(
+                scan_step, carry, (positions, mask)
+            )
+            return carry, entities
+
+        self._carry = (
+            (prev0, images0)
+            if unwrap
+            else (jnp.zeros(()), jnp.zeros(()))
+        )
+        self._update = jax.jit(update)
+
+    def _batched_update(self, carry, batch):
+        carry, entities = self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+        entities = np.asarray(entities)
+        n_real = int(batch.mask.sum())
+        self._positions[
+            self._store_offset:self._store_offset + n_real
+        ] = entities[:n_real]
+        self._store_offset += n_real
+        return carry
+
+    def _conclude(self) -> None:
+        positions_all = self._positions[:self._n_frames]
+        msd = correlation.msd_fft if self._fft else correlation.msd_shift
+        delete_dims = np.isclose(self._dimensions, 0)
+
+        n_pairs = len(self.results.pairs)
+        self.results.msd_cross = np.empty(
+            (n_pairs, self._n_blocks, self._n_frames_block)
+        )
+        self.results.msd_self = np.empty(
+            (self._n_groups, self._n_blocks, self._n_frames_block)
+        )
+
+        for i, (i1, i2) in enumerate(self.results.pairs):
+            if i1 == i2:
+                if self._Ns[i1]:
+                    positions = positions_all[
+                        :, self._entity_slices[i1]
+                    ].reshape(
+                        self._n_blocks, -1, self._Ns[i1], 3
+                    ).copy()
+                    positions[:, :, :, delete_dims] = 0
+                    self.results.msd_cross[i] = np.asarray(
+                        msd(positions.sum(axis=2), axis=1)
+                    )
+                    self.results.msd_self[i1] = (
+                        np.asarray(
+                            msd(positions, axis=1, average=False)
+                        ).sum(axis=-1)
+                        / self._Ns[i1]
+                    )
+                else:
+                    self.results.msd_cross[i] = np.nan
+                    self.results.msd_self[i1] = np.nan
+            elif self._Ns[i1] and self._Ns[i2]:
+                p1 = positions_all[:, self._entity_slices[i1]].reshape(
+                    self._n_blocks, -1, self._Ns[i1], 3
+                ).sum(axis=2)
+                p2 = positions_all[:, self._entity_slices[i2]].reshape(
+                    self._n_blocks, -1, self._Ns[i2], 3
+                ).sum(axis=2)
+                p1[:, :, delete_dims] = 0
+                p2[:, :, delete_dims] = 0
+                self.results.msd_cross[i] = np.asarray(
+                    msd(p1, p2, axis=1)
+                )
+            else:
+                self.results.msd_cross[i] = np.nan
+
+        # Dimensionality factor 1/(2D).
+        D = 2 * int((~delete_dims).sum())
+        self.results.msd_cross /= D
+        self.results.msd_self /= D
+
+    # -- post-hoc coefficient methods ------------------------------------
+    def calculate_transport_coefficients(
+        self,
+        start: int = 1,
+        stop: int = None,
+        scale: str = "log",
+        *,
+        start_self: int = None,
+        stop_self: int = None,
+        scale_self: str = None,
+        enforce_linear: bool = True,
+    ) -> None:
+        """Fit MSDs to get ``results.L_ij``, ``results.L_ii_self`` and
+        ``results.D_i``.  Parity: ``analysis/transport.py:1061-1152``."""
+
+        if self.results.msd_cross is None:
+            raise RuntimeError(
+                "Call Onsager.run() before "
+                "Onsager.calculate_transport_coefficients()."
+            )
+        (
+            self.results.L_ij,
+            self.results.L_ii_self,
+            self.results.D_i,
+        ) = calculate_transport_coefficients(
+            self.results.times,
+            self.results.msd_cross,
+            self.results.msd_self,
+            np.asarray(self._Ns),
+            self._dimensions,
+            self._kBT,
+            start,
+            stop,
+            scale,
+            start_self=start_self,
+            stop_self=stop_self,
+            scale_self=scale_self,
+            enforce_linear=enforce_linear,
+            verbose=self._verbose,
+        )
+        if not self._reduced:
+            self.results.units["results.D_i"] = (
+                ureg.angstrom**2 / ureg.picosecond
+            )
+            self.results.units["results.L_ij"] = self.results.units[
+                "results.L_ii_self"
+            ] = 1 / (
+                ureg.kilojoule * ureg.angstrom * ureg.picosecond
+                / ureg.mole
+            )
+
+    def _resolve_charges(self, charges) -> None:
+        if charges is not None:
+            if len(charges) != self._n_groups:
+                raise ValueError(
+                    "The number of group charges is not equal to the "
+                    "number of groups."
+                )
+            charges, unit_ = strip_unit(charges, "elementary_charge")
+            if self._reduced and not isinstance(
+                unit_, (str, type(None))
+            ):
+                raise TypeError(
+                    "'charges' cannot have units when reduced=True."
+                )
+            self._charges = np.asarray(charges)
+        if self._charges is None:
+            raise ValueError("No charge number information available.")
+
+    def calculate_conductivity(self, *, charges=None) -> None:
+        """Ionic conductivity from ``results.L_ij``.
+        Parity: ``analysis/transport.py:1154-1202``."""
+
+        if self.results.L_ij is None:
+            raise RuntimeError(
+                "Call Onsager.calculate_transport_coefficients() "
+                "before Onsager.calculate_conductivity()."
+            )
+        self._resolve_charges(charges)
+        self.results.conductivities = calculate_conductivity(
+            self.results.L_ij, self._charges, reduced=self._reduced
+        )
+        self.results.units["results.conductivities"] = (
+            ureg.coulomb**2
+            / (ureg.kilojoule * ureg.angstrom * ureg.picosecond)
+        )
+
+    def calculate_electrophoretic_mobility(
+        self, *, charges=None, rhos=None
+    ) -> None:
+        """Electrophoretic mobilities from ``results.L_ij``.
+        Parity: ``analysis/transport.py:1204-1276``."""
+
+        if self.results.L_ij is None:
+            raise RuntimeError(
+                "Call Onsager.calculate_transport_coefficients() "
+                "before Onsager.calculate_electrophoretic_mobility()."
+            )
+        self._resolve_charges(charges)
+        if rhos is not None:
+            if len(rhos) != self._n_groups:
+                raise ValueError(
+                    "The number of group number densities is not equal "
+                    "to the number of groups."
+                )
+            rhos, unit_ = strip_unit(rhos, "angstrom**-3")
+            if self._reduced and not isinstance(
+                unit_, (str, type(None))
+            ):
+                raise TypeError(
+                    "'rhos' cannot have units when reduced=True."
+                )
+            self._rhos = np.asarray(rhos)
+        if self._rhos is None:
+            raise ValueError(
+                "No number density information available."
+            )
+        self.results.electrophoretic_mobilities = (
+            calculate_electrophoretic_mobility(
+                self.results.L_ij,
+                self._charges,
+                self._rhos,
+                reduced=self._reduced,
+            )
+        )
+        self.results.units["results.electrophoretic_mobilities"] = (
+            ureg.angstrom**2
+            * ureg.coulomb
+            / (ureg.kilojoule * ureg.picosecond)
+        )
+
+    def calculate_transference_number(self, *, charges=None) -> None:
+        """Transference numbers from ``results.L_ij``.
+        Parity: ``analysis/transport.py:1278-1321``."""
+
+        if self.results.L_ij is None:
+            raise RuntimeError(
+                "Call Onsager.calculate_transport_coefficients() "
+                "before Onsager.calculate_transference_number()."
+            )
+        self._resolve_charges(charges)
+        self.results.transference_numbers = (
+            calculate_transference_number(
+                self.results.L_ij, self._charges
+            )
+        )

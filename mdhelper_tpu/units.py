@@ -217,6 +217,19 @@ class Quantity:
     def m_as(self, target: Union[Unit, str]):
         return self.to(target).magnitude
 
+    def to_reduced_units(self) -> "Quantity":
+        """Cancel redundant unit names (pint's ``to_reduced_units``);
+        a leftover dimensionless scale is folded into the magnitude."""
+
+        q = self._reduced()
+        if q.units.dims == _ZERO and (q.units.factor != 1.0 or q.units.names):
+            reg = q.units._registry or _default_registry()
+            return Quantity(
+                np.multiply(q.magnitude, q.units.factor),
+                Unit(reg, 1.0, _ZERO, {}),
+            )
+        return q
+
     def to_base_units(self) -> "Quantity":
         reg = self._units._registry or _default_registry()
         names = {}
@@ -327,6 +340,18 @@ class Quantity:
 
     def sqrt(self) -> "Quantity":
         return self**Fraction(1, 2)
+
+    def mean(self, *args, **kwargs) -> "Quantity":
+        return Quantity(np.mean(self._magnitude, *args, **kwargs),
+                        self._units)
+
+    def sum(self, *args, **kwargs) -> "Quantity":
+        return Quantity(np.sum(self._magnitude, *args, **kwargs),
+                        self._units)
+
+    def std(self, *args, **kwargs) -> "Quantity":
+        return Quantity(np.std(self._magnitude, *args, **kwargs),
+                        self._units)
 
     def __eq__(self, other):
         if isinstance(other, Quantity):

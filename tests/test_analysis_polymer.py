@@ -1,0 +1,182 @@
+"""Tests for mdhelper_tpu.analysis.polymer (parity:
+/root/reference/tests/test_analysis_polymer.py, with direct NumPy
+oracles)."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis import polymer
+from mdhelper_tpu.core import Universe
+
+rng = np.random.default_rng(47)
+
+T, M, N_P = 10, 6, 8  # frames, chains, monomers per chain
+N = M * N_P
+BOX = 20.0
+
+
+def make_polymer_traj():
+    """Random-walk chains drifting continuously through space
+    (unwrapped; inter-frame displacements stay below half a box so
+    image-flag unwrapping is well-posed)."""
+
+    starts = rng.random((1, M, 1, 3)) * BOX / 2
+    drift = np.cumsum(rng.normal(0, 0.5, (T, M, 1, 3)), axis=0)
+    steps = rng.normal(0, 0.4, (T, M, N_P, 3))
+    return (starts + drift + np.cumsum(steps, axis=2)).reshape(T, N, 3)
+
+
+@pytest.fixture(scope="module")
+def traj():
+    return make_polymer_traj()
+
+
+@pytest.fixture(scope="module")
+def universe(traj):
+    return Universe.from_arrays(
+        traj,
+        np.array([BOX] * 3),
+        masses=np.tile(np.linspace(1, 2, N_P), M),
+        segindices=np.repeat(np.arange(M), N_P),
+        resindices=np.arange(N),
+        dt=1.0,
+    )
+
+
+def oracle_rg(pos, masses, components=False):
+    com = (masses[:, None] * pos).sum(0) / masses.sum()
+    d2 = (pos - com) ** 2
+    if components:
+        total = d2.sum(1, keepdims=True)
+        return np.sqrt(
+            (masses[:, None] * (total - d2)).sum(0) / masses.sum()
+        )
+    return np.sqrt((masses[:, None] * d2).sum() / masses.sum())
+
+
+def test_gyradius(universe, traj):
+    gr = polymer.Gyradius(universe.atoms, verbose=False).run()
+    assert gr.results.gyradii.shape == (1, T)
+    masses = universe.atoms.masses.reshape(M, N_P)
+    for t in (0, T // 2, T - 1):
+        chains = traj[t].reshape(M, N_P, 3)
+        ref = np.mean(
+            [oracle_rg(c, m) for c, m in zip(chains, masses)]
+        )
+        assert np.isclose(gr.results.gyradii[0, t], ref)
+
+
+def test_gyradius_components(universe, traj):
+    gr = polymer.Gyradius(
+        universe.atoms, components=True, verbose=False
+    ).run()
+    assert gr.results.gyradii.shape == (1, T, 3)
+    masses = universe.atoms.masses.reshape(M, N_P)
+    chains = traj[0].reshape(M, N_P, 3)
+    ref = np.mean(
+        [oracle_rg(c, m, components=True)
+         for c, m in zip(chains, masses)],
+        axis=0,
+    )
+    assert np.allclose(gr.results.gyradii[0, 0], ref)
+
+
+def test_gyradius_external_counts(traj):
+    """n_chains/n_monomers given explicitly (no segment info)."""
+
+    u = Universe.from_arrays(traj, np.array([BOX] * 3), dt=1.0)
+    gr = polymer.Gyradius(
+        u.atoms, n_chains=M, n_monomers=N_P, verbose=False
+    ).run()
+    chains = traj[0].reshape(M, N_P, 3)
+    ref = np.mean([oracle_rg(c, np.ones(N_P)) for c in chains])
+    assert np.isclose(gr.results.gyradii[0, 0], ref)
+
+
+def test_gyradius_unwrap(universe, traj):
+    """Wrapped trajectory + unwrap reproduces unwrapped gyradii."""
+
+    wrapped = traj - BOX * np.floor(traj / BOX)
+    bonds = np.concatenate(
+        [
+            np.stack(
+                [np.arange(i * N_P, (i + 1) * N_P - 1),
+                 np.arange(i * N_P + 1, (i + 1) * N_P)],
+                axis=1,
+            )
+            for i in range(M)
+        ]
+    )
+    u = Universe.from_arrays(
+        wrapped,
+        np.array([BOX] * 3),
+        masses=universe.atoms.masses,
+        segindices=np.repeat(np.arange(M), N_P),
+        bonds=bonds,
+        dt=1.0,
+    )
+    gr = polymer.Gyradius(u.atoms, unwrap=True, verbose=False).run()
+    ref = polymer.Gyradius(universe.atoms, verbose=False).run()
+    assert np.allclose(
+        gr.results.gyradii, ref.results.gyradii, atol=1e-9
+    )
+
+
+def test_end_to_end_vector(universe, traj):
+    e2e = polymer.EndToEndVector(universe.atoms, verbose=False).run()
+    assert e2e.results.acf.shape == (1, 1, T)
+    # ACF at lag 0 of unit vectors is 1.
+    assert np.isclose(e2e.results.acf[0, 0, 0], 1.0)
+    # Direct oracle for lag 1.
+    vecs = (
+        traj.reshape(T, M, N_P, 3)[:, :, -1]
+        - traj.reshape(T, M, N_P, 3)[:, :, 0]
+    )
+    unit = vecs / np.linalg.norm(vecs, axis=-1, keepdims=True)
+    ref_lag1 = np.mean(
+        [
+            (unit[t] * unit[t + 1]).sum(-1).mean()
+            for t in range(T - 1)
+        ]
+    )
+    assert np.isclose(e2e.results.acf[0, 0, 1], ref_lag1)
+
+
+def test_end_to_end_relaxation_time():
+    """Synthetic exponential ACF recovers the decay time."""
+
+    tau_true = 5.0
+    times = np.arange(50.0)
+
+    # Build an analysis object shell just to exercise the fit helper.
+    acf = np.exp(-times / tau_true)
+    tau = polymer.calculate_relaxation_time(times, acf)
+    assert np.isclose(tau, tau_true, rtol=0.05)
+
+
+def test_single_chain_structure_factor(universe, traj):
+    scsf = polymer.SingleChainStructureFactor(
+        universe.atoms, n_points=4, verbose=False
+    ).run()
+    qs = polymer._wavevector_grid(np.array([BOX] * 3), 4)
+    mags = np.linalg.norm(qs, axis=1)
+    raw = np.zeros(len(qs))
+    for t in range(T):
+        for chain in traj[t].reshape(M, N_P, 3):
+            phases = qs @ chain.T
+            raw += (
+                np.cos(phases).sum(1) ** 2 + np.sin(phases).sum(1) ** 2
+            )
+    raw /= M * N_P * T
+    uniq = np.unique(mags.round(11))
+    ref = np.array([raw[np.isclose(q, mags)].mean() for q in uniq])
+    assert np.allclose(scsf.results.wavenumbers, uniq)
+    assert np.allclose(scsf.results.scsf, ref)
+    # S_sc(q=0) = N_p (monomers per chain).
+    assert np.isclose(scsf.results.scsf[0], N_P)
+
+
+def test_polymer_validation(universe):
+    with pytest.raises(ValueError):
+        polymer.Gyradius(universe.atoms, groupings="segments",
+                         verbose=False)

@@ -1,0 +1,171 @@
+"""Tests for mdhelper_tpu.analysis.profile (parity:
+/root/reference/tests/test_analysis_profile.py, with NumPy histogram
+oracles instead of MDAnalysis LinearDensity)."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis import profile
+from mdhelper_tpu.core import Universe
+
+rng = np.random.default_rng(41)
+
+T, NA, NB = 8, 30, 20
+N = NA + NB
+DIMS = np.array([10.0, 12.0, 14.0])
+
+
+@pytest.fixture(scope="module")
+def universe():
+    positions = rng.random((T, N, 3)) * DIMS
+    return Universe.from_arrays(
+        positions,
+        DIMS,
+        types=np.array(["A"] * NA + ["B"] * NB, dtype=object),
+        charges=np.array([1.0] * NA + [-1.0] * NB),
+        dt=1.0,
+    )
+
+
+def oracle_density(traj, axis, n_bins, length, volume, n_frames):
+    counts = np.zeros(n_bins)
+    for pos in traj:
+        counts += np.histogram(pos[:, axis], n_bins, (0, length))[0]
+    return counts * n_bins / (volume * n_frames)
+
+
+def test_density_profile_all_axes(universe):
+    ag_a = universe.select_atoms("type A")
+    ag_b = universe.select_atoms("type B")
+    dp = profile.DensityProfile(
+        [ag_a, ag_b], axes="xyz", n_bins=20, verbose=False
+    ).run()
+    traj = universe.trajectory._positions
+    volume = DIMS.prod()
+    for a in range(3):
+        ref_a = oracle_density(traj[:, :NA], a, 20, DIMS[a], volume, T)
+        ref_b = oracle_density(traj[:, NA:], a, 20, DIMS[a], volume, T)
+        assert np.allclose(dp.results.number_densities[a][0], ref_a)
+        assert np.allclose(dp.results.number_densities[a][1], ref_b)
+        # Charge density = sum_g q_g n_g.
+        assert np.allclose(
+            dp.results.charge_densities[a], ref_a - ref_b
+        )
+        # Bin centers.
+        width = DIMS[a] / 20
+        assert np.allclose(
+            dp.results.bins[a],
+            np.linspace(width / 2, DIMS[a] - width / 2, 20),
+        )
+    # Density integrates to N/V.
+    total = dp.results.number_densities[0].sum(axis=0)
+    assert np.isclose(total.mean(), N / volume, rtol=1e-6)
+
+
+def test_density_profile_serial_parallel_equal(universe):
+    ag = universe.atoms
+    serial = profile.DensityProfile(
+        ag, axes="z", n_bins=25, verbose=False, parallel=False
+    ).run()
+    parallel = profile.DensityProfile(
+        ag, axes="z", n_bins=25, verbose=False, parallel=True
+    ).run()
+    assert np.allclose(
+        serial.results.number_densities[0],
+        parallel.results.number_densities[0],
+    )
+
+
+def test_density_profile_time_resolved(universe):
+    ag = universe.select_atoms("type A")
+    dp = profile.DensityProfile(
+        ag, axes="x", n_bins=10, average=False, verbose=False
+    ).run()
+    assert dp.results.number_densities[0].shape == (1, T, 10)
+    traj = universe.trajectory._positions[:, :NA]
+    volume = DIMS.prod()
+    frame3 = (
+        np.histogram(traj[3][:, 0], 10, (0, DIMS[0]))[0] * 10 / volume
+    )
+    assert np.allclose(dp.results.number_densities[0][0, 3], frame3)
+    assert np.allclose(dp.results.times, np.arange(T))
+
+
+def test_density_profile_recenter():
+    """Recentring shifts the group COM to the box center each frame."""
+
+    # A block of atoms drifting along z; recentering pins it.
+    base = rng.random((1, 20, 3)) * 4 + 1
+    drift = np.linspace(0, 5, T)[:, None, None] * np.array([0, 0, 1.0])
+    traj = base + drift
+    u = Universe.from_arrays(traj, DIMS, dt=1.0)
+    dp = profile.DensityProfile(
+        u.atoms, axes="z", n_bins=28, recenter=0, verbose=False
+    ).run()
+    # Equivalent manual pipeline.
+    counts = np.zeros(28)
+    for pos in traj:
+        com = pos.mean(axis=0)
+        shifted = pos - (com - DIMS / 2)
+        shifted -= np.floor(shifted / DIMS) * DIMS
+        counts += np.histogram(shifted[:, 2], 28, (0, DIMS[2]))[0]
+    ref = counts * 28 / (DIMS.prod() * T)
+    assert np.allclose(dp.results.number_densities[0][0], ref)
+
+
+def test_potential_profile_integral_analytic():
+    """Sinusoidal charge density has an analytic potential."""
+
+    n_bins = 4000
+    L = 20.0
+    z = np.linspace(L / (2 * n_bins), L - L / (2 * n_bins), n_bins)
+    k = 2 * np.pi / L
+    rho = np.cos(k * z)
+    # sigma_q completes the first integral to sin(kz)/k exactly.
+    phi = profile.calculate_potential_profile(
+        z, rho, L, sigma_q=np.sin(k * z[0]) / k, method="integral",
+        reduced=True,
+    )
+    # Poisson (reduced): phi'' = -4 pi rho -> phi = 4 pi cos(kz)/k^2 + c.
+    ref = 4 * np.pi * np.cos(k * z) / k**2
+    assert np.allclose(phi - phi[0], ref - ref[0], atol=1e-3)
+
+
+def test_potential_profile_matrix_matches_integral():
+    n_bins = 800
+    L = 10.0
+    z = np.linspace(L / (2 * n_bins), L - L / (2 * n_bins), n_bins)
+    rho = np.exp(-((z - 3) ** 2)) - np.exp(-((z - 7) ** 2))
+    integral = profile.calculate_potential_profile(
+        z, rho, L, sigma_q=0.0, method="integral", reduced=True
+    )
+    matrix = profile.calculate_potential_profile(
+        z, rho, L, sigma_q=0.0, method="matrix", reduced=True
+    )
+    assert np.allclose(integral, matrix, atol=5e-2 * np.abs(
+        integral
+    ).max())
+
+
+def test_potential_profile_validation():
+    z = np.linspace(0, 10, 50)
+    with pytest.raises(ValueError):
+        profile.calculate_potential_profile(z, z[:10], 10.0)
+    with pytest.raises(ValueError):
+        profile.calculate_potential_profile(
+            z, np.zeros(50), 10.0, method="matrix"
+        )
+
+
+def test_density_profile_potential_pipeline(universe):
+    dp = profile.DensityProfile(
+        [universe.select_atoms("type A"),
+         universe.select_atoms("type B")],
+        axes="z",
+        n_bins=30,
+        verbose=False,
+    ).run()
+    dp.calculate_potential_profile(
+        dielectric=1.0, axis="z", sigma_q=0.0
+    )
+    assert dp.results.potentials[0].shape == (30,)

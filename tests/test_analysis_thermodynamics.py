@@ -1,0 +1,77 @@
+"""Tests for mdhelper_tpu.analysis.thermodynamics."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis.thermodynamics import (
+    ConstantVolumeHeatCapacity,
+)
+
+rng = np.random.default_rng(53)
+
+
+def test_heat_capacity_from_energies_reduced():
+    U = rng.normal(100.0, 2.0, 5000)
+    cv = ConstantVolumeHeatCapacity(
+        energies=U, temperature=2.0, reduced=True
+    ).run()
+    ref = ((U**2).mean() - U.mean() ** 2) / 4.0
+    assert np.isclose(cv.results.heat_capacity, ref)
+
+
+def test_heat_capacity_from_energies_real_units():
+    U = rng.normal(-500.0, 5.0, 2000)  # kJ/mol
+    temp = 300.0
+    cv = ConstantVolumeHeatCapacity(
+        energies=U, temperature=temp
+    ).run()
+    na = 6.02214076e23
+    kb = 1.380649e-23
+    var = (U**2).mean() - U.mean() ** 2  # (kJ/mol)^2
+    ref = var * 1e6 / (na**2 * kb * temp**2) / 1000  # kJ/K
+    assert np.isclose(cv.results.heat_capacity, ref)
+
+
+def test_heat_capacity_openmm_log(tmp_path):
+    log = tmp_path / "state.csv"
+    U = rng.normal(-100.0, 1.0, 500)
+    temps = rng.normal(300.0, 3.0, 500)
+    lines = ['#"Step","Total Energy (kJ/mole)","Temperature (K)"']
+    lines += [
+        f"{i},{u:.6f},{t:.4f}"
+        for i, (u, t) in enumerate(zip(U, temps))
+    ]
+    log.write_text("\n".join(lines))
+    cv = ConstantVolumeHeatCapacity(log)
+    assert cv._format == "openmm"
+    assert np.allclose(cv.results.energies, U, atol=1e-5)
+    assert np.isclose(cv.temperature, temps.mean(), atol=1e-3)
+    cv.run()
+    assert np.isfinite(cv.results.heat_capacity)
+
+
+def test_heat_capacity_lammps_log(tmp_path):
+    log = tmp_path / "log.lammps"
+    U = rng.normal(-40.0, 0.5, 200)
+    temps = rng.normal(1.2, 0.01, 200)
+    rows = "\n".join(
+        f"{i} {t:.6f} {u:.6f}"
+        for i, (t, u) in enumerate(zip(temps, U))
+    )
+    log.write_text(
+        "LAMMPS (fake)\nrun 200\n"
+        f"Step Temp TotEng\n{rows}\nLoop time of 1.0 on 1 procs\n"
+    )
+    cv = ConstantVolumeHeatCapacity(log, temperature=1.2, reduced=True)
+    assert cv._format == "lammps"
+    assert np.allclose(cv.results.energies, U, atol=1e-5)
+    cv.run()
+    ref = ((U**2).mean() - U.mean() ** 2) / 1.2**2
+    assert np.isclose(cv.results.heat_capacity, ref)
+
+
+def test_heat_capacity_validation():
+    with pytest.raises(ValueError):
+        ConstantVolumeHeatCapacity()
+    with pytest.raises(ValueError):
+        ConstantVolumeHeatCapacity(energies=np.ones(10))  # no temp
