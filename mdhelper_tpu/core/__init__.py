@@ -7,7 +7,13 @@ the TPU streaming model.
 """
 
 from . import trajectory, universe  # noqa: F401
-from .trajectory import ArrayReader, Frame, NPZReader, TrajectoryReader  # noqa: F401
+from .trajectory import (  # noqa: F401
+    ArrayReader,
+    Frame,
+    NetCDFReader,
+    NPZReader,
+    TrajectoryReader,
+)
 from .universe import AtomGroup, Topology, Universe  # noqa: F401
 
 __all__ = [
@@ -15,6 +21,7 @@ __all__ = [
     "universe",
     "ArrayReader",
     "NPZReader",
+    "NetCDFReader",
     "Frame",
     "TrajectoryReader",
     "AtomGroup",

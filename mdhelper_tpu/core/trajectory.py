@@ -20,7 +20,8 @@ from typing import Iterator, Sequence, Union
 
 import numpy as np
 
-__all__ = ["Frame", "TrajectoryReader", "ArrayReader", "NPZReader"]
+__all__ = ["Frame", "TrajectoryReader", "ArrayReader", "NPZReader",
+           "NetCDFReader"]
 
 
 @dataclass
@@ -236,3 +237,49 @@ class NPZReader(ArrayReader):
             times=archive.get("times"),
         )
         self.filename = filename
+
+
+class NetCDFReader(TrajectoryReader):
+    """AMBER NetCDF trajectory reader backed by the dependency-free
+    NetCDF-3 codec (:mod:`mdhelper_tpu.io.netcdf3`), the input-side
+    counterpart of :class:`mdhelper_tpu.openmm.file.NetCDFFile`."""
+
+    def __init__(self, filename: str):
+        from ..io.netcdf3 import Dataset
+
+        self._nc = Dataset(filename, "r")
+        self.filename = filename
+        coords = self._nc.variables["coordinates"]
+        if coords.isrec:
+            self._n_frames = coords.shape[0]
+            self._n_atoms = coords.shape[1]
+        else:  # restart file: one frame
+            self._n_frames = 1
+            self._n_atoms = coords.shape[0]
+        times = self._nc.variables["time"][:]
+        self._times = np.atleast_1d(np.asarray(times, dtype=float))
+        self.dt = float(
+            self._times[1] - self._times[0]
+        ) if len(self._times) > 1 else 1.0
+
+    def _read_positions(self, index: int) -> np.ndarray:
+        coords = self._nc.variables["coordinates"]
+        if coords.isrec:
+            return np.asarray(coords[index], dtype=np.float64)
+        return np.asarray(coords[:], dtype=np.float64)
+
+    def _read_dimensions(self, index: int) -> np.ndarray:
+        if "cell_lengths" not in self._nc.variables:
+            return np.zeros(6)
+        lengths = self._nc.variables["cell_lengths"]
+        angles = self._nc.variables["cell_angles"]
+        if lengths.isrec:
+            lengths, angles = lengths[index], angles[index]
+        else:
+            lengths, angles = lengths[:], angles[:]
+        return np.concatenate(
+            (np.asarray(lengths, float), np.asarray(angles, float))
+        )
+
+    def _read_time(self, index: int) -> float:
+        return float(self._times[index])
