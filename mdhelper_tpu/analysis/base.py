@@ -209,9 +209,16 @@ class SerialAnalysisBase:
         step: int = None,
         frames=None,
         verbose: bool = None,
+        checkpoint: str = None,
         **kwargs,
     ) -> "SerialAnalysisBase":
-        """Run the analysis over the selected frames."""
+        """Run the analysis over the selected frames.
+
+        With `checkpoint` set (a ``.npz`` path), the accumulator carry
+        is persisted after every streamed chunk and an interrupted run
+        resumes from the last completed chunk (carry-accumulating
+        analyses only).
+        """
 
         verbose = self._verbose if verbose is None else verbose
         if verbose:
@@ -226,8 +233,34 @@ class SerialAnalysisBase:
 
         carry = getattr(self, "_carry", None)
         if carry is not None:
+            skip_frames = 0
+            if checkpoint is not None:
+                import os
+
+                from ..core.checkpoint import load_carry, save_carry
+
+                if getattr(self, "_store_offset", None):
+                    raise ValueError(
+                        "Checkpointing is only supported for "
+                        "carry-accumulating analyses (this analysis "
+                        "streams per-frame results to host buffers)."
+                    )
+                if os.path.exists(checkpoint):
+                    carry, skip_frames = load_carry(checkpoint, carry)
+                    logging.info(
+                        f"Resuming from {checkpoint} at frame "
+                        f"{skip_frames}."
+                    )
+            processed = 0
             for batch in self._iter_batches():
+                n_real = int(np.sum(np.asarray(batch.mask)))
+                if processed + n_real <= skip_frames:
+                    processed += n_real
+                    continue
                 carry = self._batched_update(carry, batch)
+                processed += n_real
+                if checkpoint is not None:
+                    save_carry(checkpoint, carry, processed)
             self._carry = carry
         else:
             # Classic per-frame host loop for user subclasses.

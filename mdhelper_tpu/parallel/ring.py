@@ -1,0 +1,156 @@
+r"""
+Ring-pass pair histogram (atom sharding)
+========================================
+
+The context-parallel-style mechanism from SURVEY.md section 5.7: when
+the atom count outgrows one chip, the pair-distance histogram shards
+*atoms* (not frames) across the mesh.  Each device keeps its i-shard of
+positions fixed while the j-shards rotate around the ICI ring via
+``ppermute`` — structurally identical to ring attention — accumulating
+partial histograms that are ``psum``-reduced at the end.
+
+The reference has no analog (its only distribution is frame-parallel
+process pools, ``analysis/base.py:312-507``); this is the TPU-native
+path to 10^6-atom RDFs.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.histogram import _bin_distances, _pair_block_histogram
+
+__all__ = ["ring_radial_histogram"]
+
+
+def _local_ring_histogram(
+    pos1,
+    pos2,
+    box,
+    edges,
+    *,
+    axis_name: str,
+    n_shards: int,
+    shard_size: int,
+    n_real: int,
+    exclusion,
+    n_bins: int,
+):
+    """Per-device body: accumulate this device's i-shard against every
+    rotating j-shard, then reduce over the ring."""
+
+    my_id = jax.lax.axis_index(axis_name)
+    i_offset = my_id * shard_size
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def step(carry, step_index):
+        counts, j_block = carry
+        j_owner = (my_id - step_index) % n_shards
+        j_offset = j_owner * shard_size
+        dist, weights = _pair_block_histogram(
+            pos1, j_block, box, edges, i_offset, j_offset, exclusion,
+            n_bins,
+        )
+        # Mask padded rows (global index >= n_real).
+        i_idx = i_offset + jax.lax.broadcasted_iota(
+            jnp.int32, dist.shape, 0
+        )
+        j_idx = j_offset + jax.lax.broadcasted_iota(
+            jnp.int32, dist.shape, 1
+        )
+        weights = weights * (i_idx < n_real) * (j_idx < n_real)
+        counts = counts + _bin_distances(dist, edges, weights, n_bins)
+        # Rotate the j-shard one hop around the ring.
+        j_block = jax.lax.ppermute(j_block, axis_name, perm)
+        return (counts, j_block), None
+
+    zero_counts = jnp.zeros(
+        n_bins,
+        dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
+    )
+    # Mark the carry as device-varying for shard_map's vma typing.
+    init = (jax.lax.pvary(zero_counts, (axis_name,)), pos2)
+    (counts, _), _ = jax.lax.scan(
+        step, init, jnp.arange(n_shards, dtype=jnp.int32)
+    )
+    return jax.lax.psum(counts, axis_name)
+
+
+def ring_radial_histogram(
+    positions,
+    box,
+    edges,
+    mesh: Mesh = None,
+    *,
+    exclusion=None,
+    axis_name: str = None,
+):
+    r"""Atom-sharded radial pair-distance histogram over a device ring.
+
+    Matches :func:`mdhelper_tpu.ops.histogram.radial_histogram_frame`
+    for ``pos1 = pos2 = positions`` (all pairs, np.histogram binning),
+    but with the atom axis sharded across `mesh` and the partial
+    j-shards rotated via ``ppermute``.
+
+    Parameters
+    ----------
+    positions : array-like
+        Coordinates, shape ``(N, 3)``.
+    box : array-like
+        Orthorhombic box lengths, shape ``(3,)``.
+    edges : array-like
+        Histogram bin edges, shape ``(n_bins + 1,)``.
+    mesh : `jax.sharding.Mesh`, optional
+        1-D device mesh (defaults to all local devices on an
+        ``"atoms"`` axis).
+    exclusion : `tuple`, keyword-only, optional
+        ``(e0, e1)`` tile exclusion on the *global* atom indices.
+
+    Returns
+    -------
+    counts : `numpy.ndarray`
+        Histogram counts, shape ``(n_bins,)`` (replicated).
+    """
+
+    if mesh is None:
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, ("atoms",))
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+
+    positions = np.asarray(positions)
+    n_real = positions.shape[0]
+    shard_size = -(-n_real // n_shards)
+    pad = shard_size * n_shards - n_real
+    if pad:
+        positions = np.concatenate(
+            (positions, np.repeat(positions[-1:], pad, axis=0))
+        )
+    n_bins = int(np.asarray(edges).shape[0]) - 1
+
+    body = functools.partial(
+        _local_ring_histogram,
+        axis_name=axis_name,
+        n_shards=n_shards,
+        shard_size=shard_size,
+        n_real=n_real,
+        exclusion=exclusion,
+        n_bins=n_bins,
+    )
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=P(),
+    )
+    counts = jax.jit(sharded)(
+        jnp.asarray(positions),
+        jnp.asarray(positions),
+        jnp.asarray(box),
+        jnp.asarray(edges),
+    )
+    return np.asarray(counts)

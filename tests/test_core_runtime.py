@@ -147,3 +147,90 @@ def test_frames_argument():
     assert analysis.seen == [1, 2]
     with pytest.raises(ValueError):
         Count(u.trajectory).run(start=1, frames=picked)
+
+
+def test_ring_radial_histogram_matches_single_device():
+    """Atom-sharded ring pass (ppermute) == single-device histogram."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdhelper_tpu.ops.histogram import radial_histogram_frame
+    from mdhelper_tpu.parallel.ring import ring_radial_histogram
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    box = np.array([12.0, 12.0, 12.0])
+    edges = np.linspace(0.0, 5.0, 41)
+    # 83 atoms: not divisible by 8, exercises padding.
+    pos = rng.random((83, 3)) * box
+
+    ring = ring_radial_histogram(pos, box, edges, exclusion=(1, 1))
+    direct = np.asarray(
+        radial_histogram_frame(
+            jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(box),
+            jnp.asarray(edges), exclusion=(1, 1),
+        )
+    )
+    np.testing.assert_array_equal(ring.astype(int), direct.astype(int))
+
+
+def test_checkpoint_resume(tmp_path):
+    """A killed carry-accumulating analysis resumes mid-stream."""
+
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    u = make_universe(n_frames=10, n_atoms=16)
+    ag = u.atoms
+    ckpt = str(tmp_path / "rdf_carry.npz")
+
+    full = RadialDistributionFunction(
+        ag, n_bins=12, range=(0.0, 4.0), exclusion=(1, 1),
+        verbose=False,
+    ).run()
+
+    # Run partially (first 4 frames) with checkpointing...
+    partial = RadialDistributionFunction(
+        ag, n_bins=12, range=(0.0, 4.0), exclusion=(1, 1),
+        verbose=False,
+    )
+    partial._chunk_bytes = 2 * 16 * 3 * 8  # 2 frames per chunk
+    partial.run(stop=4, checkpoint=ckpt)
+
+    # ...then resume the full range from the same checkpoint file.
+    resumed = RadialDistributionFunction(
+        ag, n_bins=12, range=(0.0, 4.0), exclusion=(1, 1),
+        verbose=False,
+    )
+    resumed._chunk_bytes = 2 * 16 * 3 * 8
+    resumed.run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        resumed.results.counts, full.results.counts
+    )
+
+
+def test_profiling_helpers():
+    import jax.numpy as jnp
+
+    from mdhelper_tpu.core.profiling import Timer, benchmark_grid
+
+    timer = Timer()
+    with timer("stage_a"):
+        pass
+    with timer("stage_a"):
+        pass
+    assert timer.counts["stage_a"] == 2
+    assert "stage_a" in timer.report()
+
+    import jax
+
+    def build(scale):
+        return jax.jit(lambda x: x * scale)
+
+    best, ranking = benchmark_grid(
+        build, [{"scale": 2.0}, {"scale": 3.0}], jnp.ones(8),
+        warmup=1, repeats=1,
+    )
+    assert best in ({"scale": 2.0}, {"scale": 3.0})
+    assert len(ranking) == 2
