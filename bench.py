@@ -91,6 +91,11 @@ def tpu_frames_per_second(qs: np.ndarray) -> float:
     import jax.numpy as jnp
 
     from mdhelper_tpu.ops.bench_kernels import fused_analysis_step
+    from mdhelper_tpu.ops.cell_histogram import (
+        cell_histogram_plan,
+        cell_pair_histogram,
+        neighbor_cell_ids,
+    )
 
     edges_sq = jnp.asarray(
         (np.linspace(0.0, R_MAX, N_BINS + 1) ** 2).astype(np.float32)
@@ -107,10 +112,65 @@ def tpu_frames_per_second(qs: np.ndarray) -> float:
         "disp": jnp.zeros((), jnp.float32),
     }
 
-    step = jax.jit(
-        lambda c, p: fused_analysis_step(c, p, box, qs_dev, edges_sq),
-        donate_argnums=0,
+    # Cutoff-aware cell list when it beats the brute-force sweep.
+    plan = cell_histogram_plan(N_ATOMS, [BOX] * 3, R_MAX)
+    cell_pairs = (
+        plan["n_cells"] * plan["capacity"] * 27 * plan["capacity"]
     )
+    use_cells = cell_pairs < 0.5 * N_ATOMS**2
+    if use_cells:
+        nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
+        box3 = jnp.asarray(np.full(3, BOX, np.float32))
+
+        def histogram(pos):
+            counts, occupancy = cell_pair_histogram(
+                pos, box3, R_MAX, nbr,
+                n_cells_dim=plan["n_cells_dim"],
+                capacity=plan["capacity"],
+                n_bins=N_BINS,
+                exclusion=(1, 1),
+            )
+            return counts, occupancy
+
+        def step_fn(c, p):
+            def frame(carry, pos):
+                counts, occ = histogram(pos)
+                phases = qs_dev @ pos.T
+                cos = jnp.cos(phases).sum(axis=1)
+                sin = jnp.sin(phases).sum(axis=1)
+                disp = ((pos - pos.mean(axis=0)) ** 2).sum()
+                return {
+                    "counts": carry["counts"] + counts,
+                    "ssf": carry["ssf"] + cos**2 + sin**2,
+                    "disp": carry["disp"] + disp,
+                }, occ
+
+            c, occs = jax.lax.scan(frame, c, p)
+            return c, occs.max()
+
+        raw_step = jax.jit(step_fn, donate_argnums=0)
+        checked = False
+
+        def step(c, p):
+            nonlocal checked
+            c, occ = raw_step(c, p)
+            if not checked:
+                # One-time occupancy check (a per-step check would
+                # force a device sync every step).
+                assert int(occ) <= plan["capacity"], (
+                    "cell capacity overflow; re-plan with a larger "
+                    "capacity_factor"
+                )
+                checked = True
+            return c
+
+    else:
+        step = jax.jit(
+            lambda c, p: fused_analysis_step(
+                c, p, box, qs_dev, edges_sq
+            ),
+            donate_argnums=0,
+        )
 
     # Pre-generate host frames (outside the timed loop; the reference
     # baseline is timed on compute only as well).

@@ -234,3 +234,41 @@ def test_profiling_helpers():
     )
     assert best in ({"scale": 2.0}, {"scale": 3.0})
     assert len(ranking) == 2
+
+
+def test_cell_pair_histogram_matches_brute_force():
+    """Sorted cell list == tiled brute force (np.histogram binning)."""
+
+    import jax.numpy as jnp
+
+    from mdhelper_tpu.ops.bench_kernels import pair_histogram_two_level
+    from mdhelper_tpu.ops.cell_histogram import (
+        cell_histogram_plan,
+        cell_pair_histogram,
+        neighbor_cell_ids,
+    )
+
+    box, r_max, n_bins = 18.0, 4.0, 48
+    pos = (rng.random((700, 3)) * box).astype(np.float32)
+    plan = cell_histogram_plan(len(pos), [box] * 3, r_max)
+    nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
+    counts, occupancy = cell_pair_histogram(
+        jnp.asarray(pos),
+        jnp.asarray(np.full(3, box, np.float32)),
+        r_max,
+        nbr,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity=plan["capacity"],
+        n_bins=n_bins,
+        exclusion=(1, 1),
+    )
+    assert int(occupancy) <= plan["capacity"]
+    brute = np.asarray(
+        pair_histogram_two_level(
+            jnp.asarray(pos), box, r_max, n_bins, tile=256
+        )
+    ).copy()
+    brute[0] -= len(pos)  # remove self pairs
+    np.testing.assert_array_equal(
+        np.asarray(counts).astype(int), brute.astype(int)
+    )
