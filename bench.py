@@ -33,6 +33,11 @@ N_FRAMES = int(os.environ.get("MDTPU_BENCH_FRAMES", 24))
 N_QPTS = int(os.environ.get("MDTPU_BENCH_QPTS", 24))
 N_BINS = int(os.environ.get("MDTPU_BENCH_BINS", 200))
 REF_FRAMES = int(os.environ.get("MDTPU_BENCH_REF_FRAMES", 1))
+# "exact" evaluates distances/phases in double-float (two-float32)
+# arithmetic — float64-grade results from float32 coordinates — and
+# is the default because float32 phases are unusable at this scale
+# (S(q) errors of order 10%).  "fast" measures the raw f32 path.
+PRECISION = os.environ.get("MDTPU_BENCH_PRECISION", "exact")
 BOX = float(N_ATOMS / 0.8) ** (1 / 3)  # LJ-liquid-like density 0.8
 R_MAX = min(6.0, BOX / 2 * 0.99)
 
@@ -86,94 +91,114 @@ def baseline_frame_seconds(qs: np.ndarray) -> float:
 # --------------------------------------------------------------------
 # TPU pipeline.
 # --------------------------------------------------------------------
-def tpu_frames_per_second(qs: np.ndarray) -> float:
+def tpu_phase_fps(qs: np.ndarray, phase: str) -> float:
+    """Steady-state frames/sec of one analysis phase ("hist" = RDF
+    cell-list histogram + MSD bookkeeping, "trig" = S(q) trig sums).
+
+    The phases are measured as SEPARATE programs in SEPARATE processes
+    because this environment's TPU runtime cannot execute two distinct
+    large executables in one process (the second one runs exactly once,
+    then every re-execution fails with InvalidArgument; combining both
+    phases into a single executable fails outright).  On stable TPU
+    runtimes the phases would simply be two jits — or one — in one
+    process; the per-frame costs are additive either way.
+    """
+
     import jax
     import jax.numpy as jnp
-
-    from mdhelper_tpu.ops.bench_kernels import fused_analysis_step
-    from mdhelper_tpu.ops.cell_histogram import (
-        cell_histogram_plan,
-        cell_pair_histogram,
-        neighbor_cell_ids,
-    )
-
-    edges_sq = jnp.asarray(
-        (np.linspace(0.0, R_MAX, N_BINS + 1) ** 2).astype(np.float32)
-    )
-    qs_dev = jnp.asarray(qs)
-    box = jnp.float32(BOX)
 
     # Frame batch size: bounded by pair-tile memory, not frame data.
     batch = max(1, min(8, N_FRAMES))
 
-    carry = {
-        "counts": jnp.zeros(N_BINS, jnp.float32),
-        "ssf": jnp.zeros(qs.shape[0], jnp.float32),
-        "disp": jnp.zeros((), jnp.float32),
-    }
+    if phase == "hist":
+        from mdhelper_tpu.ops.cell_histogram import (
+            cell_histogram_plan,
+            cell_pair_histogram,
+            neighbor_cell_ids,
+        )
 
-    # Cutoff-aware cell list when it beats the brute-force sweep.
-    plan = cell_histogram_plan(N_ATOMS, [BOX] * 3, R_MAX)
-    cell_pairs = (
-        plan["n_cells"] * plan["capacity"] * 27 * plan["capacity"]
-    )
-    use_cells = cell_pairs < 0.5 * N_ATOMS**2
-    if use_cells:
-        nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
-        box3 = jnp.asarray(np.full(3, BOX, np.float32))
+        # Cutoff-aware cell list when it beats the brute-force sweep.
+        plan = cell_histogram_plan(N_ATOMS, [BOX] * 3, R_MAX)
+        cell_pairs = (
+            plan["n_cells"] * plan["capacity"] * 27 * plan["capacity"]
+        )
+        capacity = None
+        if cell_pairs < 0.5 * N_ATOMS**2:
+            capacity = plan["capacity"]
+            nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
+            box3 = jnp.asarray(np.full(3, BOX, np.float32))
 
-        def histogram(pos):
-            counts, occupancy = cell_pair_histogram(
-                pos, box3, R_MAX, nbr,
-                n_cells_dim=plan["n_cells_dim"],
-                capacity=plan["capacity"],
-                n_bins=N_BINS,
-                exclusion=(1, 1),
+            def step_fn(counts, p):
+                def frame(c, pos):
+                    frame_counts, occ = cell_pair_histogram(
+                        pos, box3, R_MAX, nbr,
+                        n_cells_dim=plan["n_cells_dim"],
+                        capacity=plan["capacity"],
+                        n_bins=N_BINS,
+                        exclusion=(1, 1),
+                        precision=PRECISION,
+                    )
+                    disp = ((pos - pos.mean(axis=0)) ** 2).sum()
+                    return c + frame_counts, (occ, disp)
+
+                counts, (occs, disps) = jax.lax.scan(frame, counts, p)
+                return counts, occs.max()
+        else:
+            from mdhelper_tpu.ops.bench_kernels import (
+                pair_histogram_two_level,
             )
-            return counts, occupancy
 
-        def step_fn(c, p):
-            def frame(carry, pos):
-                counts, occ = histogram(pos)
-                phases = qs_dev @ pos.T
-                cos = jnp.cos(phases).sum(axis=1)
-                sin = jnp.sin(phases).sum(axis=1)
-                disp = ((pos - pos.mean(axis=0)) ** 2).sum()
-                return {
-                    "counts": carry["counts"] + counts,
-                    "ssf": carry["ssf"] + cos**2 + sin**2,
-                    "disp": carry["disp"] + disp,
-                }, occ
+            def step_fn(counts, p):
+                def frame(c, pos):
+                    frame_counts = pair_histogram_two_level(
+                        pos, jnp.float32(BOX), R_MAX, N_BINS, tile=2048
+                    )
+                    return c + frame_counts, jnp.int32(0)
 
-            c, occs = jax.lax.scan(frame, c, p)
-            return c, occs.max()
+                counts, occs = jax.lax.scan(frame, counts, p)
+                return counts, occs.max()
 
-        raw_step = jax.jit(step_fn, donate_argnums=0)
-        checked = False
+        # No donate_argnums: donation trips an axon runtime bug.
+        raw_step = jax.jit(step_fn)
+        carry = np.zeros(N_BINS, np.float32)
 
         def step(c, p):
-            nonlocal checked
-            c, occ = raw_step(c, p)
-            if not checked:
-                # One-time occupancy check (a per-step check would
-                # force a device sync every step).
-                assert int(occ) <= plan["capacity"], (
+            counts, occ = raw_step(c, p)
+            counts = np.asarray(counts)  # fetch = per-step sync
+            if capacity is not None:
+                assert int(occ) <= capacity, (
                     "cell capacity overflow; re-plan with a larger "
                     "capacity_factor"
                 )
-                checked = True
-            return c
+            return counts
 
-    else:
-        step = jax.jit(
-            lambda c, p: fused_analysis_step(
-                c, p, box, qs_dev, edges_sq
-            ),
-            donate_argnums=0,
-        )
+    elif phase == "trig":
+        from mdhelper_tpu.ops.scattering import trig_sums_frame
+
+        qs_dev = jnp.asarray(qs)
+
+        def step_fn(ssf, p):
+            def frame(c, pos):
+                cos, sin = trig_sums_frame(
+                    qs_dev, pos, precision=PRECISION
+                )
+                return c + cos**2 + sin**2, None
+
+            ssf, _ = jax.lax.scan(frame, ssf, p)
+            return ssf
+
+        raw_step = jax.jit(step_fn)
+        carry = np.zeros(qs.shape[0], np.float32)
+
+        def step(c, p):
+            return np.asarray(raw_step(c, p))  # fetch = per-step sync
+
+    else:  # pragma: no cover - defensive
+        raise ValueError(f"unknown phase {phase!r}")
 
     # Pre-generate host frames (outside the timed loop; the reference
-    # baseline is timed on compute only as well).
+    # baseline is timed on compute only as well).  Inputs VARY between
+    # steps: the runtime memoizes identical (program, args) pairs.
     frames = [
         np.stack([make_frame(1000 + b * batch + i) for i in range(batch)])
         for b in range(min(4, max(1, N_FRAMES // batch)))
@@ -181,21 +206,72 @@ def tpu_frames_per_second(qs: np.ndarray) -> float:
 
     # Warm up / compile.
     carry = step(carry, jnp.asarray(frames[0]))
-    jax.block_until_ready(carry)
 
     n_steps = max(1, N_FRAMES // batch)
     t0 = time.perf_counter()
     for i in range(n_steps):
         carry = step(carry, jnp.asarray(frames[i % len(frames)]))
-    jax.block_until_ready(carry)
     elapsed = time.perf_counter() - t0
     return n_steps * batch / elapsed
+
+
+def _measure_tpu_subprocess() -> float:
+    """Measure TPU throughput, one phase per fresh subprocess.
+
+    Fresh processes per phase for two reasons: (a) the runtime's
+    one-heavy-executable-per-process limitation documented in
+    :func:`tpu_phase_fps`; (b) the tunnel fails sporadically
+    (InvalidArgument / hangs / panics) and a poisoned client does not
+    recover in-process, so each attempt also gets a clean process.
+    The combined throughput is 1 / (sum of per-phase frame times).
+    """
+
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__)) or "."
+    seconds_per_frame = 0.0
+    for phase in ("hist", "trig"):
+        script = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "qs = bench.wavevectors()\n"
+            "print('MDTPU_FPS', bench.tpu_phase_fps(qs, {phase!r}))\n"
+        ).format(root=root, phase=phase)
+        last = None
+        for _ in range(4):
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-u", "-c", script],
+                    capture_output=True,
+                    text=True,
+                    timeout=1200,
+                    env=os.environ.copy(),
+                )
+                fps = None
+                for line in out.stdout.splitlines():
+                    if line.startswith("MDTPU_FPS"):
+                        fps = float(line.split()[1])
+                if fps is not None:
+                    seconds_per_frame += 1.0 / fps
+                    break
+                last = RuntimeError(
+                    out.stderr.splitlines()[-1]
+                    if out.stderr
+                    else "no fps"
+                )
+            except Exception as exc:  # noqa: BLE001
+                last = exc
+            time.sleep(5)
+        else:
+            raise last
+    return 1.0 / seconds_per_frame
 
 
 def main() -> None:
     qs = wavevectors()
     ref_seconds = baseline_frame_seconds(qs)
-    tpu_fps = tpu_frames_per_second(qs)
+    tpu_fps = _measure_tpu_subprocess()
     baseline_fps = 1.0 / ref_seconds
     print(
         json.dumps(

@@ -618,9 +618,16 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
         dimensions=None,
         unwrap: bool = False,
         parallel: bool = False,
+        precision: str = "auto",
         verbose: bool = True,
         **kwargs,
     ) -> None:
+        if precision not in {"auto", "fast", "exact"}:
+            raise ValueError(
+                "Invalid precision. Valid values: 'auto', 'fast', "
+                "'exact'."
+            )
+        self._precision = precision
         super().__init__(
             group,
             grouping,
@@ -668,16 +675,28 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
         else:
             unwrap_state = (jnp.zeros(()), jnp.zeros(()))
 
+        precision = self._precision
+
         def frame_scsf(monomers):
             """(M, N_p, 3) -> (N_q,) single-chain structure factor
             contribution."""
 
-            phases = (qs @ monomers.reshape(-1, 3).T).reshape(
-                -1, m, n_p
-            )
-            cos = jnp.cos(phases).sum(axis=-1)
-            sin = jnp.sin(phases).sum(axis=-1)
-            return (cos**2 + sin**2).sum(axis=-1)
+            prec = precision
+            if prec == "auto":
+                # Double-float exact phases for float32 coordinates
+                # (unwrapped chains drift arbitrarily far from the
+                # origin, so float32 phases degrade without bound).
+                prec = (
+                    "exact"
+                    if monomers.dtype == jnp.float32
+                    else "fast"
+                )
+            cos, sin = jax.vmap(
+                lambda chain: trig_sums_frame(
+                    qs, chain, precision=prec
+                )
+            )(monomers)  # (M, N_q) each
+            return (cos**2 + sin**2).sum(axis=0)
 
         def update(carry, positions, dimensions, mask):
             del dimensions

@@ -656,6 +656,13 @@ class StructureFactor(NumbaAnalysisBase):
         Sort by wavenumber / average equal-magnitude wavevectors.
     parallel : `bool`, keyword-only, default False
         Shard frame batches across all local devices.
+    precision : `str`, keyword-only, default ``"auto"``
+        Phase-evaluation precision (:func:`mdhelper_tpu.ops.scattering.
+        trig_sums_frame`).  ``"auto"`` uses double-float (two-float32)
+        exact phases when positions are float32 (the TPU fast path —
+        naive float32 phases lose several per-cent at 100k-atom box
+        scales) and the plain path when positions are already float64.
+        ``"fast"`` / ``"exact"`` force either mode.
     """
 
     def __init__(
@@ -674,6 +681,7 @@ class StructureFactor(NumbaAnalysisBase):
         sort: bool = True,
         unique: bool = True,
         parallel: bool = False,
+        precision: str = "auto",
         verbose: bool = True,
         **kwargs,
     ) -> None:
@@ -769,6 +777,12 @@ class StructureFactor(NumbaAnalysisBase):
         self._sort = sort
         self._unique = unique
         self._parallel = parallel
+        if precision not in {"auto", "fast", "exact"}:
+            raise ValueError(
+                "Invalid precision. Valid values: 'auto', 'fast', "
+                "'exact'."
+            )
+        self._precision = precision
         self._verbose = verbose
 
     def _n_shards(self) -> int:
@@ -778,10 +792,16 @@ class StructureFactor(NumbaAnalysisBase):
 
         return max(1, min(len(_jax.devices()), self.n_frames or 1))
 
+    def _resolve_precision(self, positions) -> str:
+        if self._precision != "auto":
+            return self._precision
+        return "exact" if positions.dtype == jnp.float32 else "fast"
+
     def _group_trig_sums(self, positions, qs):
         """Per-group (cos, sin) sums for one frame batch: returns a pair
         of ``(B, G, N_q)`` arrays."""
 
+        prec = self._resolve_precision(positions)
         cos_all, sin_all = [], []
         for group, grouping, sel, seg, n in zip(
             self._groups, self._groupings, self._sels, self._segs,
@@ -792,7 +812,9 @@ class StructureFactor(NumbaAnalysisBase):
                 pos = _com_positions(
                     pos, jnp.asarray(group.masses), jnp.asarray(seg), n
                 )
-            c, s = jax.vmap(lambda p: trig_sums_frame(qs, p))(pos)
+            c, s = jax.vmap(
+                lambda p: trig_sums_frame(qs, p, precision=prec)
+            )(pos)
             cos_all.append(c)
             sin_all.append(s)
         return jnp.stack(cos_all, axis=1), jnp.stack(sin_all, axis=1)
@@ -917,6 +939,7 @@ class IntermediateScatteringFunction(StructureFactor):
         n_lags: int = None,
         incoherent: bool = False,
         parallel: bool = False,
+        precision: str = "auto",
         verbose: bool = True,
         **kwargs,
     ) -> None:
@@ -934,6 +957,7 @@ class IntermediateScatteringFunction(StructureFactor):
             sort=sort,
             unique=unique,
             parallel=parallel,
+            precision=precision,
             verbose=verbose,
             **kwargs,
         )
@@ -1023,19 +1047,21 @@ class IntermediateScatteringFunction(StructureFactor):
 
         def scan_step(carry, inputs):
             pos, valid = inputs  # (N, 3), scalar mask
+            prec = self._resolve_precision(pos)
             fi = carry["frame"]
             rcfi = (fi % n_lags).astype(jnp.int32)
 
             # Current frame's per-group trig sums, shape (G, Nq).
             cos_rows, sin_rows = [], []
             if mode is None:
-                c, s = trig_sums_frame(qs, pos)
+                c, s = trig_sums_frame(qs, pos, precision=prec)
                 cos_rows.append(c)
                 sin_rows.append(s)
             else:
                 for lo, n in group_slices:
                     c, s = trig_sums_frame(
-                        qs, jax.lax.dynamic_slice_in_dim(pos, lo, n)
+                        qs, jax.lax.dynamic_slice_in_dim(pos, lo, n),
+                        precision=prec,
                     )
                     cos_rows.append(c)
                     sin_rows.append(s)

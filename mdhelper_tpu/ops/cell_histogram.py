@@ -93,6 +93,7 @@ _neighbor_cell_ids = neighbor_cell_ids
     jax.jit,
     static_argnames=(
         "n_cells_dim", "capacity", "n_bins", "cell_block", "exclusion",
+        "precision", "r_max",
     ),
 )
 def cell_pair_histogram(
@@ -106,6 +107,7 @@ def cell_pair_histogram(
     n_bins: int,
     exclusion=None,
     cell_block: int = 8,
+    precision: str = "fast",
 ):
     r"""All-pairs histogram with uniform bins on ``[0, r_max]`` using a
     sorted cell list; returns ``(counts, max_occupancy)``.
@@ -122,6 +124,15 @@ def cell_pair_histogram(
         ``(n_cells, 27)`` table from :func:`neighbor_cell_ids`.
     exclusion : `tuple`, static keyword-only, optional
         ``(e0, e1)`` tile exclusion on the original atom indices.
+    precision : `str`, static keyword-only
+        ``"fast"`` computes distances in the input dtype (float32 bin
+        boundaries jitter by ~1 ulp of the distance); ``"exact"``
+        evaluates the squared distance and the bin-boundary comparison
+        in double-float (two-float32) arithmetic — exact for float32
+        coordinates — so the counts match a float64 oracle while
+        staying on the fast VPU path (native float64 is emulated ~100x
+        slower on TPU).  The one-hot binning matmul stays float32
+        (counts are exact integers well below 2^24 per block).
     """
 
     n = positions.shape[0]
@@ -158,7 +169,6 @@ def cell_pair_histogram(
     )  # (n_cells, capacity) indices into the sorted arrays
     table_valid = slots[None, :] < occupancy[:, None]
 
-    inv_dr = jnp.asarray(n_bins, positions.dtype) / r_max
     n_fine = 16
     n_coarse = -(-(n_bins + 1) // n_fine)
     spill = jnp.int32(n_bins)
@@ -184,6 +194,60 @@ def cell_pair_histogram(
         n_blocks, cell_block, 27
     )
 
+    inv_dr = jnp.asarray(n_bins, positions.dtype) / jnp.asarray(
+        r_max, positions.dtype
+    )
+    if precision == "exact":
+        # Bin-boundary constants dr^2 = (r_max / n_bins)^2 as a
+        # double-float (host-side split of the float64 value).
+        dr2_wide = np.float64(r_max) ** 2 / np.float64(n_bins) ** 2
+        dr2_hi = np.float32(dr2_wide)
+        dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
+
+    def _exact_bin_index(i_pos, j_pos):
+        """Exact bin assignment via double-float squared distances:
+        idx such that (idx*dr)^2 <= d^2 < ((idx+1)*dr)^2."""
+
+        from .doublefloat import (
+            df_ge,
+            df_lt,
+            df_sum3,
+            df_square,
+            df_sub,
+            two_diff,
+            two_prod,
+        )
+
+        components = []
+        for k in range(3):
+            s, e = two_diff(
+                i_pos[:, :, None, k], j_pos[:, None, :, k]
+            )
+            m = jnp.round(s / box[k])
+            p, pe = two_prod(m, box[k])
+            d = df_sub((s, e), (p, pe))
+            components.append(df_square(d))
+        d2 = df_sum3(*components)
+
+        # Float32 estimate, then exact +-1 correction against the
+        # double-float bin boundaries (k*dr)^2 = k^2 * dr^2.
+        idx = jnp.floor(
+            jnp.sqrt(jnp.maximum(d2[0], 0.0)) * inv_dr
+        ).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, n_bins)
+
+        def boundary(k):
+            k2 = (k * k).astype(jnp.float32)  # exact for k <= 2048
+            bh, bl = two_prod(k2, jnp.float32(dr2_hi))
+            return bh, bl + k2 * jnp.float32(dr2_lo)
+
+        idx = (
+            idx
+            + df_ge(d2, boundary(idx + 1)).astype(jnp.int32)
+            - df_lt(d2, boundary(idx)).astype(jnp.int32)
+        )
+        return idx
+
     def block_fn(carry, inputs):
         i_slots, i_valid, nbrs = inputs
         i_pos = sorted_pos[i_slots]  # (B, cap, 3)
@@ -191,13 +255,15 @@ def cell_pair_histogram(
             cell_block, 27 * capacity
         )
         j_valid = table_valid[nbrs].reshape(cell_block, 27 * capacity)
-        j_pos = sorted_pos[j_slots]  # (B, 27*cap, 3)
+        j_pos = sorted_pos[j_slots]  # (B, 27c, 3)
 
-        delta = i_pos[:, :, None, :] - j_pos[:, None, :, :]
-        delta = delta - box * jnp.round(delta / box)
-        dist = jnp.sqrt((delta * delta).sum(-1))
-
-        idx = jnp.floor(dist * inv_dr).astype(jnp.int32)
+        if precision == "exact":
+            idx = _exact_bin_index(i_pos, j_pos)
+        else:
+            delta = i_pos[:, :, None, :] - j_pos[:, None, :, :]
+            delta = delta - box * jnp.round(delta / box)
+            dist = jnp.sqrt((delta * delta).sum(-1))
+            idx = jnp.floor(dist * inv_dr).astype(jnp.int32)
         weights = (
             i_valid[:, :, None] & j_valid[:, None, :] & (idx < n_bins)
         )

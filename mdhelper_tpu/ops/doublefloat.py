@@ -1,0 +1,102 @@
+r"""
+Double-float (float32 pair) arithmetic
+======================================
+
+Error-free transformations for computing float64-grade quantities on
+TPU hardware whose native wide type is emulated slowly.  A value is
+carried as an unevaluated sum ``hi + lo`` of two float32s (~48
+significand bits) — enough to make distance-to-bin assignment of
+float32 coordinates *exact*, since products and differences of float32
+inputs are exactly representable in the pair.
+
+Classic Dekker/Knuth building blocks, written to survive XLA: the
+compiler preserves IEEE semantics (no fast-math reassociation), and
+allowing excess precision (FMA contraction) only tightens the error
+terms.
+"""
+
+import jax.numpy as jnp
+
+__all__ = [
+    "two_sum",
+    "two_diff",
+    "two_prod",
+    "df_add",
+    "df_sub",
+    "df_sum3",
+    "df_square",
+    "df_ge",
+    "df_lt",
+]
+
+_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 for float32 Dekker split
+
+
+def two_sum(a, b):
+    """Error-free a + b = s + e (Knuth)."""
+
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def two_diff(a, b):
+    """Error-free a - b = s + e."""
+
+    s = a - b
+    bb = s - a
+    e = (a - (s - bb)) - (b + bb)
+    return s, e
+
+
+def _split(a):
+    c = _SPLITTER * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free a * b = p + e (Dekker)."""
+
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def df_add(x, y):
+    """(hi, lo) + (hi, lo) with renormalization."""
+
+    s, e = two_sum(x[0], y[0])
+    e = e + x[1] + y[1]
+    hi, lo = two_sum(s, e)
+    return hi, lo
+
+
+def df_sub(x, y):
+    return df_add(x, (-y[0], -y[1]))
+
+
+def df_sum3(x, y, z):
+    return df_add(df_add(x, y), z)
+
+
+def df_square(x):
+    """(hi, lo)^2 as a double-float."""
+
+    p, e = two_prod(x[0], x[0])
+    e = e + 2.0 * x[0] * x[1]
+    hi, lo = two_sum(p, e)
+    return hi, lo
+
+
+def df_ge(x, y):
+    """x >= y for double-floats (lexicographic on normalized pairs)."""
+
+    return (x[0] > y[0]) | ((x[0] == y[0]) & (x[1] >= y[1]))
+
+
+def df_lt(x, y):
+    return ~df_ge(x, y)

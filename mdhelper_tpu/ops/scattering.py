@@ -16,13 +16,49 @@ cannot be materialized on this TPU platform — so all functions return
 ``analysis/structure.py:1238-1314``, which it notes is overflow-safe).
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["trig_sums_frame", "trig_sums_batch", "ssf_from_trig_sums"]
 
+_TWO_PI = 2 * np.pi
+_TWO_PI_HI = np.float32(_TWO_PI)
+_TWO_PI_LO = np.float32(_TWO_PI - np.float64(_TWO_PI_HI))
 
-def trig_sums_frame(qs, pos, weights=None):
+
+def _exact_phases(qs, pos):
+    r"""Range-reduced phases :math:`\mathbf{q}\cdot\mathbf{r} \bmod
+    2\pi` in double-float (two-float32) arithmetic.
+
+    Large phases (hundreds of radians at 100k-atom box scales) lose
+    ~:math:`|\phi|\,\varepsilon_{32}` of angular precision in a naive
+    float32 dot product; computing the dot and the modular reduction
+    error-free and correcting the trig to first order in the residual
+    restores ~1e-7-level phase accuracy on the fast VPU path.
+    """
+
+    from .doublefloat import df_add, df_sub, two_prod
+
+    phase = None
+    for k in range(3):
+        term = two_prod(qs[:, None, k], pos[None, :, k])
+        phase = term if phase is None else df_add(phase, term)
+
+    # phi - 2*pi*round(phi / 2*pi), with 2*pi as a double-float.
+    turns = jnp.round(phase[0] / _TWO_PI_HI)
+    correction = two_prod(turns, _TWO_PI_HI)
+    reduced = df_sub(
+        phase, (correction[0], correction[1] + turns * _TWO_PI_LO)
+    )
+    return reduced
+
+
+def trig_sums_frame(
+    qs, pos, weights=None, *, precision: str = "fast",
+    q_tile: int = 1024,
+):
     r"""Per-wavevector :math:`\sum_j w_j\cos(\mathbf{q}\cdot
     \mathbf{r}_j)` and :math:`\sum_j w_j\sin(\cdot)` for one frame.
 
@@ -35,12 +71,41 @@ def trig_sums_frame(qs, pos, weights=None):
     weights : `jax.Array`, optional
         Per-particle weights (e.g. padding mask or form factors),
         shape ``(N,)``.
+    precision : `str`, keyword-only
+        ``"fast"``: phase matmul in the input dtype (MXU).
+        ``"exact"``: double-float phases reduced mod :math:`2\pi` with
+        a first-order trig correction — float64-grade sums from
+        float32 inputs without TPU float64 emulation.
 
     Returns
     -------
     cos_sum, sin_sum : `jax.Array`
         Shape ``(N_q,)`` each.
     """
+
+    if precision == "exact":
+        # Tile the wavevector axis: the double-float intermediates are
+        # several (q_tile, N) buffers, which must stay well under HBM.
+        n_q = qs.shape[0]
+        n_tiles = max(1, -(-n_q // q_tile))
+        pad = n_tiles * q_tile - n_q
+        qs_tiles = jnp.pad(qs, ((0, pad), (0, 0))).reshape(
+            n_tiles, q_tile, 3
+        )
+
+        def tile_fn(q_block):
+            hi, lo = _exact_phases(q_block, pos)
+            cos_hi, sin_hi = jnp.cos(hi), jnp.sin(hi)
+            # First-order correction: lo is ~1 ulp of the phase.
+            cos = cos_hi - lo * sin_hi
+            sin = sin_hi + lo * cos_hi
+            if weights is not None:
+                cos = cos * weights
+                sin = sin * weights
+            return cos.sum(axis=-1), sin.sum(axis=-1)
+
+        cos_t, sin_t = jax.lax.map(tile_fn, qs_tiles)
+        return cos_t.reshape(-1)[:n_q], sin_t.reshape(-1)[:n_q]
 
     phases = qs @ pos.T  # (N_q, N) — MXU
     cos = jnp.cos(phases)
