@@ -41,6 +41,7 @@ __all__ = [
     "Gyradius",
     "EndToEndVector",
     "SingleChainStructureFactor",
+    "RouseModes",
 ]
 
 
@@ -733,3 +734,258 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
             dtype=float,
             count=len(self.results.wavenumbers),
         )
+
+
+class RouseModes(_PolymerAnalysisBase):
+    r"""Rouse normal-mode amplitudes, autocorrelations, and relaxation
+    times for linear homopolymer chains.
+
+    .. math::
+
+       \mathbf{X}_p(t) = \frac{1}{N_\mathrm{p}}\sum_{n=0}^{N_\mathrm{p}-1}
+       \mathbf{r}_n(t)\cos\left[\frac{p\pi}{N_\mathrm{p}}
+       \left(n + \tfrac{1}{2}\right)\right]
+
+    (the discrete Rouse modes of Doi & Edwards for a bead chain with
+    free ends).  For an ideal Rouse chain the mode autocorrelations
+    decay as :math:`\exp(-t/\tau_p)` with :math:`\tau_p \propto
+    \sin^{-2}(p\pi/2N_\mathrm{p})`, and the mean-square amplitudes obey
+    :math:`\langle X_p^2\rangle \propto \sin^{-2}(p\pi/2N_\mathrm{p})`.
+
+    This analysis has no counterpart in the reference package (the
+    benchmark suite requests it alongside the polymer analyses in
+    ``analysis/polymer.py``); the API follows
+    :class:`EndToEndVector`.  TPU formulation: the mode transform is a
+    static ``(n_modes, N_p)`` cosine matrix contracted against the
+    ``(B, M, N_p, 3)`` monomer batch in a single einsum (MXU), with the
+    optional image-flag unwrap running as a :func:`jax.lax.scan` carry
+    shared across streamed chunks.
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Group(s) of polymer atoms.
+    groupings : `str` or array-like, default ``"atoms"``
+        ``"atoms"`` (every atom a bead) or ``"residues"`` (residue COM
+        beads).
+    n_chains, n_monomers : `int` or array-like, optional
+        Chain topology per group (inferred from residues when omitted).
+    n_modes : `int`, keyword-only, optional
+        Number of modes :math:`p = 1, \ldots, n_\mathrm{modes}` to
+        keep (default: ``n_monomers - 1``, the full spectrum).  Mode 0
+        (the chain center of mass) is excluded from ACFs since it does
+        not relax.
+    n_blocks : `int`, keyword-only, default 1
+        Independent trajectory blocks for error estimation.
+    dt : `float`, keyword-only, optional
+        Time between frames (defaults to the trajectory's ``dt``).
+    fft : `bool`, keyword-only, default True
+        Wiener–Khinchin FFT autocorrelation (vs direct shift sum).
+    unwrap : `bool`, keyword-only, default True
+        Unwrap monomer positions across boundaries (required for
+        physically meaningful modes; disable only for pre-unwrapped
+        trajectories).
+
+    Results
+    -------
+    results.times : `numpy.ndarray`
+        Lag times, shape ``(N_t/n_blocks,)``.
+    results.acf : `numpy.ndarray`
+        Normalized mode autocorrelations
+        :math:`\langle\mathbf{X}_p(t)\cdot\mathbf{X}_p(0)\rangle /
+        \langle X_p^2\rangle`, shape
+        ``(N_g, n_modes, n_blocks, N_t/n_blocks)``.
+    results.mean_square_amplitudes : `numpy.ndarray`
+        :math:`\langle X_p^2\rangle` per group and mode, shape
+        ``(N_g, n_modes)``.
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        n_chains=None,
+        n_monomers=None,
+        *,
+        n_modes: int = None,
+        n_blocks: int = 1,
+        dt=None,
+        fft: bool = True,
+        unwrap: bool = True,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        kwargs.pop("parallel", None)
+        super().__init__(
+            groups,
+            groupings,
+            n_chains,
+            n_monomers,
+            unwrap=unwrap,
+            parallel=False,
+            verbose=verbose,
+            **kwargs,
+        )
+        max_modes = int(self._n_monomers.min()) - 1
+        if n_modes is None:
+            n_modes = max_modes
+        if not 1 <= n_modes <= max_modes:
+            raise ValueError(
+                f"'n_modes' must be between 1 and {max_modes} "
+                "(n_monomers - 1)."
+            )
+        self._n_modes = int(n_modes)
+        self._n_blocks = n_blocks
+        self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
+        self._fft = fft
+
+    def _mode_matrix(self, i: int) -> np.ndarray:
+        """(n_modes, N_p) cosine transform matrix for group i."""
+
+        n_p = int(self._n_monomers[i])
+        p = np.arange(1, self._n_modes + 1)[:, None]
+        n = np.arange(n_p)[None, :] + 0.5
+        return np.cos(p * np.pi * n / n_p) / n_p
+
+    def _prepare(self) -> None:
+        self._n_frames_block = self.n_frames // self._n_blocks
+        self._n_frames = self._n_blocks * self._n_frames_block
+        extra = self.n_frames - self._n_frames
+        if extra > 0:
+            warnings.warn(
+                f"The trajectory is not divisible into "
+                f"{self._n_blocks:,} blocks, so the last {extra:,} "
+                "frame(s) will be discarded."
+            )
+
+        df = np.diff(self.frames)
+        step = int(df[0]) if len(df) else 1
+        self.results.times = (
+            step * self._dt * np.arange(self._n_frames_block)
+        )
+        self.results.units = {"results.times": ureg.picosecond}
+
+        # Host store of per-frame mode amplitudes, (N_t, G, M_max?, ...)
+        # kept per group because chain counts can differ.
+        self._amps = [
+            np.empty(
+                (self.n_frames, int(m), self._n_modes, 3)
+            )
+            for m in self._n_chains
+        ]
+        self._store_offset = 0
+
+        extractors = [
+            self._monomer_positions_fn(i) for i in range(self._n_groups)
+        ]
+        mode_mats = [
+            jnp.asarray(self._mode_matrix(i))
+            for i in range(self._n_groups)
+        ]
+        unwrap = self._unwrap
+
+        if unwrap:
+            box = jnp.asarray(self._dimensions)
+            self.universe.trajectory[int(self.frames[0])]
+            prev0 = [
+                jnp.asarray(self._initial_unwrapped_monomers(i))
+                for i in range(self._n_groups)
+            ]
+            images0 = [
+                jnp.zeros(p.shape, dtype=jnp.int32) for p in prev0
+            ]
+            self._carry = (tuple(prev0), tuple(images0))
+            step_fn = _unwrap_step(box)
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions
+                prevs, imagess = carry
+                new_prevs, new_imagess, amps = [], [], []
+                for extract, mat, prev, images in zip(
+                    extractors, mode_mats, prevs, imagess
+                ):
+                    monomers = extract(positions)  # (B, M, N_p, 3)
+                    (prev, images), unwrapped = jax.lax.scan(
+                        step_fn, (prev, images), (monomers, mask)
+                    )
+                    new_prevs.append(prev)
+                    new_imagess.append(images)
+                    amps.append(
+                        jnp.einsum("pn,bmnd->bmpd", mat, unwrapped)
+                    )
+                return (tuple(new_prevs), tuple(new_imagess)), amps
+
+        else:
+            self._carry = (jnp.zeros(()), jnp.zeros(()))
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions, mask
+                amps = [
+                    jnp.einsum("pn,bmnd->bmpd", mat, extract(positions))
+                    for extract, mat in zip(extractors, mode_mats)
+                ]
+                return carry, amps
+
+        self._update = jax.jit(update)
+
+    def _batched_update(self, carry, batch):
+        carry, amps = self._update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+        n_real = int(batch.mask.sum())
+        lo = self._store_offset
+        for store, amp in zip(self._amps, amps):
+            store[lo:lo + n_real] = np.asarray(amp)[:n_real]
+        self._store_offset += n_real
+        return carry
+
+    def _conclude(self) -> None:
+        acf_fn = correlation_fft if self._fft else correlation_shift
+        self.results.acf = np.empty(
+            (
+                self._n_groups,
+                self._n_modes,
+                self._n_blocks,
+                self._n_frames_block,
+            )
+        )
+        self.results.mean_square_amplitudes = np.empty(
+            (self._n_groups, self._n_modes)
+        )
+        for i, store in enumerate(self._amps):
+            amps = store[:self._n_frames]  # (N_t, M, P, 3)
+            self.results.mean_square_amplitudes[i] = (
+                (amps**2).sum(axis=-1).mean(axis=(0, 1))
+            )
+            for p in range(self._n_modes):
+                x = amps[:, :, p].reshape(
+                    self._n_blocks, self._n_frames_block, -1, 3
+                )
+                acf = np.asarray(
+                    acf_fn(x, average=True, vector=True)
+                )
+                self.results.acf[i, p] = acf / acf[..., (0,)]
+
+    def calculate_relaxation_time(self) -> None:
+        r"""Per-mode stretched-exponential relaxation times
+        :math:`\tau_p`; shape ``(N_g, n_modes, n_blocks)`` in
+        ``results.relaxation_times``."""
+
+        if self.results.acf is None:
+            raise RuntimeError(
+                "Call RouseModes.run() before "
+                "RouseModes.calculate_relaxation_time()."
+            )
+        self.results.relaxation_times = np.empty(
+            (self._n_groups, self._n_modes, self._n_blocks)
+        )
+        self.results.units["results.relaxation_times"] = ureg.picosecond
+        for i in range(self._n_groups):
+            for p in range(self._n_modes):
+                for j, acf in enumerate(self.results.acf[i, p]):
+                    valid = np.where(acf >= 0)[0]
+                    self.results.relaxation_times[i, p, j] = (
+                        calculate_relaxation_time(
+                            self.results.times[valid], acf[valid]
+                        )
+                    )
