@@ -15,7 +15,7 @@ allowing excess precision (FMA contraction) only tightens the error
 terms.
 """
 
-import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "two_sum",
@@ -29,7 +29,9 @@ __all__ = [
     "df_lt",
 ]
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 for float32 Dekker split
+# NumPy scalar (a jaxpr literal, not a captured device constant —
+# Pallas kernels reject captured consts): 2^12 + 1 Dekker split.
+_SPLITTER = np.float32(4097.0)
 
 
 def two_sum(a, b):
