@@ -11,6 +11,24 @@ math as XLA-friendly tensor programs (MXU matmuls + fused VPU
 elementwise) with Pallas kernels for the cases XLA cannot tile well.
 """
 
-from . import histogram, pbc, profiles, scattering  # noqa: F401
+from . import (  # noqa: F401
+    cell_histogram,
+    doublefloat,
+    histogram,
+    pallas_cell_histogram,
+    pallas_kernels,
+    pbc,
+    profiles,
+    scattering,
+)
 
-__all__ = ["histogram", "pbc", "profiles", "scattering"]
+__all__ = [
+    "cell_histogram",
+    "doublefloat",
+    "histogram",
+    "pallas_cell_histogram",
+    "pallas_kernels",
+    "pbc",
+    "profiles",
+    "scattering",
+]

@@ -91,3 +91,58 @@ def test_pair_histogram_molecule_exclusion():
     dist[mol[:, None] == mol[None, :]] = np.inf
     oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
     _assert_histogram_close(counts, oracle)
+
+
+@pytest.mark.parametrize("precision", ["fast", "exact"])
+def test_pallas_cell_histogram_matches_oracle(precision):
+    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cell_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    n, box, r_max, n_bins = 1200, 16.0, 3.5, 96
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+    plan = pallas_cell_plan(n, [box] * 3, r_max)
+    nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
+    counts, occ = cell_pair_histogram_pallas(
+        jnp.asarray(pos), nbr,
+        box=(box,) * 3, r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity=plan["capacity"],
+        n_bins=n_bins,
+        precision=precision,
+    )
+    assert int(occ) <= plan["capacity"]
+    counts = np.asarray(counts).astype(int)
+
+    p64 = pos.astype(np.float64)
+    d = p64[:, None] - p64[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    dist[np.arange(n), np.arange(n)] = np.inf
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    if precision == "exact":
+        # Bit-exact for float32 inputs (box 16.0 is exactly
+        # representable, so the oracle sees the same min-image).
+        np.testing.assert_array_equal(counts, oracle)
+    else:
+        _assert_histogram_close(counts, oracle)
+
+
+def test_pallas_cell_histogram_rejects_molecule_exclusion():
+    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cell_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    pos = (rng.random((256, 3)) * 16.0).astype(np.float32)
+    plan = pallas_cell_plan(256, [16.0] * 3, 3.5)
+    nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
+    with pytest.raises(NotImplementedError):
+        cell_pair_histogram_pallas(
+            jnp.asarray(pos), nbr, box=(16.0,) * 3, r_max=3.5,
+            n_cells_dim=plan["n_cells_dim"],
+            capacity=plan["capacity"], n_bins=64, exclusion=(4, 4),
+        )
