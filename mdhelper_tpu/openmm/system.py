@@ -12,13 +12,19 @@ repository ships its C++ sources under ``lib/openmm-ic-plugin``) or,
 as a fallback, the ``constvplugin`` package.
 """
 
+from __future__ import annotations
+
 import logging
 from typing import Any, Union
 import warnings
 
 import numpy as np
-import openmm
-from openmm import app, unit
+
+try:
+    import openmm
+    from openmm import app, unit
+except ImportError:  # pragma: no cover (no OpenMM here)
+    openmm = app = unit = None
 from scipy import special
 
 try:
@@ -51,6 +57,15 @@ __all__ = [
     "add_electric_field",
     "estimate_pressure_tensor",
 ]
+
+
+def _require_openmm() -> None:
+    if openmm is None:
+        raise ImportError(
+            "OpenMM is required for this function. Only the pure-math "
+            "helpers (e.g. the image-charge lattice sums) work "
+            "without it."
+        )
 
 
 def _particle_charges(force, charge_index: int) -> np.ndarray:
@@ -92,6 +107,8 @@ def register_particles(
     Parity: ``openmm/system.py:34-129``.  Without an explicit `chain`,
     each particle gets its own chain (nonbonded entities).
     """
+
+    _require_openmm()
 
     cnbforces = cnbforces or {}
     own_chain = chain is None
@@ -138,6 +155,8 @@ def add_slab_correction(
     Parity: ``openmm/system.py:131-408``.  Returns the integrator to
     use with the corrected system.
     """
+
+    _require_openmm()
 
     dims = (
         np.array(
@@ -307,6 +326,8 @@ def add_image_charges(
 
     Returns ``(positions_with_images, ICLangevinIntegrator)``.
     """
+
+    _require_openmm()
 
     if not FOUND_ICPLUGIN:
         raise ImportError(
@@ -583,6 +604,8 @@ def add_electric_field(
     Parity: ``openmm/system.py:880-973``.
     """
 
+    _require_openmm()
+
     z = chr(120 + axis)
     if atom_indices is None:
         atom_indices = range(nbforce.getNumParticles())
@@ -615,6 +638,8 @@ def estimate_pressure_tensor(
     Parity: ``openmm/system.py:975-1110``.  With ``diag=True`` only the
     diagonal is evaluated.
     """
+
+    _require_openmm()
 
     try:
         state = context.getState(

@@ -2,12 +2,17 @@ r"""
 OpenMM physical constants and unit reduction
 ============================================
 
-Reference: ``/root/reference/src/mdhelper/openmm/unit.py``.  Requires
-OpenMM.
+Reference: ``/root/reference/src/mdhelper/openmm/unit.py``.  Works
+without OpenMM (``VACUUM_PERMITTIVITY`` falls back to the internal
+pint-compatible registry).
 """
 
-from openmm import unit
+try:
+    from openmm import unit
+except ImportError:  # pragma: no cover (no OpenMM here)
+    unit = None
 
+from .. import ureg
 from ..algorithm import unit as _unit
 
 __all__ = [
@@ -16,8 +21,16 @@ __all__ = [
     "get_lj_scaling_factors",
 ]
 
-#: Vacuum permittivity :math:`\varepsilon_0` in OpenMM units.
-VACUUM_PERMITTIVITY = 8.854187812813e-12 * unit.farad / unit.meter
+#: Vacuum permittivity :math:`\varepsilon_0` in OpenMM units (or the
+#: internal registry's units when OpenMM is absent).
+if unit is not None:  # pragma: no cover (no OpenMM here)
+    VACUUM_PERMITTIVITY = (
+        8.854187812813e-12 * unit.farad / unit.meter
+    )
+else:
+    VACUUM_PERMITTIVITY = (
+        8.854187812813e-12 * ureg.farad / ureg.meter
+    )
 
 
 def get_scaling_factors(

@@ -7,14 +7,20 @@ mesh/cutoff combinations and CPU-vs-GPU reciprocal space (reference:
 ``/root/reference/src/mdhelper/openmm/utility.py``).  Requires OpenMM.
 """
 
+from __future__ import annotations
+
 import itertools
 import logging
 from datetime import datetime
 from typing import Union
 
 import numpy as np
-import openmm
-from openmm import unit
+
+try:
+    import openmm
+    from openmm import unit
+except ImportError:  # pragma: no cover (no OpenMM here)
+    openmm = unit = None
 
 __all__ = ["optimize_pme"]
 
@@ -83,6 +89,9 @@ def optimize_pme(
 
     Returns ``(best_cutoff, use_cpu_pme)``.
     """
+
+    if openmm is None:
+        raise ImportError("OpenMM is required for optimize_pme.")
 
     logging.basicConfig(
         format="{asctime} | {levelname:^8s} | {message}",
