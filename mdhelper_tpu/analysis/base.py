@@ -45,6 +45,7 @@ from ..parallel.mesh import (
 )
 
 __all__ = [
+    "jit_update",
     "Hash",
     "SerialAnalysisBase",
     "NumbaAnalysisBase",
@@ -52,6 +53,21 @@ __all__ = [
     "ParallelAnalysisBase",
     "DynamicAnalysisBase",
 ]
+
+
+def jit_update(fn):
+    """jit an accumulator-update function, donating the carry where the
+    backend supports it.  Donation halves accumulator HBM traffic but
+    crashes this environment's TPU runtime (a known axon bug), so on
+    TPU the carry is copied instead."""
+
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        return _jax.jit(fn)
+    return _jax.jit(fn, donate_argnums=0)
+
+
 
 
 class Hash(dict):

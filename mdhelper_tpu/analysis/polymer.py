@@ -33,7 +33,7 @@ from ..algorithm.topology import unwrap_edge
 from ..algorithm.unit import strip_unit
 from ..fit.exponential import stretched_exp
 from ..ops.scattering import trig_sums_frame
-from .base import DynamicAnalysisBase
+from .base import DynamicAnalysisBase, jit_update
 from .structure import _com_positions, _group_segment_ids, _wavevector_grid
 
 __all__ = [
@@ -715,7 +715,7 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
             unwrap_state,
             jnp.zeros(len(self._wavevectors), jnp.float64),
         )
-        self._update = jax.jit(update, donate_argnums=0)
+        self._update = jit_update(update)
 
     def _batched_update(self, carry, batch):
         return self._update(

@@ -27,7 +27,7 @@ from itertools import combinations_with_replacement
 from ..algorithm.utility import get_closest_factors
 from ..ops.histogram import radial_histogram_batch
 from ..ops.scattering import trig_sums_frame
-from .base import DynamicAnalysisBase, NumbaAnalysisBase
+from .base import DynamicAnalysisBase, NumbaAnalysisBase, jit_update
 
 __all__ = [
     "radial_histogram",
@@ -384,6 +384,10 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             "volume": jnp.zeros((), dtype=jnp.float64),
         }
 
+        if self._use_pallas_cell_kernel():
+            self._prepare_pallas_cell()
+            return
+
         edges = jnp.asarray(self.results.edges)
         sel1, sel2 = jnp.asarray(self._sel1), jnp.asarray(self._sel2)
         seg1 = None if self._seg1 is None else jnp.asarray(self._seg1)
@@ -423,7 +427,118 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 volume = carry["volume"]
             return {"counts": counts, "volume": volume}
 
-        self._update = jax.jit(update, donate_argnums=0)
+        self._update = jit_update(update)
+
+
+    def _use_pallas_cell_kernel(self) -> bool:
+        """Route the hot self-RDF case through the hand-tiled Pallas
+        cell-list kernel: single group, uniform bins from 0, fixed
+        orthorhombic box >= 3 cutoffs per axis, self-pair exclusion,
+        running on a real TPU.  Everything else uses the general XLA
+        tiled sweep (cross groups, per-frame boxes, 2-D drop_axis,
+        molecule-block exclusions, range[0] > 0)."""
+
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return False
+        if self.ag2 is not self.ag1:
+            return False
+        if self._groupings[0] != self._groupings[1]:
+            return False
+        if self._drop_axis is not None:
+            return False
+        if self._range[0] != 0.0:
+            return False
+        if self._exclusion != (1, 1):
+            return False
+        dims = self.universe.dimensions
+        if dims is None:
+            return False
+        r_max = self._range[1]
+        return bool(np.all(np.floor(dims[:3] / r_max) >= 3))
+
+    def _prepare_pallas_cell(self) -> None:
+        from ..ops.cell_histogram import neighbor_cell_ids
+        from ..ops.pallas_cell_histogram import (
+            cell_pair_histogram_pallas,
+            pallas_cell_plan,
+        )
+
+        box_np = np.asarray(self.universe.dimensions[:3], np.float64)
+        r_max = float(self._range[1])
+        n_entities = self._n1
+        plan = pallas_cell_plan(n_entities, box_np, r_max)
+        nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
+        box_static = tuple(float(np.float32(b)) for b in box_np)
+        box_dev = jnp.asarray(box_static, jnp.float32)
+
+        self._carry["max_occ"] = jnp.zeros((), jnp.int32)
+        self._pallas_capacity = plan["capacity"]
+
+        sel1 = jnp.asarray(self._sel1)
+        seg1 = None if self._seg1 is None else jnp.asarray(self._seg1)
+        m1 = jnp.asarray(self.ag1.masses)
+        n1 = self._n1
+        n_bins = self._n_bins
+
+        def update(carry, positions, dimensions, mask):
+            pos1 = positions[:, sel1]
+            if seg1 is not None:
+                pos1 = _com_positions(pos1, m1, seg1, n1)
+
+            def frame(c, inputs):
+                pos, dims, valid = inputs
+                counts, occ = cell_pair_histogram_pallas(
+                    pos.astype(jnp.float32), nbr,
+                    box=box_static, r_max=r_max,
+                    n_cells_dim=plan["n_cells_dim"],
+                    capacity=plan["capacity"],
+                    n_bins=n_bins, precision="exact",
+                )
+                # The kernel bakes the first frame's box in; poison
+                # the counts if the trajectory's box drifts so the
+                # error surfaces instead of silently binning wrong.
+                drift = (
+                    jnp.abs(dims[:3].astype(jnp.float32) - box_dev)
+                    > 1e-4 * box_dev
+                ).any()
+                counts = jnp.where(drift, jnp.nan, counts)
+                # Padding frames (valid == 0) are all-zero positions
+                # — every atom lands in cell 0 — so their occupancy
+                # must not trip the overflow check.
+                occ = jnp.where(valid > 0, occ, 0).astype(jnp.int32)
+                return {
+                    "counts": c["counts"] + counts * valid,
+                    "volume": c["volume"]
+                    + dims[:3].prod() * valid,
+                    "max_occ": jnp.maximum(c["max_occ"], occ),
+                }, None
+
+            carry, _ = jax.lax.scan(
+                frame, carry, (pos1, dimensions, mask)
+            )
+            return carry
+
+        self._update = jax.jit(update)
+
+    def _check_pallas_carry(self) -> None:
+        if "max_occ" not in self._carry:
+            return
+        occ = int(self._carry.pop("max_occ"))
+        if occ > self._pallas_capacity:
+            raise RuntimeError(
+                f"cell capacity overflow ({occ} > "
+                f"{self._pallas_capacity}); the density is far from "
+                "uniform — re-run with parallel=False after raising "
+                "pallas_cell_plan(capacity_sigmas=...)."
+            )
+        if np.isnan(np.asarray(self._carry["counts"])).any():
+            raise RuntimeError(
+                "The box dimensions changed along the trajectory; the "
+                "Pallas cell kernel assumes a fixed box. Re-run with "
+                "a non-TPU backend or a fixed-box trajectory."
+            )
 
     def _batched_update(self, carry, batch):
         return self._update(
@@ -431,6 +546,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         )
 
     def _conclude(self) -> None:
+        self._check_pallas_carry()
         self.results.counts = np.asarray(self._carry["counts"]).astype(
             np.int64
         )
@@ -867,7 +983,7 @@ class StructureFactor(NumbaAnalysisBase):
             ).sum(axis=0)
             return {"ssf": ssf}
 
-        self._update = jax.jit(update, donate_argnums=0)
+        self._update = jit_update(update)
 
     def _batched_update(self, carry, batch):
         return self._update(
@@ -1156,7 +1272,7 @@ class IntermediateScatteringFunction(StructureFactor):
             carry, _ = jax.lax.scan(scan_step, carry, (grouped, mask))
             return carry
 
-        self._update = jax.jit(update, donate_argnums=0)
+        self._update = jit_update(update)
 
     def _batched_update(self, carry, batch):
         return self._update(

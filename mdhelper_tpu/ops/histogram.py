@@ -27,19 +27,74 @@ __all__ = ["radial_histogram_frame", "radial_histogram_batch"]
 
 def _bin_distances(dist, edges, weights, n_bins):
     """np.histogram-compatible binning of `dist` with per-pair 0/1
-    weights; returns float64-accumulated counts."""
+    weights, accumulated scatter-free as a two-level one-hot digit
+    contraction on the MXU (scatter-adds serialize on TPU, and at
+    frame-batch scale the batched scatter kernel crashes this
+    environment's TPU runtime outright).
 
+    Bin search runs in `dist`'s dtype: promoting float32 distances to
+    float64 edges would drop the whole sweep onto the ~100x-slower
+    emulated-f64 path on TPU.
+    """
+
+    edges = edges.astype(dist.dtype)
     idx = jnp.searchsorted(edges, dist, side="right") - 1
     # Last bin is closed: d == e_last belongs to bin n_bins - 1.
     idx = jnp.where(dist == edges[-1], n_bins - 1, idx)
     in_range = (dist >= edges[0]) & (dist <= edges[-1])
-    weights = weights * in_range
-    # Out-of-range values spill into a discard bin.
-    idx = jnp.where(in_range, idx, n_bins)
-    counts = jnp.zeros(n_bins + 1, dtype=jnp.float64 if
-                       jax.config.jax_enable_x64 else jnp.float32)
-    counts = counts.at[idx.ravel()].add(weights.ravel().astype(counts.dtype))
-    return counts[:n_bins]
+    weights = (weights * in_range).astype(jnp.float32)
+    # Out-of-range values spill into a discard row.
+    idx = jnp.where(in_range, idx, n_bins).reshape(-1)
+
+    n_fine = 16
+    n_coarse = -(-(n_bins + 1) // n_fine)
+    w_flat = weights.reshape(-1)
+
+    # Chunk the one-hot contraction: a full tile-squared (P, 29) pair
+    # of digit matrices is ~2 GB at P ~ 17M, which out-of-memories the
+    # device once frames batch on top.
+    chunk = 1 << 21
+    n_chunks = -(-idx.shape[0] // chunk)
+    if n_chunks > 1:
+        pad = n_chunks * chunk - idx.shape[0]
+        idx = jnp.pad(idx, (0, pad), constant_values=n_bins)
+        w_flat = jnp.pad(w_flat, (0, pad))
+
+    coarse_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (min(chunk, idx.shape[0]), n_coarse), 1
+    )
+    fine_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (min(chunk, idx.shape[0]), n_fine), 1
+    )
+
+    def contract(idx_c, w_c):
+        coarse = (idx_c[:, None] // n_fine == coarse_iota).astype(
+            jnp.float32
+        )
+        fine = (
+            idx_c[:, None] % n_fine == fine_iota
+        ).astype(jnp.float32) * w_c[:, None]
+        return jax.lax.dot_general(
+            coarse, fine,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if n_chunks == 1:
+        counts2d = contract(idx, w_flat)
+    else:
+        counts2d, _ = jax.lax.scan(
+            lambda acc, ins: (acc + contract(*ins), None),
+            jnp.zeros((n_coarse, n_fine), jnp.float32),
+            (
+                idx.reshape(n_chunks, chunk),
+                w_flat.reshape(n_chunks, chunk),
+            ),
+        )
+    accum = (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    )
+    return counts2d.reshape(-1)[:n_bins].astype(accum)
 
 
 def _pair_block_histogram(
@@ -50,13 +105,18 @@ def _pair_block_histogram(
     the tiles (for the exclusion mask and padding detection)."""
 
     n1, n2 = p1.shape[0], p2.shape[0]
+    # The sweep runs in the positions' dtype: an f64 box (or f64 ones)
+    # would silently promote the entire pair block onto the emulated-
+    # f64 path on TPU — ~100x slower, and long enough at frame-batch
+    # scale to crash the device worker.
+    box = box.astype(p1.dtype)
     delta = p1[:, None, :] - p2[None, :, :]
     delta = delta - box * jnp.round(delta / box)
     dist = jnp.sqrt((delta * delta).sum(axis=-1))
 
     i_idx = i_offset + jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
     j_idx = j_offset + jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
-    weights = jnp.ones((n1, n2))
+    weights = jnp.ones((n1, n2), dtype=jnp.float32)
     if exclusion is not None:
         e0, e1 = exclusion
         weights = weights * (i_idx // e0 != j_idx // e1)
@@ -167,10 +227,14 @@ def radial_histogram_batch(
     shape ``(B, N, 3)``, `box` ``(B, 3)``, `mask` ``(B,)``.  Returns the
     counts summed over real frames, shape ``(n_bins,)``."""
 
-    per_frame = jax.vmap(
-        lambda a, b, c: radial_histogram_frame(
-            a, b, c, edges, exclusion=exclusion, n1_real=n1_real,
-            n2_real=n2_real, tile=tile,
-        )
-    )(pos1, pos2, box)
+    # lax.map, not vmap: a vmapped pair sweep multiplies the tile
+    # working set by the frame-batch size (device OOM at 100k-atom,
+    # 8-frame scales); mapping keeps one frame's tiles live at a time.
+    per_frame = jax.lax.map(
+        lambda abc: radial_histogram_frame(
+            abc[0], abc[1], abc[2], edges, exclusion=exclusion,
+            n1_real=n1_real, n2_real=n2_real, tile=tile,
+        ),
+        (pos1, pos2, box),
+    )
     return (per_frame * mask[:, None]).sum(axis=0)
