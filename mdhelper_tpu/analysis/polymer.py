@@ -692,9 +692,10 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
                     if monomers.dtype == jnp.float32
                     else "fast"
                 )
+            qs_t = qs.astype(monomers.dtype)  # no f64 phase promotion
             cos, sin = jax.vmap(
                 lambda chain: trig_sums_frame(
-                    qs, chain, precision=prec
+                    qs_t, chain, precision=prec
                 )
             )(monomers)  # (M, N_q) each
             return (cos**2 + sin**2).sum(axis=0)

@@ -918,6 +918,11 @@ class StructureFactor(NumbaAnalysisBase):
         of ``(B, G, N_q)`` arrays."""
 
         prec = self._resolve_precision(positions)
+        # Match the wavevector dtype to the positions: float64
+        # wavevectors would promote the (N_q, N) phase block onto the
+        # TPU's emulated-f64 path (~100x slower and worker-fatal at
+        # scale); exact double-float mode recovers the precision.
+        qs = qs.astype(positions.dtype)
         cos_all, sin_all = [], []
         for group, grouping, sel, seg, n in zip(
             self._groups, self._groupings, self._sels, self._segs,
@@ -1164,19 +1169,21 @@ class IntermediateScatteringFunction(StructureFactor):
         def scan_step(carry, inputs):
             pos, valid = inputs  # (N, 3), scalar mask
             prec = self._resolve_precision(pos)
+            qs_t = qs.astype(pos.dtype)  # avoid f64 phase promotion
             fi = carry["frame"]
             rcfi = (fi % n_lags).astype(jnp.int32)
 
             # Current frame's per-group trig sums, shape (G, Nq).
             cos_rows, sin_rows = [], []
             if mode is None:
-                c, s = trig_sums_frame(qs, pos, precision=prec)
+                c, s = trig_sums_frame(qs_t, pos, precision=prec)
                 cos_rows.append(c)
                 sin_rows.append(s)
             else:
                 for lo, n in group_slices:
                     c, s = trig_sums_frame(
-                        qs, jax.lax.dynamic_slice_in_dim(pos, lo, n),
+                        qs_t,
+                        jax.lax.dynamic_slice_in_dim(pos, lo, n),
                         precision=prec,
                     )
                     cos_rows.append(c)
@@ -1245,12 +1252,12 @@ class IntermediateScatteringFunction(StructureFactor):
                     delta = pos - past
                     rows = []
                     if mode is None:
-                        c, _ = trig_sums_frame(qs, delta)
+                        c, _ = trig_sums_frame(qs_t, delta)
                         rows.append(c)
                     else:
                         for lo, n in group_slices:
                             c, _ = trig_sums_frame(
-                                qs,
+                                qs_t,
                                 jax.lax.dynamic_slice_in_dim(
                                     delta, lo, n
                                 ),
