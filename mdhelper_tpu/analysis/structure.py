@@ -442,16 +442,20 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
         if _jax.default_backend() != "tpu":
             return False
-        if self.ag2 is not self.ag1:
-            return False
-        if self._groupings[0] != self._groupings[1]:
-            return False
         if self._drop_axis is not None:
             return False
         if self._range[0] != 0.0:
             return False
-        if self._exclusion != (1, 1):
-            return False
+        if self.ag2 is self.ag1 and self._groupings[0] == self._groupings[1]:
+            # Self-RDF: the kernel always removes self pairs.
+            if self._exclusion != (1, 1):
+                return False
+        else:
+            # Cross-RDF: disjoint groups, no exclusion semantics.
+            if self._exclusion is not None:
+                return False
+            if np.intersect1d(self.ag1.ix, self.ag2.ix).size:
+                return False
         dims = self.universe.dimensions
         if dims is None:
             return False
@@ -462,19 +466,22 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         from ..ops.cell_histogram import neighbor_cell_ids
         from ..ops.pallas_cell_histogram import (
             cell_pair_histogram_pallas,
+            cross_pair_histogram_pallas,
             pallas_cell_plan,
         )
 
         box_np = np.asarray(self.universe.dimensions[:3], np.float64)
         r_max = float(self._range[1])
-        n_entities = self._n1
-        plan = pallas_cell_plan(n_entities, box_np, r_max)
+        cross = not (
+            self.ag2 is self.ag1
+            and self._groupings[0] == self._groupings[1]
+        )
+        plan = pallas_cell_plan(self._n1, box_np, r_max)
         nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
         box_static = tuple(float(np.float32(b)) for b in box_np)
         box_dev = jnp.asarray(box_static, jnp.float32)
 
-        self._carry["max_occ"] = jnp.zeros((), jnp.int32)
-        self._pallas_capacity = plan["capacity"]
+        self._carry["max_occ"] = jnp.full((), -(2**30), jnp.int32)
 
         sel1 = jnp.asarray(self._sel1)
         seg1 = None if self._seg1 is None else jnp.asarray(self._seg1)
@@ -482,20 +489,51 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         n1 = self._n1
         n_bins = self._n_bins
 
+        if cross:
+            plan2 = pallas_cell_plan(self._n2, box_np, r_max)
+            sel2 = jnp.asarray(self._sel2)
+            seg2 = (
+                None if self._seg2 is None else jnp.asarray(self._seg2)
+            )
+            m2 = jnp.asarray(self.ag2.masses)
+            n2 = self._n2
+
         def update(carry, positions, dimensions, mask):
             pos1 = positions[:, sel1]
             if seg1 is not None:
                 pos1 = _com_positions(pos1, m1, seg1, n1)
+            if cross:
+                pos2 = positions[:, sel2]
+                if seg2 is not None:
+                    pos2 = _com_positions(pos2, m2, seg2, n2)
 
             def frame(c, inputs):
-                pos, dims, valid = inputs
-                counts, occ = cell_pair_histogram_pallas(
-                    pos.astype(jnp.float32), nbr,
-                    box=box_static, r_max=r_max,
-                    n_cells_dim=plan["n_cells_dim"],
-                    capacity=plan["capacity"],
-                    n_bins=n_bins, precision="exact",
-                )
+                if cross:
+                    pos, pos_b, dims, valid = inputs
+                    counts, occ1, occ2 = cross_pair_histogram_pallas(
+                        pos.astype(jnp.float32),
+                        pos_b.astype(jnp.float32),
+                        nbr,
+                        box=box_static, r_max=r_max,
+                        n_cells_dim=plan["n_cells_dim"],
+                        capacity1=plan["capacity"],
+                        capacity2=plan2["capacity"],
+                        n_bins=n_bins, precision="exact",
+                    )
+                    occ = jnp.maximum(
+                        occ1 - np.int32(plan["capacity"]),
+                        occ2 - np.int32(plan2["capacity"]),
+                    )
+                else:
+                    pos, dims, valid = inputs
+                    counts, occ = cell_pair_histogram_pallas(
+                        pos.astype(jnp.float32), nbr,
+                        box=box_static, r_max=r_max,
+                        n_cells_dim=plan["n_cells_dim"],
+                        capacity=plan["capacity"],
+                        n_bins=n_bins, precision="exact",
+                    )
+                    occ = occ - np.int32(plan["capacity"])
                 # The kernel bakes the first frame's box in; poison
                 # the counts if the trajectory's box drifts so the
                 # error surfaces instead of silently binning wrong.
@@ -506,8 +544,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 counts = jnp.where(drift, jnp.nan, counts)
                 # Padding frames (valid == 0) are all-zero positions
                 # — every atom lands in cell 0 — so their occupancy
-                # must not trip the overflow check.
-                occ = jnp.where(valid > 0, occ, 0).astype(jnp.int32)
+                # must not trip the overflow check.  `occ` carries the
+                # occupancy EXCESS over capacity (> 0 means overflow).
+                occ = jnp.where(
+                    valid > 0, occ, np.int32(-(2**30))
+                ).astype(jnp.int32)
                 return {
                     "counts": c["counts"] + counts * valid,
                     "volume": c["volume"]
@@ -515,9 +556,12 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     "max_occ": jnp.maximum(c["max_occ"], occ),
                 }, None
 
-            carry, _ = jax.lax.scan(
-                frame, carry, (pos1, dimensions, mask)
+            xs = (
+                (pos1, pos2, dimensions, mask)
+                if cross
+                else (pos1, dimensions, mask)
             )
+            carry, _ = jax.lax.scan(frame, carry, xs)
             return carry
 
         self._update = jax.jit(update)
@@ -525,13 +569,13 @@ class RadialDistributionFunction(DynamicAnalysisBase):
     def _check_pallas_carry(self) -> None:
         if "max_occ" not in self._carry:
             return
-        occ = int(self._carry.pop("max_occ"))
-        if occ > self._pallas_capacity:
+        excess = int(self._carry.pop("max_occ"))
+        if excess > 0:
             raise RuntimeError(
-                f"cell capacity overflow ({occ} > "
-                f"{self._pallas_capacity}); the density is far from "
-                "uniform — re-run with parallel=False after raising "
-                "pallas_cell_plan(capacity_sigmas=...)."
+                f"cell capacity overflow (by {excess} atoms); the "
+                "density is far from uniform — raise "
+                "pallas_cell_plan(capacity_sigmas=...) or use the XLA "
+                "path."
             )
         if np.isnan(np.asarray(self._carry["counts"])).any():
             raise RuntimeError(

@@ -39,7 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .doublefloat import df_ge, df_lt, df_sub, df_sum3, df_square, two_diff, two_prod
 
-__all__ = ["pallas_cell_plan", "cell_pair_histogram_pallas"]
+__all__ = [
+    "pallas_cell_plan",
+    "cell_pair_histogram_pallas",
+    "cross_pair_histogram_pallas",
+]
 
 
 def _cdiv(a, b):
@@ -329,3 +333,205 @@ def cell_pair_histogram_pallas(
         interpret=jax.default_backend() != "tpu",
     )(neighbor_ids.astype(jnp.int32), occupancy, pos_table)
     return counts2d[:n_coarse].reshape(-1)[:n_bins], max_occupancy
+
+
+def _cross_kernel(
+    nbr_ref, occ1_ref, occ2_ref, pos1_ref, pos2_ref, out_ref,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, box, inv_dr,
+    dr2_hi, dr2_lo, exact, chunk_rows,
+):
+    """Cross-group variant of :func:`_kernel`: i atoms from group 1's
+    slot table, j atoms from group 2's; no self-pair exclusion (the
+    groups must be disjoint)."""
+
+    c = pl.program_id(0)
+    bins_i32 = np.int32(n_bins)
+    fine_i32 = np.int32(n_fine)
+
+    ip = pos1_ref[:, pl.ds(pl.multiple_of(c * np.int32(cap1), 128), cap1)]
+    i_occ = occ1_ref[c]
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap1, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
+    i_valid = slot_col < i_occ
+
+    acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
+
+    def nb_body(nb, acc):
+        j_cell = nbr_ref[c, nb]
+        jp = pos2_ref[
+            :, pl.ds(pl.multiple_of(j_cell * np.int32(cap2), 128), cap2)
+        ]
+        j_valid = lane < occ2_ref[j_cell]
+
+        if exact:
+            idx = _bin_exact(
+                ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins
+            )
+        else:
+            idx = _bin_fast(ip, jp, box, inv_dr)
+
+        valid = i_valid & j_valid & (idx < bins_i32)
+        idx = jnp.where(valid, idx, bins_i32)
+
+        c_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_coarse, chunk_rows * cap2), 0
+        )
+        f_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_fine, chunk_rows * cap2), 0
+        )
+        for ch in range(cap1 // chunk_rows):
+            flat = idx[ch * chunk_rows:(ch + 1) * chunk_rows, :].reshape(
+                1, chunk_rows * cap2
+            )
+            coarse = jnp.where(
+                flat // fine_i32 == c_iota,
+                np.float32(1), np.float32(0),
+            )
+            fine = jnp.where(
+                flat % fine_i32 == f_iota,
+                np.float32(1), np.float32(0),
+            )
+            acc = acc + jax.lax.dot_general(
+                coarse, fine,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(0, 27, nb_body, acc)
+    acc = jnp.pad(acc, ((0, n_fine - n_coarse), (0, 0)))
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _slot_table(positions, n_cells_dim, capacity, box, cell_size):
+    """Device cell build: returns ((3, n_cells*capacity) table,
+    (n_cells,) occupancy, max occupancy)."""
+
+    nx, ny, nz = n_cells_dim
+    n = positions.shape[0]
+    n_cells = nx * ny * nz
+    cell_xyz = jnp.clip(
+        jax.lax.convert_element_type(positions / cell_size, jnp.int32),
+        0,
+        jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32),
+    )
+    cid = (
+        cell_xyz[:, 0] * np.int32(ny * nz)
+        + cell_xyz[:, 1] * np.int32(nz)
+        + cell_xyz[:, 2]
+    )
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    sorted_pos = positions[order]
+    cell_range = jnp.arange(n_cells, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_cid, cell_range, side="left")
+    occupancy = (
+        jnp.searchsorted(sorted_cid, cell_range, side="right") - starts
+    ).astype(jnp.int32)
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    table = jnp.clip(
+        starts[:, None].astype(jnp.int32) + slots[None, :],
+        0, np.int32(n - 1),
+    ).reshape(-1)
+    return sorted_pos[table].T, occupancy, occupancy.max()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box", "n_cells_dim", "capacity1", "capacity2", "n_bins",
+        "r_max", "precision",
+    ),
+)
+def cross_pair_histogram_pallas(
+    positions1,
+    positions2,
+    neighbor_ids,
+    *,
+    box,
+    r_max,
+    n_cells_dim,
+    capacity1: int,
+    capacity2: int,
+    n_bins: int,
+    precision: str = "fast",
+):
+    r"""Cross-group cutoff histogram: every (group-1, group-2) pair on
+    uniform bins ``[0, r_max]``; returns ``(counts, max_occ1,
+    max_occ2)``.  The groups must be disjoint atom sets (no self-pair
+    exclusion is applied).  Plan each capacity with
+    :func:`pallas_cell_plan` on the respective group size.
+    """
+
+    nx, ny, nz = n_cells_dim
+    n_cells = nx * ny * nz
+    n_fine = 16
+    n_coarse = _cdiv(n_bins + 1, n_fine)
+    box_static = tuple(np.float32(b) for b in box)
+    box_arr = jnp.asarray(box_static, dtype=jnp.float32)
+    cell_size = box_arr / jnp.asarray(
+        [nx, ny, nz], dtype=jnp.float32
+    )
+
+    t1, occ1, max1 = _slot_table(
+        positions1.astype(jnp.float32), n_cells_dim, capacity1,
+        box_arr, cell_size,
+    )
+    t2, occ2, max2 = _slot_table(
+        positions2.astype(jnp.float32), n_cells_dim, capacity2,
+        box_arr, cell_size,
+    )
+
+    inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
+    dr2_wide = np.float64(r_max) ** 2 / np.float64(n_bins) ** 2
+    dr2_hi = np.float32(dr2_wide)
+    dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
+    chunk_rows = max(
+        8,
+        min(capacity1, (4 * 1024 * 1024) // (4 * n_fine * capacity2)),
+    )
+    while capacity1 % chunk_rows:
+        chunk_rows //= 2
+
+    kernel = functools.partial(
+        _cross_kernel,
+        cap1=capacity1, cap2=capacity2, n_bins=n_bins,
+        n_coarse=n_coarse, n_fine=n_fine,
+        box=box_static, inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
+        exact=(precision == "exact"), chunk_rows=chunk_rows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_cells,),
+        in_specs=[
+            pl.BlockSpec(
+                (3, n_cells * capacity1),
+                lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, n_cells * capacity2),
+                lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_fine, n_fine),
+            lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    counts2d = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_fine, n_fine), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(neighbor_ids.astype(jnp.int32), occ1, occ2, t1, t2)
+    return counts2d[:n_coarse].reshape(-1)[:n_bins], max1, max2

@@ -146,3 +146,38 @@ def test_pallas_cell_histogram_rejects_molecule_exclusion():
             n_cells_dim=plan["n_cells_dim"],
             capacity=plan["capacity"], n_bins=64, exclusion=(4, 4),
         )
+
+
+@pytest.mark.parametrize("precision", ["fast", "exact"])
+def test_pallas_cross_histogram_matches_oracle(precision):
+    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cross_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    box, r_max, n_bins = 16.0, 3.5, 96
+    n1, n2 = 900, 500
+    p1 = (rng.random((n1, 3)) * box).astype(np.float32)
+    p2 = (rng.random((n2, 3)) * box).astype(np.float32)
+    plan1 = pallas_cell_plan(n1, [box] * 3, r_max)
+    plan2 = pallas_cell_plan(n2, [box] * 3, r_max)
+    nbr = jnp.asarray(neighbor_cell_ids(plan1["n_cells_dim"]))
+    counts, m1, m2 = cross_pair_histogram_pallas(
+        jnp.asarray(p1), jnp.asarray(p2), nbr,
+        box=(box,) * 3, r_max=r_max,
+        n_cells_dim=plan1["n_cells_dim"],
+        capacity1=plan1["capacity"], capacity2=plan2["capacity"],
+        n_bins=n_bins, precision=precision,
+    )
+    assert int(m1) <= plan1["capacity"]
+    assert int(m2) <= plan2["capacity"]
+    counts = np.asarray(counts).astype(int)
+    d = p1.astype(np.float64)[:, None] - p2.astype(np.float64)[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    if precision == "exact":
+        np.testing.assert_array_equal(counts, oracle)
+    else:
+        _assert_histogram_close(counts, oracle)
