@@ -223,9 +223,10 @@ def cell_pair_histogram(
             s, e = two_diff(
                 i_pos[:, :, None, k], j_pos[:, None, :, k]
             )
+            # Wrapped inputs: the image multiple is in {-1, 0, 1}, so
+            # m * box is exact in float32 — no two_prod needed.
             m = jnp.round(s / box[k])
-            p, pe = two_prod(m, box[k])
-            d = df_sub((s, e), (p, pe))
+            d = df_sub((s, e), (m * box[k], jnp.zeros((), s.dtype)))
             components.append(df_square(d))
         d2 = df_sum3(*components)
 

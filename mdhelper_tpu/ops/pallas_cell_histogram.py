@@ -37,7 +37,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .doublefloat import df_ge, df_lt, df_sub, df_sum3, df_square, two_diff, two_prod
+from .doublefloat import (
+    df_ge,
+    df_lt,
+    df_sub,
+    df_sum3,
+    df_square,
+    two_diff,
+    two_prod,
+)
 
 __all__ = [
     "pallas_cell_plan",
@@ -99,9 +107,10 @@ def _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins):
     components = []
     for k in range(3):
         s, e = two_diff(ip[k, :][:, None], jp[k, :][None, :])
+        # Wrapped inputs give s in (-L, L), so the image multiple m is
+        # in {-1, 0, 1} and m * L is exact in float32 — no two_prod.
         m = jnp.round(s / box[k])
-        p, pe = two_prod(m, box[k])
-        d = df_sub((s, e), (p, pe))
+        d = df_sub((s, e), (m * box[k], np.float32(0.0)))
         components.append(df_square(d))
     d2 = df_sum3(*components)
 
