@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     cell_histogram,
     doublefloat,
     histogram,
+    mesh_scattering,
     pallas_cell_histogram,
     pallas_kernels,
     pbc,
@@ -26,6 +27,7 @@ __all__ = [
     "cell_histogram",
     "doublefloat",
     "histogram",
+    "mesh_scattering",
     "pallas_cell_histogram",
     "pallas_kernels",
     "pbc",
