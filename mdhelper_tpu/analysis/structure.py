@@ -997,18 +997,15 @@ class StructureFactor(NumbaAnalysisBase):
             sin_all.append(s)
         return jnp.stack(cos_all, axis=1), jnp.stack(sin_all, axis=1)
 
-    def _prepare_mesh(self) -> None:
-        from ..ops.mesh_scattering import mesh_plan, mesh_trig_sums
+    def _mesh_setup(self):
+        """Map every wavevector to integer grid coordinates n = q L /
+        (2 pi) and build the gridding plan; mesh evaluation covers
+        exactly the axis-aligned grid (any ordering or q_max subset of
+        it), not spherical-surface extras or non-grid custom
+        wavevectors."""
 
-        if self._n_groups != 1 or self._mode is not None:
-            raise ValueError(
-                "method='mesh' currently supports a single group with "
-                "mode=None."
-            )
-        # Map every wavevector to integer grid coordinates n = q L /
-        # (2 pi); mesh evaluation covers exactly the axis-aligned grid
-        # (any ordering or q_max subset of it), not spherical-surface
-        # extras or non-grid custom wavevectors.
+        from ..ops.mesh_scattering import mesh_plan
+
         dims = np.asarray(self._dimensions, np.float64)
         n_float = self._wavevectors * dims / (2 * np.pi)
         n_int = np.rint(n_float).astype(int)
@@ -1027,7 +1024,17 @@ class StructureFactor(NumbaAnalysisBase):
             + n_int[:, 1] * n_points
             + n_int[:, 2]
         )
-        plan = mesh_plan(n_points, dims)
+        return mesh_plan(n_points, dims), flat_idx, n_points
+
+    def _prepare_mesh(self) -> None:
+        from ..ops.mesh_scattering import mesh_trig_sums
+
+        if self._n_groups != 1 or self._mode is not None:
+            raise ValueError(
+                "method='mesh' currently supports a single group with "
+                "mode=None."
+            )
+        plan, flat_idx, n_points = self._mesh_setup()
         group = self._groups[0]
         sel = jnp.asarray(self._sels[0])
         seg = (
@@ -1292,6 +1299,43 @@ class IntermediateScatteringFunction(StructureFactor):
 
         lag_range = jnp.arange(n_lags)
 
+        use_mesh = getattr(self, "_method", "direct") == "mesh"
+        if use_mesh:
+            from ..ops.mesh_scattering import mesh_trig_sums
+
+            mesh_plan_, mesh_idx, mesh_np = self._mesh_setup()
+
+        def group_sums(pos, prec, qs_t):
+            """Per-group (G, Nq) cos/sin sums for one frame's grouped
+            positions — direct trig sums or mesh gridding."""
+
+            def one(p):
+                if use_mesh:
+                    cos, sin = mesh_trig_sums(
+                        p.astype(jnp.float32),
+                        n_points=mesh_np,
+                        mesh=mesh_plan_["mesh"],
+                        width=mesh_plan_["width"],
+                        beta=mesh_plan_["beta"],
+                        box=mesh_plan_["box"],
+                        deconv=mesh_plan_["deconv"],
+                    )
+                    return (
+                        cos.reshape(-1)[mesh_idx],
+                        sin.reshape(-1)[mesh_idx],
+                    )
+                return trig_sums_frame(qs_t, p, precision=prec)
+
+            if mode is None:
+                c, s = one(pos)
+                return jnp.stack([c]), jnp.stack([s])
+            cos_rows, sin_rows = [], []
+            for lo, n in group_slices:
+                c, s = one(jax.lax.dynamic_slice_in_dim(pos, lo, n))
+                cos_rows.append(c)
+                sin_rows.append(s)
+            return jnp.stack(cos_rows), jnp.stack(sin_rows)
+
         def scan_step(carry, inputs):
             pos, valid = inputs  # (N, 3), scalar mask
             prec = self._resolve_precision(pos)
@@ -1300,22 +1344,7 @@ class IntermediateScatteringFunction(StructureFactor):
             rcfi = (fi % n_lags).astype(jnp.int32)
 
             # Current frame's per-group trig sums, shape (G, Nq).
-            cos_rows, sin_rows = [], []
-            if mode is None:
-                c, s = trig_sums_frame(qs_t, pos, precision=prec)
-                cos_rows.append(c)
-                sin_rows.append(s)
-            else:
-                for lo, n in group_slices:
-                    c, s = trig_sums_frame(
-                        qs_t,
-                        jax.lax.dynamic_slice_in_dim(pos, lo, n),
-                        precision=prec,
-                    )
-                    cos_rows.append(c)
-                    sin_rows.append(s)
-            cur_cos = jnp.stack(cos_rows)
-            cur_sin = jnp.stack(sin_rows)
+            cur_cos, cur_sin = group_sums(pos, prec, qs_t)
 
             ring_cos = jnp.where(
                 valid > 0,
@@ -1376,22 +1405,11 @@ class IntermediateScatteringFunction(StructureFactor):
                 def lag_body(lag, iisf):
                     past = ring_pos[rifi[lag]]
                     delta = pos - past
-                    rows = []
-                    if mode is None:
-                        c, _ = trig_sums_frame(qs_t, delta)
-                        rows.append(c)
-                    else:
-                        for lo, n in group_slices:
-                            c, _ = trig_sums_frame(
-                                qs_t,
-                                jax.lax.dynamic_slice_in_dim(
-                                    delta, lo, n
-                                ),
-                            )
-                            rows.append(c)
-                    return iisf.at[lag].add(
-                        jnp.stack(rows) * lag_ok[lag]
-                    )
+                    # Displacement phases are small, so the fast path
+                    # is accurate; the mesh path wraps deltas
+                    # periodically (e^{iq.dr} is box-periodic).
+                    rows, _ = group_sums(delta, "fast", qs_t)
+                    return iisf.at[lag].add(rows * lag_ok[lag])
 
                 new_carry["iisf"] = jax.lax.fori_loop(
                     0, n_lags, lag_body, carry["iisf"]

@@ -80,3 +80,24 @@ def test_structure_factor_mesh_rejects_surfaces():
             u.atoms, n_points=6, n_surfaces=2, method="mesh",
             verbose=False,
         ).run()
+
+
+def test_isf_mesh_matches_direct():
+    from mdhelper_tpu.analysis.structure import (
+        IntermediateScatteringFunction,
+    )
+
+    n, box, T = 800, 14.0, 6
+    traj = (rng.random((T, n, 3)) * box).astype(np.float32)
+    u = Universe.from_arrays(traj, np.array([box] * 3), dt=1.0)
+    kw = dict(n_points=6, n_lags=4, incoherent=True, verbose=False)
+    isf_d = IntermediateScatteringFunction(u.atoms, **kw).run()
+    isf_m = IntermediateScatteringFunction(
+        u.atoms, method="mesh", **kw
+    ).run()
+    np.testing.assert_allclose(
+        isf_m.results.cisf, isf_d.results.cisf, rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        isf_m.results.iisf, isf_d.results.iisf, rtol=2e-3, atol=1e-3
+    )
