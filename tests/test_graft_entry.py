@@ -30,3 +30,12 @@ def test_entry_compiles_and_runs():
 @pytest.mark.parametrize("n", [1, 2, 8])
 def test_dryrun_multichip(n):
     ge.dryrun_multichip(n)
+
+
+def test_dryrun_multichip_bootstraps_subprocess():
+    """Asking for more devices than this process has must re-exec the
+    check in a fresh CPU subprocess with the forced device count —
+    the driver environment (one real TPU chip, jax pre-imported) relies
+    on this path."""
+
+    ge.dryrun_multichip(16)
