@@ -37,6 +37,8 @@ from typing import Iterator, Optional, TextIO, Union
 import jax
 import numpy as np
 
+from jax.sharding import NamedSharding, PartitionSpec
+
 from ..parallel.mesh import (
     frame_sharding,
     get_mesh,
@@ -180,17 +182,47 @@ class SerialAnalysisBase:
     #: dtype coordinates are cast to before device_put.
     _coord_dtype = np.float64
 
+    #: which axis of the streamed ``(B, N, 3)`` chunks is sharded over
+    #: the mesh: ``"frames"`` (data parallelism, the default),
+    #: ``"atoms"`` (context-parallel ring pass; frames stay whole), or
+    #: ``"replicated"`` (chunks replicated — used when the analysis
+    #: shards a non-trajectory axis such as the wavevectors instead).
+    _shard_axis: str = "frames"
+
     def _n_shards(self) -> int:
         return 1
+
+    def _stream_mesh(self):
+        """The mesh streamed batches are placed on.  Analyses that
+        shard a non-frame axis build ``self._mesh`` in ``_prepare``;
+        otherwise a 1-D frame mesh is created lazily."""
+
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            n_shards = 1 if self._sequential else self._n_shards()
+            mesh = get_mesh(n_shards)
+            self._mesh = mesh
+        return mesh
 
     def _iter_batches(self) -> Iterator[_Batch]:
         """Stream device-ready chunks of the selected frames."""
 
-        n_shards = 1 if self._sequential else self._n_shards()
-        mesh = get_mesh(n_shards)
-        data_sharding = frame_sharding(mesh)
-        box_sharding = frame_sharding(mesh, batch_ndim=2)
-        mask_sharding = frame_sharding(mesh, batch_ndim=1)
+        mesh = self._stream_mesh()
+        n_shards = mesh.devices.size
+        axis = mesh.axis_names[0]
+        replicated = replicated_sharding(mesh)
+        shard_axis = self._shard_axis
+        if shard_axis == "frames":
+            data_sharding = frame_sharding(mesh)
+            box_sharding = frame_sharding(mesh, batch_ndim=2)
+            mask_sharding = frame_sharding(mesh, batch_ndim=1)
+        elif shard_axis == "atoms":
+            data_sharding = NamedSharding(
+                mesh, PartitionSpec(None, axis, None)
+            )
+            box_sharding = mask_sharding = replicated
+        else:
+            data_sharding = box_sharding = mask_sharding = replicated
 
         n_atoms = (
             len(self._atom_indices)
@@ -200,7 +232,8 @@ class SerialAnalysisBase:
         itemsize = np.dtype(self._coord_dtype).itemsize
         per_frame = max(n_atoms * 3 * itemsize, 1)
         chunk = int(max(1, self._chunk_bytes // per_frame))
-        chunk = max(n_shards, chunk - chunk % n_shards)
+        frame_multiple = n_shards if shard_axis == "frames" else 1
+        chunk = max(frame_multiple, chunk - chunk % frame_multiple)
 
         for lo in range(0, self.n_frames, chunk):
             block = self.frames[lo:lo + chunk]
@@ -208,8 +241,17 @@ class SerialAnalysisBase:
             if self._atom_indices is not None:
                 positions = positions[:, self._atom_indices]
             positions = positions.astype(self._coord_dtype, copy=False)
-            positions, mask = pad_to_multiple(positions, n_shards)
-            dimensions, _ = pad_to_multiple(dimensions, n_shards)
+            if shard_axis == "frames":
+                positions, mask = pad_to_multiple(positions, n_shards)
+                dimensions, _ = pad_to_multiple(dimensions, n_shards)
+            else:
+                mask = np.ones(len(block), dtype=np.float64)
+                if shard_axis == "atoms":
+                    # Pad the atom axis to a shard multiple; kernels
+                    # mask padded rows by their (static) global index.
+                    positions, _ = pad_to_multiple(
+                        positions, n_shards, axis=1
+                    )
             yield _Batch(
                 jax.device_put(positions, data_sharding),
                 jax.device_put(dimensions, box_sharding),
@@ -245,6 +287,7 @@ class SerialAnalysisBase:
             self._trajectory, start=start, stop=stop, step=step,
             frames=frames,
         )
+        self._mesh = None
         self._prepare()
 
         carry = getattr(self, "_carry", None)

@@ -652,8 +652,10 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
         self._wavenumbers = np.linalg.norm(self._wavevectors, axis=1)
 
     def _prepare(self) -> None:
-        self.results.wavenumbers = np.unique(
-            self._wavenumbers.round(11)
+        from .structure import unique_wavenumber_groups
+
+        self.results.wavenumbers, self._q_group = (
+            unique_wavenumber_groups(self._wavenumbers)
         )
         self.results.units = {
             "results.wavenumbers": ureg.angstrom**-1
@@ -727,13 +729,10 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
         scsf = np.asarray(self._carry[1]) / (
             self._n_chains[0] * self._n_monomers[0] * self.n_frames
         )
-        self.results.scsf = np.fromiter(
-            (
-                scsf[np.isclose(q, self._wavenumbers)].mean()
-                for q in self.results.wavenumbers
-            ),
-            dtype=float,
-            count=len(self.results.wavenumbers),
+        from .structure import group_mean_last_axis
+
+        self.results.scsf = group_mean_last_axis(
+            scsf, self._q_group, len(self.results.wavenumbers)
         )
 
 

@@ -322,15 +322,39 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         reduced: bool = False,
         n_batches: int = None,
         parallel: bool = False,
+        shard: str = None,
         verbose: bool = True,
         **kwargs,
     ) -> None:
         self.ag1 = ag1
         self.ag2 = ag1 if ag2 is None else ag2
         self.universe = self.ag1.universe
+        if shard not in {None, "frames", "atoms"}:
+            raise ValueError(
+                "Invalid shard. Valid values: None, 'frames', 'atoms'."
+            )
+        if shard == "frames":
+            parallel = True
         super().__init__(
             self.universe.trajectory, parallel, verbose, **kwargs
         )
+        self._shard = shard
+        if shard == "atoms":
+            self._shard_axis = "atoms"
+            if self.ag2 is not self.ag1:
+                raise ValueError(
+                    "shard='atoms' currently requires a self-RDF "
+                    "(ag2 is ag1); cross-group atom sharding is not "
+                    "implemented."
+                )
+            if (isinstance(groupings, str) and groupings != "atoms") or (
+                not isinstance(groupings, str)
+                and any(g != "atoms" for g in groupings)
+            ):
+                raise ValueError(
+                    "shard='atoms' requires groupings='atoms' (center-"
+                    "of-mass reduction would cross atom shards)."
+                )
 
         self._groupings = _validate_groupings(groupings)
         self._drop_axis = (
@@ -359,7 +383,15 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         self._verbose = verbose
 
         # Host->device column selection: read both groups' atoms only.
-        self._atom_indices = np.concatenate((self.ag1.ix, self.ag2.ix))
+        if self._shard == "atoms":
+            # Self-RDF over the atom-sharded ring: one copy of the
+            # group's columns (the j-side is the ppermute-rotated
+            # shard, not a second column block).
+            self._atom_indices = np.asarray(self.ag1.ix)
+        else:
+            self._atom_indices = np.concatenate(
+                (self.ag1.ix, self.ag2.ix)
+            )
         self._sel1 = np.arange(self.ag1.n_atoms)
         self._sel2 = self.ag1.n_atoms + np.arange(self.ag2.n_atoms)
         self._seg1, self._n1 = _group_segment_ids(
@@ -383,6 +415,10 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             "counts": jnp.zeros(self._n_bins, dtype=jnp.float64),
             "volume": jnp.zeros((), dtype=jnp.float64),
         }
+
+        if self._shard == "atoms":
+            self._prepare_ring()
+            return
 
         if self._use_pallas_cell_kernel():
             self._prepare_pallas_cell()
@@ -429,6 +465,75 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
         self._update = jit_update(update)
 
+
+    def _n_shards(self) -> int:
+        if self._shard == "atoms":
+            import jax as _jax
+
+            return max(1, min(len(_jax.devices()), self.ag1.n_atoms))
+        return super()._n_shards()
+
+    def _prepare_ring(self) -> None:
+        """Atom-sharded (context-parallel) update: each device holds an
+        i-shard of the frame's atoms fixed while j-shards rotate around
+        the ICI ring via ``ppermute`` (SURVEY.md section 5.7;
+        :mod:`mdhelper_tpu.parallel.ring`).  The user-facing path to
+        RDFs whose atom count outgrows one chip."""
+
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import get_mesh
+        from ..parallel.ring import _local_ring_histogram
+
+        n_real = self.ag1.n_atoms
+        self._mesh = get_mesh(self._n_shards(), axis_name="atoms")
+        n_shards = self._mesh.devices.size
+        shard_size = -(-n_real // n_shards)
+
+        body = functools.partial(
+            _local_ring_histogram,
+            axis_name="atoms",
+            n_shards=n_shards,
+            shard_size=shard_size,
+            n_real=n_real,
+            exclusion=self._exclusion,
+            n_bins=self._n_bins,
+        )
+        ring = jax.shard_map(
+            body,
+            mesh=self._mesh,
+            in_specs=(P("atoms"), P("atoms"), P(), P()),
+            out_specs=P(),
+        )
+        edges = jnp.asarray(self.results.edges)
+        drop = self._drop_axis
+
+        def update(carry, positions, dimensions, mask):
+            if drop is not None:
+                positions = positions.at[:, :, drop].set(0.0)
+
+            def frame(c, inputs):
+                pos, dims, valid = inputs
+                box = dims[:3]
+                if drop is not None:
+                    box = box.at[drop].set(box.max())
+                    vol = box.prod() / box[drop]
+                else:
+                    vol = box.prod()
+                counts = ring(pos, pos, box, edges)
+                return {
+                    "counts": c["counts"] + counts * valid,
+                    "volume": c["volume"] + vol * valid,
+                }, None
+
+            carry, _ = jax.lax.scan(
+                frame, carry, (positions, dimensions, mask)
+            )
+            return carry
+
+        self._update = jax.jit(update)
 
     def _use_pallas_cell_kernel(self) -> bool:
         """Route the hot self-RDF case through the hand-tiled Pallas
@@ -768,6 +873,34 @@ def _wavevector_grid(
     return wavevectors
 
 
+def unique_wavenumber_groups(
+    wavenumbers: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unique wavenumbers (rounded to 11 decimals, matching the
+    reference's grouping tolerance, ``analysis/structure.py:1536-1541``)
+    plus each wavevector's group index — precomputed once so concluding
+    a run is a segment reduction instead of an
+    O(n_unique * n_q) ``isclose`` sweep."""
+
+    unique, inverse = np.unique(
+        np.asarray(wavenumbers).round(11), return_inverse=True
+    )
+    return unique, inverse.ravel()
+
+
+def group_mean_last_axis(
+    values: np.ndarray, group: np.ndarray, n_unique: int
+) -> np.ndarray:
+    """Mean of `values` over last-axis segments defined by `group`."""
+
+    moved = np.ascontiguousarray(np.moveaxis(values, -1, 0))
+    sums = np.zeros((n_unique,) + moved.shape[1:], dtype=np.float64)
+    np.add.at(sums, group, moved)
+    counts = np.bincount(group, minlength=n_unique)
+    sums /= counts.reshape((-1,) + (1,) * (sums.ndim - 1))
+    return np.moveaxis(sums, 0, -1)
+
+
 class StructureFactor(NumbaAnalysisBase):
     r"""Static structure factor :math:`S(q)` and partial structure
     factors :math:`S_{\alpha\beta}(q)` computed directly from particle
@@ -848,6 +981,7 @@ class StructureFactor(NumbaAnalysisBase):
         sort: bool = True,
         unique: bool = True,
         parallel: bool = False,
+        shard: str = None,
         precision: str = "auto",
         method: str = "direct",
         verbose: bool = True,
@@ -857,6 +991,22 @@ class StructureFactor(NumbaAnalysisBase):
             [groups] if hasattr(groups, "universe") else list(groups)
         )
         self.universe = self._groups[0].universe
+        if shard not in {None, "frames", "q"}:
+            raise ValueError(
+                "Invalid shard. Valid values: None, 'frames', 'q'."
+            )
+        if shard == "frames":
+            parallel = True
+        if shard == "q":
+            if method == "mesh":
+                raise ValueError(
+                    "shard='q' applies to the direct wavevector sweep; "
+                    "method='mesh' distributes over frames instead."
+                )
+            # Positions replicate over the mesh; the wavevector axis is
+            # the sharded (tensor-parallel-style) axis.
+            self._shard_axis = "replicated"
+        self._shard = shard
         super().__init__(self.universe.trajectory, verbose, **kwargs)
 
         self._n_groups = len(self._groups)
@@ -1077,24 +1227,56 @@ class StructureFactor(NumbaAnalysisBase):
             if self._mode == "pair"
             else ((None, None),)
         )
-        self.results.wavenumbers = (
-            np.unique(self._wavenumbers.round(11))
-            if self._unique
-            else self._wavenumbers
-        )
+        if self._unique:
+            self.results.wavenumbers, self._q_group = (
+                unique_wavenumber_groups(self._wavenumbers)
+            )
+        else:
+            self.results.wavenumbers = self._wavenumbers
         self.results.units = {
             "results.wavenumbers": ureg.angstrom**-1
         }
 
         n_pairs = len(self.results.pairs)
         n_q = len(self._wavenumbers)
-        self._carry = {"ssf": jnp.zeros((n_pairs, n_q), jnp.float64)}
+        self._n_q_real = n_q
 
-        if getattr(self, "_method", "direct") == "mesh":
-            self._prepare_mesh()
-            return
+        if getattr(self, "_shard", None) == "q":
+            # TP-style sharding of the wavevector axis: each device owns
+            # a q-tile and sees every atom (positions replicated), so no
+            # inter-device reduction is needed until unique-|q| grouping
+            # on the host (SURVEY.md section 5.7).  Pad q to a shard
+            # multiple with zero vectors (XLA requires even shards).
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        qs = jnp.asarray(self._wavevectors)
+            from ..parallel.mesh import get_mesh
+
+            self._mesh = get_mesh(
+                max(1, min(len(jax.devices()), n_q)), axis_name="q"
+            )
+            n_shards = self._mesh.devices.size
+            pad = (-n_q) % n_shards
+            wavevectors = np.concatenate(
+                (self._wavevectors, np.zeros((pad, 3)))
+            )
+            qs = jax.device_put(
+                jnp.asarray(wavevectors),
+                NamedSharding(self._mesh, P("q", None)),
+            )
+            self._carry = {
+                "ssf": jax.device_put(
+                    jnp.zeros((n_pairs, n_q + pad), jnp.float64),
+                    NamedSharding(self._mesh, P(None, "q")),
+                )
+            }
+        else:
+            self._carry = {
+                "ssf": jnp.zeros((n_pairs, n_q), jnp.float64)
+            }
+            if getattr(self, "_method", "direct") == "mesh":
+                self._prepare_mesh()
+                return
+            qs = jnp.asarray(self._wavevectors)
         pairs = self.results.pairs
         mode = self._mode
 
@@ -1129,16 +1311,13 @@ class StructureFactor(NumbaAnalysisBase):
         )
 
     def _conclude(self) -> None:
-        ssf = np.asarray(self._carry["ssf"]) / (self.n_frames * self._N)
+        ssf = np.asarray(self._carry["ssf"])[
+            :, : getattr(self, "_n_q_real", None)
+        ] / (self.n_frames * self._N)
 
         if self._unique:
-            ssf = np.hstack(
-                [
-                    ssf[:, np.isclose(q, self._wavenumbers)].mean(
-                        axis=1, keepdims=True
-                    )
-                    for q in self.results.wavenumbers
-                ]
+            ssf = group_mean_last_axis(
+                ssf, self._q_group, len(self.results.wavenumbers)
             )
         if self._sort:
             order = np.argsort(self.results.wavenumbers)
@@ -1241,11 +1420,12 @@ class IntermediateScatteringFunction(StructureFactor):
             else ((None, None),)
         )
         self.results.times = step * self._dt * np.arange(n_lags)
-        self.results.wavenumbers = (
-            np.unique(self._wavenumbers.round(11))
-            if self._unique
-            else self._wavenumbers
-        )
+        if self._unique:
+            self.results.wavenumbers, self._q_group = (
+                unique_wavenumber_groups(self._wavenumbers)
+            )
+        else:
+            self.results.wavenumbers = self._wavenumbers
         self.results.units = {
             "results.times": ureg.picosecond,
             "results.wavenumbers": ureg.angstrom**-1,
@@ -1446,24 +1626,11 @@ class IntermediateScatteringFunction(StructureFactor):
         )
 
         if self._unique:
-            cisf = np.stack(
-                [
-                    cisf[:, :, np.isclose(q, self._wavenumbers)].mean(
-                        axis=2
-                    )
-                    for q in self.results.wavenumbers
-                ],
-                axis=-1,
-            )
+            n_unique = len(self.results.wavenumbers)
+            cisf = group_mean_last_axis(cisf, self._q_group, n_unique)
             if iisf is not None:
-                iisf = np.stack(
-                    [
-                        iisf[
-                            :, :, np.isclose(q, self._wavenumbers)
-                        ].mean(axis=2)
-                        for q in self.results.wavenumbers
-                    ],
-                    axis=-1,
+                iisf = group_mean_last_axis(
+                    iisf, self._q_group, n_unique
                 )
         if self._sort:
             order = np.argsort(self.results.wavenumbers)

@@ -292,3 +292,32 @@ def test_rdf_tiled_kernel_matches_direct():
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(tiled))
     ref = oracle_histogram(p1, p2, 40, (0.0, 4.0), BOX)
     np.testing.assert_array_equal(np.asarray(direct).astype(int), ref)
+
+
+def test_unique_wavenumber_grouping_scales():
+    """Concluding a 64^3-grid run must be a segment reduction, not an
+    O(n_unique * n_q) isclose sweep (<1 s at 262k wavevectors)."""
+
+    import time
+
+    from mdhelper_tpu.analysis.structure import (
+        group_mean_last_axis,
+        unique_wavenumber_groups,
+    )
+
+    local_rng = np.random.default_rng(3)
+    n = np.stack(
+        np.meshgrid(*[np.arange(64)] * 3), axis=-1
+    ).reshape(-1, 3)
+    wavenumbers = np.linalg.norm(2 * np.pi * n / 20.0, axis=1)
+    values = local_rng.random((3, len(wavenumbers)))
+
+    t0 = time.perf_counter()
+    unique, group = unique_wavenumber_groups(wavenumbers)
+    out = group_mean_last_axis(values, group, len(unique))
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 1.0
+
+    for qi in local_rng.choice(len(unique), 10, replace=False):
+        ref = values[:, np.isclose(unique[qi], wavenumbers)].mean(axis=1)
+        np.testing.assert_allclose(out[:, qi], ref, rtol=1e-12)
