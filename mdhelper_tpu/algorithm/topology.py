@@ -56,6 +56,36 @@ def triclinic_vectors(dimensions: np.ndarray) -> np.ndarray:
     return np.array([[a, 0.0, 0.0], [bx, by, 0.0], [cx, cy, cz]])
 
 
+def triclinic_matrices(dimensions):
+    r"""Batched, device-capable variant of :func:`triclinic_vectors`:
+    converts ``(..., 6)`` box parameters into ``(..., 3, 3)``
+    lower-triangular box matrices (rows are the box vectors).  Works on
+    NumPy and JAX arrays (jit-traceable) — used by the triclinic
+    minimum-image path of the histogram kernels."""
+
+    d = dimensions
+    xp = jnp if isinstance(d, jax.Array) else np
+    a, b, c = d[..., 0], d[..., 1], d[..., 2]
+    alpha, beta, gamma = (
+        xp.deg2rad(d[..., i]) for i in (3, 4, 5)
+    )
+    cos_a, cos_b, cos_g = xp.cos(alpha), xp.cos(beta), xp.cos(gamma)
+    sin_g = xp.sin(gamma)
+    bx, by = b * cos_g, b * sin_g
+    cx = c * cos_b
+    cy = c * (cos_a - cos_b * cos_g) / sin_g
+    cz = xp.sqrt(xp.maximum(c * c - cx * cx - cy * cy, 0.0))
+    zero = xp.zeros_like(a)
+    return xp.stack(
+        (
+            xp.stack((a, zero, zero), axis=-1),
+            xp.stack((bx, by, zero), axis=-1),
+            xp.stack((cx, cy, cz), axis=-1),
+        ),
+        axis=-2,
+    )
+
+
 def minimize_vectors(
     vectors: np.ndarray, dimensions: np.ndarray
 ) -> np.ndarray:

@@ -24,6 +24,7 @@ from .. import Q_, ureg
 from ..algorithm.unit import strip_unit
 from itertools import combinations_with_replacement
 
+from ..algorithm.topology import triclinic_matrices
 from ..algorithm.utility import get_closest_factors
 from ..ops.histogram import radial_histogram_batch
 from ..ops.scattering import trig_sums_frame
@@ -80,11 +81,12 @@ def radial_histogram(
     dims = np.asarray(dims, dtype=float)
     if dims.shape[-1] == 6:
         if not np.allclose(dims[3:], 90.0):
-            raise ValueError(
-                "Only orthorhombic boxes are supported by the TPU "
-                "radial histogram kernel."
-            )
-        dims = dims[:3]
+            # Triclinic cell: minimum image via the box matrix
+            # (reference delegates to MDAnalysis ``capped_distance``,
+            # ``analysis/structure.py:92-104``).
+            dims = triclinic_matrices(dims)
+        else:
+            dims = dims[:3]
     edges = jnp.linspace(range[0], range[1], n_bins + 1)
     counts = radial_histogram_batch(
         jnp.asarray(pos1, dtype=jnp.float64)[None],
@@ -365,6 +367,24 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if self._drop_axis not in {0, 1, 2, None}:
             raise ValueError("Invalid axis to drop.")
 
+        dims = self.universe.dimensions
+        self._triclinic = bool(
+            dims is not None
+            and len(dims) >= 6
+            and not np.allclose(dims[3:6], 90.0)
+        )
+        if self._triclinic:
+            if self._drop_axis is not None:
+                raise ValueError(
+                    "drop_axis (2-D analysis) requires an orthorhombic "
+                    "box."
+                )
+            if shard == "atoms":
+                raise ValueError(
+                    "shard='atoms' currently supports orthorhombic "
+                    "boxes only."
+                )
+
         self._n_bins = n_bins
         self._range = tuple(range)
         self._norm = norm
@@ -433,31 +453,36 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         n1, n2 = self._n1, self._n2
         drop = self._drop_axis
         exclusion = self._exclusion
+        triclinic = self._triclinic
         # The reference tracks volume only for norm="rdf"
         # (structure.py:747-748) but _get_rdf needs it regardless; the
         # reduction is one fused multiply-add, so always accumulate.
         track_volume = True
 
         def update(carry, positions, dimensions, mask):
-            box = dimensions[:, :3]
             pos1 = positions[:, sel1]
             pos2 = positions[:, sel2]
             if seg1 is not None:
                 pos1 = _com_positions(pos1, m1, seg1, n1)
             if seg2 is not None:
                 pos2 = _com_positions(pos2, m2, seg2, n2)
-            if drop is not None:
-                pos1 = pos1.at[:, :, drop].set(0.0)
-                pos2 = pos2.at[:, :, drop].set(0.0)
-                box = box.at[:, drop].set(box.max(axis=1))
+            if triclinic:
+                box = triclinic_matrices(dimensions)  # (B, 3, 3)
+                # Lower-triangular box matrix: det = diagonal product.
+                vol = box[:, 0, 0] * box[:, 1, 1] * box[:, 2, 2]
+            else:
+                box = dimensions[:, :3]
+                if drop is not None:
+                    pos1 = pos1.at[:, :, drop].set(0.0)
+                    pos2 = pos2.at[:, :, drop].set(0.0)
+                    box = box.at[:, drop].set(box.max(axis=1))
+                    vol = box.prod(axis=1) / box[:, drop]
+                else:
+                    vol = box.prod(axis=1)
             counts = carry["counts"] + radial_histogram_batch(
                 pos1, pos2, box, mask, edges, exclusion=exclusion
             )
             if track_volume:
-                if drop is None:
-                    vol = box.prod(axis=1)
-                else:
-                    vol = box.prod(axis=1) / box[:, drop]
                 volume = carry["volume"] + (vol * mask).sum()
             else:
                 volume = carry["volume"]
@@ -546,6 +571,8 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
+            return False
+        if self._triclinic:
             return False
         if self._drop_axis is not None:
             return False

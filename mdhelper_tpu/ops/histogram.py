@@ -21,6 +21,7 @@ holds the hand-tiled TPU kernel used by the benchmark path.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["radial_histogram_frame", "radial_histogram_batch"]
 
@@ -97,6 +98,71 @@ def _bin_distances(dist, edges, weights, n_bins):
     return counts2d.reshape(-1)[:n_bins].astype(accum)
 
 
+#: all 26 non-zero image shifts in {-1, 0, 1}^3 for the triclinic
+#: minimum-image search (fractional rounding alone is not guaranteed
+#: minimal for tilted cells; checking the neighbor block is — the same
+#: contract as MDAnalysis ``minimize_vectors``).
+_IMAGE_SHIFTS = np.array(
+    [
+        (sx, sy, sz)
+        for sx in (-1, 0, 1)
+        for sy in (-1, 0, 1)
+        for sz in (-1, 0, 1)
+        if (sx, sy, sz) != (0, 0, 0)
+    ],
+    dtype=np.float64,
+)
+
+
+def _inv3(m):
+    """Closed-form 3x3 inverse (adjugate / determinant).  Avoids
+    ``jnp.linalg.inv``, whose LU lowering does not compile on this
+    TPU backend."""
+
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    ca = e * i - f * h
+    cb = -(d * i - f * g)
+    cc = d * h - e * g
+    cd = -(b * i - c * h)
+    ce = a * i - c * g
+    cf = -(a * h - b * g)
+    cg = b * f - c * e
+    ch = -(a * f - c * d)
+    ci = a * e - b * d
+    det = a * ca + b * cb + c * cc
+    adj = jnp.stack(
+        (
+            jnp.stack((ca, cd, cg)),
+            jnp.stack((cb, ce, ch)),
+            jnp.stack((cc, cf, ci)),
+        )
+    )
+    return adj / det
+
+
+def _min_image_distance(delta, box):
+    """Minimum-image distances of displacement block `delta`
+    (``(..., 3)``).  `box` is either ``(3,)`` orthorhombic lengths or a
+    ``(3, 3)`` lower-triangular box matrix (rows = box vectors) for
+    triclinic cells."""
+
+    if box.ndim == 1:
+        delta = delta - box * jnp.round(delta / box)
+        return jnp.sqrt((delta * delta).sum(axis=-1))
+    inv = _inv3(box)
+    frac = delta @ inv
+    frac = frac - jnp.round(frac)
+    base = frac @ box
+    d2 = (base * base).sum(axis=-1)
+    shift_vecs = jnp.asarray(_IMAGE_SHIFTS, dtype=delta.dtype) @ box
+    for k in range(shift_vecs.shape[0]):  # static: 26 fused min steps
+        cand = base + shift_vecs[k]
+        d2 = jnp.minimum(d2, (cand * cand).sum(axis=-1))
+    return jnp.sqrt(d2)
+
+
 def _pair_block_histogram(
     p1, p2, box, edges, i_offset, j_offset, exclusion, n_bins
 ):
@@ -111,8 +177,7 @@ def _pair_block_histogram(
     # scale to crash the device worker.
     box = box.astype(p1.dtype)
     delta = p1[:, None, :] - p2[None, :, :]
-    delta = delta - box * jnp.round(delta / box)
-    dist = jnp.sqrt((delta * delta).sum(axis=-1))
+    dist = _min_image_distance(delta, box)
 
     i_idx = i_offset + jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
     j_idx = j_offset + jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)

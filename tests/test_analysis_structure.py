@@ -321,3 +321,97 @@ def test_unique_wavenumber_grouping_scales():
     for qi in local_rng.choice(len(unique), 10, replace=False):
         ref = values[:, np.isclose(unique[qi], wavenumbers)].mean(axis=1)
         np.testing.assert_allclose(out[:, qi], ref, rtol=1e-12)
+
+
+# -- triclinic boxes ---------------------------------------------------------
+
+TRICLINIC_DIMS = np.array([11.0, 12.0, 13.0, 75.0, 85.0, 100.0])
+
+
+def _oracle_box_matrix(dims):
+    """Independent lower-triangular box-matrix construction."""
+
+    a, b, c = dims[:3]
+    al, be, ga = np.deg2rad(dims[3:6])
+    bx, by = b * np.cos(ga), b * np.sin(ga)
+    cx = c * np.cos(be)
+    cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    cz = np.sqrt(c**2 - cx**2 - cy**2)
+    return np.array([[a, 0, 0], [bx, by, 0], [cx, cy, cz]])
+
+
+def oracle_triclinic_histogram(p1, p2, n_bins, r_range, dims,
+                               exclusion=None):
+    """Brute-force min-image over all 27 images of the reduced vector."""
+
+    h = _oracle_box_matrix(dims)
+    delta = p1[:, None, :] - p2[None, :, :]
+    frac = delta @ np.linalg.inv(h)
+    frac -= np.round(frac)
+    base = frac @ h
+    d2 = np.full(base.shape[:2], np.inf)
+    for sx in (-1, 0, 1):
+        for sy in (-1, 0, 1):
+            for sz in (-1, 0, 1):
+                cand = base + np.array([sx, sy, sz]) @ h
+                d2 = np.minimum(d2, (cand**2).sum(-1))
+    dist = np.sqrt(d2)
+    if exclusion is not None:
+        i = np.arange(len(p1))[:, None] // exclusion[0]
+        j = np.arange(len(p2))[None, :] // exclusion[1]
+        dist = dist[i != j]
+    return np.histogram(dist.ravel(), bins=n_bins, range=r_range)[0]
+
+
+def test_radial_histogram_triclinic():
+    local_rng = np.random.default_rng(5)
+    h = _oracle_box_matrix(TRICLINIC_DIMS)
+    p1 = local_rng.random((50, 3)) @ h
+    p2 = local_rng.random((70, 3)) @ h
+    counts = structure.radial_histogram(
+        p1, p2, 40, (0.0, 4.5), TRICLINIC_DIMS
+    )
+    ref = oracle_triclinic_histogram(p1, p2, 40, (0.0, 4.5),
+                                     TRICLINIC_DIMS)
+    np.testing.assert_array_equal(counts, ref)
+
+
+def test_rdf_class_triclinic():
+    local_rng = np.random.default_rng(6)
+    h = _oracle_box_matrix(TRICLINIC_DIMS)
+    n_frames, n = 4, 60
+    positions = local_rng.random((n_frames, n, 3)) @ h
+    u = Universe.from_arrays(
+        positions, TRICLINIC_DIMS,
+        types=np.array(["A"] * n, dtype=object),
+        masses=np.ones(n),
+    )
+    ag = u.select_atoms("type A")
+    rdf = structure.RadialDistributionFunction(
+        ag, n_bins=40, range=(0.0, 4.5), exclusion=(1, 1),
+        verbose=False,
+    ).run()
+    ref = np.zeros(40)
+    for f in range(n_frames):
+        ref += oracle_triclinic_histogram(
+            positions[f], positions[f], 40, (0.0, 4.5),
+            TRICLINIC_DIMS, exclusion=(1, 1),
+        )
+    np.testing.assert_array_equal(rdf.results.counts, ref)
+    # Normalization uses the true triclinic cell volume det(H).
+    vol = np.linalg.det(_oracle_box_matrix(TRICLINIC_DIMS))
+    edges = np.linspace(0.0, 4.5, 41)
+    shell = 4 * np.pi * np.diff(edges**3) / 3
+    expected = ref / (n_frames * shell * n * (n - 1) / vol)
+    np.testing.assert_allclose(rdf.results.rdf, expected, rtol=1e-10)
+
+
+def test_rdf_triclinic_rejects_drop_axis():
+    u = Universe.from_arrays(
+        np.zeros((1, 4, 3)), TRICLINIC_DIMS,
+        types=np.array(["A"] * 4, dtype=object), masses=np.ones(4),
+    )
+    with pytest.raises(ValueError, match="orthorhombic"):
+        structure.RadialDistributionFunction(
+            u.select_atoms("type A"), drop_axis="z"
+        )
