@@ -11,9 +11,9 @@ absent.
 
 from importlib.util import find_spec
 
-from . import file  # noqa: F401
+from . import expressions, file  # noqa: F401
 
-__all__ = ["file"]
+__all__ = ["expressions", "file"]
 
 if find_spec("openmm") is not None:  # pragma: no cover (no OpenMM here)
     from . import (  # noqa: F401

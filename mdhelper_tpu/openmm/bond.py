@@ -11,6 +11,7 @@ from typing import Union
 import openmm
 from openmm import unit
 
+from .expressions import fene_energy
 from .pair import wca as _pair_wca
 
 __all__ = ["fene"]
@@ -55,7 +56,7 @@ def fene(
     """
 
     global_args = global_args or {}
-    bond = openmm.CustomBondForce("-0.5*k*r0^2*log(1-(r/r0)^2)")
+    bond = openmm.CustomBondForce(fene_energy())
     per_args = [p for p in ("k", "r0") if p not in global_args]
     _setup_bond(bond, global_args, per_args)
     if wca:

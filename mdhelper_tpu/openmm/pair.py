@@ -15,6 +15,16 @@ import numpy as np
 import openmm
 from openmm import unit
 
+from .expressions import (
+    coul_gauss_energy,
+    dpd_energy,
+    ewald_g,
+    gauss_energy,
+    ljts_energy,
+    pme_mesh_dimensions,
+    solvation_energy,
+    yukawa_energy,
+)
 from .unit import VACUUM_PERMITTIVITY
 
 __all__ = [
@@ -109,23 +119,16 @@ def coul_gauss(
     """
 
     if g_ewald is None:
-        g_ewald = np.sqrt(-np.log(2 * tol)) / cutoff
+        g_ewald = ewald_g(_in_nm(cutoff), tol)
     global_params = dict(global_params or {})
     global_params |= {
         "G_EWALD": g_ewald,
         "ONE_4PI_EPS0": unit.AVOGADRO_CONSTANT_NA
         / (4 * np.pi * VACUUM_PERMITTIVITY),
     }
-    if mix == "default":
-        mix = "alpha12=alpha1*alpha2/sqrt(alpha1^2+alpha2^2);"
-        per_params = ["alpha"]
-    elif mix == "core":
-        mix = f"alpha12=sqrt({np.pi}/(2*(a1^2+a2^2)));"
-        per_params = ["a"]
+    energy, per_params = coul_gauss_energy(mix, per_params)
 
-    direct = openmm.CustomNonbondedForce(
-        "ONE_4PI_EPS0*q1*q2*(erf(alpha12*r)-erf(G_EWALD*r))/r;" + mix
-    )
+    direct = openmm.CustomNonbondedForce(energy)
     direct.addPerParticleParameter("q")
     _setup_pair(direct, cutoff, global_params, per_params, tab_funcs)
 
@@ -157,9 +160,7 @@ def dpd(
     cutoff, cutoff_dpd = _resolve_inner_cutoff(
         cutoff, cutoff_dpd, "dissipative particle dynamics (DPD)"
     )
-    energy = f"0.5*A12*{cutoff_dpd}*(1-r/{cutoff_dpd})^2;"
-    if mix:
-        energy += mix
+    energy = dpd_energy(cutoff_dpd, mix)
     force = openmm.CustomNonbondedForce(energy)
     _setup_pair(force, cutoff, global_params, per_params, tab_funcs)
     return force
@@ -188,34 +189,12 @@ def gauss(
     cutoff, cutoff_gauss = _resolve_inner_cutoff(
         cutoff, cutoff_gauss, "Gaussian"
     )
-    prefix = (
-        f"step({cutoff_gauss}-r)*(" if cutoff != cutoff_gauss else "("
+    energy, per_params = gauss_energy(
+        cutoff, cutoff_gauss, shift=shift, mix=mix,
+        per_params=per_params, known_globals=tuple(global_params or ()),
     )
-    root = "alpha12*exp(-beta12*r^2)"
-    suffix = (
-        f"-ucut);ucut=alpha12*exp(-beta12*{cutoff_gauss}^2);"
-        if shift
-        else ");"
-    )
-    if mix == "arithmetic":
-        mix = "alpha12=sqrt(alpha1*alpha2);beta12=2/(1/beta1+1/beta2);"
-        per_params = ["alpha", "beta"]
-    elif mix == "geometric":
-        mix = "alpha12=sqrt(alpha1*alpha2);beta12=sqrt(beta1*beta2);"
-        per_params = ["alpha", "beta"]
-    elif "core" in mix:
-        mix = mix.replace(
-            "core",
-            f"alpha12=A*(beta12/{np.pi})^(3/2);"
-            "beta12=3/(2*sigma12sq);sigma12sq=sigma1^2+sigma2^2",
-        )
-        if not mix.endswith(";"):
-            mix += ";"
-        if "A" not in mix and "A" not in (global_params or {}):
-            raise ValueError("Global parameter 'A' not specified.")
-        per_params = list(per_params or []) + ["sigma"]
 
-    force = openmm.CustomNonbondedForce(f"{prefix}{root}{suffix}{mix}")
+    force = openmm.CustomNonbondedForce(energy)
     _setup_pair(force, cutoff, global_params, per_params, tab_funcs)
     return force
 
@@ -241,7 +220,7 @@ def lj_coul(
     if g_ewald is None or dims is None:
         force.setEwaldErrorTolerance(tol)
     else:
-        n_mesh = np.ceil(2 * g_ewald * dims / (3 * tol ** (1 / 5)))
+        n_mesh = pme_mesh_dimensions(g_ewald, dims, tol)
         force.setPMEParameters(g_ewald, *n_mesh)
     return force
 
@@ -275,67 +254,12 @@ def ljts(
     cutoff, cutoff_ljts = _resolve_inner_cutoff(
         cutoff, cutoff_ljts, "LJTS"
     )
-    if mie and wca:
-        raise ValueError("Both 'mie' and 'wca' are set to True.")
-    if isinstance(powers, dict):
-        powers = (powers["r"], powers["a"])
-    if mie or wca:
-        p, q = powers
-        coef_mie = p / (p - q) * (p / q) ** (q / (p - q))
+    energy, per_params = ljts_energy(
+        cutoff, cutoff_ljts, coefs=coefs, powers=powers, shift=shift,
+        mix=mix, mie=mie, wca=wca, per_params=per_params,
+    )
 
-    if wca:
-        cutoff_wca = (powers[0] / powers[1]) ** (
-            1 / (powers[0] - powers[1])
-        )
-        root = (
-            f"{coef_mie}*epsilon12*((sigma12/r)^{powers[0]}"
-            f"-(sigma12/r)^{powers[1]})"
-        )
-        prefix = f"step({cutoff_wca}*sigma12-r)*("
-        suffix = "+epsilon12);"
-    else:
-        if mie:
-            coefs = (1, 1, coef_mie)
-        elif isinstance(coefs, dict):
-            coefs = (coefs["A"], coefs["B"], coefs["C"])
-        root = (
-            f"{coefs[2]}*epsilon12*({coefs[0]}*(sigma12/r)^{powers[0]}"
-            f"-{coefs[1]}*(sigma12/r)^{powers[1]})"
-        )
-        prefix = (
-            f"step({cutoff_ljts}-r)*("
-            if cutoff != cutoff_ljts
-            else "("
-        )
-        suffix = (
-            f"-ucut);ucut={coefs[2]}*epsilon12*"
-            f"({coefs[0]}*(sigma12/{cutoff_ljts})^{powers[0]}"
-            f"-{coefs[1]}*(sigma12/{cutoff_ljts})^{powers[1]});"
-            if shift
-            else ");"
-        )
-
-    if mix == "arithmetic":
-        mix = (
-            "sigma12=(sigma1+sigma2)/2;"
-            "epsilon12=sqrt(epsilon1*epsilon2);"
-        )
-        per_params = ["sigma", "epsilon"]
-    elif mix == "geometric":
-        mix = (
-            "sigma12=sqrt(sigma1*sigma2);"
-            "epsilon12=sqrt(epsilon1*epsilon2);"
-        )
-        per_params = ["sigma", "epsilon"]
-    elif mix == "sixthpower":
-        mix = (
-            "sigma12=((sigma1^6+sigma2^6)/2)^(1/6);"
-            "epsilon12=2*sqrt(epsilon1*epsilon2)*sigma1^3*sigma2^3"
-            "/(sigma1^6+sigma2^6);"
-        )
-        per_params = ["sigma", "epsilon"]
-
-    force = openmm.CustomNonbondedForce(f"{prefix}{root}{suffix}{mix}")
+    force = openmm.CustomNonbondedForce(energy)
     _setup_pair(force, cutoff, global_params, per_params, tab_funcs)
     return force
 
@@ -364,17 +288,13 @@ def solvation(
     cutoff, cutoff_solvation = _resolve_inner_cutoff(
         cutoff, cutoff_solvation, "solvation"
     )
-    root = "-S12*((sigma12/r)^4-(sigma12/cut)^4)"
-    if mix == "arithmetic":
-        mix = "sigma12=(sigma1+sigma2)/2;S12=sqrt(S1*S2);"
-        per_params = ["sigma", "S"]
-    elif mix == "geometric":
-        mix = "sigma12=sqrt(sigma1*sigma2);S12=sqrt(S1*S2);"
-        per_params = ["sigma", "S"]
+    energy, per_params = solvation_energy(
+        cutoff_solvation, mix=mix, per_params=per_params
+    )
     global_params = dict(global_params or {})
     global_params.setdefault("cut", cutoff_solvation)
 
-    force = openmm.CustomNonbondedForce(f"{root};{mix}")
+    force = openmm.CustomNonbondedForce(energy)
     _setup_pair(force, cutoff, global_params, per_params, tab_funcs)
     return force
 
@@ -422,24 +342,11 @@ def yukawa(
     cutoff, cutoff_yukawa = _resolve_inner_cutoff(
         cutoff, cutoff_yukawa, "Yukawa"
     )
-    prefix = (
-        f"step({cutoff_yukawa}-r)*(" if cutoff != cutoff_yukawa else "("
+    energy, per_params = yukawa_energy(
+        cutoff, cutoff_yukawa, shift=shift, mix=mix,
+        per_params=per_params, known_globals=tuple(global_params or ()),
     )
-    root = "alpha12*exp(-kappa*r)/r"
-    suffix = (
-        f"-ucut);ucut=alpha12*exp(-kappa*{cutoff_yukawa})"
-        f"/{cutoff_yukawa};"
-        if shift
-        else ");"
-    )
-    if "geometric" in mix:
-        mix = mix.replace("geometric", "alpha12=sqrt(alpha1*alpha2)")
-        if not mix.endswith(";"):
-            mix += ";"
-        if "kappa" not in mix and "kappa" not in (global_params or {}):
-            raise ValueError("Global parameter 'kappa' not defined.")
-        per_params = list(per_params or []) + ["alpha"]
 
-    force = openmm.CustomNonbondedForce(f"{prefix}{root}{suffix}{mix}")
+    force = openmm.CustomNonbondedForce(energy)
     _setup_pair(force, cutoff, global_params, per_params, tab_funcs)
     return force

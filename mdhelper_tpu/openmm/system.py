@@ -48,6 +48,7 @@ except ImportError:
 
         FOUND_ICPLUGIN = True
     except ImportError:
+        ICLangevinIntegrator = None
         FOUND_ICPLUGIN = False
 
 __all__ = [
@@ -478,13 +479,18 @@ def add_image_charges(
             * unit.nanometer
         )
     else:
-        lz_scaled = dims[2].value_in_unit(unit.nanometer)
+        # Tile by the ORIGINAL cell height.  The reference offsets by
+        # the already-scaled box (``system.py:794-795``,
+        # ``dims[2] *= n_cells`` happens first), which puts cell 2 at
+        # -2*n_cells*L_z = 0 (mod n_cells*L_z) — on top of the real
+        # cell.  Deliberately not replicated.
+        lz = dims[2].value_in_unit(unit.nanometer) / n_cells
         positions = np.tile(positions, (n_cells, 1))
         for cell in range(1, n_cells):
             lo, hi = cell * n_real, (cell + 1) * n_real
             positions[lo:hi, 2] = (
                 (1 - 2 * (cell % 2)) * positions[lo:hi, 2]
-                - 2 * np.floor(cell / 2) * lz_scaled
+                - 2 * np.floor(cell / 2) * lz
             )
         positions = positions * unit.nanometer
     logging.info(
