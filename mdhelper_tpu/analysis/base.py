@@ -101,13 +101,19 @@ class Hash(dict):
 class _Batch:
     """One device-ready chunk of trajectory data."""
 
-    __slots__ = ("positions", "dimensions", "mask", "indices")
+    __slots__ = (
+        "positions", "dimensions", "mask", "indices", "n_real",
+    )
 
-    def __init__(self, positions, dimensions, mask, indices):
+    def __init__(self, positions, dimensions, mask, indices,
+                 n_real=None):
         self.positions = positions
         self.dimensions = dimensions
         self.mask = mask
         self.indices = indices
+        #: host-side count of real (unmasked) frames — the device mask
+        #: may span non-addressable devices in a multi-host job.
+        self.n_real = len(indices) if n_real is None else n_real
 
 
 class SerialAnalysisBase:
@@ -235,8 +241,26 @@ class SerialAnalysisBase:
         frame_multiple = n_shards if shard_axis == "frames" else 1
         chunk = max(frame_multiple, chunk - chunk % frame_multiple)
 
+        multihost = jax.process_count() > 1
+        if multihost and shard_axis != "frames":
+            raise NotImplementedError(
+                "Multi-host execution currently supports frame "
+                "sharding only (shard='frames')."
+            )
+        if multihost and self._sequential:
+            raise NotImplementedError(
+                "Order-dependent analyses (ISF ring buffers, unwrap "
+                "scans) stream on a single host."
+            )
+
         for lo in range(0, self.n_frames, chunk):
             block = self.frames[lo:lo + chunk]
+            if multihost:
+                yield self._multihost_batch(
+                    block, n_shards, data_sharding, box_sharding,
+                    mask_sharding,
+                )
+                continue
             positions, dimensions = self._trajectory.read_frames(block)
             if self._atom_indices is not None:
                 positions = positions[:, self._atom_indices]
@@ -258,6 +282,65 @@ class SerialAnalysisBase:
                 jax.device_put(mask, mask_sharding),
                 block,
             )
+
+    def _multihost_batch(
+        self, block, n_shards, data_sharding, box_sharding,
+        mask_sharding,
+    ) -> _Batch:
+        """Assemble one globally sharded chunk in a multi-host job:
+        this host reads ONLY the frames its devices own (the per-host
+        reader-offset contract, :func:`mdhelper_tpu.parallel.mesh.
+        process_frame_block`) and contributes them as process-local
+        shards of the global array."""
+
+        from ..parallel.mesh import process_frame_block
+
+        padded = len(block) + (-len(block)) % n_shards
+        mask_global = np.zeros(padded, dtype=np.float64)
+        mask_global[: len(block)] = 1.0
+        lo, hi = process_frame_block(padded)
+        local_idx = block[lo:min(hi, len(block))]
+
+        n_atoms = (
+            len(self._atom_indices)
+            if self._atom_indices is not None
+            else self._trajectory.n_atoms
+        )
+        per_proc = hi - lo
+        if len(local_idx):
+            positions, dimensions = self._trajectory.read_frames(
+                local_idx
+            )
+            if self._atom_indices is not None:
+                positions = positions[:, self._atom_indices]
+            positions = positions.astype(self._coord_dtype, copy=False)
+            pad = per_proc - len(local_idx)
+            if pad:
+                positions = np.concatenate(
+                    (positions, np.repeat(positions[-1:], pad, axis=0))
+                )
+                dimensions = np.concatenate(
+                    (dimensions,
+                     np.repeat(dimensions[-1:], pad, axis=0))
+                )
+        else:
+            # This host's whole block is padding (masked out).
+            positions = np.zeros(
+                (per_proc, n_atoms, 3), dtype=self._coord_dtype
+            )
+            dimensions = np.ones((per_proc, 6), dtype=np.float64)
+        return _Batch(
+            jax.make_array_from_process_local_data(
+                data_sharding, positions, (padded, n_atoms, 3)
+            ),
+            jax.make_array_from_process_local_data(
+                box_sharding, dimensions, (padded, 6)
+            ),
+            jax.make_array_from_process_local_data(
+                mask_sharding, mask_global[lo:hi], (padded,)
+            ),
+            block,
+        )
 
     # -- driver ----------------------------------------------------------
     def run(
@@ -312,7 +395,7 @@ class SerialAnalysisBase:
                     )
             processed = 0
             for batch in self._iter_batches():
-                n_real = int(np.sum(np.asarray(batch.mask)))
+                n_real = batch.n_real
                 if processed + n_real <= skip_frames:
                     processed += n_real
                     continue

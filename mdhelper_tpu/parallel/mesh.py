@@ -19,13 +19,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = [
     "FRAME_AXIS",
+    "initialize_distributed",
     "get_mesh",
     "frame_sharding",
     "replicated_sharding",
     "pad_to_multiple",
+    "process_frame_block",
 ]
 
 FRAME_AXIS = "frames"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Join a multi-host analysis job (the TPU-native replacement for
+    the reference's ``dask.distributed`` backend,
+    ``/root/reference/src/mdhelper/analysis/base.py:396-448``).
+
+    One process runs per host; after initialization ``jax.devices()``
+    spans every host's chips and frame chunks shard across all of them
+    — collectives ride ICI within a slice and DCN across slices, with
+    no user-level scheduler process.  On Cloud TPU pods the arguments
+    are auto-detected from the environment; on CPU/GPU clusters pass
+    the coordinator ``host:port``, the process count, and this
+    process's id (exactly one reader process per host).
+    """
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
 
 
 def get_mesh(
@@ -36,15 +65,40 @@ def get_mesh(
     """Build a 1-D device mesh over (up to) `n_devices` local devices.
 
     ``n_devices=1`` reproduces serial execution; ``None`` uses every
-    addressable device.
+    addressable device.  In a multi-host job (after
+    :func:`initialize_distributed`) the mesh spans every host's
+    devices, ordered host-by-host so each host's frame block is
+    contiguous; `n_devices` is ignored there to keep hosts balanced.
     """
 
     if devices is None:
         devices = jax.devices()
+        if jax.process_count() > 1:
+            devices = sorted(
+                devices, key=lambda d: (d.process_index, d.id)
+            )
+            return Mesh(np.array(devices), (axis_name,))
     if n_devices is not None:
         n_devices = max(1, min(int(n_devices), len(devices)))
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
+
+
+def process_frame_block(n_padded: int) -> tuple[int, int]:
+    """The contiguous ``[lo, hi)`` sub-range of a padded, frame-sharded
+    axis owned by this process (host) under the host-contiguous 1-D
+    mesh of :func:`get_mesh` — the per-host reader offsets of the
+    multi-host input pipeline (each host reads only its own frames)."""
+
+    n_procs = jax.process_count()
+    if n_padded % n_procs:
+        raise ValueError(
+            f"Padded frame axis ({n_padded}) must divide evenly over "
+            f"{n_procs} processes."
+        )
+    per_proc = n_padded // n_procs
+    lo = jax.process_index() * per_proc
+    return lo, lo + per_proc
 
 
 def frame_sharding(mesh: Mesh, batch_ndim: int = 3) -> NamedSharding:

@@ -1,0 +1,112 @@
+"""Multi-host (DCN) scaffold smoke test: two real jax.distributed
+processes on the CPU backend (4 virtual devices each -> one 8-device
+global mesh), each reading only its own frame shard, must reproduce the
+single-process NumPy oracle bit-exactly.  The TPU-native replacement
+for the reference's dask.distributed backend
+(`/root/reference/src/mdhelper/analysis/base.py:396-448`)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    f"""
+    import sys
+
+    sys.path.insert(0, {REPO_ROOT!r})
+    """
+) + textwrap.dedent(
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    from mdhelper_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+
+    import numpy as np
+
+    from mdhelper_tpu.analysis import structure
+    from mdhelper_tpu.core import Universe
+
+    BOX, N_FRAMES, N = 10.0, 11, 37  # deliberately awkward sizes
+    rng = np.random.default_rng(42)  # identical data on every host
+    positions = rng.random((N_FRAMES, N, 3)) * BOX
+    universe = Universe.from_arrays(
+        positions, np.array([BOX] * 3),
+        types=np.array(["A"] * N, dtype=object), masses=np.ones(N),
+    )
+    ag = universe.select_atoms("type A")
+
+    rdf = structure.RadialDistributionFunction(
+        ag, n_bins=32, range=(0.0, 4.5), exclusion=(1, 1),
+        parallel=True, verbose=False,
+    ).run()
+
+    # Independent oracle.
+    expected = np.zeros(32)
+    for f in range(N_FRAMES):
+        delta = positions[f][:, None] - positions[f][None, :]
+        delta -= BOX * np.round(delta / BOX)
+        dist = np.sqrt((delta**2).sum(-1))
+        i = np.arange(N)
+        dist = dist[i[:, None] != i[None, :]]
+        expected += np.histogram(dist, bins=32, range=(0.0, 4.5))[0]
+    np.testing.assert_array_equal(rdf.results.counts, expected)
+
+    sf = structure.StructureFactor(
+        ag, n_points=4, parallel=True, verbose=False
+    ).run()
+    assert np.isfinite(sf.results.ssf).all()
+
+    # Large-|q| limit of an ideal gas -> S(q) ~ 1.
+    tail = sf.results.ssf[0, sf.results.wavenumbers > 2.0]
+    assert abs(tail.mean() - 1.0) < 0.35
+
+    print(f"proc {pid} OK", flush=True)
+    """
+)
+
+
+def test_two_process_frame_sharding(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        port = sock.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port)],
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (proc, out) in enumerate(zip(procs, outputs)):
+        assert proc.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"proc {i} OK" in out
