@@ -41,9 +41,12 @@ PRECISION = os.environ.get("MDTPU_BENCH_PRECISION", "exact")
 # "pallas" (default): hand-tiled kernels for the pair histogram and
 # trig sums; "xla" falls back to the jnp/XLA formulations.
 IMPL = os.environ.get("MDTPU_BENCH_IMPL", "pallas")
-# "direct" (default, strict ~4e-7 fidelity) or "mesh" (KB-NUFFT
-# gridding + FFT, ~2x faster at ~5e-6 fidelity).
-SQ_METHOD = os.environ.get("MDTPU_BENCH_SQ", "direct")
+# "factor" (default): tensor-factorized reciprocal-lattice sums on
+# the MXU (~3.4x the direct sweep at the same ~6e-7 exact fidelity;
+# the bench grid is a lattice, so the factorization is lossless).
+# "direct": per-wavevector trig sweep (~4e-7).  "mesh": KB-NUFFT
+# gridding + FFT (~5e-6).
+SQ_METHOD = os.environ.get("MDTPU_BENCH_SQ", "factor")
 BOX = float(N_ATOMS / 0.8) ** (1 / 3)  # LJ-liquid-like density 0.8
 R_MAX = min(6.0, BOX / 2 * 0.99)
 
@@ -217,7 +220,29 @@ def tpu_phase_fps(qs: np.ndarray, phase: str) -> float:
         from mdhelper_tpu.ops.scattering import trig_sums_frame
 
         qs_dev = jnp.asarray(qs)
-        if SQ_METHOD == "mesh":
+        if SQ_METHOD == "factor":
+            # Tensor-factorized lattice sums: per-axis phase tables +
+            # MXU contraction (ops/factor_scattering.py); exact
+            # double-float fidelity at a fraction of the direct
+            # sweep's transcendental count.
+            from mdhelper_tpu.ops.factor_scattering import (
+                factor_plan,
+                factor_trig_sums,
+            )
+
+            plan = factor_plan(qs, [BOX] * 3)
+            flat_idx = jnp.asarray(plan["flat_idx"])
+
+            def sums(pos):
+                cos, sin = factor_trig_sums(
+                    pos,
+                    k=plan["k"],
+                    box=plan["box"],
+                    precision=PRECISION,
+                )
+                return cos[flat_idx], sin[flat_idx]
+
+        elif SQ_METHOD == "mesh":
             # Kaiser-Bessel NUFFT gridding + FFT: ~2x the direct
             # exact sweep at ~5e-6 (vs ~4e-7) relative rho(q)
             # fidelity.  The bench grid is the positive octant minus

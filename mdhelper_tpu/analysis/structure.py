@@ -983,13 +983,24 @@ class StructureFactor(NumbaAnalysisBase):
         naive float32 phases lose several per-cent at 100k-atom box
         scales) and the plain path when positions are already float64.
         ``"fast"`` / ``"exact"`` force either mode.
-    method : `str`, keyword-only, default ``"direct"``
+    method : `str`, keyword-only, default ``"auto"``
         ``"direct"`` evaluates the trig sums exactly per wavevector.
+        ``"factor"`` exploits the reciprocal-lattice structure of grid
+        wavevectors to separate the phase factor by axis
+        (:mod:`mdhelper_tpu.ops.factor_scattering`) — an order of
+        magnitude faster than the direct sweep at 100k-atom scales at
+        the same double-float fidelity (~5e-7 median relative error on
+        :math:`\rho(q)`); requires lattice wavevectors
+        :math:`2\pi\mathbf{n}/L` (no spherical surfaces or custom
+        non-lattice wavevectors; any box, ``q_max`` subsets fine).
         ``"mesh"`` uses Kaiser-Bessel gridding + FFT
-        (:mod:`mdhelper_tpu.ops.mesh_scattering`) — ~2x faster at
-        100k-atom scales with ~5e-6 relative accuracy on
-        :math:`\rho(q)`; requires the default grid wavevectors (no
+        (:mod:`mdhelper_tpu.ops.mesh_scattering`) at ~5e-6 relative
+        accuracy; requires the default grid wavevectors (no
         ``n_surfaces``, no explicit ``wavevectors``, cubic box).
+        ``"auto"`` (default) uses ``"factor"`` when the wavevectors are
+        lattice-compatible and positions are float32, falling back to
+        ``"direct"`` otherwise (float64 positions keep the direct
+        sweep's full float64 phases off-TPU).
     """
 
     def __init__(
@@ -1010,7 +1021,7 @@ class StructureFactor(NumbaAnalysisBase):
         parallel: bool = False,
         shard: str = None,
         precision: str = "auto",
-        method: str = "direct",
+        method: str = "auto",
         verbose: bool = True,
         **kwargs,
     ) -> None:
@@ -1025,10 +1036,10 @@ class StructureFactor(NumbaAnalysisBase):
         if shard == "frames":
             parallel = True
         if shard == "q":
-            if method == "mesh":
+            if method in {"mesh", "factor"}:
                 raise ValueError(
                     "shard='q' applies to the direct wavevector sweep; "
-                    "method='mesh' distributes over frames instead."
+                    f"method='{method}' distributes over frames instead."
                 )
             # Positions replicate over the mesh; the wavevector axis is
             # the sharded (tensor-parallel-style) axis.
@@ -1062,9 +1073,10 @@ class StructureFactor(NumbaAnalysisBase):
         if form not in {"exp", "trig"}:
             raise ValueError("Invalid form. Valid values: 'exp', 'trig'.")
         self._form = form
-        if method not in {"direct", "mesh"}:
+        if method not in {"auto", "direct", "factor", "mesh"}:
             raise ValueError(
-                "Invalid method. Valid values: 'direct', 'mesh'."
+                "Invalid method. Valid values: 'auto', 'direct', "
+                "'factor', 'mesh'."
             )
         self._method = method
 
@@ -1147,6 +1159,45 @@ class StructureFactor(NumbaAnalysisBase):
             return self._precision
         return "exact" if positions.dtype == jnp.float32 else "fast"
 
+    def _factor_setup(self):
+        """Build (or refuse) the factorized-lattice plan for the
+        current wavevector set; see
+        :func:`mdhelper_tpu.ops.factor_scattering.factor_plan`."""
+
+        from ..ops.factor_scattering import factor_plan
+
+        method = getattr(self, "_method", "direct")
+        if (
+            method not in {"auto", "factor"}
+            or getattr(self, "_shard", None) == "q"
+            or getattr(self, "_dimensions", None) is None
+        ):
+            if method == "factor" and getattr(
+                self, "_dimensions", None
+            ) is None:
+                raise ValueError(
+                    "method='factor' requires box dimensions."
+                )
+            return None
+        try:
+            return factor_plan(self._wavevectors, self._dimensions)
+        except ValueError:
+            if method == "factor":
+                raise
+            return None
+
+    def _use_factor(self, positions) -> bool:
+        """Route through the factorized kernel?  Explicit
+        ``method='factor'`` always; ``'auto'`` only for float32
+        positions (float64 inputs keep the direct sweep's native-f64
+        phases off-TPU, which the f32-grade factor tables would
+        forfeit)."""
+
+        return getattr(self, "_factor", None) is not None and (
+            self._method == "factor"
+            or positions.dtype == jnp.float32
+        )
+
     def _group_trig_sums(self, positions, qs):
         """Per-group (cos, sin) sums for one frame batch: returns a pair
         of ``(B, G, N_q)`` arrays."""
@@ -1157,6 +1208,23 @@ class StructureFactor(NumbaAnalysisBase):
         # TPU's emulated-f64 path (~100x slower and worker-fatal at
         # scale); exact double-float mode recovers the precision.
         qs = qs.astype(positions.dtype)
+        if self._use_factor(positions):
+            from ..ops.factor_scattering import factor_trig_sums
+
+            plan = self._factor
+            flat = jnp.asarray(plan["flat_idx"])
+
+            def frame_sums(p):
+                c, s = factor_trig_sums(
+                    p, k=plan["k"], box=plan["box"], precision=prec
+                )
+                return c[flat], s[flat]
+
+        else:
+
+            def frame_sums(p):
+                return trig_sums_frame(qs, p, precision=prec)
+
         cos_all, sin_all = [], []
         for group, grouping, sel, seg, n in zip(
             self._groups, self._groupings, self._sels, self._segs,
@@ -1167,9 +1235,7 @@ class StructureFactor(NumbaAnalysisBase):
                 pos = _com_positions(
                     pos, jnp.asarray(group.masses), jnp.asarray(seg), n
                 )
-            c, s = jax.vmap(
-                lambda p: trig_sums_frame(qs, p, precision=prec)
-            )(pos)
+            c, s = jax.vmap(frame_sums)(pos)
             cos_all.append(c)
             sin_all.append(s)
         return jnp.stack(cos_all, axis=1), jnp.stack(sin_all, axis=1)
@@ -1267,6 +1333,7 @@ class StructureFactor(NumbaAnalysisBase):
         n_pairs = len(self.results.pairs)
         n_q = len(self._wavenumbers)
         self._n_q_real = n_q
+        self._factor = self._factor_setup()
 
         if getattr(self, "_shard", None) == "q":
             # TP-style sharding of the wavevector axis: each device owns
@@ -1511,10 +1578,17 @@ class IntermediateScatteringFunction(StructureFactor):
             from ..ops.mesh_scattering import mesh_trig_sums
 
             mesh_plan_, mesh_idx, mesh_np = self._mesh_setup()
+        self._factor = self._factor_setup()
+        if self._factor is not None:
+            from ..ops.factor_scattering import factor_trig_sums
+
+            factor_plan_ = self._factor
+            factor_idx = jnp.asarray(factor_plan_["flat_idx"])
 
         def group_sums(pos, prec, qs_t):
             """Per-group (G, Nq) cos/sin sums for one frame's grouped
-            positions — direct trig sums or mesh gridding."""
+            positions — direct trig sums, factorized lattice sums, or
+            mesh gridding."""
 
             def one(p):
                 if use_mesh:
@@ -1531,6 +1605,14 @@ class IntermediateScatteringFunction(StructureFactor):
                         cos.reshape(-1)[mesh_idx],
                         sin.reshape(-1)[mesh_idx],
                     )
+                if self._use_factor(p):
+                    cos, sin = factor_trig_sums(
+                        p,
+                        k=factor_plan_["k"],
+                        box=factor_plan_["box"],
+                        precision=prec,
+                    )
+                    return cos[factor_idx], sin[factor_idx]
                 return trig_sums_frame(qs_t, p, precision=prec)
 
             if mode is None:
