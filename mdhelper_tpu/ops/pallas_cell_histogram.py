@@ -151,6 +151,8 @@ def _kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     i_valid = slot_col < i_occ  # (cap, 1)
 
+    # Coarse rows padded to the bfloat16 sublane tile (16): Mosaic
+    # cannot relayout a 13-row i1 mask onto the (16, 128) bf16 tiling.
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
 
     def nb_body(nb, acc):
@@ -178,10 +180,13 @@ def _kernel(
         idx = jnp.where(valid, idx, bins_i32)
 
         # Chunked lane-major digit contraction (bounds the one-hot
-        # VMEM footprint to 2 * n_fine * chunk_rows * cap floats).
+        # VMEM footprint to 2 * n_fine * chunk_rows * cap entries).
         # The chunk count is static, so unroll with static slices —
         # dynamic i64/i32 index arithmetic inside Mosaic kernel traces
-        # recurses in jax's weak-type promotion under x64.
+        # recurses in jax's weak-type promotion under x64.  One-hots
+        # are built in bfloat16 (0/1 are exact; the MXU runs bf16
+        # natively at 2-3x the f32 rate) with float32 accumulation, so
+        # the counts stay exact.
         c_iota = jax.lax.broadcasted_iota(
             jnp.int32, (n_coarse, chunk_rows * cap), 0
         )
@@ -191,13 +196,22 @@ def _kernel(
         for ch in range(cap // chunk_rows):
             rows = idx[ch * chunk_rows:(ch + 1) * chunk_rows, :]
             flat = rows.reshape(1, chunk_rows * cap)
-            coarse = jnp.where(
-                flat // fine_i32 == c_iota,
-                np.float32(1), np.float32(0),
+            # Select in f32 (the i1 mask's native layout), then convert
+            # 0/1 exactly to bf16 — Mosaic cannot relayout i1 masks
+            # onto the (16, 128) bf16 tiling directly.
+            coarse = jax.lax.convert_element_type(
+                jnp.where(
+                    flat // fine_i32 == c_iota,
+                    np.float32(1), np.float32(0),
+                ),
+                jnp.bfloat16,
             )
-            fine = jnp.where(
-                flat % fine_i32 == f_iota,
-                np.float32(1), np.float32(0),
+            fine = jax.lax.convert_element_type(
+                jnp.where(
+                    flat % fine_i32 == f_iota,
+                    np.float32(1), np.float32(0),
+                ),
+                jnp.bfloat16,
             )
             acc = acc + jax.lax.dot_general(
                 coarse, fine,
@@ -207,7 +221,6 @@ def _kernel(
         return acc
 
     acc = jax.lax.fori_loop(0, 27, nb_body, acc)
-    acc = jnp.pad(acc, ((0, n_fine - n_coarse), (0, 0)))
 
     @pl.when(c == 0)
     def _():
@@ -261,6 +274,8 @@ def cell_pair_histogram_pallas(
     n_cells = nx * ny * nz
     n_fine = 16
     n_coarse = _cdiv(n_bins + 1, n_fine)
+    # bf16 one-hot rows must fill whole (16, 128) sublane tiles.
+    n_rows = _cdiv(n_coarse, 16) * 16
     box_static = tuple(np.float32(b) for b in box)
     box = jnp.asarray(box_static, dtype=jnp.float32)
     positions = positions.astype(jnp.float32)
@@ -314,7 +329,7 @@ def cell_pair_histogram_pallas(
     kernel = functools.partial(
         _kernel,
         capacity=capacity, n_bins=n_bins,
-        n_coarse=n_coarse, n_fine=n_fine,
+        n_coarse=n_rows, n_fine=n_fine,
         box=box_static,
         inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
         exact=(precision == "exact"), chunk_rows=chunk_rows,
@@ -330,7 +345,7 @@ def cell_pair_histogram_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (n_fine, n_fine),
+            (n_rows, n_fine),
             lambda c, s1, s2: (jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
@@ -338,7 +353,7 @@ def cell_pair_histogram_pallas(
     counts2d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_fine, n_fine), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(neighbor_ids.astype(jnp.int32), occupancy, pos_table)
     return counts2d[:n_coarse].reshape(-1)[:n_bins], max_occupancy
@@ -392,13 +407,19 @@ def _cross_kernel(
             flat = idx[ch * chunk_rows:(ch + 1) * chunk_rows, :].reshape(
                 1, chunk_rows * cap2
             )
-            coarse = jnp.where(
-                flat // fine_i32 == c_iota,
-                np.float32(1), np.float32(0),
+            coarse = jax.lax.convert_element_type(
+                jnp.where(
+                    flat // fine_i32 == c_iota,
+                    np.float32(1), np.float32(0),
+                ),
+                jnp.bfloat16,
             )
-            fine = jnp.where(
-                flat % fine_i32 == f_iota,
-                np.float32(1), np.float32(0),
+            fine = jax.lax.convert_element_type(
+                jnp.where(
+                    flat % fine_i32 == f_iota,
+                    np.float32(1), np.float32(0),
+                ),
+                jnp.bfloat16,
             )
             acc = acc + jax.lax.dot_general(
                 coarse, fine,
@@ -408,7 +429,6 @@ def _cross_kernel(
         return acc
 
     acc = jax.lax.fori_loop(0, 27, nb_body, acc)
-    acc = jnp.pad(acc, ((0, n_fine - n_coarse), (0, 0)))
 
     @pl.when(c == 0)
     def _():
@@ -483,6 +503,7 @@ def cross_pair_histogram_pallas(
     n_cells = nx * ny * nz
     n_fine = 16
     n_coarse = _cdiv(n_bins + 1, n_fine)
+    n_rows = _cdiv(n_coarse, 16) * 16
     box_static = tuple(np.float32(b) for b in box)
     box_arr = jnp.asarray(box_static, dtype=jnp.float32)
     cell_size = box_arr / jnp.asarray(
@@ -512,7 +533,7 @@ def cross_pair_histogram_pallas(
     kernel = functools.partial(
         _cross_kernel,
         cap1=capacity1, cap2=capacity2, n_bins=n_bins,
-        n_coarse=n_coarse, n_fine=n_fine,
+        n_coarse=n_rows, n_fine=n_fine,
         box=box_static, inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
         exact=(precision == "exact"), chunk_rows=chunk_rows,
     )
@@ -532,7 +553,7 @@ def cross_pair_histogram_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (n_fine, n_fine),
+            (n_rows, n_fine),
             lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
@@ -540,7 +561,7 @@ def cross_pair_histogram_pallas(
     counts2d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_fine, n_fine), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(neighbor_ids.astype(jnp.int32), occ1, occ2, t1, t2)
     return counts2d[:n_coarse].reshape(-1)[:n_bins], max1, max2

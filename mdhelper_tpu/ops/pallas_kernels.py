@@ -254,10 +254,20 @@ def _hist_kernel(
     fine_iota = jax.lax.broadcasted_iota(
         jnp.int32, (n_fine, pairs), 0
     )
+    # bfloat16 one-hots (0/1 exact; native MXU rate) with float32
+    # accumulation keep the counts exact.  Selects happen in f32 (the
+    # i1 mask's native layout) and convert exactly to bf16: Mosaic
+    # cannot relayout i1 masks onto the (16, 128) bf16 tiling.
     one = np.float32(1.0)
     zero = np.float32(0.0)
-    coarse = jnp.where(idx // fine_i32 == coarse_iota, one, zero)
-    fine = jnp.where(idx % fine_i32 == fine_iota, one, zero)
+    coarse = jax.lax.convert_element_type(
+        jnp.where(idx // fine_i32 == coarse_iota, one, zero),
+        jnp.bfloat16,
+    )
+    fine = jax.lax.convert_element_type(
+        jnp.where(idx % fine_i32 == fine_iota, one, zero),
+        jnp.bfloat16,
+    )
     partial = jax.lax.dot_general(
         coarse, fine,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -323,7 +333,8 @@ def pair_histogram(
     n_pad = pos_t.shape[1]
 
     n_fine = 16
-    n_coarse = -(-(n_bins + 1) // n_fine)
+    # Coarse rows padded to the bf16 sublane tile (16).
+    n_coarse = -(-(n_bins + 1) // (n_fine * 16)) * 16
     inv_dr = np.float32(n_bins / r_max)
     box3 = tuple(np.float32(b) for b in box)
 
