@@ -561,12 +561,14 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         self._update = jax.jit(update)
 
     def _use_pallas_cell_kernel(self) -> bool:
-        """Route the hot self-RDF case through the hand-tiled Pallas
-        cell-list kernel: single group, uniform bins from 0, fixed
-        orthorhombic box >= 3 cutoffs per axis, self-pair exclusion,
-        running on a real TPU.  Everything else uses the general XLA
-        tiled sweep (cross groups, per-frame boxes, 2-D drop_axis,
-        molecule-block exclusions, range[0] > 0)."""
+        """Route the hot RDF cases through the hand-tiled Pallas
+        cell-list kernel: uniform bins from 0, orthorhombic box >= 3
+        cutoffs per axis on the first frame (per-frame NPT boxes are
+        fine — the kernel takes the box at runtime and NaN-poisons if
+        a frame's box invalidates the planned cell grid), self- or
+        molecule-block exclusion, running on a real TPU.  Everything
+        else uses the general XLA tiled sweep (triclinic boxes, 2-D
+        drop_axis, range[0] > 0)."""
 
         import jax as _jax
 
@@ -579,13 +581,17 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if self._range[0] != 0.0:
             return False
         if self.ag2 is self.ag1 and self._groupings[0] == self._groupings[1]:
-            # Self-RDF: the kernel always removes self pairs.
-            if self._exclusion != (1, 1):
+            # Self-RDF: the kernel always removes identical-atom
+            # pairs, so an exclusion must be requested and must cover
+            # them ((e, e) tiles do; (e0, e1) with e0 != e1 do not).
+            if (
+                self._exclusion is None
+                or self._exclusion[0] != self._exclusion[1]
+            ):
                 return False
         else:
-            # Cross-RDF: disjoint groups, no exclusion semantics.
-            if self._exclusion is not None:
-                return False
+            # Cross-RDF: disjoint groups; (e0, e1) exclusion rides
+            # the id rows of the slot tables.
             if np.intersect1d(self.ag1.ix, self.ag2.ix).size:
                 return False
         dims = self.universe.dimensions
@@ -610,8 +616,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         )
         plan = pallas_cell_plan(self._n1, box_np, r_max)
         nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
-        box_static = tuple(float(np.float32(b)) for b in box_np)
-        box_dev = jnp.asarray(box_static, jnp.float32)
+        exclusion = self._exclusion
 
         self._carry["max_occ"] = jnp.full((), -(2**30), jnp.int32)
 
@@ -640,17 +645,22 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     pos2 = _com_positions(pos2, m2, seg2, n2)
 
             def frame(c, inputs):
+                # Per-frame (NPT) boxes: the kernel takes the box at
+                # runtime and NaN-poisons the counts if a frame's box
+                # shrinks below the planned cell grid.
                 if cross:
                     pos, pos_b, dims, valid = inputs
                     counts, occ1, occ2 = cross_pair_histogram_pallas(
                         pos.astype(jnp.float32),
                         pos_b.astype(jnp.float32),
                         nbr,
-                        box=box_static, r_max=r_max,
+                        box=dims[:3].astype(jnp.float32),
+                        r_max=r_max,
                         n_cells_dim=plan["n_cells_dim"],
                         capacity1=plan["capacity"],
                         capacity2=plan2["capacity"],
                         n_bins=n_bins, precision="exact",
+                        exclusion=exclusion,
                     )
                     occ = jnp.maximum(
                         occ1 - np.int32(plan["capacity"]),
@@ -660,20 +670,14 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     pos, dims, valid = inputs
                     counts, occ = cell_pair_histogram_pallas(
                         pos.astype(jnp.float32), nbr,
-                        box=box_static, r_max=r_max,
+                        box=dims[:3].astype(jnp.float32),
+                        r_max=r_max,
                         n_cells_dim=plan["n_cells_dim"],
                         capacity=plan["capacity"],
                         n_bins=n_bins, precision="exact",
+                        exclusion=exclusion,
                     )
                     occ = occ - np.int32(plan["capacity"])
-                # The kernel bakes the first frame's box in; poison
-                # the counts if the trajectory's box drifts so the
-                # error surfaces instead of silently binning wrong.
-                drift = (
-                    jnp.abs(dims[:3].astype(jnp.float32) - box_dev)
-                    > 1e-4 * box_dev
-                ).any()
-                counts = jnp.where(drift, jnp.nan, counts)
                 # Padding frames (valid == 0) are all-zero positions
                 # — every atom lands in cell 0 — so their occupancy
                 # must not trip the overflow check.  `occ` carries the
@@ -711,9 +715,10 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             )
         if np.isnan(np.asarray(self._carry["counts"])).any():
             raise RuntimeError(
-                "The box dimensions changed along the trajectory; the "
-                "Pallas cell kernel assumes a fixed box. Re-run with "
-                "a non-TPU backend or a fixed-box trajectory."
+                "A frame's box shrank below the planned cell grid "
+                "(n_cells_dim * r_max); the 27-cell sweep would miss "
+                "pairs. Re-plan against the smallest box along the "
+                "trajectory or use a non-TPU backend."
             )
 
     def _batched_update(self, carry, batch):

@@ -3,25 +3,31 @@ Pallas cell-list pair histogram
 ===============================
 
 The flagship RDF kernel, hand-tiled: sorted atom positions are packed
-into a 128-aligned ``(3, n_cells * capacity)`` slot table that lives
-entirely in VMEM (1-3 MB at 100k atoms), so every one of the
-:math:`27 N_\mathrm{cell}` neighbor pair blocks is formed, binned, and
-contracted on-chip — no pair-block HBM traffic at all (the XLA
-formulation in :mod:`mdhelper_tpu.ops.cell_histogram` streams its
-gathered blocks through HBM).  Per grid step (one cell):
+into a 128-aligned ``(8, n_cells * capacity)`` slot table that lives
+entirely in VMEM (rows 0-2 hold xyz; rows 3-5 carry the atom id and
+the two tile-exclusion ids — a ``(3, S)`` float32 VMEM array is
+physically padded to 8 sublanes anyway, so the id rows are free), so
+every one of the :math:`27 N_\mathrm{cell}` neighbor pair blocks is
+formed, binned, and contracted on-chip — no pair-block HBM traffic at
+all (the XLA formulation in :mod:`mdhelper_tpu.ops.cell_histogram`
+streams its gathered blocks through HBM).  Per grid step (one cell):
 
 1. the cell's i-block is an aligned dynamic lane slice of the table,
 2. each neighbor's j-block is another aligned slice (cell ids arrive
    via scalar prefetch, so the addresses are known before the body),
 3. minimum-image distances -> bin indices (float32, or double-float
    "exact" — error-free two-float32 arithmetic, matching
-   :mod:`mdhelper_tpu.ops.doublefloat`),
-4. indices flatten lane-major and the coarse/fine digit one-hots
+   :mod:`mdhelper_tpu.ops.doublefloat`); the box lengths arrive as
+   scalar-prefetch floats, so NPT (per-frame) boxes re-use one
+   compiled kernel,
+4. identical-atom pairs and ``(e0, e1)`` tile-excluded pairs are
+   masked by comparing the id rows,
+5. indices flatten lane-major and the coarse/fine digit one-hots
    contract on the MXU into a ``(n_coarse, n_fine)`` accumulator,
    chunked to bound VMEM.
 
-Parity: the reference's ``capped_distance`` cell lists
-(``/root/reference/src/mdhelper/analysis/structure.py:92-104``).
+Parity: the reference's ``capped_distance`` cell lists and exclusion
+blocks (``/root/reference/src/mdhelper/analysis/structure.py:92-104``).
 Mosaic constraints shaping the design: dynamic lane slices must be
 128-aligned (hence the padded slot table), flattens must be lane-major
 ``(1, n)``, one-hot digits sit on sublanes, and all static ints enter
@@ -68,6 +74,11 @@ def pallas_cell_plan(n_atoms, box, r_max, *, capacity_sigmas=4.0):
     100k atoms vs the naive 1.6x-mean sizing).  Occupancy overflow is
     detected at runtime (the kernel wrapper returns the achieved
     maximum) — re-plan with a larger ``capacity_sigmas`` if it trips.
+
+    For per-frame (NPT) boxes, plan with the SMALLEST box expected
+    along the trajectory: a box shrinking below ``n_cells_dim * r_max``
+    invalidates the 27-cell sweep (the kernel wrapper poisons the
+    counts with NaN when that happens).
     """
 
     box = np.asarray(box, dtype=float)
@@ -134,15 +145,129 @@ def _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins):
     return idx
 
 
+def _digit_contract(idx, acc, *, chunk_rows, cap_j, n_coarse, n_fine):
+    """Chunked lane-major digit contraction of bin indices ``idx``
+    (rows x cap_j, invalid entries already spilled to ``n_bins``) into
+    the ``(n_coarse, n_fine)`` accumulator.
+
+    Bounds the one-hot VMEM footprint to
+    ``2 * n_fine * chunk_rows * cap_j`` entries.  The chunk count is
+    static, so unroll with static slices — dynamic i64/i32 index
+    arithmetic inside Mosaic kernel traces recurses in jax's weak-type
+    promotion under x64.  One-hots are built in bfloat16 (0/1 are
+    exact; the MXU runs bf16 natively at 2-3x the f32 rate) with
+    float32 accumulation, so the counts stay exact.  Selects happen in
+    f32 (the i1 mask's native layout), then convert 0/1 exactly to
+    bf16 — Mosaic cannot relayout i1 masks onto the (16, 128) bf16
+    tiling directly.
+    """
+
+    fine_i32 = np.int32(n_fine)
+    n_rows = idx.shape[0]
+    c_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_coarse, chunk_rows * cap_j), 0
+    )
+    f_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_fine, chunk_rows * cap_j), 0
+    )
+    for ch in range(n_rows // chunk_rows):
+        rows = idx[ch * chunk_rows:(ch + 1) * chunk_rows, :]
+        flat = rows.reshape(1, chunk_rows * cap_j)
+        coarse = jax.lax.convert_element_type(
+            jnp.where(
+                flat // fine_i32 == c_iota,
+                np.float32(1), np.float32(0),
+            ),
+            jnp.bfloat16,
+        )
+        fine = jax.lax.convert_element_type(
+            jnp.where(
+                flat % fine_i32 == f_iota,
+                np.float32(1), np.float32(0),
+            ),
+            jnp.bfloat16,
+        )
+        acc = acc + jax.lax.dot_general(
+            coarse, fine,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+# Slot-table row layout (see module docstring): xyz, atom id,
+# i-side exclusion id, j-side exclusion id, two spare rows.
+_ROWS = 8
+_ROW_AID = 3
+_ROW_EX_I = 4
+_ROW_EX_J = 5
+
+
+def _slot_table(
+    positions, n_cells_dim, capacity, cell_size, *, ex_i=None, ex_j=None
+):
+    """Device cell build: returns the ``(8, n_cells * capacity)`` slot
+    table (xyz + id rows), the ``(n_cells,)`` occupancy, and the max
+    occupancy.
+
+    ``ex_i`` / ``ex_j`` are per-atom tile-exclusion ids (``index //
+    e``) stored as float32 — exact below 2^24 atoms — so the kernel
+    masks excluded pairs with one VPU compare per side.
+    """
+
+    nx, ny, nz = n_cells_dim
+    n = positions.shape[0]
+    n_cells = nx * ny * nz
+    cell_xyz = jnp.clip(
+        jax.lax.convert_element_type(positions / cell_size, jnp.int32),
+        0,
+        jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32),
+    )
+    cid = (
+        cell_xyz[:, 0] * np.int32(ny * nz)
+        + cell_xyz[:, 1] * np.int32(nz)
+        + cell_xyz[:, 2]
+    )
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    cell_range = jnp.arange(n_cells, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_cid, cell_range, side="left")
+    occupancy = (
+        jnp.searchsorted(sorted_cid, cell_range, side="right") - starts
+    ).astype(jnp.int32)
+
+    atom_id = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+    packed = jnp.concatenate(
+        [
+            positions[order].T.astype(jnp.float32),
+            atom_id[order][None],
+            (atom_id if ex_i is None else ex_i)[order][None],
+            (atom_id if ex_j is None else ex_j)[order][None],
+            jnp.zeros((_ROWS - _ROW_EX_J - 1, n), jnp.float32),
+        ],
+        axis=0,
+    )  # (8, n) in cell order
+
+    # Padded, lane-aligned slot table: slot s of cell c lives at lane
+    # c * capacity + s.  Out-of-occupancy slots hold clipped garbage
+    # columns; the kernel masks them by occupancy.
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    table = jnp.clip(
+        starts[:, None].astype(jnp.int32) + slots[None, :],
+        0, np.int32(n - 1),
+    ).reshape(-1)
+    return packed[:, table], occupancy, occupancy.max()
+
+
 def _kernel(
-    nbr_ref, occ_ref, pos_ref, out_ref,
-    *, capacity, n_bins, n_coarse, n_fine, box, inv_dr,
-    dr2_hi, dr2_lo, exact, chunk_rows,
+    nbr_ref, occ_ref, box_ref, pos_ref, out_ref,
+    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
 ):
     c = pl.program_id(0)
     cap = capacity
     bins_i32 = np.int32(n_bins)
-    fine_i32 = np.int32(n_fine)
+    box = (box_ref[0], box_ref[1], box_ref[2])
 
     i_start = c * np.int32(cap)
     ip = pos_ref[:, pl.ds(pl.multiple_of(i_start, 128), cap)]
@@ -150,9 +275,9 @@ def _kernel(
     slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     i_valid = slot_col < i_occ  # (cap, 1)
+    ai = ip[_ROW_AID, :][:, None]
+    ei = ip[_ROW_EX_I, :][:, None]
 
-    # Coarse rows padded to the bfloat16 sublane tile (16): Mosaic
-    # cannot relayout a 13-row i1 mask onto the (16, 128) bf16 tiling.
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
 
     def nb_body(nb, acc):
@@ -169,56 +294,18 @@ def _kernel(
         else:
             idx = _bin_fast(ip, jp, box, inv_dr)
 
-        # Self-pair exclusion by global slot index.
-        gi = i_start + jax.lax.broadcasted_iota(
-            jnp.int32, (cap, cap), 0
-        )
-        gj = j_start + jax.lax.broadcasted_iota(
-            jnp.int32, (cap, cap), 1
-        )
-        valid = i_valid & j_valid & (idx < bins_i32) & (gi != gj)
+        # Identical-atom pairs always drop; tile-excluded pairs drop
+        # when the (e0, e1) ids were baked into the table.
+        valid = i_valid & j_valid & (idx < bins_i32)
+        valid = valid & (ai != jp[_ROW_AID, :][None, :])
+        if exclude:
+            valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
         idx = jnp.where(valid, idx, bins_i32)
 
-        # Chunked lane-major digit contraction (bounds the one-hot
-        # VMEM footprint to 2 * n_fine * chunk_rows * cap entries).
-        # The chunk count is static, so unroll with static slices —
-        # dynamic i64/i32 index arithmetic inside Mosaic kernel traces
-        # recurses in jax's weak-type promotion under x64.  One-hots
-        # are built in bfloat16 (0/1 are exact; the MXU runs bf16
-        # natively at 2-3x the f32 rate) with float32 accumulation, so
-        # the counts stay exact.
-        c_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (n_coarse, chunk_rows * cap), 0
+        return _digit_contract(
+            idx, acc, chunk_rows=chunk_rows, cap_j=cap,
+            n_coarse=n_coarse, n_fine=n_fine,
         )
-        f_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (n_fine, chunk_rows * cap), 0
-        )
-        for ch in range(cap // chunk_rows):
-            rows = idx[ch * chunk_rows:(ch + 1) * chunk_rows, :]
-            flat = rows.reshape(1, chunk_rows * cap)
-            # Select in f32 (the i1 mask's native layout), then convert
-            # 0/1 exactly to bf16 — Mosaic cannot relayout i1 masks
-            # onto the (16, 128) bf16 tiling directly.
-            coarse = jax.lax.convert_element_type(
-                jnp.where(
-                    flat // fine_i32 == c_iota,
-                    np.float32(1), np.float32(0),
-                ),
-                jnp.bfloat16,
-            )
-            fine = jax.lax.convert_element_type(
-                jnp.where(
-                    flat % fine_i32 == f_iota,
-                    np.float32(1), np.float32(0),
-                ),
-                jnp.bfloat16,
-            )
-            acc = acc + jax.lax.dot_general(
-                coarse, fine,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        return acc
 
     acc = jax.lax.fori_loop(0, 27, nb_body, acc)
 
@@ -231,10 +318,26 @@ def _kernel(
         out_ref[:] = out_ref[:] + acc
 
 
+def _exclusion_ids(n, exclusion):
+    """Per-atom ``(index // e0, index // e1)`` tile-exclusion ids as
+    float32, or ``(None, None)`` when the identical-atom mask already
+    covers the semantics (no exclusion, or ``(1, 1)``)."""
+
+    if exclusion is None or tuple(exclusion) == (1, 1):
+        return None, None, False
+    e0, e1 = (int(e) for e in exclusion)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return (
+        (idx // np.int32(e0)).astype(jnp.float32),
+        (idx // np.int32(e1)).astype(jnp.float32),
+        True,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "box", "n_cells_dim", "capacity", "n_bins", "r_max",
+        "n_cells_dim", "capacity", "n_bins", "r_max",
         "precision", "exclusion",
     ),
 )
@@ -255,20 +358,22 @@ def cell_pair_histogram_pallas(
 
     Signature mirrors :func:`mdhelper_tpu.ops.cell_histogram.
     cell_pair_histogram` with a plan from :func:`pallas_cell_plan`
-    (capacity must be lane-aligned); ``box`` is static here (a tuple
-    of floats — the kernel bakes the lengths in).  ``exclusion`` currently supports
-    only self-pair removal ``(1, 1)``; molecule-block exclusion goes
-    through the XLA kernel.
+    (capacity must be lane-aligned).  ``box`` is a runtime ``(3,)``
+    array (or tuple) of orthorhombic box lengths — per-frame (NPT)
+    boxes re-use one compiled kernel; when a frame's box shrinks below
+    ``n_cells_dim * r_max`` (the 27-cell sweep would miss pairs) the
+    returned counts are NaN-poisoned.  ``exclusion=(e0, e1)`` drops
+    pairs whose atom indices satisfy ``i // e0 == j // e1`` (the
+    reference's tile exclusion, ``analysis/structure.py:92-104``);
+    identical-atom pairs are always dropped.  Exclusion with
+    ``e0 != e1`` does not imply the identical-atom drop, so a self-RDF
+    should use ``(e, e)`` tiles.
 
     The cell build (ids, argsort, searchsorted, padded slot-table
     gather) runs as regular XLA ops; only the pair sweep is the Pallas
     kernel.
     """
 
-    if exclusion != (1, 1):
-        raise NotImplementedError(
-            "pallas cell histogram supports exclusion=(1, 1) only"
-        )
     n = positions.shape[0]
     nx, ny, nz = n_cells_dim
     n_cells = nx * ny * nz
@@ -276,43 +381,16 @@ def cell_pair_histogram_pallas(
     n_coarse = _cdiv(n_bins + 1, n_fine)
     # bf16 one-hot rows must fill whole (16, 128) sublane tiles.
     n_rows = _cdiv(n_coarse, 16) * 16
-    box_static = tuple(np.float32(b) for b in box)
-    box = jnp.asarray(box_static, dtype=jnp.float32)
+    box = jnp.asarray(box, dtype=jnp.float32).reshape(3)
     positions = positions.astype(jnp.float32)
-    cell_size = box / jnp.asarray([nx, ny, nz], dtype=jnp.float32)
+    dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
+    cell_size = box / dims
 
-    # --- cell build (XLA) ---
-    cell_xyz = jnp.clip(
-        jax.lax.convert_element_type(
-            positions / cell_size, jnp.int32
-        ),
-        0,
-        jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32),
+    ex_i, ex_j, exclude = _exclusion_ids(n, exclusion)
+    pos_table, occupancy, max_occupancy = _slot_table(
+        positions, n_cells_dim, capacity, cell_size,
+        ex_i=ex_i, ex_j=ex_j,
     )
-    cid = (
-        cell_xyz[:, 0] * np.int32(ny * nz)
-        + cell_xyz[:, 1] * np.int32(nz)
-        + cell_xyz[:, 2]
-    )
-    order = jnp.argsort(cid)
-    sorted_cid = cid[order]
-    sorted_pos = positions[order]
-    cell_range = jnp.arange(n_cells, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_cid, cell_range, side="left")
-    occupancy = (
-        jnp.searchsorted(sorted_cid, cell_range, side="right") - starts
-    ).astype(jnp.int32)
-    max_occupancy = occupancy.max()
-
-    # Padded, lane-aligned slot table: slot s of cell c lives at lane
-    # c * capacity + s.  Out-of-occupancy slots hold clipped garbage
-    # rows; the kernel masks them by occupancy.
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    table = jnp.clip(
-        starts[:, None].astype(jnp.int32) + slots[None, :],
-        0, np.int32(n - 1),
-    ).reshape(-1)
-    pos_table = sorted_pos[table].T  # (3, n_cells * capacity)
 
     inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
     dr2_wide = np.float64(r_max) ** 2 / np.float64(n_bins) ** 2
@@ -330,23 +408,23 @@ def cell_pair_histogram_pallas(
         _kernel,
         capacity=capacity, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
-        box=box_static,
         inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
-        exact=(precision == "exact"), chunk_rows=chunk_rows,
+        exact=(precision == "exact"), exclude=exclude,
+        chunk_rows=chunk_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec(
-                (3, n_cells * capacity),
-                lambda c, s1, s2: (jnp.int32(0), jnp.int32(0)),
+                (_ROWS, n_cells * capacity),
+                lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (n_rows, n_fine),
-            lambda c, s1, s2: (jnp.int32(0), jnp.int32(0)),
+            lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -355,28 +433,36 @@ def cell_pair_histogram_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(neighbor_ids.astype(jnp.int32), occupancy, pos_table)
-    return counts2d[:n_coarse].reshape(-1)[:n_bins], max_occupancy
+    )(neighbor_ids.astype(jnp.int32), occupancy, box, pos_table)
+    counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
+    # A box below n_cells_dim * r_max breaks the 27-cell sweep.
+    cell_ok = (
+        box * np.float32(1 + 1e-6) >= dims * np.float32(r_max)
+    ).all()
+    counts = jnp.where(cell_ok, counts, jnp.float32(np.nan))
+    return counts, max_occupancy
 
 
 def _cross_kernel(
-    nbr_ref, occ1_ref, occ2_ref, pos1_ref, pos2_ref, out_ref,
-    *, cap1, cap2, n_bins, n_coarse, n_fine, box, inv_dr,
-    dr2_hi, dr2_lo, exact, chunk_rows,
+    nbr_ref, occ1_ref, occ2_ref, box_ref, pos1_ref, pos2_ref, out_ref,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
 ):
     """Cross-group variant of :func:`_kernel`: i atoms from group 1's
-    slot table, j atoms from group 2's; no self-pair exclusion (the
-    groups must be disjoint)."""
+    slot table, j atoms from group 2's; no identical-atom handling
+    (the groups must be disjoint), optional tile exclusion via the id
+    rows."""
 
     c = pl.program_id(0)
     bins_i32 = np.int32(n_bins)
-    fine_i32 = np.int32(n_fine)
+    box = (box_ref[0], box_ref[1], box_ref[2])
 
     ip = pos1_ref[:, pl.ds(pl.multiple_of(c * np.int32(cap1), 128), cap1)]
     i_occ = occ1_ref[c]
     slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap1, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
     i_valid = slot_col < i_occ
+    ei = ip[_ROW_EX_I, :][:, None]
 
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
 
@@ -395,38 +481,14 @@ def _cross_kernel(
             idx = _bin_fast(ip, jp, box, inv_dr)
 
         valid = i_valid & j_valid & (idx < bins_i32)
+        if exclude:
+            valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
         idx = jnp.where(valid, idx, bins_i32)
 
-        c_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (n_coarse, chunk_rows * cap2), 0
+        return _digit_contract(
+            idx, acc, chunk_rows=chunk_rows, cap_j=cap2,
+            n_coarse=n_coarse, n_fine=n_fine,
         )
-        f_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (n_fine, chunk_rows * cap2), 0
-        )
-        for ch in range(cap1 // chunk_rows):
-            flat = idx[ch * chunk_rows:(ch + 1) * chunk_rows, :].reshape(
-                1, chunk_rows * cap2
-            )
-            coarse = jax.lax.convert_element_type(
-                jnp.where(
-                    flat // fine_i32 == c_iota,
-                    np.float32(1), np.float32(0),
-                ),
-                jnp.bfloat16,
-            )
-            fine = jax.lax.convert_element_type(
-                jnp.where(
-                    flat % fine_i32 == f_iota,
-                    np.float32(1), np.float32(0),
-                ),
-                jnp.bfloat16,
-            )
-            acc = acc + jax.lax.dot_general(
-                coarse, fine,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        return acc
 
     acc = jax.lax.fori_loop(0, 27, nb_body, acc)
 
@@ -439,44 +501,11 @@ def _cross_kernel(
         out_ref[:] = out_ref[:] + acc
 
 
-def _slot_table(positions, n_cells_dim, capacity, box, cell_size):
-    """Device cell build: returns ((3, n_cells*capacity) table,
-    (n_cells,) occupancy, max occupancy)."""
-
-    nx, ny, nz = n_cells_dim
-    n = positions.shape[0]
-    n_cells = nx * ny * nz
-    cell_xyz = jnp.clip(
-        jax.lax.convert_element_type(positions / cell_size, jnp.int32),
-        0,
-        jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32),
-    )
-    cid = (
-        cell_xyz[:, 0] * np.int32(ny * nz)
-        + cell_xyz[:, 1] * np.int32(nz)
-        + cell_xyz[:, 2]
-    )
-    order = jnp.argsort(cid)
-    sorted_cid = cid[order]
-    sorted_pos = positions[order]
-    cell_range = jnp.arange(n_cells, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_cid, cell_range, side="left")
-    occupancy = (
-        jnp.searchsorted(sorted_cid, cell_range, side="right") - starts
-    ).astype(jnp.int32)
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    table = jnp.clip(
-        starts[:, None].astype(jnp.int32) + slots[None, :],
-        0, np.int32(n - 1),
-    ).reshape(-1)
-    return sorted_pos[table].T, occupancy, occupancy.max()
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "box", "n_cells_dim", "capacity1", "capacity2", "n_bins",
-        "r_max", "precision",
+        "n_cells_dim", "capacity1", "capacity2", "n_bins",
+        "r_max", "precision", "exclusion",
     ),
 )
 def cross_pair_histogram_pallas(
@@ -491,11 +520,18 @@ def cross_pair_histogram_pallas(
     capacity2: int,
     n_bins: int,
     precision: str = "fast",
+    exclusion=None,
 ):
     r"""Cross-group cutoff histogram: every (group-1, group-2) pair on
     uniform bins ``[0, r_max]``; returns ``(counts, max_occ1,
-    max_occ2)``.  The groups must be disjoint atom sets (no self-pair
-    exclusion is applied).  Plan each capacity with
+    max_occ2)``.  The groups must be disjoint atom sets (no
+    identical-atom masking is applied).  ``box`` is a runtime ``(3,)``
+    array — per-frame boxes supported, NaN-poisoned when a box
+    invalidates the cell sweep (see
+    :func:`cell_pair_histogram_pallas`).  ``exclusion=(e0, e1)`` drops
+    pairs with ``i1 // e0 == i2 // e1`` on the group-local indices —
+    the reference's molecule-block exclusion for, e.g., intra-molecular
+    cation-anion pairs.  Plan each capacity with
     :func:`pallas_cell_plan` on the respective group size.
     """
 
@@ -504,19 +540,30 @@ def cross_pair_histogram_pallas(
     n_fine = 16
     n_coarse = _cdiv(n_bins + 1, n_fine)
     n_rows = _cdiv(n_coarse, 16) * 16
-    box_static = tuple(np.float32(b) for b in box)
-    box_arr = jnp.asarray(box_static, dtype=jnp.float32)
-    cell_size = box_arr / jnp.asarray(
-        [nx, ny, nz], dtype=jnp.float32
-    )
+    box = jnp.asarray(box, dtype=jnp.float32).reshape(3)
+    dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
+    cell_size = box / dims
+
+    exclude = exclusion is not None
+    ex1 = ex2 = None
+    if exclude:
+        e0, e1 = (int(e) for e in exclusion)
+        ex1 = (
+            jnp.arange(positions1.shape[0], dtype=jnp.int32)
+            // np.int32(e0)
+        ).astype(jnp.float32)
+        ex2 = (
+            jnp.arange(positions2.shape[0], dtype=jnp.int32)
+            // np.int32(e1)
+        ).astype(jnp.float32)
 
     t1, occ1, max1 = _slot_table(
         positions1.astype(jnp.float32), n_cells_dim, capacity1,
-        box_arr, cell_size,
+        cell_size, ex_i=ex1, ex_j=ex1,
     )
     t2, occ2, max2 = _slot_table(
         positions2.astype(jnp.float32), n_cells_dim, capacity2,
-        box_arr, cell_size,
+        cell_size, ex_i=ex2, ex_j=ex2,
     )
 
     inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
@@ -534,27 +581,28 @@ def cross_pair_histogram_pallas(
         _cross_kernel,
         cap1=capacity1, cap2=capacity2, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
-        box=box_static, inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
-        exact=(precision == "exact"), chunk_rows=chunk_rows,
+        inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
+        exact=(precision == "exact"), exclude=exclude,
+        chunk_rows=chunk_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec(
-                (3, n_cells * capacity1),
-                lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+                (_ROWS, n_cells * capacity1),
+                lambda c, s1, s2, s3, s4: (jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, n_cells * capacity2),
-                lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+                (_ROWS, n_cells * capacity2),
+                lambda c, s1, s2, s3, s4: (jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (n_rows, n_fine),
-            lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+            lambda c, s1, s2, s3, s4: (jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -563,5 +611,10 @@ def cross_pair_histogram_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(neighbor_ids.astype(jnp.int32), occ1, occ2, t1, t2)
-    return counts2d[:n_coarse].reshape(-1)[:n_bins], max1, max2
+    )(neighbor_ids.astype(jnp.int32), occ1, occ2, box, t1, t2)
+    counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
+    cell_ok = (
+        box * np.float32(1 + 1e-6) >= dims * np.float32(r_max)
+    ).all()
+    counts = jnp.where(cell_ok, counts, jnp.float32(np.nan))
+    return counts, max1, max2

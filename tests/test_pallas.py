@@ -130,22 +130,111 @@ def test_pallas_cell_histogram_matches_oracle(precision):
         _assert_histogram_close(counts, oracle)
 
 
-def test_pallas_cell_histogram_rejects_molecule_exclusion():
+def test_pallas_cell_histogram_molecule_exclusion():
+    """(4, 4) tile exclusion on the self kernel drops intra-molecular
+    pairs of 4-atom molecules (reference exclusion blocks,
+    ``analysis/structure.py:92-104``)."""
+
     from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
     from mdhelper_tpu.ops.pallas_cell_histogram import (
         cell_pair_histogram_pallas,
         pallas_cell_plan,
     )
 
-    pos = (rng.random((256, 3)) * 16.0).astype(np.float32)
-    plan = pallas_cell_plan(256, [16.0] * 3, 3.5)
+    n, box, r_max, n_bins = 1024, 16.0, 3.5, 96
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+    plan = pallas_cell_plan(n, [box] * 3, r_max)
     nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
-    with pytest.raises(NotImplementedError):
-        cell_pair_histogram_pallas(
-            jnp.asarray(pos), nbr, box=(16.0,) * 3, r_max=3.5,
+    counts, occ = cell_pair_histogram_pallas(
+        jnp.asarray(pos), nbr, box=(box,) * 3, r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity=plan["capacity"], n_bins=n_bins,
+        precision="exact", exclusion=(4, 4),
+    )
+    assert int(occ) <= plan["capacity"]
+    p64 = pos.astype(np.float64)
+    d = p64[:, None] - p64[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    mol = np.arange(n) // 4
+    dist[mol[:, None] == mol[None, :]] = np.inf
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
+
+
+def test_pallas_cell_histogram_per_frame_boxes():
+    """One compiled kernel serves per-frame (NPT) boxes; a box below
+    the planned cell grid NaN-poisons instead of silently missing
+    pairs."""
+
+    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cell_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    n, r_max, n_bins = 800, 3.5, 64
+    plan = pallas_cell_plan(n, [16.0] * 3, r_max)
+    nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
+    for box in (16.0, 17.5):  # both hold >= 4 cells of 3.5 per axis
+        pos = (rng.random((n, 3)) * box).astype(np.float32)
+        counts, _ = cell_pair_histogram_pallas(
+            jnp.asarray(pos), nbr, box=(box,) * 3, r_max=r_max,
             n_cells_dim=plan["n_cells_dim"],
-            capacity=plan["capacity"], n_bins=64, exclusion=(4, 4),
+            capacity=plan["capacity"], n_bins=n_bins,
+            precision="exact",
         )
+        p64 = pos.astype(np.float64)
+        d = p64[:, None] - p64[None]
+        d -= box * np.round(d / box)
+        dist = np.sqrt((d**2).sum(-1))
+        dist[np.arange(n), np.arange(n)] = np.inf
+        oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+        np.testing.assert_array_equal(
+            np.asarray(counts).astype(int), oracle
+        )
+    # 13.0 < 4 * 3.5: the 27-cell sweep is invalid -> NaN poison.
+    pos = (rng.random((n, 3)) * 13.0).astype(np.float32)
+    counts, _ = cell_pair_histogram_pallas(
+        jnp.asarray(pos), nbr, box=(13.0,) * 3, r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity=plan["capacity"], n_bins=n_bins,
+    )
+    assert np.isnan(np.asarray(counts)).all()
+
+
+def test_pallas_cross_histogram_molecule_exclusion():
+    """(2, 3) exclusion between disjoint groups drops same-molecule
+    cation-anion pairs (2 cations + 3 anions per molecule)."""
+
+    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cross_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    box, r_max, n_bins = 16.0, 3.5, 96
+    n1, n2 = 600, 900
+    p1 = (rng.random((n1, 3)) * box).astype(np.float32)
+    p2 = (rng.random((n2, 3)) * box).astype(np.float32)
+    plan1 = pallas_cell_plan(n1, [box] * 3, r_max)
+    plan2 = pallas_cell_plan(n2, [box] * 3, r_max)
+    nbr = jnp.asarray(neighbor_cell_ids(plan1["n_cells_dim"]))
+    counts, m1, m2 = cross_pair_histogram_pallas(
+        jnp.asarray(p1), jnp.asarray(p2), nbr,
+        box=(box,) * 3, r_max=r_max,
+        n_cells_dim=plan1["n_cells_dim"],
+        capacity1=plan1["capacity"], capacity2=plan2["capacity"],
+        n_bins=n_bins, precision="exact", exclusion=(2, 3),
+    )
+    d = p1.astype(np.float64)[:, None] - p2.astype(np.float64)[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    mol1 = np.arange(n1) // 2
+    mol2 = np.arange(n2) // 3
+    dist[mol1[:, None] == mol2[None, :]] = np.inf
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
 
 
 @pytest.mark.parametrize("precision", ["fast", "exact"])
