@@ -185,8 +185,21 @@ class SerialAnalysisBase:
     _atom_indices: Optional[np.ndarray] = None
     #: HBM budget per coordinate chunk.
     _chunk_bytes: int = 256 << 20
-    #: dtype coordinates are cast to before device_put.
-    _coord_dtype = np.float64
+    #: dtype coordinates are cast to before device_put.  ``None``
+    #: (default) resolves by backend: float32 on TPU — f64 there is
+    #: emulated (~100x slow) and the exact kernels deliver f64-grade
+    #: results from f32 inputs via double-float arithmetic
+    #: (`ops/doublefloat.py`) — float64 elsewhere.
+    _coord_dtype = None
+
+    def _stream_dtype(self) -> np.dtype:
+        if self._coord_dtype is not None:
+            return np.dtype(self._coord_dtype)
+        return np.dtype(
+            np.float32
+            if jax.default_backend() == "tpu"
+            else np.float64
+        )
 
     #: which axis of the streamed ``(B, N, 3)`` chunks is sharded over
     #: the mesh: ``"frames"`` (data parallelism, the default),
@@ -235,7 +248,7 @@ class SerialAnalysisBase:
             if self._atom_indices is not None
             else self._trajectory.n_atoms
         )
-        itemsize = np.dtype(self._coord_dtype).itemsize
+        itemsize = self._stream_dtype().itemsize
         per_frame = max(n_atoms * 3 * itemsize, 1)
         chunk = int(max(1, self._chunk_bytes // per_frame))
         frame_multiple = n_shards if shard_axis == "frames" else 1
@@ -264,7 +277,7 @@ class SerialAnalysisBase:
             positions, dimensions = self._trajectory.read_frames(block)
             if self._atom_indices is not None:
                 positions = positions[:, self._atom_indices]
-            positions = positions.astype(self._coord_dtype, copy=False)
+            positions = positions.astype(self._stream_dtype(), copy=False)
             if shard_axis == "frames":
                 positions, mask = pad_to_multiple(positions, n_shards)
                 dimensions, _ = pad_to_multiple(dimensions, n_shards)
@@ -313,7 +326,7 @@ class SerialAnalysisBase:
             )
             if self._atom_indices is not None:
                 positions = positions[:, self._atom_indices]
-            positions = positions.astype(self._coord_dtype, copy=False)
+            positions = positions.astype(self._stream_dtype(), copy=False)
             pad = per_proc - len(local_idx)
             if pad:
                 positions = np.concatenate(
@@ -326,7 +339,7 @@ class SerialAnalysisBase:
         else:
             # This host's whole block is padding (masked out).
             positions = np.zeros(
-                (per_proc, n_atoms, 3), dtype=self._coord_dtype
+                (per_proc, n_atoms, 3), dtype=self._stream_dtype()
             )
             dimensions = np.ones((per_proc, 6), dtype=np.float64)
         return _Batch(

@@ -258,9 +258,15 @@ class DipoleMoment(DynamicAnalysisBase):
             self.results.units["times"] = ureg.picosecond
         self._store_offset = 0
 
-        box = jnp.asarray(self._dimensions)
+        # Stream-dtype device constants (f64 would promote f32 TPU
+        # position streams to emulated f64).
+        dtype = self._stream_dtype()
+        box = jnp.asarray(self._dimensions, dtype=dtype)
         sels = [jnp.asarray(s) for s in self._sels]
-        charges = [jnp.asarray(q) for q in self._effective_charges()]
+        charges = [
+            jnp.asarray(q, dtype=dtype)
+            for q in self._effective_charges()
+        ]
         unwrap = self._unwrap
 
         if unwrap:
@@ -268,7 +274,7 @@ class DipoleMoment(DynamicAnalysisBase):
             init = np.empty((self._N, 3))
             for g, s in zip(self._groups, self._slices):
                 init[s] = unwrap_edge(group=g)
-            prev0 = jnp.asarray(init)
+            prev0 = jnp.asarray(init, dtype=dtype)
             images0 = jnp.zeros((self._N, 3), dtype=jnp.int32)
             self._carry = (prev0, images0)
             del first

@@ -310,18 +310,21 @@ class Gyradius(_PolymerAnalysisBase):
         extractors = [
             self._monomer_positions_fn(i) for i in range(self._n_groups)
         ]
+        dtype = self._stream_dtype()
         monomer_masses = [
-            jnp.asarray(self._monomer_masses(i))
+            jnp.asarray(self._monomer_masses(i), dtype=dtype)
             for i in range(self._n_groups)
         ]
         components = self._components
         unwrap = self._unwrap
 
         if unwrap:
-            box = jnp.asarray(self._dimensions)
+            box = jnp.asarray(self._dimensions, dtype=dtype)
             self.universe.trajectory[int(self.frames[0])]
             prev0 = [
-                jnp.asarray(self._initial_unwrapped_monomers(i))
+                jnp.asarray(
+                    self._initial_unwrapped_monomers(i), dtype=dtype
+                )
                 for i in range(self._n_groups)
             ]
             images0 = [
@@ -476,18 +479,22 @@ class EndToEndVector(_PolymerAnalysisBase):
         extractors = [
             self._monomer_positions_fn(i) for i in range(self._n_groups)
         ]
+        dtype = self._stream_dtype()
         end_masses = [
-            jnp.asarray(self._monomer_masses(i)[:, (0, -1)])
+            jnp.asarray(
+                self._monomer_masses(i)[:, (0, -1)], dtype=dtype
+            )
             for i in range(self._n_groups)
         ]
         unwrap = self._unwrap
 
         if unwrap:
-            box = jnp.asarray(self._dimensions)
+            box = jnp.asarray(self._dimensions, dtype=dtype)
             self.universe.trajectory[int(self.frames[0])]
             prev0 = [
                 jnp.asarray(
-                    self._initial_unwrapped_monomers(i)[:, (0, -1)]
+                    self._initial_unwrapped_monomers(i)[:, (0, -1)],
+                    dtype=dtype,
                 )
                 for i in range(self._n_groups)
             ]
@@ -669,9 +676,12 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
         unwrap = self._unwrap
 
         if unwrap:
-            box = jnp.asarray(self._dimensions)
+            dtype = self._stream_dtype()
+            box = jnp.asarray(self._dimensions, dtype=dtype)
             self.universe.trajectory[int(self.frames[0])]
-            prev0 = jnp.asarray(self._initial_unwrapped_monomers(0))
+            prev0 = jnp.asarray(
+                self._initial_unwrapped_monomers(0), dtype=dtype
+            )
             images0 = jnp.zeros(prev0.shape, dtype=jnp.int32)
             unwrap_state = (prev0, images0)
             step_fn = _unwrap_step(box)
@@ -878,17 +888,20 @@ class RouseModes(_PolymerAnalysisBase):
         extractors = [
             self._monomer_positions_fn(i) for i in range(self._n_groups)
         ]
+        dtype = self._stream_dtype()
         mode_mats = [
-            jnp.asarray(self._mode_matrix(i))
+            jnp.asarray(self._mode_matrix(i), dtype=dtype)
             for i in range(self._n_groups)
         ]
         unwrap = self._unwrap
 
         if unwrap:
-            box = jnp.asarray(self._dimensions)
+            box = jnp.asarray(self._dimensions, dtype=dtype)
             self.universe.trajectory[int(self.frames[0])]
             prev0 = [
-                jnp.asarray(self._initial_unwrapped_monomers(i))
+                jnp.asarray(
+                    self._initial_unwrapped_monomers(i), dtype=dtype
+                )
                 for i in range(self._n_groups)
             ]
             images0 = [

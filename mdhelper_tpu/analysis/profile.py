@@ -434,9 +434,13 @@ class DensityProfile(DynamicAnalysisBase):
         if not self._average:
             self.results.times = self.frames * self._dt
 
-        box = jnp.asarray(dims)
+        # Device constants and carries live in the stream dtype: f64
+        # constants would promote f32 TPU position streams to emulated
+        # f64 at (chunk, N, 3) scale.
+        dtype = self._stream_dtype()
+        box = jnp.asarray(dims, dtype=dtype)
         edge_list = [
-            jnp.linspace(0.0, dims[a], n + 1)
+            jnp.linspace(0.0, dims[a], n + 1, dtype=dtype)
             for a, n in zip(self._axes, self._n_bins)
         ]
         axes = [int(a) for a in self._axes]
@@ -444,7 +448,9 @@ class DensityProfile(DynamicAnalysisBase):
         segs = [
             None if s is None else jnp.asarray(s) for s in self._segs
         ]
-        masses_per_group = [jnp.asarray(g.masses) for g in self._groups]
+        masses_per_group = [
+            jnp.asarray(g.masses, dtype=dtype) for g in self._groups
+        ]
         ns = self._Ns
         entity_slices = self._entity_slices
         average = self._average
@@ -455,9 +461,10 @@ class DensityProfile(DynamicAnalysisBase):
                 _entity_masses(
                     self._groups[recenter[0]],
                     self._groupings[recenter[0]],
-                )
+                ),
+                dtype=dtype,
             )
-            rec_target = jnp.asarray(recenter[1], dtype=jnp.float64)
+            rec_target = jnp.asarray(recenter[1], dtype=dtype)
             # Initial unwrap state from the first analyzed frame.
             first = self.universe.trajectory[int(self.frames[0])]
             init_entities = np.empty((self._N, 3))
@@ -476,7 +483,7 @@ class DensityProfile(DynamicAnalysisBase):
                             n,
                         )[0]
                     )
-            prev0 = jnp.asarray(init_entities)
+            prev0 = jnp.asarray(init_entities, dtype=dtype)
             images0 = jnp.zeros((self._N, 3), dtype=jnp.int32)
             del first
 

@@ -258,6 +258,9 @@ def _com_positions(positions, masses, segment_ids, n_groups):
     """Per-frame centers of mass via segment reduction (device).
     `positions`: (B, N, 3); returns (B, G, 3)."""
 
+    # The reduction runs in the stream dtype: f64 masses must not
+    # promote f32 position streams (TPU f64 is emulated).
+    masses = masses.astype(positions.dtype)
     weighted = positions * masses[None, :, None]
     total = jax.vmap(
         lambda w: jax.ops.segment_sum(w, segment_ids, n_groups)
@@ -1633,7 +1636,9 @@ class IntermediateScatteringFunction(StructureFactor):
         def scan_step(carry, inputs):
             pos, valid = inputs  # (N, 3), scalar mask
             prec = self._resolve_precision(pos)
-            qs_t = qs.astype(pos.dtype)  # avoid f64 phase promotion
+            # trig_sums_frame runs in pos.dtype internally (f64 qs are
+            # split hi + lo on the exact path, so no q precision loss).
+            qs_t = qs
             fi = carry["frame"]
             rcfi = (fi % n_lags).astype(jnp.int32)
 

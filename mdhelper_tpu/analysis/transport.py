@@ -473,21 +473,30 @@ class Onsager(SerialAnalysisBase):
         self._positions = np.empty((self.n_frames, self._N, 3))
         self._store_offset = 0
 
-        box = jnp.asarray(self._dimensions)
-        universe_masses = jnp.asarray(self.universe.atoms.masses)
+        # Device constants and carries live in the stream dtype: f64
+        # constants would promote f32 TPU position streams to emulated
+        # f64 at (chunk, N, 3) scale.
+        dtype = self._stream_dtype()
+        box = jnp.asarray(self._dimensions, dtype=dtype)
+        universe_masses = jnp.asarray(
+            self.universe.atoms.masses, dtype=dtype
+        )
         grouping_masses = jnp.asarray(
             np.concatenate(
                 [
                     _entity_values(g, gr, g.masses)
                     for g, gr in zip(self._groups, self._groupings)
                 ]
-            )
+            ),
+            dtype=dtype,
         )
         sels = [jnp.asarray(s) for s in self._sels]
         segs = [
             None if s is None else jnp.asarray(s) for s in self._segs
         ]
-        masses_per_group = [jnp.asarray(g.masses) for g in self._groups]
+        masses_per_group = [
+            jnp.asarray(g.masses, dtype=dtype) for g in self._groups
+        ]
         ns = self._Ns
         unwrap = self._unwrap
         center = self._center
@@ -499,7 +508,7 @@ class Onsager(SerialAnalysisBase):
         if unwrap:
             first = self.universe.trajectory[int(self.frames[0])]
             made_whole = unwrap_edge(group=self.universe.atoms)
-            prev0 = jnp.asarray(made_whole)
+            prev0 = jnp.asarray(made_whole, dtype=dtype)
             images0 = jnp.zeros(
                 (self.universe.atoms.n_atoms, 3), dtype=jnp.int32
             )

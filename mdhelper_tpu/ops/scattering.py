@@ -28,7 +28,7 @@ _TWO_PI_HI = np.float32(_TWO_PI)
 _TWO_PI_LO = np.float32(_TWO_PI - np.float64(_TWO_PI_HI))
 
 
-def _exact_phases(qs, pos):
+def _exact_phases(qs, pos, qs_lo=None):
     r"""Range-reduced phases :math:`\mathbf{q}\cdot\mathbf{r} \bmod
     2\pi` in double-float (two-float32) arithmetic.
 
@@ -37,6 +37,11 @@ def _exact_phases(qs, pos):
     float32 dot product; computing the dot and the modular reduction
     error-free and correcting the trig to first order in the residual
     restores ~1e-7-level phase accuracy on the fast VPU path.
+
+    ``qs_lo`` optionally carries the low words of double-float
+    wavevectors (float64 q split as hi + lo): the ``lo * r`` products
+    fold into the error terms, so float64-grade wavevectors survive a
+    float32 compute path without any float64 emulation on the device.
     """
 
     from .doublefloat import df_add, df_sub, two_prod
@@ -44,6 +49,11 @@ def _exact_phases(qs, pos):
     phase = None
     for k in range(3):
         term = two_prod(qs[:, None, k], pos[None, :, k])
+        if qs_lo is not None:
+            term = (
+                term[0],
+                term[1] + qs_lo[:, None, k] * pos[None, :, k],
+            )
         phase = term if phase is None else df_add(phase, term)
 
     # phi - 2*pi*round(phi / 2*pi), with 2*pi as a double-float.
@@ -83,18 +93,38 @@ def trig_sums_frame(
         Shape ``(N_q,)`` each.
     """
 
+    # The sweep runs in the positions' dtype: f64 wavevectors must not
+    # promote f32 TPU position streams to emulated f64.  On the exact
+    # path f64 wavevectors are split hi + lo (double-float), so no
+    # wavevector precision is lost in the cast.
+    if weights is not None:
+        weights = weights.astype(pos.dtype)
     if precision == "exact":
+        if qs.dtype != pos.dtype:
+            qs_hi = qs.astype(pos.dtype)
+            qs_lo = (qs - qs_hi).astype(pos.dtype)
+        else:
+            qs_hi, qs_lo = qs, None
+
         # Tile the wavevector axis: the double-float intermediates are
         # several (q_tile, N) buffers, which must stay well under HBM.
         n_q = qs.shape[0]
         n_tiles = max(1, -(-n_q // q_tile))
         pad = n_tiles * q_tile - n_q
-        qs_tiles = jnp.pad(qs, ((0, pad), (0, 0))).reshape(
+        qs_tiles = jnp.pad(qs_hi, ((0, pad), (0, 0))).reshape(
             n_tiles, q_tile, 3
         )
+        lo_tiles = (
+            None
+            if qs_lo is None
+            else jnp.pad(qs_lo, ((0, pad), (0, 0))).reshape(
+                n_tiles, q_tile, 3
+            )
+        )
 
-        def tile_fn(q_block):
-            hi, lo = _exact_phases(q_block, pos)
+        def tile_fn(blocks):
+            q_block, lo_block = blocks
+            hi, lo = _exact_phases(q_block, pos, lo_block)
             cos_hi, sin_hi = jnp.cos(hi), jnp.sin(hi)
             # First-order correction: lo is ~1 ulp of the phase.
             cos = cos_hi - lo * sin_hi
@@ -104,10 +134,17 @@ def trig_sums_frame(
                 sin = sin * weights
             return cos.sum(axis=-1), sin.sum(axis=-1)
 
-        cos_t, sin_t = jax.lax.map(tile_fn, qs_tiles)
+        if lo_tiles is None:
+            cos_t, sin_t = jax.lax.map(
+                lambda q: tile_fn((q, None)), qs_tiles
+            )
+        else:
+            cos_t, sin_t = jax.lax.map(
+                tile_fn, (qs_tiles, lo_tiles)
+            )
         return cos_t.reshape(-1)[:n_q], sin_t.reshape(-1)[:n_q]
 
-    phases = qs @ pos.T  # (N_q, N) — MXU
+    phases = qs.astype(pos.dtype) @ pos.T  # (N_q, N) — MXU
     cos = jnp.cos(phases)
     sin = jnp.sin(phases)
     if weights is not None:
