@@ -1,25 +1,33 @@
 """Benchmark: fused RDF + S(q) + MSD throughput (frames/sec).
 
-Compares the TPU streaming pipeline against a single-core CPU NumPy
-implementation of the reference's serial algorithms (the reference
-itself — MDAnalysis ``capped_distance`` + ``numpy.histogram`` per frame
-for the RDF, Numba ``sum exp(iq·r)`` for S(q), scipy-FFT MSD — cannot
-run in this environment because MDAnalysis/numba are not installed;
-the NumPy stand-ins below implement the same per-frame math and are,
-if anything, generous to the baseline since they vectorize it).
+Drives the REAL analysis-class pipelines end-to-end —
+``RadialDistributionFunction.run()`` + ``StructureFactor.run()`` +
+``Onsager.run()`` over an in-memory trajectory, including host->HBM
+streaming, chunking, carries and conclusion — and compares against a
+single-core CPU NumPy implementation of the reference's serial
+algorithms (the reference itself — MDAnalysis ``capped_distance`` +
+``numpy.histogram`` per frame for the RDF, Numba ``sum exp(iq·r)`` for
+S(q), scipy-FFT MSD — cannot run in this environment because
+MDAnalysis/numba are not installed; the NumPy stand-ins below
+implement the same per-frame math and are, if anything, generous to
+the baseline since they vectorize it and skip the unwrap + FFT-MSD
+work the Onsager class performs).
 
 Prints ONE json line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
 
 Configuration via env vars:
     MDTPU_BENCH_ATOMS   (default 100_000)
-    MDTPU_BENCH_FRAMES  (default 200; throughput is steady-state per
+    MDTPU_BENCH_FRAMES  (default 24; throughput is steady-state per
                          frame, so the frame count only controls the
                          measurement window, not the metric)
     MDTPU_BENCH_QPTS    (default 24 -> 24^3 wavevector grid)
     MDTPU_BENCH_BINS    (default 200)
-    MDTPU_BENCH_REF_FRAMES (default 3; frames used to time the CPU
+    MDTPU_BENCH_REF_FRAMES (default 1; frames used to time the CPU
                          baseline before extrapolating per-frame cost)
+    MDTPU_BENCH_LEVEL   "classes" (default): the analysis-class
+                        pipelines; "ops": the raw kernels only (the
+                        round-1 metric, no streaming overheads)
 """
 
 import json
@@ -47,6 +55,9 @@ IMPL = os.environ.get("MDTPU_BENCH_IMPL", "pallas")
 # "direct": per-wavevector trig sweep (~4e-7).  "mesh": KB-NUFFT
 # gridding + FFT (~5e-6).
 SQ_METHOD = os.environ.get("MDTPU_BENCH_SQ", "factor")
+# "classes" (default): the real analysis-class pipelines end-to-end;
+# "ops": raw kernels in dedicated loops (the round-1 metric).
+LEVEL = os.environ.get("MDTPU_BENCH_LEVEL", "classes")
 BOX = float(N_ATOMS / 0.8) ** (1 / 3)  # LJ-liquid-like density 0.8
 R_MAX = min(6.0, BOX / 2 * 0.99)
 
@@ -325,6 +336,94 @@ def tpu_phase_fps(qs: np.ndarray, phase: str) -> float:
     return n_steps * batch / elapsed
 
 
+def tpu_class_fps(which: str) -> float:
+    """Steady-state frames/sec of one REAL analysis-class pipeline
+    (``"rdf"`` = RadialDistributionFunction, ``"sq"`` =
+    StructureFactor, ``"msd"`` = Onsager), including host->HBM
+    streaming, chunking and conclusion.
+
+    Timing: ONE ``run()`` streaming in pinned chunks, clocked from the
+    end of the first chunk's update (which absorbs the one-off trace +
+    compile) to the end of ``run()`` (which includes the conclusion
+    and the final device sync).  All chunks execute the identical
+    program on distinct data, so the tunnel's (program, args)
+    memoization cannot serve cached executions, and no run-to-run
+    subtraction is needed (run-to-run recompiles and the tunnel's
+    multi-second latency spikes made subtractive timing unusable).
+    """
+
+    from mdhelper_tpu.core.universe import Universe
+
+    chunk = 8
+    total = chunk + N_FRAMES
+    rng = np.random.default_rng(2026)
+    traj = (
+        rng.random((total, N_ATOMS, 3), dtype=np.float32) * BOX
+    ).astype(np.float64)
+    u = Universe.from_arrays(
+        traj, np.array([BOX] * 3 + [90.0] * 3), dt=1.0
+    )
+
+    def make():
+        if which == "rdf":
+            from mdhelper_tpu.analysis.structure import (
+                RadialDistributionFunction,
+            )
+
+            return RadialDistributionFunction(
+                u.atoms, n_bins=N_BINS, range=(0.0, R_MAX),
+                exclusion=(1, 1), verbose=False,
+            )
+        if which == "sq":
+            from mdhelper_tpu.analysis.structure import StructureFactor
+
+            method = (
+                SQ_METHOD
+                if SQ_METHOD in {"direct", "factor", "mesh"}
+                else "auto"
+            )
+            return StructureFactor(
+                u.atoms, n_points=N_QPTS, sort=False, unique=False,
+                method=method, precision=PRECISION, verbose=False,
+            )
+        if which == "msd":
+            from mdhelper_tpu.analysis.transport import Onsager
+
+            return Onsager(
+                u.atoms, temperature=300, unwrap=True, verbose=False,
+            )
+        raise ValueError(f"unknown class phase {which!r}")
+
+    a = make()
+    # Pin the chunk size (f32 stream on TPU).
+    a._chunk_bytes = chunk * N_ATOMS * 3 * 4
+    marks = []
+    orig = a._batched_update
+
+    def clocked(carry, batch):
+        out = orig(carry, batch)
+        if not marks:
+            # The first chunk pays trace + compile + the tunnel's
+            # first-execution cost (executable upload); force a real
+            # fetch so the clock starts at steady state.  Later
+            # chunks stay async (the conclusion's fetch syncs them).
+            import jax as _jax
+
+            out = _jax.tree_util.tree_map(
+                lambda x: np.asarray(x)
+                if isinstance(x, _jax.Array)
+                else x,
+                out,
+            )
+        marks.append(time.perf_counter())
+        return out
+
+    a._batched_update = clocked
+    a.run()
+    t_end = time.perf_counter()
+    return (total - chunk) / (t_end - marks[0])
+
+
 def _measure_tpu_subprocess() -> float:
     """Measure TPU throughput, one phase per fresh subprocess.
 
@@ -340,14 +439,24 @@ def _measure_tpu_subprocess() -> float:
     import sys
 
     root = os.path.dirname(os.path.abspath(__file__)) or "."
-    seconds_per_frame = 0.0
-    for phase in ("hist", "trig"):
-        script = (
+    if LEVEL == "classes":
+        phases = ("rdf", "sq", "msd")
+        template = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "print('MDTPU_FPS', bench.tpu_class_fps({phase!r}))\n"
+        )
+    else:
+        phases = ("hist", "trig")
+        template = (
             "import sys; sys.path.insert(0, {root!r})\n"
             "import bench\n"
             "qs = bench.wavevectors()\n"
             "print('MDTPU_FPS', bench.tpu_phase_fps(qs, {phase!r}))\n"
-        ).format(root=root, phase=phase)
+        )
+    seconds_per_frame = 0.0
+    for phase in phases:
+        script = template.format(root=root, phase=phase)
         last = None
         for _ in range(4):
             try:
@@ -389,11 +498,16 @@ def main() -> None:
     ref_seconds = baseline_frame_seconds(qs)
     tpu_fps = _measure_tpu_subprocess()
     baseline_fps = 1.0 / ref_seconds
+    what = (
+        "end-to-end RDF+S(q)+MSD analysis-class throughput"
+        if LEVEL == "classes"
+        else "fused RDF+S(q)+MSD kernel throughput"
+    )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"fused RDF+S(q)+MSD throughput, {N_ATOMS} atoms, "
+                    f"{what}, {N_ATOMS} atoms, "
                     f"{N_BINS} bins, {len(qs)} wavevectors"
                 ),
                 "value": round(tpu_fps, 3),

@@ -72,20 +72,29 @@ def _validate(arr1, arr2, axis, min_ndim=1, name="The arrays"):
 
 def _fft_device_fallback(*arrays):
     """TPU backends cannot lower complex128 FFTs; route float64 inputs
-    living on such devices through the host CPU backend.  (The
-    benchmark-grade TPU path uses the float32 correlators in
-    :mod:`mdhelper_tpu.ops`; this fallback keeps the float64 reference
-    semantics correct everywhere.)"""
+    onto the host CPU backend.  (The benchmark-grade TPU path uses the
+    float32 correlators in :mod:`mdhelper_tpu.ops`; this fallback
+    keeps the float64 reference semantics correct everywhere.)
 
-    needs_move = any(
-        a is not None
-        and isinstance(a, jax.Array)
-        and a.dtype == jnp.float64
-        and any(d.platform == "tpu" for d in a.devices())
-        for a in arrays
-    )
-    if not needs_move:
-        return arrays
+    Host (NumPy) inputs are placed on the CPU device DIRECTLY — a
+    ``jnp.asarray`` first would upload them to the TPU as emulated
+    f64 and immediately ship them back, a double round trip that
+    dominates e.g. ``Onsager._conclude`` at 100k-atom scale."""
+
+    def f64_for_tpu(a):
+        if a is None:
+            return False
+        dtype = np.dtype(getattr(a, "dtype", np.float64))
+        if dtype not in (np.dtype(np.float64), np.dtype(np.complex128)):
+            return False
+        if isinstance(a, jax.Array):
+            return any(d.platform == "tpu" for d in a.devices())
+        return jax.default_backend() == "tpu"
+
+    if not any(f64_for_tpu(a) for a in arrays):
+        return tuple(
+            None if a is None else jnp.asarray(a) for a in arrays
+        )
     cpu = jax.devices("cpu")[0]
     return tuple(
         None if a is None else jax.device_put(a, cpu) for a in arrays
@@ -140,11 +149,10 @@ def correlation_fft(
 
     arr1, arr2, axis, ndim = _validate(arr1, arr2, axis)
 
-    arr1 = jnp.asarray(arr1)
     is_real = not jnp.iscomplexobj(arr1)
     if arr2 is not None:
-        arr2 = jnp.asarray(arr2)
         is_real = is_real and not jnp.iscomplexobj(arr2)
+    # Device placement BEFORE any jnp.asarray: see the fallback.
     arr1, arr2 = _fft_device_fallback(arr1, arr2)
 
     # Work with the time axis leading; restore at the end.
@@ -305,9 +313,10 @@ def msd_fft(
     pos1, pos2, axis, ndim = _validate(
         pos1, pos2, axis, min_ndim=2, name="The position arrays"
     )
-    pos1 = jnp.asarray(pos1)
-    pos2js = jnp.asarray(pos2) if pos2 is not None else None
-    pos1, pos2js = _fft_device_fallback(pos1, pos2js)
+    # Device placement BEFORE any jnp.asarray: see the fallback.
+    pos1, pos2js = _fft_device_fallback(
+        pos1, pos2 if pos2 is not None else None
+    )
 
     s2 = correlation_fft(
         pos1, pos2js, axis, average=False, double=True, vector=True

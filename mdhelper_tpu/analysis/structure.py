@@ -1243,7 +1243,11 @@ class StructureFactor(NumbaAnalysisBase):
                 pos = _com_positions(
                     pos, jnp.asarray(group.masses), jnp.asarray(seg), n
                 )
-            c, s = jax.vmap(frame_sums)(pos)
+            # Sequential over frames (NOT vmap): the phase sweeps hold
+            # (N_q-tile, N)-scale double-float intermediates PER frame
+            # — batching them across the chunk multiplies that by B,
+            # spills HBM, and runs ~6x slower at 100k atoms / 13.8k q.
+            c, s = jax.lax.map(frame_sums, pos)
             cos_all.append(c)
             sin_all.append(s)
         return jnp.stack(cos_all, axis=1), jnp.stack(sin_all, axis=1)
