@@ -201,6 +201,19 @@ class SerialAnalysisBase:
             else np.float64
         )
 
+    def _effective_atom_indices(self) -> Optional[np.ndarray]:
+        """``_atom_indices``, with the identity selection (every atom,
+        in order) normalized to ``None`` — an identity fancy-index
+        would copy the whole chunk on the host every iteration."""
+
+        idx = self._atom_indices
+        if idx is None:
+            return None
+        n = self._trajectory.n_atoms
+        if len(idx) == n and np.array_equal(idx, np.arange(n)):
+            return None
+        return idx
+
     #: which axis of the streamed ``(B, N, 3)`` chunks is sharded over
     #: the mesh: ``"frames"`` (data parallelism, the default),
     #: ``"atoms"`` (context-parallel ring pass; frames stay whole), or
@@ -243,9 +256,10 @@ class SerialAnalysisBase:
         else:
             data_sharding = box_sharding = mask_sharding = replicated
 
+        atom_indices = self._effective_atom_indices()
         n_atoms = (
-            len(self._atom_indices)
-            if self._atom_indices is not None
+            len(atom_indices)
+            if atom_indices is not None
             else self._trajectory.n_atoms
         )
         itemsize = self._stream_dtype().itemsize
@@ -275,8 +289,8 @@ class SerialAnalysisBase:
                 )
                 continue
             positions, dimensions = self._trajectory.read_frames(block)
-            if self._atom_indices is not None:
-                positions = positions[:, self._atom_indices]
+            if atom_indices is not None:
+                positions = positions[:, atom_indices]
             positions = positions.astype(self._stream_dtype(), copy=False)
             if shard_axis == "frames":
                 positions, mask = pad_to_multiple(positions, n_shards)
@@ -308,6 +322,7 @@ class SerialAnalysisBase:
 
         from ..parallel.mesh import process_frame_block
 
+        atom_indices = self._effective_atom_indices()
         padded = len(block) + (-len(block)) % n_shards
         mask_global = np.zeros(padded, dtype=np.float64)
         mask_global[: len(block)] = 1.0
@@ -315,8 +330,8 @@ class SerialAnalysisBase:
         local_idx = block[lo:min(hi, len(block))]
 
         n_atoms = (
-            len(self._atom_indices)
-            if self._atom_indices is not None
+            len(atom_indices)
+            if atom_indices is not None
             else self._trajectory.n_atoms
         )
         per_proc = hi - lo
@@ -324,8 +339,8 @@ class SerialAnalysisBase:
             positions, dimensions = self._trajectory.read_frames(
                 local_idx
             )
-            if self._atom_indices is not None:
-                positions = positions[:, self._atom_indices]
+            if atom_indices is not None:
+                positions = positions[:, atom_indices]
             positions = positions.astype(self._stream_dtype(), copy=False)
             pad = per_proc - len(local_idx)
             if pad:

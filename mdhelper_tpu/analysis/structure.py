@@ -254,6 +254,18 @@ def _group_segment_ids(ag, grouping: str) -> tuple[np.ndarray, int]:
     return ids.astype(np.int32), int(ids.max()) + 1
 
 
+def _column_selector(sel, n_cols):
+    """Batch column gather ``(B, n_cols, 3) -> (B, len(sel), 3)``,
+    elided when `sel` is the identity — a 100k-index identity gather
+    per chunk is pure overhead on TPU."""
+
+    sel = np.asarray(sel)
+    if len(sel) == n_cols and np.array_equal(sel, np.arange(n_cols)):
+        return lambda positions: positions
+    sel_dev = jnp.asarray(sel)
+    return lambda positions: positions[:, sel_dev]
+
+
 def _com_positions(positions, masses, segment_ids, n_groups):
     """Per-frame centers of mass via segment reduction (device).
     `positions`: (B, N, 3); returns (B, G, 3)."""
@@ -406,17 +418,20 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         self._verbose = verbose
 
         # Host->device column selection: read both groups' atoms only.
-        if self._shard == "atoms":
-            # Self-RDF over the atom-sharded ring: one copy of the
-            # group's columns (the j-side is the ppermute-rotated
-            # shard, not a second column block).
+        if self._shard == "atoms" or self.ag2 is self.ag1:
+            # One copy of the group's columns: for the atom-sharded
+            # ring the j-side is the ppermute-rotated shard, and for a
+            # self-RDF both sides select the same columns (streaming
+            # the group twice would double host->HBM traffic).
             self._atom_indices = np.asarray(self.ag1.ix)
+            self._sel1 = np.arange(self.ag1.n_atoms)
+            self._sel2 = self._sel1
         else:
             self._atom_indices = np.concatenate(
                 (self.ag1.ix, self.ag2.ix)
             )
-        self._sel1 = np.arange(self.ag1.n_atoms)
-        self._sel2 = self.ag1.n_atoms + np.arange(self.ag2.n_atoms)
+            self._sel1 = np.arange(self.ag1.n_atoms)
+            self._sel2 = self.ag1.n_atoms + np.arange(self.ag2.n_atoms)
         self._seg1, self._n1 = _group_segment_ids(
             self.ag1, self._groupings[0]
         )
@@ -448,7 +463,9 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             return
 
         edges = jnp.asarray(self.results.edges)
-        sel1, sel2 = jnp.asarray(self._sel1), jnp.asarray(self._sel2)
+        n_cols = len(self._atom_indices)
+        take1 = _column_selector(self._sel1, n_cols)
+        take2 = _column_selector(self._sel2, n_cols)
         seg1 = None if self._seg1 is None else jnp.asarray(self._seg1)
         seg2 = None if self._seg2 is None else jnp.asarray(self._seg2)
         m1 = jnp.asarray(self.ag1.masses)
@@ -463,8 +480,8 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         track_volume = True
 
         def update(carry, positions, dimensions, mask):
-            pos1 = positions[:, sel1]
-            pos2 = positions[:, sel2]
+            pos1 = take1(positions)
+            pos2 = take2(positions)
             if seg1 is not None:
                 pos1 = _com_positions(pos1, m1, seg1, n1)
             if seg2 is not None:
@@ -585,11 +602,14 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             return False
         if self.ag2 is self.ag1 and self._groupings[0] == self._groupings[1]:
             # Self-RDF: the kernel always removes identical-atom
-            # pairs, so an exclusion must be requested and must cover
-            # them ((e, e) tiles do; (e0, e1) with e0 != e1 do not).
+            # pairs.  exclusion=None (reference default) is served by
+            # adding the n1 self-pairs back into bin 0 (their distance
+            # is exactly 0); (e, e) tiles cover the removal; (e0, e1)
+            # with e0 != e1 would not, so that case stays on the XLA
+            # sweep.
             if (
-                self._exclusion is None
-                or self._exclusion[0] != self._exclusion[1]
+                self._exclusion is not None
+                and self._exclusion[0] != self._exclusion[1]
             ):
                 return False
         else:
@@ -620,10 +640,16 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         plan = pallas_cell_plan(self._n1, box_np, r_max)
         nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
         exclusion = self._exclusion
+        # Self-RDF with no exclusion (reference default): the kernel
+        # always drops identical-atom pairs, whose distance is exactly
+        # 0, so they are added back into bin 0 after the sweep.
+        self_pairs = 0 if cross or exclusion is not None else self._n1
+        kernel_exclusion = (1, 1) if exclusion is None else exclusion
 
         self._carry["max_occ"] = jnp.full((), -(2**30), jnp.int32)
 
-        sel1 = jnp.asarray(self._sel1)
+        n_cols = len(self._atom_indices)
+        take1 = _column_selector(self._sel1, n_cols)
         seg1 = None if self._seg1 is None else jnp.asarray(self._seg1)
         m1 = jnp.asarray(self.ag1.masses)
         n1 = self._n1
@@ -631,7 +657,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
         if cross:
             plan2 = pallas_cell_plan(self._n2, box_np, r_max)
-            sel2 = jnp.asarray(self._sel2)
+            take2 = _column_selector(self._sel2, n_cols)
             seg2 = (
                 None if self._seg2 is None else jnp.asarray(self._seg2)
             )
@@ -639,11 +665,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             n2 = self._n2
 
         def update(carry, positions, dimensions, mask):
-            pos1 = positions[:, sel1]
+            pos1 = take1(positions)
             if seg1 is not None:
                 pos1 = _com_positions(pos1, m1, seg1, n1)
             if cross:
-                pos2 = positions[:, sel2]
+                pos2 = take2(positions)
                 if seg2 is not None:
                     pos2 = _com_positions(pos2, m2, seg2, n2)
 
@@ -678,8 +704,12 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                         n_cells_dim=plan["n_cells_dim"],
                         capacity=plan["capacity"],
                         n_bins=n_bins, precision="exact",
-                        exclusion=exclusion,
+                        exclusion=kernel_exclusion,
                     )
+                    if self_pairs:
+                        counts = counts.at[0].add(
+                            jnp.float32(self_pairs)
+                        )
                     occ = occ - np.int32(plan["capacity"])
                 # Padding frames (valid == 0) are all-zero positions
                 # — every atom lands in cell 0 — so their occupancy
@@ -1234,11 +1264,12 @@ class StructureFactor(NumbaAnalysisBase):
                 return trig_sums_frame(qs, p, precision=prec)
 
         cos_all, sin_all = [], []
+        n_cols = len(self._atom_indices)
         for group, grouping, sel, seg, n in zip(
             self._groups, self._groupings, self._sels, self._segs,
             self._Ns,
         ):
-            pos = positions[:, jnp.asarray(sel)]
+            pos = _column_selector(sel, n_cols)(positions)
             if seg is not None:
                 pos = _com_positions(
                     pos, jnp.asarray(group.masses), jnp.asarray(seg), n
@@ -1291,7 +1322,7 @@ class StructureFactor(NumbaAnalysisBase):
             )
         plan, flat_idx, n_points = self._mesh_setup()
         group = self._groups[0]
-        sel = jnp.asarray(self._sels[0])
+        take = _column_selector(self._sels[0], len(self._atom_indices))
         seg = (
             None if self._segs[0] is None else jnp.asarray(self._segs[0])
         )
@@ -1300,7 +1331,7 @@ class StructureFactor(NumbaAnalysisBase):
 
         def update(carry, positions, dimensions, mask):
             del dimensions
-            pos = positions[:, sel]
+            pos = take(positions)
             if seg is not None:
                 pos = _com_positions(pos, masses, seg, n_entities)
 
@@ -1565,6 +1596,8 @@ class IntermediateScatteringFunction(StructureFactor):
             group_slices.append((offset, int(n)))
             offset += int(n)
 
+        n_cols_isf = len(self._atom_indices)
+
         def frame_positions(positions):
             """(B, N_sel, 3) -> (B, N_grouped, 3) group-ordered
             positions (COMs where requested)."""
@@ -1574,7 +1607,7 @@ class IntermediateScatteringFunction(StructureFactor):
                 self._groups, self._groupings, self._sels, self._segs,
                 self._Ns,
             ):
-                pos = positions[:, jnp.asarray(sel)]
+                pos = _column_selector(sel, n_cols_isf)(positions)
                 if seg is not None:
                     pos = _com_positions(
                         pos, jnp.asarray(group.masses),

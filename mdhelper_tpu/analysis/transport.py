@@ -517,9 +517,26 @@ class Onsager(SerialAnalysisBase):
             prev0 = None
             images0 = None
 
+        n_cols = (
+            len(self._atom_indices)
+            if self._atom_indices is not None
+            else self.universe.atoms.n_atoms
+        )
+        identity = (
+            len(sels) == 1
+            and segs[0] is None
+            and len(self._sels[0]) == n_cols
+            and np.array_equal(self._sels[0], np.arange(n_cols))
+        )
+
         def entity_positions(positions):
             """(N_univ_or_sel, 3) -> (N_entities, 3) frame positions."""
 
+            if identity:
+                # Single whole-selection atom group: gathering with an
+                # identity index would copy (N, 3) per frame for
+                # nothing.
+                return positions
             parts = []
             for sel, seg, m, n in zip(sels, segs, masses_per_group, ns):
                 pos = positions[sel]
