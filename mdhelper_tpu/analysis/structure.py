@@ -1200,10 +1200,17 @@ class StructureFactor(NumbaAnalysisBase):
     def _factor_setup(self):
         """Build (or refuse) the factorized-lattice plan for the
         current wavevector set; see
-        :func:`mdhelper_tpu.ops.factor_scattering.factor_plan`."""
+        :func:`mdhelper_tpu.ops.factor_scattering.factor_plan`.
+
+        Mixed sets — a reciprocal-lattice grid plus off-grid extras
+        (the reference's ``n_surfaces`` sphere samples,
+        ``analysis/structure.py:1090-1130``) — are SPLIT: the lattice
+        subset rides the factorized kernel and only the extras pay the
+        direct per-wavevector sweep (``self._factor_split``)."""
 
         from ..ops.factor_scattering import factor_plan
 
+        self._factor_split = None
         method = getattr(self, "_method", "direct")
         if (
             method not in {"auto", "factor"}
@@ -1219,10 +1226,31 @@ class StructureFactor(NumbaAnalysisBase):
             return None
         try:
             return factor_plan(self._wavevectors, self._dimensions)
-        except ValueError:
+        except ValueError as exc:
+            full_set_error = exc
+        # Partition on-grid vs off-grid wavevectors.
+        qs = np.asarray(self._wavevectors, np.float64)
+        dims = np.asarray(self._dimensions, np.float64)
+        n_float = qs * dims / (2 * np.pi)
+        n_int = np.rint(n_float)
+        on_grid = (
+            np.isclose(n_float, n_int, atol=1e-8).all(axis=1)
+            & (n_int >= 0).all(axis=1)
+        )
+        idx_grid = np.nonzero(on_grid)[0]
+        idx_rest = np.nonzero(~on_grid)[0]
+        # Below ~64 lattice points the factorized tables cost more
+        # than they save; run everything direct.
+        if len(idx_grid) < 64 or len(idx_rest) == 0:
             if method == "factor":
-                raise
+                raise full_set_error
             return None
+        order = np.concatenate((idx_grid, idx_rest))
+        self._factor_split = {
+            "qs_rest": qs[idx_rest],
+            "inv_perm": np.argsort(order).astype(np.int32),
+        }
+        return factor_plan(qs[idx_grid], dims)
 
     def _use_factor(self, positions) -> bool:
         """Route through the factorized kernel?  Explicit
@@ -1251,12 +1279,26 @@ class StructureFactor(NumbaAnalysisBase):
 
             plan = self._factor
             flat = jnp.asarray(plan["flat_idx"])
+            split = getattr(self, "_factor_split", None)
+            if split is not None:
+                qs_rest = jnp.asarray(split["qs_rest"])
+                inv_perm = jnp.asarray(split["inv_perm"])
 
             def frame_sums(p):
                 c, s = factor_trig_sums(
                     p, k=plan["k"], box=plan["box"], precision=prec
                 )
-                return c[flat], s[flat]
+                c, s = c[flat], s[flat]
+                if split is None:
+                    return c, s
+                # Off-grid extras (sphere-surface samples) pay the
+                # direct sweep; the permutation gather restores the
+                # caller's wavevector order.
+                cr, sr = trig_sums_frame(qs_rest, p, precision=prec)
+                return (
+                    jnp.concatenate((c, cr))[inv_perm],
+                    jnp.concatenate((s, sr))[inv_perm],
+                )
 
         else:
 
@@ -1629,6 +1671,10 @@ class IntermediateScatteringFunction(StructureFactor):
 
             factor_plan_ = self._factor
             factor_idx = jnp.asarray(factor_plan_["flat_idx"])
+            factor_split = getattr(self, "_factor_split", None)
+            if factor_split is not None:
+                factor_qs_rest = jnp.asarray(factor_split["qs_rest"])
+                factor_inv = jnp.asarray(factor_split["inv_perm"])
 
         def group_sums(pos, prec, qs_t):
             """Per-group (G, Nq) cos/sin sums for one frame's grouped
@@ -1657,7 +1703,16 @@ class IntermediateScatteringFunction(StructureFactor):
                         box=factor_plan_["box"],
                         precision=prec,
                     )
-                    return cos[factor_idx], sin[factor_idx]
+                    cos, sin = cos[factor_idx], sin[factor_idx]
+                    if factor_split is None:
+                        return cos, sin
+                    cr, sr = trig_sums_frame(
+                        factor_qs_rest, p, precision=prec
+                    )
+                    return (
+                        jnp.concatenate((cos, cr))[factor_inv],
+                        jnp.concatenate((sin, sr))[factor_inv],
+                    )
                 return trig_sums_frame(qs_t, p, precision=prec)
 
             if mode is None:

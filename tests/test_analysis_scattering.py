@@ -269,3 +269,21 @@ def test_isf_uneven_frames_error(universe):
     )
     with pytest.raises(ValueError):
         isf.run(frames=[0, 1, 5])
+
+
+def test_ssf_factor_split_with_surfaces(universe):
+    """Mixed wavevector sets (lattice grid + sphere-surface extras)
+    split: the grid subset rides the factorized kernel, the extras the
+    direct sweep, and the recombined S(q) matches the direct oracle in
+    the caller's ordering."""
+
+    sf = StructureFactor(
+        universe.atoms, n_points=5, n_surfaces=2, n_surface_points=8,
+        unique=False, sort=False, method="factor", verbose=False,
+    )
+    sf.run()
+    assert sf._factor is not None
+    assert sf._factor_split is not None
+    qs = _wavevector_grid(np.array([BOX] * 3), 5, 2, 8)
+    ref = oracle_ssf(qs, universe.trajectory._positions)
+    np.testing.assert_allclose(sf.results.ssf[0], ref, rtol=5e-5)

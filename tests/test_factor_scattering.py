@@ -165,17 +165,26 @@ def test_ssf_auto_routes_float32_to_factor(universe):
     )
 
 
-def test_ssf_auto_falls_back_off_lattice(universe):
-    # Spherical-surface extras are off-lattice: auto must fall back to
-    # the direct sweep (factor plan is None), not raise.
+def test_ssf_auto_splits_or_falls_back_off_lattice(universe):
+    # Spherical-surface extras are off-lattice: with a big enough
+    # lattice subset the set SPLITS (grid -> factorized kernel,
+    # extras -> direct sweep); the plan then covers the subset only.
     sf = StructureFactor(
         universe.atoms, n_points=4, n_surfaces=2, verbose=False
     ).run()
-    assert sf._factor is None
-    # Explicit factor with off-lattice wavevectors raises.
+    assert sf._factor is not None
+    assert sf._factor_split is not None
+    assert len(sf._factor_split["qs_rest"]) == 2 * 8
+    # A tiny lattice subset (3^3 = 27 < 64 points) is not worth the
+    # tables: auto falls back to the direct sweep, explicit factor
+    # raises.
+    tiny = StructureFactor(
+        universe.atoms, n_points=3, n_surfaces=2, verbose=False
+    ).run()
+    assert tiny._factor is None
     with pytest.raises(ValueError):
         StructureFactor(
-            universe.atoms, n_points=4, n_surfaces=2,
+            universe.atoms, n_points=3, n_surfaces=2,
             method="factor", verbose=False,
         ).run()
 
@@ -204,4 +213,21 @@ def test_isf_factor_matches_direct(universe):
     )
     assert np.allclose(
         factor.results.iisf, direct.results.iisf, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_isf_factor_split_with_surfaces(universe):
+    kwargs = dict(
+        n_points=4, n_surfaces=2, n_lags=4, unique=False, sort=False,
+        verbose=False,
+    )
+    direct = IntermediateScatteringFunction(
+        universe.atoms, method="direct", **kwargs
+    ).run()
+    factor = IntermediateScatteringFunction(
+        universe.atoms, method="factor", precision="exact", **kwargs
+    ).run()
+    assert factor._factor_split is not None
+    assert np.allclose(
+        factor.results.cisf, direct.results.cisf, rtol=1e-4, atol=1e-5
     )
