@@ -254,15 +254,23 @@ def _group_segment_ids(ag, grouping: str) -> tuple[np.ndarray, int]:
     return ids.astype(np.int32), int(ids.max()) + 1
 
 
+def _identity_selection(sel, n_cols) -> bool:
+    """Does `sel` select every one of `n_cols` columns in order?"""
+
+    sel = np.asarray(sel)
+    return len(sel) == n_cols and np.array_equal(
+        sel, np.arange(n_cols)
+    )
+
+
 def _column_selector(sel, n_cols):
     """Batch column gather ``(B, n_cols, 3) -> (B, len(sel), 3)``,
     elided when `sel` is the identity — a 100k-index identity gather
     per chunk is pure overhead on TPU."""
 
-    sel = np.asarray(sel)
-    if len(sel) == n_cols and np.array_equal(sel, np.arange(n_cols)):
+    if _identity_selection(sel, n_cols):
         return lambda positions: positions
-    sel_dev = jnp.asarray(sel)
+    sel_dev = jnp.asarray(np.asarray(sel))
     return lambda positions: positions[:, sel_dev]
 
 
@@ -474,6 +482,15 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         drop = self._drop_axis
         exclusion = self._exclusion
         triclinic = self._triclinic
+        # f32 streams (the TPU configuration) bin in double-float so
+        # the integer counts match the f64 reference exactly;
+        # triclinic boxes keep the fast f32 26-shift search (1-ulp
+        # edge straddles possible — see docs/precision.md).
+        precision = (
+            "exact"
+            if self._stream_dtype() == np.float32 and not triclinic
+            else "fast"
+        )
         # The reference tracks volume only for norm="rdf"
         # (structure.py:747-748) but _get_rdf needs it regardless; the
         # reduction is one fused multiply-add, so always accumulate.
@@ -500,7 +517,8 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 else:
                     vol = box.prod(axis=1)
             counts = carry["counts"] + radial_histogram_batch(
-                pos1, pos2, box, mask, edges, exclusion=exclusion
+                pos1, pos2, box, mask, edges, exclusion=exclusion,
+                precision=precision,
             )
             if track_volume:
                 volume = carry["volume"] + (vol * mask).sum()
@@ -545,6 +563,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             n_real=n_real,
             exclusion=self._exclusion,
             n_bins=self._n_bins,
+            precision=(
+                "exact"
+                if self._stream_dtype() == np.float32
+                else "fast"
+            ),
         )
         ring = jax.shard_map(
             body,
@@ -718,8 +741,13 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 occ = jnp.where(
                     valid > 0, occ, np.int32(-(2**30))
                 ).astype(jnp.int32)
+                # jnp.where, not `counts * valid`: a padding frame's
+                # fabricated box can NaN-poison the kernel output, and
+                # NaN * 0 is NaN (e.g. a multi-host block that is all
+                # padding on one host streams dimensions of ones).
+                counts = jnp.where(valid > 0, counts, np.float32(0.0))
                 return {
-                    "counts": c["counts"] + counts * valid,
+                    "counts": c["counts"] + counts,
                     "volume": c["volume"]
                     + dims[:3].prod() * valid,
                     "max_occ": jnp.maximum(c["max_occ"], occ),
@@ -1269,11 +1297,9 @@ class StructureFactor(NumbaAnalysisBase):
         of ``(B, G, N_q)`` arrays."""
 
         prec = self._resolve_precision(positions)
-        # Match the wavevector dtype to the positions: float64
-        # wavevectors would promote the (N_q, N) phase block onto the
-        # TPU's emulated-f64 path (~100x slower and worker-fatal at
-        # scale); exact double-float mode recovers the precision.
-        qs = qs.astype(positions.dtype)
+        # No qs cast here: trig_sums_frame runs in the positions'
+        # dtype internally and splits f64 wavevectors hi + lo on the
+        # exact path, so no q precision is lost.
         if self._use_factor(positions):
             from ..ops.factor_scattering import factor_trig_sums
 
@@ -1573,6 +1599,15 @@ class IntermediateScatteringFunction(StructureFactor):
             verbose=verbose,
             **kwargs,
         )
+        if getattr(self, "_shard", None) is not None:
+            # The ISF update is order-dependent (the lag ring buffer
+            # is a sequential scan carry), so neither frame- nor
+            # q-sharding applies; silently ignoring the request would
+            # hand back an undistributed run.
+            raise ValueError(
+                "IntermediateScatteringFunction does not support "
+                "shard= (the lag ring buffer is sequential)."
+            )
         self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
         self._n_lags = n_lags
         self._incoherent = incoherent

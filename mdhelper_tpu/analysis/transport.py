@@ -32,7 +32,11 @@ from ..algorithm.unit import strip_unit
 from ..fit.polynomial import poly1
 from ..ops.pbc import unwrap_scan, wrap_positions
 from .base import SerialAnalysisBase
-from .structure import _com_positions, _group_segment_ids
+from .structure import (
+    _com_positions,
+    _group_segment_ids,
+    _identity_selection,
+)
 
 __all__ = [
     "msd_fft",
@@ -525,8 +529,7 @@ class Onsager(SerialAnalysisBase):
         identity = (
             len(sels) == 1
             and segs[0] is None
-            and len(self._sels[0]) == n_cols
-            and np.array_equal(self._sels[0], np.arange(n_cols))
+            and _identity_selection(self._sels[0], n_cols)
         )
 
         def entity_positions(positions):

@@ -28,10 +28,7 @@ __all__ = ["radial_histogram_frame", "radial_histogram_batch"]
 
 def _bin_distances(dist, edges, weights, n_bins):
     """np.histogram-compatible binning of `dist` with per-pair 0/1
-    weights, accumulated scatter-free as a two-level one-hot digit
-    contraction on the MXU (scatter-adds serialize on TPU, and at
-    frame-batch scale the batched scatter kernel crashes this
-    environment's TPU runtime outright).
+    weights (see :func:`_contract_bins`).
 
     Bin search runs in `dist`'s dtype: promoting float32 distances to
     float64 edges would drop the whole sweep onto the ~100x-slower
@@ -46,7 +43,17 @@ def _bin_distances(dist, edges, weights, n_bins):
     weights = (weights * in_range).astype(jnp.float32)
     # Out-of-range values spill into a discard row.
     idx = jnp.where(in_range, idx, n_bins).reshape(-1)
+    return _contract_bins(idx, weights, n_bins)
 
+
+def _contract_bins(idx, weights, n_bins):
+    """Accumulate bin indices (spill row ``n_bins`` for discards)
+    scatter-free as a two-level one-hot digit contraction on the MXU
+    (scatter-adds serialize on TPU, and at frame-batch scale the
+    batched scatter kernel crashes this environment's TPU runtime
+    outright)."""
+
+    idx = idx.reshape(-1)
     n_fine = 16
     n_coarse = -(-(n_bins + 1) // n_fine)
     w_flat = weights.reshape(-1)
@@ -96,6 +103,95 @@ def _bin_distances(dist, edges, weights, n_bins):
         jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     )
     return counts2d.reshape(-1)[:n_bins].astype(accum)
+
+
+def _exact_bin_indices(p1, p2, box, edges, n_bins):
+    """Exact double-float bin assignment for an orthorhombic pair
+    block with UNIFORM float32-stream edges: squared minimum-image
+    distances evaluate in error-free two-float32 arithmetic
+    (:mod:`mdhelper_tpu.ops.doublefloat`) and a float32-estimated bin
+    index is +-1-corrected against the exact boundary values
+    ``(e_0 + k h)^2`` — float64-grade binning without any emulated
+    f64 in the pair sweep (same recipe as the Pallas cell kernel's
+    ``_bin_exact``).  Assumes wrapped inputs (image multiple in
+    {-1, 0, 1}).  Returns spill-row (``n_bins``) indices for
+    out-of-range pairs; the last bin is closed (np.histogram).
+    """
+
+    from .doublefloat import (
+        df_add,
+        df_ge,
+        df_lt,
+        df_sub,
+        df_sum3,
+        df_square,
+        two_diff,
+        two_prod,
+    )
+
+    # Split the uniform-edge constants e0^2, 2 e0 h, h^2 into
+    # double-float pairs.  A handful of scalar f64 ops (emulated on
+    # TPU, but executed once per call).
+    f64 = edges.astype(
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    )
+    e0 = f64[0]
+    h = (f64[-1] - f64[0]) / n_bins
+
+    def split(x):
+        hi = x.astype(jnp.float32)
+        return hi, (x - hi).astype(jnp.float32)
+
+    c0 = split(e0 * e0)
+    c1 = split(2.0 * e0 * h)
+    c2 = split(h * h)
+    e0_f32 = e0.astype(jnp.float32)
+    inv_h = (1.0 / h).astype(jnp.float32)
+    box = box.astype(jnp.float32)
+    p1 = p1.astype(jnp.float32)
+    p2 = p2.astype(jnp.float32)
+
+    components = []
+    for k in range(3):
+        s, e = two_diff(p1[:, None, k], p2[None, :, k])
+        m = jnp.round(s / box[k])
+        d = df_sub((s, e), (m * box[k], jnp.float32(0.0)))
+        components.append(df_square(d))
+    d2 = df_sum3(*components)
+
+    def boundary(k):
+        kf = k.astype(jnp.float32)
+        k2 = kf * kf
+        t1 = two_prod(kf, c1[0])
+        t2 = two_prod(k2, c2[0])
+        acc = df_add(c0, (t1[0], t1[1] + kf * c1[1]))
+        return df_add(acc, (t2[0], t2[1] + k2 * c2[1]))
+
+    dist = jnp.sqrt(jnp.maximum(d2[0], jnp.float32(0.0)))
+    idx = jnp.clip(
+        ((dist - e0_f32) * inv_h).astype(jnp.int32),
+        0,
+        n_bins,
+    )
+    one = jnp.int32(1)
+    idx = (
+        idx
+        + jnp.where(df_ge(d2, boundary(idx + one)), one, jnp.int32(0))
+        - jnp.where(df_lt(d2, boundary(idx)), one, jnp.int32(0))
+    )
+    # np.histogram range semantics: keep d^2 in [e_0^2, e_last^2],
+    # INCLUSIVE of the last edge (the last bin is closed), spill the
+    # rest; the min() folds d == e_last into bin n_bins - 1.
+    b_last = boundary(jnp.int32(n_bins))
+    in_range = df_ge(d2, boundary(jnp.int32(0))) & (
+        df_lt(d2, b_last) | _df_eq(d2, b_last)
+    )
+    idx = jnp.where(in_range, jnp.minimum(idx, n_bins - 1), n_bins)
+    return idx
+
+
+def _df_eq(a, b):
+    return (a[0] == b[0]) & (a[1] == b[1])
 
 
 #: all 26 non-zero image shifts in {-1, 0, 1}^3 for the triclinic
@@ -198,6 +294,7 @@ def radial_histogram_frame(
     n1_real=None,
     n2_real=None,
     tile=4096,
+    precision: str = "fast",
 ):
     r"""Radial pair-distance histogram for a single frame.
 
@@ -207,7 +304,8 @@ def radial_histogram_frame(
         Particle positions, shapes ``(N_1, 3)`` and ``(N_2, 3)``
         (possibly padded; see `n1_real`/`n2_real`).
     box : `jax.Array`
-        Orthorhombic box lengths, shape ``(3,)``.
+        Orthorhombic box lengths, shape ``(3,)``, or a ``(3, 3)``
+        lower-triangular box matrix for triclinic cells.
     edges : `jax.Array`
         Monotonic bin edges, shape ``(n_bins + 1,)``.
     exclusion : `tuple`, optional
@@ -218,6 +316,12 @@ def radial_histogram_frame(
     tile : `int`, optional
         Atom tile size; pair blocks of ``tile x tile`` bound memory
         (the TPU analog of the reference's ``n_batches``).
+    precision : `str`, static keyword-only
+        ``"fast"`` bins in the positions' dtype (float32 streams can
+        flip pairs within one ulp of a bin edge vs float64);
+        ``"exact"`` (orthorhombic boxes with uniform edges only)
+        bins in double-float — float64-grade counts from float32
+        streams (:func:`_exact_bin_indices`).
 
     Returns
     -------
@@ -229,15 +333,41 @@ def radial_histogram_frame(
     n1, n2 = pos1.shape[0], pos2.shape[0]
     n1_real = n1 if n1_real is None else n1_real
     n2_real = n2 if n2_real is None else n2_real
+    exact = precision == "exact"
+    if exact and box.ndim != 1:
+        raise ValueError(
+            "precision='exact' supports orthorhombic boxes only."
+        )
+
+    def block_counts(a, b, i0, j0, ni, nj):
+        if exact:
+            idx = _exact_bin_indices(a, b, box, edges, n_bins)
+            weights = jnp.ones((a.shape[0], b.shape[0]), jnp.float32)
+        else:
+            dist, weights = _pair_block_histogram(
+                a, b, box, edges, i0, j0, None, n_bins
+            )
+        i_idx = i0 + jax.lax.broadcasted_iota(
+            jnp.int32, (a.shape[0], b.shape[0]), 0
+        )
+        j_idx = j0 + jax.lax.broadcasted_iota(
+            jnp.int32, (a.shape[0], b.shape[0]), 1
+        )
+        if exclusion is not None:
+            e0, e1 = exclusion
+            weights = weights * (i_idx // e0 != j_idx // e1)
+        weights = weights * (i_idx < ni) * (j_idx < nj)
+        if exact:
+            # Invalid (spilled) pairs already sit in the discard row.
+            return _contract_bins(
+                jnp.where(weights > 0, idx, n_bins),
+                weights.astype(jnp.float32),
+                n_bins,
+            )
+        return _bin_distances(dist, edges, weights, n_bins)
 
     if n1 * n2 <= tile * tile:
-        dist, weights = _pair_block_histogram(
-            pos1, pos2, box, edges, 0, 0, exclusion, n_bins
-        )
-        i_idx = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
-        j_idx = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
-        weights = weights * (i_idx < n1_real) * (j_idx < n2_real)
-        return _bin_distances(dist, edges, weights, n_bins)
+        return block_counts(pos1, pos2, 0, 0, n1_real, n2_real)
 
     # Tiled sweep: pad each group to a tile multiple, scan pair blocks.
     def pad(p, t):
@@ -254,17 +384,9 @@ def radial_histogram_frame(
         ti, tj = idx // nt2, idx % nt2
         a = jax.lax.dynamic_index_in_dim(p1_tiles, ti, keepdims=False)
         b = jax.lax.dynamic_index_in_dim(p2_tiles, tj, keepdims=False)
-        dist, weights = _pair_block_histogram(
-            a, b, box, edges, ti * tile, tj * tile, exclusion, n_bins
-        )
-        i_idx = ti * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (tile, tile), 0
-        )
-        j_idx = tj * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (tile, tile), 1
-        )
-        weights = weights * (i_idx < n1_real) * (j_idx < n2_real)
-        return carry + _bin_distances(dist, edges, weights, n_bins), None
+        return carry + block_counts(
+            a, b, ti * tile, tj * tile, n1_real, n2_real
+        ), None
 
     init = jnp.zeros(
         n_bins,
@@ -287,6 +409,7 @@ def radial_histogram_batch(
     n1_real=None,
     n2_real=None,
     tile=4096,
+    precision: str = "fast",
 ):
     """Mask-weighted histogram over a frame batch: `pos1`/`pos2` have
     shape ``(B, N, 3)``, `box` ``(B, 3)``, `mask` ``(B,)``.  Returns the
@@ -299,6 +422,7 @@ def radial_histogram_batch(
         lambda abc: radial_histogram_frame(
             abc[0], abc[1], abc[2], edges, exclusion=exclusion,
             n1_real=n1_real, n2_real=n2_real, tile=tile,
+            precision=precision,
         ),
         (pos1, pos2, box),
     )

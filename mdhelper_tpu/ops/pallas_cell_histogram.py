@@ -100,6 +100,19 @@ def pallas_cell_plan(n_atoms, box, r_max, *, capacity_sigmas=4.0):
     }
 
 
+def _cell_sweep_ok(box, dims, n_cells_dim, r_max):
+    """Is the 27-cell neighbor sweep complete for this box?  A cell
+    must be at least ``r_max`` wide — EXCEPT on axes clamped to the
+    3-cell minimum, where the +-1 neighborhood already spans the whole
+    axis and every pair is examined regardless of cell width."""
+
+    whole_axis = jnp.asarray(
+        [n == 3 for n in n_cells_dim], dtype=bool
+    )
+    wide_enough = box * np.float32(1 + 1e-6) >= dims * np.float32(r_max)
+    return (wide_enough | whole_axis).all()
+
+
 def _bin_fast(ip, jp, box, inv_dr):
     d2 = None
     for k in range(3):
@@ -435,11 +448,11 @@ def cell_pair_histogram_pallas(
         interpret=jax.default_backend() != "tpu",
     )(neighbor_ids.astype(jnp.int32), occupancy, box, pos_table)
     counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
-    # A box below n_cells_dim * r_max breaks the 27-cell sweep.
-    cell_ok = (
-        box * np.float32(1 + 1e-6) >= dims * np.float32(r_max)
-    ).all()
-    counts = jnp.where(cell_ok, counts, jnp.float32(np.nan))
+    counts = jnp.where(
+        _cell_sweep_ok(box, dims, n_cells_dim, r_max),
+        counts,
+        jnp.float32(np.nan),
+    )
     return counts, max_occupancy
 
 
@@ -613,8 +626,9 @@ def cross_pair_histogram_pallas(
         interpret=jax.default_backend() != "tpu",
     )(neighbor_ids.astype(jnp.int32), occ1, occ2, box, t1, t2)
     counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
-    cell_ok = (
-        box * np.float32(1 + 1e-6) >= dims * np.float32(r_max)
-    ).all()
-    counts = jnp.where(cell_ok, counts, jnp.float32(np.nan))
+    counts = jnp.where(
+        _cell_sweep_ok(box, dims, n_cells_dim, r_max),
+        counts,
+        jnp.float32(np.nan),
+    )
     return counts, max1, max2

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.histogram import _bin_distances, _pair_block_histogram
+from ..ops.histogram import (
+    _bin_distances,
+    _contract_bins,
+    _exact_bin_indices,
+    _pair_block_histogram,
+)
 
 __all__ = ["ring_radial_histogram"]
 
@@ -38,6 +43,7 @@ def _local_ring_histogram(
     n_real: int,
     exclusion,
     n_bins: int,
+    precision: str = "fast",
 ):
     """Per-device body: accumulate this device's i-shard against every
     rotating j-shard, then reduce over the ring."""
@@ -50,19 +56,39 @@ def _local_ring_histogram(
         counts, j_block = carry
         j_owner = (my_id - step_index) % n_shards
         j_offset = j_owner * shard_size
-        dist, weights = _pair_block_histogram(
-            pos1, j_block, box, edges, i_offset, j_offset, exclusion,
-            n_bins,
-        )
-        # Mask padded rows (global index >= n_real).
+        shape = (pos1.shape[0], j_block.shape[0])
+        if precision == "exact":
+            idx = _exact_bin_indices(
+                pos1, j_block, box, edges, n_bins
+            )
+            weights = jnp.ones(shape, jnp.float32)
+        else:
+            dist, weights = _pair_block_histogram(
+                pos1, j_block, box, edges, i_offset, j_offset, None,
+                n_bins,
+            )
+        # Mask padded rows (global index >= n_real) and excluded
+        # tiles on the GLOBAL atom indices.
         i_idx = i_offset + jax.lax.broadcasted_iota(
-            jnp.int32, dist.shape, 0
+            jnp.int32, shape, 0
         )
         j_idx = j_offset + jax.lax.broadcasted_iota(
-            jnp.int32, dist.shape, 1
+            jnp.int32, shape, 1
         )
+        if exclusion is not None:
+            e0, e1 = exclusion
+            weights = weights * (i_idx // e0 != j_idx // e1)
         weights = weights * (i_idx < n_real) * (j_idx < n_real)
-        counts = counts + _bin_distances(dist, edges, weights, n_bins)
+        if precision == "exact":
+            counts = counts + _contract_bins(
+                jnp.where(weights > 0, idx, n_bins),
+                weights.astype(jnp.float32),
+                n_bins,
+            )
+        else:
+            counts = counts + _bin_distances(
+                dist, edges, weights, n_bins
+            )
         # Rotate the j-shard one hop around the ring.
         j_block = jax.lax.ppermute(j_block, axis_name, perm)
         return (counts, j_block), None
@@ -87,6 +113,7 @@ def ring_radial_histogram(
     *,
     exclusion=None,
     axis_name: str = None,
+    precision: str = "fast",
 ):
     r"""Atom-sharded radial pair-distance histogram over a device ring.
 
@@ -140,6 +167,7 @@ def ring_radial_histogram(
         n_real=n_real,
         exclusion=exclusion,
         n_bins=n_bins,
+        precision=precision,
     )
     sharded = jax.shard_map(
         body,

@@ -415,3 +415,42 @@ def test_rdf_triclinic_rejects_drop_axis():
         structure.RadialDistributionFunction(
             u.select_atoms("type A"), drop_axis="z"
         )
+
+
+def test_xla_exact_binning_on_f32_streams(universe):
+    """The XLA fallback sweep with float32 streams (the TPU
+    configuration) must produce the same integer counts as float64
+    binning — double-float exact bin assignment
+    (`ops/histogram._exact_bin_indices`), including a range starting
+    above zero and a molecule exclusion with e0 != e1 (the cases that
+    cannot ride the Pallas cell kernel)."""
+
+    import jax.numpy as jnp
+
+    from mdhelper_tpu.ops.histogram import radial_histogram_frame
+
+    rng2 = np.random.default_rng(77)
+    n, n_bins = 700, 48
+    pos = (rng2.random((n, 3)) * BOX).astype(np.float32)
+    edges = np.linspace(0.7, 4.1, n_bins + 1)
+    for exclusion in (None, (3, 5)):
+        counts = np.asarray(
+            radial_histogram_frame(
+                jnp.asarray(pos),
+                jnp.asarray(pos),
+                jnp.asarray(np.full(3, BOX, np.float32)),
+                jnp.asarray(edges),
+                exclusion=exclusion,
+                precision="exact",
+            )
+        ).astype(int)
+        p64 = pos.astype(np.float64)
+        d = p64[:, None] - p64[None]
+        d -= BOX * np.round(d / BOX)
+        dist = np.sqrt((d**2).sum(-1))
+        if exclusion is not None:
+            e0, e1 = exclusion
+            i = np.arange(n)
+            dist[(i[:, None] // e0) == (i[None, :] // e1)] = np.inf
+        oracle = np.histogram(dist, bins=edges)[0]
+        np.testing.assert_array_equal(counts, oracle)
