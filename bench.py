@@ -406,7 +406,9 @@ def tpu_class_fps(which: str) -> float:
             # The first chunk pays trace + compile + the tunnel's
             # first-execution cost (executable upload); force a real
             # fetch so the clock starts at steady state.  Later
-            # chunks stay async (the conclusion's fetch syncs them).
+            # chunks are synchronized by the runtime itself
+            # (SerialAnalysisBase._sync_carry fetches one leaf per
+            # chunk — async program chains degrade this tunnel).
             import jax as _jax
 
             out = _jax.tree_util.tree_map(

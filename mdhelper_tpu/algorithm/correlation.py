@@ -166,23 +166,37 @@ def correlation_fft(
 
     if work2 is None:
         f1 = fft_(work1, n=n_fft, axis=0)
-        corr = ifft_(f1 * f1.conj(), n=n_fft, axis=0)[:n_t]
-        corr = (double + 1) * corr
+        spec = (double + 1) * (f1 * f1.conj())
         two_sided = False
     else:
         f1 = fft_(work1, n=n_fft, axis=0)
         f2 = fft_(work2, n=n_fft, axis=0)
         if double:
-            corr = ifft_(
-                f1.conj() * f2 + f1 * f2.conj(), n=n_fft, axis=0
-            )[:n_t]
+            spec = f1.conj() * f2 + f1 * f2.conj()
             two_sided = False
         else:
-            corr = ifft_(f1.conj() * f2, n=n_fft, axis=0)
+            spec = f1.conj() * f2
             two_sided = True
 
+    # The FFT is linear, so the vector contraction and the entity
+    # average reduce the POWER SPECTRUM before the inverse transform —
+    # one inverse FFT instead of one per entity/component.  At 100k
+    # particles this is the difference between a ~200 MB complex
+    # intermediate pair and a single series (the Onsager conclusion's
+    # dominant cost).
     if vector:
-        corr = corr.sum(axis=-1)
+        spec = spec.sum(axis=-1)
+    if average:
+        axis_avg = ndim - vector - 1
+        if axis != axis_avg:
+            # Map the input-coordinate entity axis into work
+            # coordinates (time axis moved to the front).
+            work_axis = axis_avg if axis_avg > axis else axis_avg + 1
+            spec = spec.mean(axis=work_axis)
+
+    corr = ifft_(spec, n=n_fft, axis=0)
+    if not two_sided:
+        corr = corr[:n_t]
 
     # Triangular-count normalization: lag m is an average over
     # N_t - |m| window positions.
@@ -197,11 +211,6 @@ def correlation_fft(
         corr = corr / desc
 
     corr = jnp.moveaxis(corr, 0, axis)
-
-    if average:
-        axis_avg = ndim - vector - 1
-        if axis != axis_avg:
-            corr = corr.mean(axis=axis_avg)
     return corr
 
 
@@ -318,8 +327,14 @@ def msd_fft(
         pos1, pos2 if pos2 is not None else None
     )
 
+    # With averaging requested, correlation_fft reduces the power
+    # spectrum over the particle axis BEFORE its inverse FFT (one
+    # inverse transform instead of one per particle — the dominant
+    # cost of a 100k-particle MSD).
+    pre_average = ndim - axis == 3 and average
     s2 = correlation_fft(
-        pos1, pos2js, axis, average=False, double=True, vector=True
+        pos1, pos2js, axis, average=pre_average, double=True,
+        vector=True,
     )
     r1r2 = (pos1 * (pos1 if pos2js is None else pos2js)).sum(axis=-1)
 
@@ -327,10 +342,10 @@ def msd_fft(
     work = jnp.moveaxis(r1r2, axis, 0)  # (N_t, ...)
     s2_work = jnp.moveaxis(s2, axis, 0)
 
-    if ndim - axis == 3 and average:
-        # Average the intermediates over the particle axis (now last).
+    if pre_average:
+        # The ACF side was averaged spectrally; match it on the
+        # squared-norm side (now last axis).
         work = work.mean(axis=-1)
-        s2_work = s2_work.mean(axis=-1)
 
     # Q_m recursion, vectorized: Q_m = 2*sum(D) - cumsum_m(D_{m-1} +
     # D_{N_t-m}) with D_{-1} = D_{N_t} = 0.

@@ -428,6 +428,7 @@ class SerialAnalysisBase:
                     processed += n_real
                     continue
                 carry = self._batched_update(carry, batch)
+                carry = self._sync_carry(carry)
                 processed += n_real
                 if checkpoint is not None:
                     save_carry(checkpoint, carry, processed)
@@ -445,6 +446,46 @@ class SerialAnalysisBase:
                 f"Analysis finished in {datetime.now() - time_start}."
             )
         return self
+
+    #: break the device-resident carry chain after every streamed
+    #: chunk by round-tripping the carry through host memory.
+    #: ``None`` (default) resolves to True on TPU: this environment's
+    #: TPU tunnel executes chains of programs whose inputs are other
+    #: programs' device outputs pathologically (measured >10x
+    #: end-to-end slowdown, with multi-second stalls per execution),
+    #: while host-round-tripped carries run at full speed — a tiny
+    #: per-chunk transfer for accumulator-sized carries.  Carries
+    #: above ``_sync_carry_bytes`` keep their large leaves on device
+    #: (only a small leaf is fetched to bound queue depth).  Set
+    #: False to restore fully async pipelining (e.g. on a
+    #: direct-attached TPU runtime).
+    _sync_chunks = None
+    _sync_carry_bytes: int = 32 << 20
+
+    def _sync_carry(self, carry):
+        sync = self._sync_chunks
+        if sync is None:
+            sync = jax.default_backend() == "tpu"
+        if not sync:
+            return carry
+        leaves = [
+            leaf
+            for leaf in jax.tree_util.tree_leaves(carry)
+            if isinstance(leaf, jax.Array)
+        ]
+        if not leaves:
+            return carry
+        if sum(leaf.nbytes for leaf in leaves) <= self._sync_carry_bytes:
+            return jax.tree_util.tree_map(
+                lambda leaf: np.asarray(leaf)
+                if isinstance(leaf, jax.Array)
+                else leaf,
+                carry,
+            )
+        # Large carry (e.g. an ISF incoherent ring buffer): fetch one
+        # small leaf to synchronize without paying the full transfer.
+        np.asarray(min(leaves, key=lambda leaf: leaf.size))
+        return carry
 
     # -- persistence -------------------------------------------------------
     def save(

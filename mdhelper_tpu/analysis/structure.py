@@ -348,6 +348,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         n_batches: int = None,
         parallel: bool = False,
         shard: str = None,
+        capacity_sigmas: float = 4.0,
         verbose: bool = True,
         **kwargs,
     ) -> None:
@@ -417,6 +418,9 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             else None
         )
         self._reduced = reduced
+        #: Pallas cell-list capacity headroom in Poisson sigmas; raise
+        #: it if a long/clustered trajectory trips the overflow check.
+        self._capacity_sigmas = float(capacity_sigmas)
         if n_batches is not None:
             warnings.warn(
                 "n_batches is accepted for API compatibility but has "
@@ -660,7 +664,10 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             self.ag2 is self.ag1
             and self._groupings[0] == self._groupings[1]
         )
-        plan = pallas_cell_plan(self._n1, box_np, r_max)
+        plan = pallas_cell_plan(
+            self._n1, box_np, r_max,
+            capacity_sigmas=self._capacity_sigmas,
+        )
         nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
         exclusion = self._exclusion
         # Self-RDF with no exclusion (reference default): the kernel
@@ -679,7 +686,10 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         n_bins = self._n_bins
 
         if cross:
-            plan2 = pallas_cell_plan(self._n2, box_np, r_max)
+            plan2 = pallas_cell_plan(
+                self._n2, box_np, r_max,
+                capacity_sigmas=self._capacity_sigmas,
+            )
             take2 = _column_selector(self._sel2, n_cols)
             seg2 = (
                 None if self._seg2 is None else jnp.asarray(self._seg2)
@@ -769,10 +779,10 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         excess = int(self._carry.pop("max_occ"))
         if excess > 0:
             raise RuntimeError(
-                f"cell capacity overflow (by {excess} atoms); the "
-                "density is far from uniform — raise "
-                "pallas_cell_plan(capacity_sigmas=...) or use the XLA "
-                "path."
+                f"cell capacity overflow (by {excess} atoms): a cell "
+                "exceeded its planned slot count (a density "
+                "fluctuation or clustering). Re-run with a larger "
+                "capacity_sigmas= (default 4.0) or a non-TPU backend."
             )
         if np.isnan(np.asarray(self._carry["counts"])).any():
             raise RuntimeError(

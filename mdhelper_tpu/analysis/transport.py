@@ -641,11 +641,12 @@ class Onsager(SerialAnalysisBase):
                     self.results.msd_cross[i] = np.asarray(
                         msd(positions.sum(axis=2), axis=1)
                     )
-                    self.results.msd_self[i1] = (
-                        np.asarray(
-                            msd(positions, axis=1, average=False)
-                        ).sum(axis=-1)
-                        / self._Ns[i1]
+                    # average=True reduces the power spectrum over
+                    # particles BEFORE the inverse FFT (one transform
+                    # instead of N) — identical to summing per-
+                    # particle MSDs and dividing by N.
+                    self.results.msd_self[i1] = np.asarray(
+                        msd(positions, axis=1, average=True)
                     )
                 else:
                     self.results.msd_cross[i] = np.nan
