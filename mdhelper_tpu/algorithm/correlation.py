@@ -81,6 +81,13 @@ def _fft_device_fallback(*arrays):
     f64 and immediately ship them back, a double round trip that
     dominates e.g. ``Onsager._conclude`` at 100k-atom scale."""
 
+    # Under a jit trace placement is the caller's problem; pass
+    # tracers through untouched.
+    if any(
+        isinstance(a, jax.core.Tracer) for a in arrays if a is not None
+    ):
+        return arrays
+
     def f64_for_tpu(a):
         if a is None:
             return False
@@ -357,6 +364,13 @@ def msd_fft(
     counts = jnp.arange(n_t, 0, -1).reshape(-1, *(1,) * (ssum.ndim - 1))
     disp = ssum / counts - s2_work
     return jnp.moveaxis(disp, 0, axis)
+
+
+#: jitted :func:`msd_fft` (static axis/average): one compiled program
+#: instead of per-op eager dispatch — ~2x on the 100k-particle MSD
+#: conclusion.  Run under ``jax.default_device(cpu)`` on TPU backends
+#: (f64 FFTs do not lower there; see :func:`_fft_device_fallback`).
+msd_fft_jit = jax.jit(msd_fft, static_argnames=("axis", "average"))
 
 
 def msd_shift(

@@ -618,7 +618,20 @@ class Onsager(SerialAnalysisBase):
 
     def _conclude(self) -> None:
         positions_all = self._positions[:self._n_frames]
-        msd = correlation.msd_fft if self._fft else correlation.msd_shift
+        if self._fft:
+            import jax as _jax
+
+            def msd(*args, **kwargs):
+                # One compiled program per shape instead of eager
+                # per-op dispatch; pinned to the CPU device on TPU
+                # backends (f64 FFTs do not lower there).
+                if _jax.default_backend() == "tpu":
+                    with _jax.default_device(_jax.devices("cpu")[0]):
+                        return correlation.msd_fft_jit(*args, **kwargs)
+                return correlation.msd_fft_jit(*args, **kwargs)
+
+        else:
+            msd = correlation.msd_shift
         delete_dims = np.isclose(self._dimensions, 0)
 
         n_pairs = len(self.results.pairs)
