@@ -18,16 +18,21 @@ Prints ONE json line:
 
 Configuration via env vars:
     MDTPU_BENCH_ATOMS   (default 100_000)
-    MDTPU_BENCH_FRAMES  (default 24; throughput is steady-state per
-                         frame, so the frame count only controls the
-                         measurement window, not the metric)
+    MDTPU_BENCH_FRAMES  (default 48; the frame count controls the
+                         measurement window — longer windows amortize
+                         the conclusion cost like real trajectories)
     MDTPU_BENCH_QPTS    (default 24 -> 24^3 wavevector grid)
     MDTPU_BENCH_BINS    (default 200)
     MDTPU_BENCH_REF_FRAMES (default 1; frames used to time the CPU
                          baseline before extrapolating per-frame cost)
-    MDTPU_BENCH_LEVEL   "classes" (default): the analysis-class
-                        pipelines; "ops": the raw kernels only (the
-                        round-1 metric, no streaming overheads)
+    MDTPU_BENCH_LEVEL   "fused" (default): ONE shared trajectory pass
+                        folding all three analyses inside a single
+                        jitted update (analysis.multi.run_together) —
+                        the apples-to-apples configuration against
+                        the single-pass CPU baseline; "classes": each
+                        analysis pipeline separately (each re-streams
+                        the trajectory, like the reference); "ops":
+                        the raw kernels only (the round-1 metric)
 """
 
 import json
@@ -37,7 +42,7 @@ import time
 import numpy as np
 
 N_ATOMS = int(os.environ.get("MDTPU_BENCH_ATOMS", 100_000))
-N_FRAMES = int(os.environ.get("MDTPU_BENCH_FRAMES", 24))
+N_FRAMES = int(os.environ.get("MDTPU_BENCH_FRAMES", 48))
 N_QPTS = int(os.environ.get("MDTPU_BENCH_QPTS", 24))
 N_BINS = int(os.environ.get("MDTPU_BENCH_BINS", 200))
 REF_FRAMES = int(os.environ.get("MDTPU_BENCH_REF_FRAMES", 1))
@@ -55,9 +60,10 @@ IMPL = os.environ.get("MDTPU_BENCH_IMPL", "pallas")
 # "direct": per-wavevector trig sweep (~4e-7).  "mesh": KB-NUFFT
 # gridding + FFT (~5e-6).
 SQ_METHOD = os.environ.get("MDTPU_BENCH_SQ", "factor")
-# "classes" (default): the real analysis-class pipelines end-to-end;
+# "fused" (default): one shared trajectory pass through all three
+# analyses in one jitted update; "classes": each pipeline separately;
 # "ops": raw kernels in dedicated loops (the round-1 metric).
-LEVEL = os.environ.get("MDTPU_BENCH_LEVEL", "classes")
+LEVEL = os.environ.get("MDTPU_BENCH_LEVEL", "fused")
 BOX = float(N_ATOMS / 0.8) ** (1 / 3)  # LJ-liquid-like density 0.8
 R_MAX = min(6.0, BOX / 2 * 0.99)
 
@@ -364,7 +370,8 @@ def tpu_class_fps(which: str) -> float:
         traj, np.array([BOX] * 3 + [90.0] * 3), dt=1.0
     )
 
-    def make():
+    def make_for(kind):
+        which = kind
         if which == "rdf":
             from mdhelper_tpu.analysis.structure import (
                 RadialDistributionFunction,
@@ -393,6 +400,28 @@ def tpu_class_fps(which: str) -> float:
                 u.atoms, temperature=300, unwrap=True, verbose=False,
             )
         raise ValueError(f"unknown class phase {which!r}")
+
+    def make():
+        return make_for(which)
+
+    if which == "fused":
+        # One shared trajectory pass, one jitted update containing
+        # every analysis kernel (analysis.multi.run_together) — the
+        # apples-to-apples configuration against the single-pass CPU
+        # baseline.
+        from mdhelper_tpu.analysis.multi import run_together
+
+        analyses = [make_for("rdf"), make_for("sq"), make_for("msd")]
+        for a in analyses:
+            a._chunk_bytes = chunk * N_ATOMS * 3 * 4
+        marks = []
+
+        def on_chunk(batch):
+            marks.append(time.perf_counter())
+
+        run_together(analyses, on_chunk=on_chunk)
+        t_end = time.perf_counter()
+        return (total - chunk) / (t_end - marks[0])
 
     a = make()
     # Pin the chunk size (f32 stream on TPU).
@@ -441,7 +470,14 @@ def _measure_tpu_subprocess() -> float:
     import sys
 
     root = os.path.dirname(os.path.abspath(__file__)) or "."
-    if LEVEL == "classes":
+    if LEVEL == "fused":
+        phases = ("fused",)
+        template = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "print('MDTPU_FPS', bench.tpu_class_fps({phase!r}))\n"
+        )
+    elif LEVEL == "classes":
         phases = ("rdf", "sq", "msd")
         template = (
             "import sys; sys.path.insert(0, {root!r})\n"
@@ -511,11 +547,13 @@ def main() -> None:
     ref_seconds = baseline_frame_seconds(qs)
     tpu_fps = _measure_tpu_subprocess()
     baseline_fps = 1.0 / ref_seconds
-    what = (
-        "end-to-end RDF+S(q)+MSD analysis-class throughput"
-        if LEVEL == "classes"
-        else "fused RDF+S(q)+MSD kernel throughput"
-    )
+    what = {
+        "fused": (
+            "single-pass RDF+S(q)+MSD analysis throughput "
+            "(run_together)"
+        ),
+        "classes": "end-to-end RDF+S(q)+MSD analysis-class throughput",
+    }.get(LEVEL, "fused RDF+S(q)+MSD kernel throughput")
     print(
         json.dumps(
             {

@@ -9,12 +9,14 @@ User-facing trajectory analyses (reference:
 from . import (  # noqa: F401
     base,
     electrostatics,
+    multi,
     polymer,
     profile,
     structure,
     thermodynamics,
     transport,
 )
+from .multi import run_together  # noqa: F401
 from .base import (  # noqa: F401
     DynamicAnalysisBase,
     Hash,
@@ -25,6 +27,8 @@ from .base import (  # noqa: F401
 
 __all__ = [
     "base",
+    "multi",
+    "run_together",
     "electrostatics",
     "polymer",
     "profile",

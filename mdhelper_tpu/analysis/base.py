@@ -447,6 +447,25 @@ class SerialAnalysisBase:
             )
         return self
 
+    def _fused_parts(self):
+        """Device/host split for fused multi-analysis streaming
+        (:func:`mdhelper_tpu.analysis.multi.run_together`): returns
+        ``(device_fn, absorb)`` where ``device_fn(carry, positions,
+        dimensions, mask) -> (carry, aux)`` is pure and jit-safe, and
+        ``absorb(aux, batch)`` performs any host-side storage.
+
+        This default covers analyses whose ``_batched_update`` simply
+        delegates to ``self._update``; classes with host-side chunk
+        work override it (e.g. ``Onsager``).
+        """
+
+        update = self._update
+
+        def device_fn(carry, positions, dimensions, mask):
+            return update(carry, positions, dimensions, mask), None
+
+        return device_fn, None
+
     #: break the device-resident carry chain after every streamed
     #: chunk by round-tripping the carry through host memory.
     #: ``None`` (default) resolves to True on TPU: this environment's

@@ -1,0 +1,148 @@
+"""
+Fused multi-analysis streaming
+==============================
+
+:func:`run_together` streams a trajectory ONCE and folds every chunk
+into several analyses' accumulators inside a SINGLE jitted update —
+the TPU-native answer to the reference's one-pass-per-analysis
+workflow (each reference class re-reads the trajectory,
+``/root/reference/src/mdhelper/analysis/base.py:115-210``; so does
+each of ours when run separately).  Host reading, host->HBM transfer
+and the streaming scaffolding are paid once instead of once per
+analysis — at 100k atoms the transfer is a large fraction of the
+per-frame budget for the cheaper analyses, so fusing approaches the
+sum of the kernels instead of the sum of the pipelines.
+
+One XLA program per chunk also matters on runtimes that cannot hold
+several large executables per process (this environment's TPU tunnel
+among them): the fused update contains every analysis's kernel in one
+executable.
+
+Analyses participate through the ``_fused_parts`` hook
+(:meth:`mdhelper_tpu.analysis.base.SerialAnalysisBase._fused_parts`):
+``device_fn(carry, positions, dimensions, mask) -> (carry, aux)``
+(pure, jit-safe) plus ``absorb(aux, batch)`` for host-side storage of
+per-chunk outputs (e.g. Onsager's entity positions).  The default
+implementation covers every carry-protocol analysis whose
+``_batched_update`` simply delegates to ``self._update``.
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .base import SerialAnalysisBase
+
+__all__ = ["run_together"]
+
+
+def run_together(
+    analyses: Sequence[SerialAnalysisBase],
+    start: int = None,
+    stop: int = None,
+    step: int = None,
+    frames=None,
+    on_chunk=None,
+):
+    """Run several analyses over one shared trajectory stream.
+
+    Parameters
+    ----------
+    analyses : sequence of analysis instances
+        Carry-protocol analyses sharing the SAME trajectory reader.
+        Sharding knobs (``parallel=True``, ``shard=``) are not
+        supported in fused mode — the stream runs single-device.
+    start, stop, step, frames
+        Frame selection, as in ``run()``.
+    on_chunk : callable, optional
+        Progress hook called with each streamed batch after its
+        update has been folded (and synchronized) into the carries.
+
+    Returns
+    -------
+    analyses : the input sequence, with ``results`` populated exactly
+        as individual ``run()`` calls would have produced.
+    """
+
+    if not analyses:
+        raise ValueError("No analyses given.")
+    trajectory = analyses[0]._trajectory
+    for a in analyses:
+        if a._trajectory is not trajectory:
+            raise ValueError(
+                "All analyses must share the same trajectory reader."
+            )
+        if getattr(a, "_shard", None) not in (None, False):
+            raise ValueError(
+                "Sharding knobs are not supported in fused mode."
+            )
+
+    # Prepare every analysis exactly as run() would.
+    for a in analyses:
+        a._setup_frames(
+            a._trajectory, start=start, stop=stop, step=step,
+            frames=frames,
+        )
+        a._mesh = None
+        a._prepare()
+        if getattr(a, "_carry", None) is None:
+            raise ValueError(
+                f"{type(a).__name__} does not implement the batched "
+                "carry protocol; run it separately."
+            )
+        if (
+            type(a)._fused_parts is SerialAnalysisBase._fused_parts
+            and type(a)._batched_update
+            is not SerialAnalysisBase._batched_update
+            and getattr(a, "_store_offset", None) is not None
+        ):
+            raise ValueError(
+                f"{type(a).__name__} stores per-chunk host results "
+                "and has no _fused_parts override; run it separately."
+            )
+
+    parts = [a._fused_parts() for a in analyses]
+    gathers = []
+    for a in analyses:
+        idx = a._effective_atom_indices()
+        gathers.append(None if idx is None else jnp.asarray(idx))
+
+    def fused_update(carries, positions, dimensions, mask):
+        out_carries, auxes = [], []
+        for i, ((device_fn, _), idx) in enumerate(zip(parts, gathers)):
+            pos = positions if idx is None else positions[:, idx]
+            carry, aux = device_fn(carries[i], pos, dimensions, mask)
+            out_carries.append(carry)
+            auxes.append(aux)
+        return tuple(out_carries), tuple(auxes)
+
+    fused = jax.jit(fused_update)
+
+    # Drive the stream off a bare base instance so column selection
+    # stays the FULL universe (each analysis gathers its own columns
+    # on device) and the chunk size accounts for the full width.
+    driver = SerialAnalysisBase(trajectory)
+    driver._setup_frames(
+        trajectory, start=start, stop=stop, step=step, frames=frames
+    )
+    driver._sequential = True  # single device; order preserved
+    driver._mesh = None
+    driver._chunk_bytes = min(a._chunk_bytes for a in analyses)
+
+    carries = tuple(a._carry for a in analyses)
+    for batch in driver._iter_batches():
+        carries, auxes = fused(
+            carries, batch.positions, batch.dimensions, batch.mask
+        )
+        carries = driver._sync_carry(carries)
+        for (_, absorb), aux in zip(parts, auxes):
+            if absorb is not None and aux is not None:
+                absorb(aux, batch)
+        if on_chunk is not None:
+            on_chunk(batch)
+
+    for a, carry in zip(analyses, carries):
+        a._carry = carry
+        a._conclude()
+    return analyses

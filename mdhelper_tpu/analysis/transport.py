@@ -608,13 +608,24 @@ class Onsager(SerialAnalysisBase):
         carry, entities = self._update(
             carry, batch.positions, batch.dimensions, batch.mask
         )
+        self._store_entities(entities, batch)
+        return carry
+
+    def _store_entities(self, entities, batch) -> None:
         entities = np.asarray(entities)
-        n_real = int(batch.mask.sum())
+        n_real = batch.n_real
         self._positions[
             self._store_offset:self._store_offset + n_real
         ] = entities[:n_real]
         self._store_offset += n_real
-        return carry
+
+    def _fused_parts(self):
+        update = self._update
+
+        def device_fn(carry, positions, dimensions, mask):
+            return update(carry, positions, dimensions, mask)
+
+        return device_fn, self._store_entities
 
     def _conclude(self) -> None:
         positions_all = self._positions[:self._n_frames]

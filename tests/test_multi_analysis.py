@@ -1,0 +1,93 @@
+"""Fused multi-analysis streaming (`analysis.multi.run_together`):
+one trajectory pass, one jitted update, results identical to separate
+`run()` calls."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis import run_together
+from mdhelper_tpu.analysis.structure import (
+    RadialDistributionFunction,
+    StructureFactor,
+)
+from mdhelper_tpu.analysis.transport import Onsager
+from mdhelper_tpu.core import Universe
+
+rng = np.random.default_rng(17)
+BOX, T, N = 12.0, 9, 80
+
+
+@pytest.fixture()
+def universe():
+    walk = np.cumsum(rng.standard_normal((T, N, 3)) * 0.2, axis=0)
+    positions = (walk + BOX / 2) % BOX
+    return Universe.from_arrays(
+        positions, np.array([BOX] * 3), dt=1.0,
+        types=np.array(["A"] * N, dtype=object),
+    )
+
+
+def _make(universe):
+    return [
+        RadialDistributionFunction(
+            universe.atoms, n_bins=32, range=(0.0, 3.5),
+            exclusion=(1, 1), verbose=False,
+        ),
+        StructureFactor(
+            universe.atoms, n_points=4, unique=False, sort=False,
+            verbose=False,
+        ),
+        Onsager(universe.atoms, temperature=300, unwrap=True,
+                verbose=False),
+    ]
+
+
+def test_fused_matches_separate_runs(universe):
+    separate = _make(universe)
+    for a in separate:
+        a.run()
+    fused = _make(universe)
+    run_together(fused)
+
+    np.testing.assert_array_equal(
+        fused[0].results.counts, separate[0].results.counts
+    )
+    np.testing.assert_allclose(
+        fused[1].results.ssf, separate[1].results.ssf, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        fused[2].results.msd_self, separate[2].results.msd_self,
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        fused[2].results.msd_cross, separate[2].results.msd_cross,
+        rtol=1e-10,
+    )
+
+
+def test_fused_frame_selection(universe):
+    separate = _make(universe)[:2]
+    for a in separate:
+        a.run(start=2, stop=8, step=2)
+    fused = _make(universe)[:2]
+    run_together(fused, start=2, stop=8, step=2)
+    np.testing.assert_array_equal(
+        fused[0].results.counts, separate[0].results.counts
+    )
+    np.testing.assert_allclose(
+        fused[1].results.ssf, separate[1].results.ssf, rtol=1e-12
+    )
+
+
+def test_fused_rejects_mixed_trajectories(universe):
+    other = Universe.from_arrays(
+        rng.random((3, N, 3)) * BOX, np.array([BOX] * 3)
+    )
+    a = RadialDistributionFunction(
+        universe.atoms, n_bins=8, range=(0.0, 3.0), verbose=False
+    )
+    b = RadialDistributionFunction(
+        other.atoms, n_bins=8, range=(0.0, 3.0), verbose=False
+    )
+    with pytest.raises(ValueError):
+        run_together([a, b])
