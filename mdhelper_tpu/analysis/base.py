@@ -174,7 +174,22 @@ class SerialAnalysisBase:
         raise NotImplementedError
 
     def _batched_update(self, carry, batch: _Batch):
-        return NotImplemented
+        """Fold one streamed chunk into the carry.  The default drives
+        the ``_update`` / ``_store_chunk`` pair (see those hooks);
+        subclasses without a jitted ``_update`` override this (or
+        implement the frame protocol instead)."""
+
+        update = getattr(self, "_update", None)
+        if update is None:
+            return NotImplemented
+        out = update(
+            carry, batch.positions, batch.dimensions, batch.mask
+        )
+        if self._store_chunk is None:
+            return out
+        carry, extras = out
+        self._store_chunk(extras, batch)
+        return carry
 
     def _conclude(self) -> None:
         pass
@@ -447,6 +462,13 @@ class SerialAnalysisBase:
             )
         return self
 
+    #: host-side half of the chunk protocol: analyses whose jitted
+    #: ``_update`` returns ``(carry, extras)`` define
+    #: ``_store_chunk(extras, batch)`` to absorb the extras into host
+    #: buffers (per-frame results, entity stores).  ``None`` means the
+    #: update returns the carry alone.
+    _store_chunk = None
+
     def _fused_parts(self):
         """Device/host split for fused multi-analysis streaming
         (:func:`mdhelper_tpu.analysis.multi.run_together`): returns
@@ -454,12 +476,16 @@ class SerialAnalysisBase:
         dimensions, mask) -> (carry, aux)`` is pure and jit-safe, and
         ``absorb(aux, batch)`` performs any host-side storage.
 
-        This default covers analyses whose ``_batched_update`` simply
-        delegates to ``self._update``; classes with host-side chunk
-        work override it (e.g. ``Onsager``).
+        Derived automatically from ``_update`` + ``_store_chunk``, so
+        every carry-protocol analysis is fusable without overrides.
         """
 
         update = self._update
+        store = self._store_chunk
+        if store is not None:
+            return (
+                lambda c, p, d, m: update(c, p, d, m)
+            ), store
 
         def device_fn(carry, positions, dimensions, mask):
             return update(carry, positions, dimensions, mask), None

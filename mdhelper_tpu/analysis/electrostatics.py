@@ -326,11 +326,9 @@ class DipoleMoment(DynamicAnalysisBase):
 
         self._update = jax.jit(update)
 
-    def _batched_update(self, carry, batch):
-        carry, (dipoles, volumes) = self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
-        n_real = int(batch.mask.sum())
+    def _store_chunk(self, extras, batch) -> None:
+        dipoles, volumes = extras
+        n_real = batch.n_real
         lo = self._store_offset
         self.results.dipoles[lo:lo + n_real] = np.asarray(dipoles)[
             :n_real
@@ -339,7 +337,6 @@ class DipoleMoment(DynamicAnalysisBase):
             :n_real
         ]
         self._store_offset += n_real
-        return carry
 
     def _conclude(self) -> None:
         if self._average:

@@ -18,13 +18,14 @@ several large executables per process (this environment's TPU tunnel
 among them): the fused update contains every analysis's kernel in one
 executable.
 
-Analyses participate through the ``_fused_parts`` hook
-(:meth:`mdhelper_tpu.analysis.base.SerialAnalysisBase._fused_parts`):
-``device_fn(carry, positions, dimensions, mask) -> (carry, aux)``
-(pure, jit-safe) plus ``absorb(aux, batch)`` for host-side storage of
-per-chunk outputs (e.g. Onsager's entity positions).  The default
-implementation covers every carry-protocol analysis whose
-``_batched_update`` simply delegates to ``self._update``.
+Analyses participate through the ``_update`` / ``_store_chunk``
+chunk protocol (see
+:meth:`mdhelper_tpu.analysis.base.SerialAnalysisBase._batched_update`):
+the jitted ``_update`` is the pure device half folded into the fused
+program, and ``_store_chunk`` absorbs any per-chunk extras (entity
+stores, per-frame results) host-side — so EVERY carry-protocol
+analysis is fusable, including the store-type ones (Onsager,
+DensityProfile, DipoleMoment, the polymer suite).
 """
 
 from typing import Sequence
@@ -90,16 +91,6 @@ def run_together(
             raise ValueError(
                 f"{type(a).__name__} does not implement the batched "
                 "carry protocol; run it separately."
-            )
-        if (
-            type(a)._fused_parts is SerialAnalysisBase._fused_parts
-            and type(a)._batched_update
-            is not SerialAnalysisBase._batched_update
-            and getattr(a, "_store_offset", None) is not None
-        ):
-            raise ValueError(
-                f"{type(a).__name__} stores per-chunk host results "
-                "and has no _fused_parts override; run it separately."
             )
 
     parts = [a._fused_parts() for a in analyses]

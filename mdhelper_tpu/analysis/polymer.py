@@ -392,18 +392,14 @@ class Gyradius(_PolymerAnalysisBase):
 
         self._update = jax.jit(update)
 
-    def _batched_update(self, carry, batch):
-        carry, gyradii = self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
-        n_real = int(batch.mask.sum())
+    def _store_chunk(self, gyradii, batch) -> None:
+        n_real = batch.n_real
         lo = self._store_offset
         block = np.asarray(gyradii)[:n_real]  # (B, G[, 3])
         self.results.gyradii[:, lo:lo + n_real] = np.moveaxis(
             block, 0, 1
         )
         self._store_offset += n_real
-        return carry
 
     def _conclude(self) -> None:
         pass
@@ -546,15 +542,11 @@ class EndToEndVector(_PolymerAnalysisBase):
 
         self._update = jax.jit(update)
 
-    def _batched_update(self, carry, batch):
-        carry, vectors = self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
-        n_real = int(batch.mask.sum())
+    def _store_chunk(self, vectors, batch) -> None:
+        n_real = batch.n_real
         lo = self._store_offset
         self._e2e[lo:lo + n_real] = np.asarray(vectors)[:n_real]
         self._store_offset += n_real
-        return carry
 
     def _conclude(self) -> None:
         acf_fn = correlation_fft if self._fft else correlation_shift
@@ -729,11 +721,6 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
             jnp.zeros(len(self._wavevectors), jnp.float64),
         )
         self._update = jit_update(update)
-
-    def _batched_update(self, carry, batch):
-        return self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
 
     def _conclude(self) -> None:
         scsf = np.asarray(self._carry[1]) / (
@@ -941,16 +928,12 @@ class RouseModes(_PolymerAnalysisBase):
 
         self._update = jax.jit(update)
 
-    def _batched_update(self, carry, batch):
-        carry, amps = self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
-        n_real = int(batch.mask.sum())
+    def _store_chunk(self, amps, batch) -> None:
+        n_real = batch.n_real
         lo = self._store_offset
         for store, amp in zip(self._amps, amps):
             store[lo:lo + n_real] = np.asarray(amp)[:n_real]
         self._store_offset += n_real
-        return carry
 
     def _conclude(self) -> None:
         acf_fn = correlation_fft if self._fft else correlation_shift

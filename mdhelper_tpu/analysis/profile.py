@@ -591,40 +591,23 @@ class DensityProfile(DynamicAnalysisBase):
             ]
             self._store_offset = 0
 
-    def _batched_update(self, carry, batch):
-        if self._recenter is None:
-            if self._average:
-                carry, _ = self._update(
-                    carry, batch.positions, batch.dimensions, batch.mask
-                )
-                return carry
-            _, hists = self._update(
-                carry, batch.positions, batch.dimensions, batch.mask
-            )
-            n_real = int(batch.mask.sum())
-            for a, h in enumerate(hists):
-                block = np.asarray(h)[:n_real]  # (B, G, n_bins)
-                self.results.number_densities[a][
-                    :, self._store_offset:self._store_offset + n_real
-                ] = block.transpose(1, 0, 2)
-            self._store_offset += n_real
-            return carry
-
-        state, hists = self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
+    def _store_chunk(self, hists, batch) -> None:
+        if hists is None:
+            # Averaged, no recenter: the carry accumulates on device.
+            return
         if self._average:
+            # Recenter path: counts accumulate host-side (the carry
+            # holds the unwrap state).
             for a, h in enumerate(hists):
                 self._counts[a] += np.asarray(h)
-        else:
-            n_real = int(batch.mask.sum())
-            for a, h in enumerate(hists):
-                block = np.asarray(h)[:n_real]
-                self.results.number_densities[a][
-                    :, self._store_offset:self._store_offset + n_real
-                ] = block.transpose(1, 0, 2)
-            self._store_offset += n_real
-        return state
+            return
+        n_real = batch.n_real
+        for a, h in enumerate(hists):
+            block = np.asarray(h)[:n_real]  # (B, G, n_bins)
+            self.results.number_densities[a][
+                :, self._store_offset:self._store_offset + n_real
+            ] = block.transpose(1, 0, 2)
+        self._store_offset += n_real
 
     def _conclude(self) -> None:
         if self._average:

@@ -792,11 +792,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 "trajectory or use a non-TPU backend."
             )
 
-    def _batched_update(self, carry, batch):
-        return self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
-
     def _conclude(self) -> None:
         self._check_pallas_carry()
         self.results.counts = np.asarray(self._carry["counts"]).astype(
@@ -1520,11 +1515,6 @@ class StructureFactor(NumbaAnalysisBase):
 
         self._update = jit_update(update)
 
-    def _batched_update(self, carry, batch):
-        return self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
-
     def _conclude(self) -> None:
         ssf = np.asarray(self._carry["ssf"])[
             :, : getattr(self, "_n_q_real", None)
@@ -1860,11 +1850,6 @@ class IntermediateScatteringFunction(StructureFactor):
             return carry
 
         self._update = jit_update(update)
-
-    def _batched_update(self, carry, batch):
-        return self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
 
     def _conclude(self) -> None:
         n_lags = self._lags

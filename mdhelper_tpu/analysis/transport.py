@@ -604,28 +604,13 @@ class Onsager(SerialAnalysisBase):
         )
         self._update = jax.jit(update)
 
-    def _batched_update(self, carry, batch):
-        carry, entities = self._update(
-            carry, batch.positions, batch.dimensions, batch.mask
-        )
-        self._store_entities(entities, batch)
-        return carry
-
-    def _store_entities(self, entities, batch) -> None:
+    def _store_chunk(self, entities, batch) -> None:
         entities = np.asarray(entities)
         n_real = batch.n_real
         self._positions[
             self._store_offset:self._store_offset + n_real
         ] = entities[:n_real]
         self._store_offset += n_real
-
-    def _fused_parts(self):
-        update = self._update
-
-        def device_fn(carry, positions, dimensions, mask):
-            return update(carry, positions, dimensions, mask)
-
-        return device_fn, self._store_entities
 
     def _conclude(self) -> None:
         positions_all = self._positions[:self._n_frames]

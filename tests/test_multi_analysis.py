@@ -91,3 +91,43 @@ def test_fused_rejects_mixed_trajectories(universe):
     )
     with pytest.raises(ValueError):
         run_together([a, b])
+
+
+def test_fused_store_type_analyses(universe):
+    """Store-type analyses (per-frame host results) fuse through the
+    _update/_store_chunk protocol: DipoleMoment and Gyradius match
+    their separate runs bit-for-bit."""
+
+    from mdhelper_tpu.analysis.electrostatics import DipoleMoment
+    from mdhelper_tpu.analysis.polymer import Gyradius
+
+    universe._topology.charges = rng.standard_normal(N)
+
+    def make():
+        return [
+            DipoleMoment(universe.atoms, average=False, verbose=False),
+            Gyradius(
+                universe.atoms, n_chains=8, n_monomers=10,
+                verbose=False,
+            ),
+        ]
+
+    separate = make()
+    for a in separate:
+        a.run()
+    fused = make()
+    run_together(fused)
+    # The fused program is a different XLA compilation, so float ops
+    # may reassociate at the last-ulp level.
+    np.testing.assert_allclose(
+        fused[0].results.dipoles, separate[0].results.dipoles,
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        fused[0].results.volumes, separate[0].results.volumes,
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        fused[1].results.gyradii, separate[1].results.gyradii,
+        rtol=1e-12,
+    )
