@@ -131,3 +131,26 @@ def test_fused_store_type_analyses(universe):
         fused[1].results.gyradii, separate[1].results.gyradii,
         rtol=1e-12,
     )
+
+
+def test_fused_density_profile_recenter(universe):
+    """DensityProfile's recenter mode (unwrap-state carry + host-side
+    count accumulation) fuses correctly."""
+
+    from mdhelper_tpu.analysis.profile import DensityProfile
+
+    def make():
+        return DensityProfile(
+            universe.atoms, axes="z", n_bins=16,
+            recenter=(0, BOX / 2), verbose=False,
+        )
+
+    separate = make()
+    separate.run()
+    fused = make()
+    run_together([fused])
+    np.testing.assert_allclose(
+        fused.results.number_densities[0],
+        separate.results.number_densities[0],
+        rtol=1e-12,
+    )
