@@ -164,13 +164,12 @@ def tpu_phase_fps(qs: np.ndarray, phase: str) -> float:
         capacity = None
         if cell_pairs < 0.5 * N_ATOMS**2 and use_pallas:
             capacity = plan["capacity"]
-            nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
             box_static = (float(np.float32(BOX)),) * 3
 
             def step_fn(counts, p):
                 def frame(c, pos):
                     frame_counts, occ = cell_pair_histogram_pallas(
-                        pos, nbr,
+                        pos,
                         box=box_static,
                         r_max=R_MAX,
                         n_cells_dim=plan["n_cells_dim"],

@@ -651,7 +651,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         return bool(np.all(np.floor(dims[:3] / r_max) >= 3))
 
     def _prepare_pallas_cell(self) -> None:
-        from ..ops.cell_histogram import neighbor_cell_ids
         from ..ops.pallas_cell_histogram import (
             cell_pair_histogram_pallas,
             cross_pair_histogram_pallas,
@@ -668,7 +667,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             self._n1, box_np, r_max,
             capacity_sigmas=self._capacity_sigmas,
         )
-        nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
         exclusion = self._exclusion
         # Self-RDF with no exclusion (reference default): the kernel
         # always drops identical-atom pairs, whose distance is exactly
@@ -715,7 +713,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     counts, occ1, occ2 = cross_pair_histogram_pallas(
                         pos.astype(jnp.float32),
                         pos_b.astype(jnp.float32),
-                        nbr,
                         box=dims[:3].astype(jnp.float32),
                         r_max=r_max,
                         n_cells_dim=plan["n_cells_dim"],
@@ -731,7 +728,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 else:
                     pos, dims, valid = inputs
                     counts, occ = cell_pair_histogram_pallas(
-                        pos.astype(jnp.float32), nbr,
+                        pos.astype(jnp.float32),
                         box=dims[:3].astype(jnp.float32),
                         r_max=r_max,
                         n_cells_dim=plan["n_cells_dim"],

@@ -216,6 +216,43 @@ _ROW_EX_I = 4
 _ROW_EX_J = 5
 
 
+@functools.lru_cache(maxsize=None)
+def _neighbor_tables(n_cells_dim):
+    """Static neighbor tables for a cell grid: the full ``(n_cells,
+    27)`` offset table (cross kernel) and the ``(n_cells, 14)``
+    half-shell table — the cell itself plus the 13 positive-
+    lexicographic offsets (self kernel; Newton's third law).  With
+    >= 3 cells per axis and offsets in {-1, 0, 1}, wrapped targets
+    collide only for equal offsets, so every unordered cell pair
+    appears exactly once in the half shell."""
+
+    nx, ny, nz = n_cells_dim
+    cx, cy, cz = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+
+    def cid(dx, dy, dz):
+        return (
+            ((cx + dx) % nx) * ny + (cy + dy) % ny
+        ) * nz + (cz + dz) % nz
+
+    offsets = [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ]
+    full = np.stack(
+        [cid(*d) for d in offsets], axis=-1
+    ).reshape(-1, 27).astype(np.int32)
+    half = np.stack(
+        [cid(0, 0, 0)]
+        + [cid(*d) for d in offsets if d > (0, 0, 0)],
+        axis=-1,
+    ).reshape(-1, 14).astype(np.int32)
+    return full, half
+
+
 def _slot_table(
     positions, n_cells_dim, capacity, cell_size, *, ex_i=None, ex_j=None
 ):
@@ -277,6 +314,14 @@ def _kernel(
     *, capacity, n_bins, n_coarse, n_fine, inv_dr,
     dr2_hi, dr2_lo, exact, exclude, chunk_rows,
 ):
+    """Half-shell (Newton's-third-law) sweep: neighbor 0 is the cell
+    itself, masked to the strict upper slot triangle; neighbors 1-13
+    are the positive-lexicographic offsets.  Every unordered pair is
+    examined exactly ONCE (half the pair math of a full 27-cell
+    sweep); the wrapper doubles the counts to restore the ordered-pair
+    convention.  Valid because the self-RDF masks (identical-atom
+    drop, ``(e, e)`` tile exclusion) are symmetric."""
+
     c = pl.program_id(0)
     cap = capacity
     bins_i32 = np.int32(n_bins)
@@ -288,13 +333,10 @@ def _kernel(
     slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     i_valid = slot_col < i_occ  # (cap, 1)
-    ai = ip[_ROW_AID, :][:, None]
     ei = ip[_ROW_EX_I, :][:, None]
+    upper = slot_col < lane  # (cap, cap) strict upper triangle
 
-    acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
-
-    def nb_body(nb, acc):
-        j_cell = nbr_ref[c, nb]
+    def block_acc(acc, j_cell, self_cell):
         j_start = j_cell * np.int32(cap)
         jp = pos_ref[:, pl.ds(pl.multiple_of(j_start, 128), cap)]
         j_occ = occ_ref[j_cell]
@@ -307,10 +349,12 @@ def _kernel(
         else:
             idx = _bin_fast(ip, jp, box, inv_dr)
 
-        # Identical-atom pairs always drop; tile-excluded pairs drop
-        # when the (e0, e1) ids were baked into the table.
+        # The self block keeps only the strict upper slot triangle
+        # (which also drops identical atoms); distinct cells never
+        # share an atom, so no atom-id compare is needed.
         valid = i_valid & j_valid & (idx < bins_i32)
-        valid = valid & (ai != jp[_ROW_AID, :][None, :])
+        if self_cell:
+            valid = valid & upper
         if exclude:
             valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
         idx = jnp.where(valid, idx, bins_i32)
@@ -320,7 +364,11 @@ def _kernel(
             n_coarse=n_coarse, n_fine=n_fine,
         )
 
-    acc = jax.lax.fori_loop(0, 27, nb_body, acc)
+    acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
+    acc = block_acc(acc, c, True)
+    acc = jax.lax.fori_loop(
+        1, 14, lambda nb, a: block_acc(a, nbr_ref[c, nb], False), acc
+    )
 
     @pl.when(c == 0)
     def _():
@@ -356,7 +404,6 @@ def _exclusion_ids(n, exclusion):
 )
 def cell_pair_histogram_pallas(
     positions,
-    neighbor_ids,
     *,
     box,
     r_max,
@@ -369,18 +416,19 @@ def cell_pair_histogram_pallas(
     r"""All-pairs histogram on ``[0, r_max]`` via the Pallas cell-list
     kernel; returns ``(counts, max_occupancy)``.
 
-    Signature mirrors :func:`mdhelper_tpu.ops.cell_histogram.
-    cell_pair_histogram` with a plan from :func:`pallas_cell_plan`
-    (capacity must be lane-aligned).  ``box`` is a runtime ``(3,)``
-    array (or tuple) of orthorhombic box lengths — per-frame (NPT)
-    boxes re-use one compiled kernel; when a frame's box shrinks below
-    ``n_cells_dim * r_max`` (the 27-cell sweep would miss pairs) the
-    returned counts are NaN-poisoned.  ``exclusion=(e0, e1)`` drops
-    pairs whose atom indices satisfy ``i // e0 == j // e1`` (the
-    reference's tile exclusion, ``analysis/structure.py:92-104``);
-    identical-atom pairs are always dropped.  Exclusion with
-    ``e0 != e1`` does not imply the identical-atom drop, so a self-RDF
-    should use ``(e, e)`` tiles.
+    Use a plan from :func:`pallas_cell_plan` (capacity must be
+    lane-aligned); neighbor geometry derives from the static
+    ``n_cells_dim`` — a half-shell (Newton's-third-law) sweep that
+    evaluates each unordered pair once and doubles the counts.
+    ``box`` is a runtime ``(3,)`` array (or tuple) of orthorhombic box
+    lengths — per-frame (NPT) boxes re-use one compiled kernel; when a
+    frame's box shrinks below ``n_cells_dim * r_max`` (the cell sweep
+    would miss pairs) the returned counts are NaN-poisoned.
+    ``exclusion=(e, e)`` drops pairs whose atom indices satisfy
+    ``i // e == j // e`` (the reference's tile exclusion,
+    ``analysis/structure.py:92-104``); identical-atom pairs are always
+    dropped.  Asymmetric ``(e0, e1)`` tiles are incompatible with the
+    half-shell sweep — use the XLA kernel for those.
 
     The cell build (ids, argsort, searchsorted, padded slot-table
     gather) runs as regular XLA ops; only the pair sweep is the Pallas
@@ -399,6 +447,12 @@ def cell_pair_histogram_pallas(
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
     cell_size = box / dims
 
+    if exclusion is not None and exclusion[0] != exclusion[1]:
+        raise NotImplementedError(
+            "the half-shell self kernel requires symmetric (e, e) "
+            "exclusion tiles; use the XLA kernel for (e0, e1)."
+        )
+    _, half_shell = _neighbor_tables(n_cells_dim)
     ex_i, ex_j, exclude = _exclusion_ids(n, exclusion)
     pos_table, occupancy, max_occupancy = _slot_table(
         positions, n_cells_dim, capacity, cell_size,
@@ -446,8 +500,10 @@ def cell_pair_histogram_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(neighbor_ids.astype(jnp.int32), occupancy, box, pos_table)
-    counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
+    )(jnp.asarray(half_shell), occupancy, box, pos_table)
+    # Each unordered pair was counted once; restore the ordered-pair
+    # convention of the XLA kernel / np.histogram oracle.
+    counts = counts2d[:n_coarse].reshape(-1)[:n_bins] * np.float32(2)
     counts = jnp.where(
         _cell_sweep_ok(box, dims, n_cells_dim, r_max),
         counts,
@@ -524,7 +580,6 @@ def _cross_kernel(
 def cross_pair_histogram_pallas(
     positions1,
     positions2,
-    neighbor_ids,
     *,
     box,
     r_max,
@@ -570,6 +625,7 @@ def cross_pair_histogram_pallas(
             // np.int32(e1)
         ).astype(jnp.float32)
 
+    full_shell, _ = _neighbor_tables(n_cells_dim)
     t1, occ1, max1 = _slot_table(
         positions1.astype(jnp.float32), n_cells_dim, capacity1,
         cell_size, ex_i=ex1, ex_j=ex1,
@@ -624,7 +680,7 @@ def cross_pair_histogram_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(neighbor_ids.astype(jnp.int32), occ1, occ2, box, t1, t2)
+    )(jnp.asarray(full_shell), occ1, occ2, box, t1, t2)
     counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
     counts = jnp.where(
         _cell_sweep_ok(box, dims, n_cells_dim, r_max),

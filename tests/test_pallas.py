@@ -95,7 +95,6 @@ def test_pair_histogram_molecule_exclusion():
 
 @pytest.mark.parametrize("precision", ["fast", "exact"])
 def test_pallas_cell_histogram_matches_oracle(precision):
-    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
     from mdhelper_tpu.ops.pallas_cell_histogram import (
         cell_pair_histogram_pallas,
         pallas_cell_plan,
@@ -104,9 +103,8 @@ def test_pallas_cell_histogram_matches_oracle(precision):
     n, box, r_max, n_bins = 1200, 16.0, 3.5, 96
     pos = (rng.random((n, 3)) * box).astype(np.float32)
     plan = pallas_cell_plan(n, [box] * 3, r_max)
-    nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
     counts, occ = cell_pair_histogram_pallas(
-        jnp.asarray(pos), nbr,
+        jnp.asarray(pos),
         box=(box,) * 3, r_max=r_max,
         n_cells_dim=plan["n_cells_dim"],
         capacity=plan["capacity"],
@@ -135,7 +133,6 @@ def test_pallas_cell_histogram_molecule_exclusion():
     pairs of 4-atom molecules (reference exclusion blocks,
     ``analysis/structure.py:92-104``)."""
 
-    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
     from mdhelper_tpu.ops.pallas_cell_histogram import (
         cell_pair_histogram_pallas,
         pallas_cell_plan,
@@ -144,9 +141,8 @@ def test_pallas_cell_histogram_molecule_exclusion():
     n, box, r_max, n_bins = 1024, 16.0, 3.5, 96
     pos = (rng.random((n, 3)) * box).astype(np.float32)
     plan = pallas_cell_plan(n, [box] * 3, r_max)
-    nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
     counts, occ = cell_pair_histogram_pallas(
-        jnp.asarray(pos), nbr, box=(box,) * 3, r_max=r_max,
+        jnp.asarray(pos), box=(box,) * 3, r_max=r_max,
         n_cells_dim=plan["n_cells_dim"],
         capacity=plan["capacity"], n_bins=n_bins,
         precision="exact", exclusion=(4, 4),
@@ -167,7 +163,6 @@ def test_pallas_cell_histogram_per_frame_boxes():
     the planned cell grid NaN-poisons instead of silently missing
     pairs."""
 
-    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
     from mdhelper_tpu.ops.pallas_cell_histogram import (
         cell_pair_histogram_pallas,
         pallas_cell_plan,
@@ -175,11 +170,10 @@ def test_pallas_cell_histogram_per_frame_boxes():
 
     n, r_max, n_bins = 800, 3.5, 64
     plan = pallas_cell_plan(n, [16.0] * 3, r_max)
-    nbr = jnp.asarray(neighbor_cell_ids(plan["n_cells_dim"]))
     for box in (16.0, 17.5):  # both hold >= 4 cells of 3.5 per axis
         pos = (rng.random((n, 3)) * box).astype(np.float32)
         counts, _ = cell_pair_histogram_pallas(
-            jnp.asarray(pos), nbr, box=(box,) * 3, r_max=r_max,
+            jnp.asarray(pos), box=(box,) * 3, r_max=r_max,
             n_cells_dim=plan["n_cells_dim"],
             capacity=plan["capacity"], n_bins=n_bins,
             precision="exact",
@@ -196,7 +190,7 @@ def test_pallas_cell_histogram_per_frame_boxes():
     # 13.0 < 4 * 3.5: the 27-cell sweep is invalid -> NaN poison.
     pos = (rng.random((n, 3)) * 13.0).astype(np.float32)
     counts, _ = cell_pair_histogram_pallas(
-        jnp.asarray(pos), nbr, box=(13.0,) * 3, r_max=r_max,
+        jnp.asarray(pos), box=(13.0,) * 3, r_max=r_max,
         n_cells_dim=plan["n_cells_dim"],
         capacity=plan["capacity"], n_bins=n_bins,
     )
@@ -207,7 +201,6 @@ def test_pallas_cross_histogram_molecule_exclusion():
     """(2, 3) exclusion between disjoint groups drops same-molecule
     cation-anion pairs (2 cations + 3 anions per molecule)."""
 
-    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
     from mdhelper_tpu.ops.pallas_cell_histogram import (
         cross_pair_histogram_pallas,
         pallas_cell_plan,
@@ -219,9 +212,8 @@ def test_pallas_cross_histogram_molecule_exclusion():
     p2 = (rng.random((n2, 3)) * box).astype(np.float32)
     plan1 = pallas_cell_plan(n1, [box] * 3, r_max)
     plan2 = pallas_cell_plan(n2, [box] * 3, r_max)
-    nbr = jnp.asarray(neighbor_cell_ids(plan1["n_cells_dim"]))
     counts, m1, m2 = cross_pair_histogram_pallas(
-        jnp.asarray(p1), jnp.asarray(p2), nbr,
+        jnp.asarray(p1), jnp.asarray(p2),
         box=(box,) * 3, r_max=r_max,
         n_cells_dim=plan1["n_cells_dim"],
         capacity1=plan1["capacity"], capacity2=plan2["capacity"],
@@ -239,7 +231,6 @@ def test_pallas_cross_histogram_molecule_exclusion():
 
 @pytest.mark.parametrize("precision", ["fast", "exact"])
 def test_pallas_cross_histogram_matches_oracle(precision):
-    from mdhelper_tpu.ops.cell_histogram import neighbor_cell_ids
     from mdhelper_tpu.ops.pallas_cell_histogram import (
         cross_pair_histogram_pallas,
         pallas_cell_plan,
@@ -251,9 +242,8 @@ def test_pallas_cross_histogram_matches_oracle(precision):
     p2 = (rng.random((n2, 3)) * box).astype(np.float32)
     plan1 = pallas_cell_plan(n1, [box] * 3, r_max)
     plan2 = pallas_cell_plan(n2, [box] * 3, r_max)
-    nbr = jnp.asarray(neighbor_cell_ids(plan1["n_cells_dim"]))
     counts, m1, m2 = cross_pair_histogram_pallas(
-        jnp.asarray(p1), jnp.asarray(p2), nbr,
+        jnp.asarray(p1), jnp.asarray(p2),
         box=(box,) * 3, r_max=r_max,
         n_cells_dim=plan1["n_cells_dim"],
         capacity1=plan1["capacity"], capacity2=plan2["capacity"],
