@@ -260,3 +260,34 @@ def test_pallas_cross_histogram_matches_oracle(precision):
         np.testing.assert_array_equal(counts, oracle)
     else:
         _assert_histogram_close(counts, oracle)
+
+
+def test_pallas_cell_histogram_three_cell_grid():
+    """The minimum 3-cell-per-axis grid is the trickiest half-shell
+    wrap geometry (every +-1 offset pair lands on the two distinct
+    other cells); counts must still match the brute-force oracle
+    exactly."""
+
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cell_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    n, box, r_max, n_bins = 900, 16.0, 4.8, 64
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+    plan = pallas_cell_plan(n, [box] * 3, r_max)
+    assert plan["n_cells_dim"] == (3, 3, 3)
+    counts, occ = cell_pair_histogram_pallas(
+        jnp.asarray(pos), box=(box,) * 3, r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity=plan["capacity"], n_bins=n_bins,
+        precision="exact",
+    )
+    assert int(occ) <= plan["capacity"]
+    p64 = pos.astype(np.float64)
+    d = p64[:, None] - p64[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    dist[np.arange(n), np.arange(n)] = np.inf
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
