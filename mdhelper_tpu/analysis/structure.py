@@ -87,14 +87,23 @@ def radial_histogram(
             dims = triclinic_matrices(dims)
         else:
             dims = dims[:3]
+    # TPU: stream float32 and bin in double-float ("exact") — f64-grade
+    # counts without touching the ~100x-slower emulated-f64 device
+    # path.  Elsewhere (x64 CPU) native f64 "fast" binning IS the
+    # float64 reference semantics.
+    if jax.default_backend() == "tpu":
+        dtype, precision = jnp.float32, "exact"
+    else:
+        dtype, precision = jnp.float64, "fast"
     edges = jnp.linspace(range[0], range[1], n_bins + 1)
     counts = radial_histogram_batch(
-        jnp.asarray(pos1, dtype=jnp.float64)[None],
-        jnp.asarray(pos2, dtype=jnp.float64)[None],
-        jnp.asarray(dims)[None],
+        jnp.asarray(pos1, dtype=dtype)[None],
+        jnp.asarray(pos2, dtype=dtype)[None],
+        jnp.asarray(dims, dtype=dtype)[None],
         jnp.ones(1),
         edges,
         exclusion=tuple(exclusion) if exclusion is not None else None,
+        precision=precision,
     )
     return np.asarray(counts).astype(np.int64)
 
@@ -487,13 +496,12 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         exclusion = self._exclusion
         triclinic = self._triclinic
         # f32 streams (the TPU configuration) bin in double-float so
-        # the integer counts match the f64 reference exactly;
-        # triclinic boxes keep the fast f32 26-shift search (1-ulp
-        # edge straddles possible — see docs/precision.md).
+        # the integer counts match the f64 reference exactly —
+        # orthorhombic AND triclinic boxes (the latter via the
+        # 27-candidate double-float image search,
+        # `ops/histogram._exact_d2_triclinic`).
         precision = (
-            "exact"
-            if self._stream_dtype() == np.float32 and not triclinic
-            else "fast"
+            "exact" if self._stream_dtype() == np.float32 else "fast"
         )
         # The reference tracks volume only for norm="rdf"
         # (structure.py:747-748) but _get_rdf needs it regardless; the

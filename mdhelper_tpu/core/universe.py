@@ -150,6 +150,148 @@ class Universe:
         return self.atoms.select_atoms(selection)
 
 
+class _SelectionParser:
+    """Recursive-descent parser for the atom-selection language (see
+    :meth:`AtomGroup.select_atoms` for the grammar).  Standing in for
+    the MDAnalysis selection engine the reference gets for free
+    (selections like those in
+    ``/root/reference/tests/test_analysis_structure.py:57-66``)."""
+
+    _COMPARISONS = {
+        "<": np.less,
+        "<=": np.less_equal,
+        ">": np.greater,
+        ">=": np.greater_equal,
+        "==": np.equal,
+        "!=": np.not_equal,
+    }
+    _KEYWORDS = frozenset(
+        ("all", "none", "charged", "type", "name", "resid", "index",
+         "mass", "charge", "and", "or", "not")
+    )
+    _TOKEN = re.compile(r"\(|\)|<=|>=|==|!=|<|>|[^\s()<>=!]+")
+    _NUMBER = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+    def __init__(self, selection: str, group: "AtomGroup"):
+        self._tokens = self._TOKEN.findall(selection)
+        self._pos = 0
+        self._group = group
+        self._n = len(group.ix)
+        self._selection = selection
+
+    # -- token stream ----------------------------------------------------
+    def _peek(self):
+        return (
+            self._tokens[self._pos]
+            if self._pos < len(self._tokens)
+            else None
+        )
+
+    def _next(self):
+        token = self._peek()
+        self._pos += 1
+        return token
+
+    def _error(self, message: str):
+        raise ValueError(
+            f"Invalid selection '{self._selection}': {message}"
+        )
+
+    # -- grammar ---------------------------------------------------------
+    def parse(self) -> np.ndarray:
+        if not self._tokens:
+            self._error("empty selection.")
+        mask = self._or_expr()
+        if self._peek() is not None:
+            self._error(f"unexpected token '{self._peek()}'.")
+        return mask
+
+    def _or_expr(self) -> np.ndarray:
+        mask = self._and_expr()
+        while self._peek() == "or":
+            self._next()
+            mask = mask | self._and_expr()
+        return mask
+
+    def _and_expr(self) -> np.ndarray:
+        mask = self._not_expr()
+        while self._peek() == "and":
+            self._next()
+            mask = mask & self._not_expr()
+        return mask
+
+    def _not_expr(self) -> np.ndarray:
+        token = self._peek()
+        if token == "not":
+            self._next()
+            return ~self._not_expr()
+        if token == "(":
+            self._next()
+            mask = self._or_expr()
+            if self._next() != ")":
+                self._error("unbalanced parentheses.")
+            return mask
+        return self._term()
+
+    def _term(self) -> np.ndarray:
+        keyword = self._next()
+        group = self._group
+        if keyword == "all":
+            return np.ones(self._n, dtype=bool)
+        if keyword == "none":
+            return np.zeros(self._n, dtype=bool)
+        if keyword == "charged":
+            return group.charges != 0
+        if keyword in ("type", "name"):
+            values = group.types if keyword == "type" else group.names
+            labels = []
+            while (
+                self._peek() is not None
+                and self._peek() not in self._KEYWORDS
+                and self._peek() not in "()<>"
+                and self._peek() not in self._COMPARISONS
+            ):
+                labels.append(self._next())
+            if not labels:
+                self._error(f"'{keyword}' expects one or more labels.")
+            return np.isin(values, labels)
+        if keyword in ("mass", "charge", "resid", "index"):
+            op = self._peek()
+            if op in self._COMPARISONS:
+                self._next()
+                number = self._next()
+                if number is None or not self._NUMBER.match(number):
+                    self._error(
+                        f"'{keyword} {op}' expects a number."
+                    )
+                values = group._selection_values(keyword)
+                return self._COMPARISONS[op](values, float(number))
+            if keyword in ("mass", "charge"):
+                self._error(
+                    f"'{keyword}' requires a comparison operator."
+                )
+            # resid/index with explicit values or inclusive i:j ranges.
+            values = group._selection_values(keyword)
+            mask = np.zeros(self._n, dtype=bool)
+            seen = False
+            while self._peek() is not None and re.fullmatch(
+                r"-?\d+(:-?\d+)?", self._peek()
+            ):
+                arg = self._next()
+                seen = True
+                if ":" in arg:
+                    lo, hi = (int(x) for x in arg.split(":"))
+                    mask |= (values >= lo) & (values <= hi)
+                else:
+                    mask |= values == int(arg)
+            if not seen:
+                self._error(
+                    f"'{keyword}' expects indices or i:j ranges."
+                )
+            return mask
+        self._error(f"unsupported selection term '{keyword}'.")
+
+
 class _SubGroup:
     """A residue or segment view: exposes ``.atoms``."""
 
@@ -296,53 +438,44 @@ class AtomGroup:
         return float(self.masses.sum())
 
     # -- selection -------------------------------------------------------
-    _TOKEN = re.compile(
-        r"(all|none|type|name|resid|index|charged)\s*([\w\s\-:]*)"
-    )
-
     def select_atoms(self, selection: str) -> "AtomGroup":
-        """Minimal selection language: ``all``, ``none``,
-        ``type A [B ...]``, ``name N [M ...]``, ``resid i[:j]``,
-        ``index i[:j]``, ``charged``, joined with `` and `` / `` or ``.
+        """Select atoms with an MDAnalysis-style boolean expression.
+
+        Grammar (recursive descent; see :class:`_SelectionParser`)::
+
+            expr     := and_expr ( "or" and_expr )*
+            and_expr := not_expr ( "and" not_expr )*
+            not_expr := "not" not_expr | "(" expr ")" | term
+            term     := "all" | "none" | "charged"
+                      | ("type" | "name") WORD+
+                      | ("resid" | "index") (INT | INT:INT)+
+                      | PROP OP NUMBER        # numeric comparison
+            PROP     := "mass" | "charge" | "resid" | "index"
+            OP       := "<" | "<=" | ">" | ">=" | "==" | "!="
+
+        Examples: ``"type A B"``, ``"not name H*"`` (no globbing —
+        names match literally), ``"charge < 0"``,
+        ``"(type A or type B) and not resid 1:10"``,
+        ``"mass > 12 and charged"``.  ``resid i:j`` ranges are
+        inclusive on both ends (MDAnalysis convention).
         """
 
-        clauses = re.split(r"\s+or\s+", selection.strip())
-        mask = np.zeros(len(self._ix), dtype=bool)
-        for clause in clauses:
-            sub = np.ones(len(self._ix), dtype=bool)
-            for term in re.split(r"\s+and\s+", clause.strip()):
-                sub &= self._select_term(term.strip())
-            mask |= sub
+        parser = _SelectionParser(selection, self)
+        mask = parser.parse()
         return AtomGroup(self.universe, self._ix[mask])
 
-    def _select_term(self, term: str) -> np.ndarray:
-        match = self._TOKEN.fullmatch(term)
-        if not match:
-            raise ValueError(f"Unsupported selection term: '{term}'.")
-        keyword, args = match.group(1), match.group(2).split()
-        if keyword == "all":
-            return np.ones(len(self._ix), dtype=bool)
-        if keyword == "none":
-            return np.zeros(len(self._ix), dtype=bool)
-        if keyword == "charged":
-            return self.charges != 0
-        if keyword == "type":
-            return np.isin(self.types, args)
-        if keyword == "name":
-            return np.isin(self.names, args)
-        values = (
-            self.universe._topology.resids[self._ix]
-            if keyword == "resid"
-            else self._ix
-        )
-        mask = np.zeros(len(self._ix), dtype=bool)
-        for arg in args:
-            if ":" in arg:
-                lo, hi = (int(x) for x in arg.split(":"))
-                mask |= (values >= lo) & (values <= hi)
-            else:
-                mask |= values == int(arg)
-        return mask
+    def _selection_values(self, prop: str) -> np.ndarray:
+        """Per-atom numeric values backing a selection property."""
+
+        if prop == "mass":
+            return self.masses
+        if prop == "charge":
+            return self.charges
+        if prop == "resid":
+            return self.universe._topology.resids[self._ix]
+        if prop == "index":
+            return self._ix
+        raise ValueError(f"Unknown selection property: '{prop}'.")
 
     def __eq__(self, other) -> bool:
         return (
@@ -351,6 +484,10 @@ class AtomGroup:
             and len(self._ix) == len(other._ix)
             and bool(np.all(self._ix == other._ix))
         )
+
+    # backwards-compatible hook used by older tests/subclasses
+    def _select_term(self, term: str) -> np.ndarray:
+        return _SelectionParser(term, self).parse()
 
     def __hash__(self):
         return hash((id(self.universe), self._ix.tobytes()))

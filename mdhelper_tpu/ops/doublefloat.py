@@ -27,6 +27,7 @@ __all__ = [
     "df_square",
     "df_ge",
     "df_lt",
+    "df_min",
 ]
 
 # NumPy scalar (a jaxpr literal, not a captured device constant —
@@ -102,3 +103,15 @@ def df_ge(x, y):
 
 def df_lt(x, y):
     return ~df_ge(x, y)
+
+
+def df_min(x, y):
+    """Elementwise minimum of two double-floats."""
+
+    import jax.numpy as jnp
+
+    take_y = df_lt(y, x)
+    return (
+        jnp.where(take_y, y[0], x[0]),
+        jnp.where(take_y, y[1], x[1]),
+    )

@@ -105,29 +105,92 @@ def _contract_bins(idx, weights, n_bins):
     return counts2d.reshape(-1)[:n_bins].astype(accum)
 
 
-def _exact_bin_indices(p1, p2, box, edges, n_bins):
-    """Exact double-float bin assignment for an orthorhombic pair
-    block with UNIFORM float32-stream edges: squared minimum-image
-    distances evaluate in error-free two-float32 arithmetic
-    (:mod:`mdhelper_tpu.ops.doublefloat`) and a float32-estimated bin
-    index is +-1-corrected against the exact boundary values
-    ``(e_0 + k h)^2`` — float64-grade binning without any emulated
-    f64 in the pair sweep (same recipe as the Pallas cell kernel's
-    ``_bin_exact``).  Assumes wrapped inputs (image multiple in
-    {-1, 0, 1}).  Returns spill-row (``n_bins``) indices for
-    out-of-range pairs; the last bin is closed (np.histogram).
+def _exact_d2_orthorhombic(p1, p2, box):
+    """Squared minimum-image distances of a float32 pair block in
+    error-free double-float arithmetic.  Assumes wrapped inputs (image
+    multiple in {-1, 0, 1})."""
+
+    from .doublefloat import df_sub, df_sum3, df_square, two_diff
+
+    components = []
+    for k in range(3):
+        s, e = two_diff(p1[:, None, k], p2[None, :, k])
+        m = jnp.round(s / box[k])
+        d = df_sub((s, e), (m * box[k], jnp.float32(0.0)))
+        components.append(df_square(d))
+    return df_sum3(*components)
+
+
+def _exact_d2_triclinic(p1, p2, box):
+    """Squared minimum-image distances for a triclinic cell in
+    double-float arithmetic: the base image multiple comes from
+    float32 fractional rounding, and all 27 neighbor candidates are
+    evaluated exactly (two-float32) with the minimum taken in
+    double-float — so near-tied images resolve the same way a float64
+    oracle over the same float32 box resolves them.
+
+    `box` is the ``(3, 3)`` LOWER-TRIANGULAR float32 box matrix (rows
+    are the box vectors, :func:`~mdhelper_tpu.algorithm.topology.
+    triclinic_matrices`); the structural zeros above the diagonal are
+    exploited to skip 1/3 of the products.  Exactness is relative to
+    the float32 box the kernel receives (same contract as the
+    orthorhombic path).
     """
 
     from .doublefloat import (
         df_add,
-        df_ge,
-        df_lt,
+        df_min,
         df_sub,
         df_sum3,
         df_square,
         two_diff,
         two_prod,
     )
+
+    inv = _inv3(box)
+    # Exact per-component displacements (hi, lo) and the f32 base
+    # image multiple from fractional rounding.
+    s_hi, s_lo = [], []
+    for k in range(3):
+        s, e = two_diff(p1[:, None, k], p2[None, :, k])
+        s_hi.append(s)
+        s_lo.append(e)
+    frac = jnp.stack(s_hi, axis=-1) @ inv
+    n0 = jnp.round(frac)  # (N1, N2, 3), integer-valued f32
+
+    best = None
+    for shift in np.concatenate(
+        (np.zeros((1, 3)), _IMAGE_SHIFTS)
+    ).astype(np.float32):
+        m = [n0[..., j] + shift[j] for j in range(3)]
+        components = []
+        for k in range(3):
+            # t = sum_{j >= k} m_j * box[j, k] (lower-triangular).
+            t = two_prod(m[k], box[k, k])
+            for j in range(k + 1, 3):
+                t = df_add(t, two_prod(m[j], box[j, k]))
+            d = df_sub((s_hi[k], s_lo[k]), t)
+            components.append(df_square(d))
+        d2 = df_sum3(*components)
+        best = d2 if best is None else df_min(best, d2)
+    return best
+
+
+def _exact_bin_indices(p1, p2, box, edges, n_bins):
+    """Exact double-float bin assignment for a pair block with UNIFORM
+    float32-stream edges: squared minimum-image distances evaluate in
+    error-free two-float32 arithmetic
+    (:mod:`mdhelper_tpu.ops.doublefloat`) and a float32-estimated bin
+    index is +-1-corrected against the exact boundary values
+    ``(e_0 + k h)^2`` — float64-grade binning without any emulated
+    f64 in the pair sweep (same recipe as the Pallas cell kernel's
+    ``_bin_exact``).  `box` is ``(3,)`` orthorhombic lengths (wrapped
+    inputs assumed) or a ``(3, 3)`` lower-triangular box matrix.
+    Returns spill-row (``n_bins``) indices for out-of-range pairs; the
+    last bin is closed (np.histogram).
+    """
+
+    from .doublefloat import df_add, df_ge, df_lt, two_prod
 
     # Split the uniform-edge constants e0^2, 2 e0 h, h^2 into
     # double-float pairs.  A handful of scalar f64 ops (emulated on
@@ -151,13 +214,10 @@ def _exact_bin_indices(p1, p2, box, edges, n_bins):
     p1 = p1.astype(jnp.float32)
     p2 = p2.astype(jnp.float32)
 
-    components = []
-    for k in range(3):
-        s, e = two_diff(p1[:, None, k], p2[None, :, k])
-        m = jnp.round(s / box[k])
-        d = df_sub((s, e), (m * box[k], jnp.float32(0.0)))
-        components.append(df_square(d))
-    d2 = df_sum3(*components)
+    if box.ndim == 1:
+        d2 = _exact_d2_orthorhombic(p1, p2, box)
+    else:
+        d2 = _exact_d2_triclinic(p1, p2, box)
 
     def boundary(k):
         kf = k.astype(jnp.float32)
@@ -319,9 +379,9 @@ def radial_histogram_frame(
     precision : `str`, static keyword-only
         ``"fast"`` bins in the positions' dtype (float32 streams can
         flip pairs within one ulp of a bin edge vs float64);
-        ``"exact"`` (orthorhombic boxes with uniform edges only)
-        bins in double-float — float64-grade counts from float32
-        streams (:func:`_exact_bin_indices`).
+        ``"exact"`` (uniform edges only; orthorhombic or triclinic
+        boxes) bins in double-float — float64-grade counts from
+        float32 streams (:func:`_exact_bin_indices`).
 
     Returns
     -------
@@ -334,10 +394,6 @@ def radial_histogram_frame(
     n1_real = n1 if n1_real is None else n1_real
     n2_real = n2 if n2_real is None else n2_real
     exact = precision == "exact"
-    if exact and box.ndim != 1:
-        raise ValueError(
-            "precision='exact' supports orthorhombic boxes only."
-        )
 
     def block_counts(a, b, i0, j0, ni, nj):
         if exact:

@@ -454,3 +454,118 @@ def test_xla_exact_binning_on_f32_streams(universe):
             dist[(i[:, None] // e0) == (i[None, :] // e1)] = np.inf
         oracle = np.histogram(dist, bins=edges)[0]
         np.testing.assert_array_equal(counts, oracle)
+
+
+def test_xla_exact_binning_triclinic_f32_streams():
+    """Triclinic exact binning: float32 streams through the
+    27-candidate double-float image search
+    (`ops/histogram._exact_d2_triclinic`) must reproduce a float64
+    oracle (evaluated over the same float32 box matrix) bit-exactly,
+    including pairs engineered to straddle bin edges within one
+    float32 ulp."""
+
+    import jax.numpy as jnp
+
+    from mdhelper_tpu.ops.histogram import radial_histogram_frame
+
+    h_mat = _oracle_box_matrix(TRICLINIC_DIMS).astype(np.float32)
+    rng2 = np.random.default_rng(99)
+    n_bins = 16
+    edges = np.linspace(0.0, 4.0, n_bins + 1)  # h = 0.25, f32-exact
+
+    pos1 = (rng2.random((300, 3)) @ h_mat).astype(np.float32)
+    # Edge-straddling partners: displace along the first box vector
+    # (x-axis) by exactly a bin boundary (1.25), one f32 ulp below it,
+    # and one above — the fast f32 path can misbin these; the exact
+    # path may not.
+    seps = np.float32(
+        [1.25, np.nextafter(1.25, 0, dtype=np.float32),
+         np.nextafter(1.25, 2, dtype=np.float32)]
+    )
+    anchors = pos1[:90]
+    partners = np.concatenate(
+        [anchors[30 * i:30 * (i + 1)] + np.array([s, 0, 0], np.float32)
+         for i, s in enumerate(seps)]
+    ).astype(np.float32)
+    pos2 = np.concatenate(
+        ((rng2.random((210, 3)) @ h_mat).astype(np.float32), partners)
+    )
+
+    counts = np.asarray(
+        radial_histogram_frame(
+            jnp.asarray(pos1),
+            jnp.asarray(pos2),
+            jnp.asarray(h_mat),
+            jnp.asarray(edges),
+            precision="exact",
+        )
+    ).astype(int)
+
+    # f64 oracle over the same f32 box matrix / f32 positions.
+    h64 = h_mat.astype(np.float64)
+    delta = pos1.astype(np.float64)[:, None] - pos2.astype(np.float64)
+    frac = delta @ np.linalg.inv(h64)
+    frac -= np.round(frac)
+    base = frac @ h64
+    d2 = np.full(base.shape[:2], np.inf)
+    for sx in (-1, 0, 1):
+        for sy in (-1, 0, 1):
+            for sz in (-1, 0, 1):
+                cand = base + np.array([sx, sy, sz], float) @ h64
+                d2 = np.minimum(d2, (cand**2).sum(-1))
+    oracle = np.histogram(np.sqrt(d2), bins=edges)[0]
+    np.testing.assert_array_equal(counts, oracle)
+
+
+def test_rdf_class_triclinic_exact_f32():
+    """RadialDistributionFunction with float32 streams (the TPU
+    configuration forced via `_coord_dtype`) on a triclinic box:
+    integer counts must match the float64 oracle bit-exactly — the
+    `precision` resolution no longer special-cases triclinic cells."""
+
+    local_rng = np.random.default_rng(11)
+    h_mat = _oracle_box_matrix(TRICLINIC_DIMS)
+    n_frames, n = 3, 80
+    positions = (local_rng.random((n_frames, n, 3)) @ h_mat).astype(
+        np.float32
+    )
+    u = Universe.from_arrays(
+        positions, TRICLINIC_DIMS,
+        types=np.array(["A"] * n, dtype=object),
+        masses=np.ones(n),
+    )
+    rdf = structure.RadialDistributionFunction(
+        u.select_atoms("type A"), n_bins=40, range=(0.0, 4.5),
+        exclusion=(1, 1),
+    )
+    rdf._coord_dtype = np.float32
+    rdf.run()
+
+    # Oracle: f64 min-image over the f32 box matrix the kernel binds
+    # (the streamed f64 box parameters -> f64 matrix -> f32 cast).
+    import jax.numpy as jnp
+
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+
+    h64 = np.asarray(
+        triclinic_matrices(TRICLINIC_DIMS.astype(np.float64))
+    ).astype(np.float32).astype(np.float64)
+    ref = np.zeros(40)
+    for f in range(n_frames):
+        p = positions[f].astype(np.float64)
+        delta = p[:, None] - p[None]
+        frac = delta @ np.linalg.inv(h64)
+        frac -= np.round(frac)
+        base = frac @ h64
+        d2 = np.full(base.shape[:2], np.inf)
+        for sx in (-1, 0, 1):
+            for sy in (-1, 0, 1):
+                for sz in (-1, 0, 1):
+                    cand = base + np.array([sx, sy, sz], float) @ h64
+                    d2 = np.minimum(d2, (cand**2).sum(-1))
+        dist = np.sqrt(d2)
+        np.fill_diagonal(dist, np.inf)
+        ref += np.histogram(
+            dist, bins=np.linspace(0.0, 4.5, 41)
+        )[0]
+    np.testing.assert_array_equal(rdf.results.counts, ref)
