@@ -114,6 +114,77 @@ def baseline_frame_seconds(qs: np.ndarray) -> float:
     return float(np.median(times))
 
 
+def baseline_config_frame_seconds(level: str, qs: np.ndarray) -> float:
+    """Single-core per-frame seconds of the reference's serial
+    algorithms for the config-4/5/ISF benchmark levels (NumPy
+    stand-ins for the same per-frame math, like
+    :func:`baseline_frame_seconds`)."""
+
+    times = []
+    charges = np.tile([1.0, -1.0], N_ATOMS // 2)
+    for i in range(REF_FRAMES):
+        pos = make_frame(i).astype(np.float64)
+        t0 = time.perf_counter()
+        if level == "config4":
+            # Per-frame number + charge histograms for both groups
+            # along z (reference profile.py accumulates per frame).
+            z = pos[:, 2]
+            for sel in (charges > 0, charges < 0):
+                np.histogram(z[sel], bins=N_BINS, range=(0, BOX))
+                np.histogram(
+                    z[sel], bins=N_BINS, range=(0, BOX),
+                    weights=charges[sel],
+                )
+            frame_seconds = time.perf_counter() - t0
+        elif level == "config5":
+            # Rg + end-to-end vectors + Rouse modes per frame, plus
+            # the Onsager per-frame displacement bookkeeping.
+            n_monomers = 50
+            chains = pos.reshape(-1, n_monomers, 3)
+            com = chains.mean(axis=1, keepdims=True)
+            np.sqrt(((chains - com) ** 2).sum(axis=(1, 2)) / n_monomers)
+            e2e = chains[:, -1] - chains[:, 0]
+            e2e / np.linalg.norm(e2e, axis=1, keepdims=True)
+            p = np.arange(1, 9)
+            modes = np.cos(
+                np.pi
+                * p[:, None]
+                * (np.arange(n_monomers) + 0.5)
+                / n_monomers
+            )
+            np.einsum("pm,cmd->cpd", modes, chains)
+            (pos - pos.mean(axis=0)) ** 2
+            frame_seconds = time.perf_counter() - t0
+        elif level == "isf":
+            # Coherent: the full trig sweep (timed on a q-slice,
+            # extrapolated) + n_lags ring products; incoherent: a
+            # per-lag per-atom phase-difference sweep (timed on one
+            # lag x q-slice, extrapolated to 64 lags).
+            n_lags = 64
+            q_slice = qs[: max(128, len(qs) // 32)].astype(np.float64)
+            q_scale = len(qs) / len(q_slice)
+            phases = q_slice @ pos.T
+            cos, sin = np.cos(phases).sum(1), np.sin(phases).sum(1)
+            frame_seconds = (time.perf_counter() - t0) * q_scale
+            t0 = time.perf_counter()
+            cos * cos + sin * sin  # one lag product
+            frame_seconds += (
+                (time.perf_counter() - t0) * q_scale * n_lags
+            )
+            # Incoherent, one lag on the q-slice:
+            pos0 = make_frame(i + 1).astype(np.float64)
+            t0 = time.perf_counter()
+            dphase = q_slice @ (pos - pos0).T
+            np.cos(dphase).sum(axis=1)
+            frame_seconds += (
+                (time.perf_counter() - t0) * q_scale * n_lags
+            )
+        else:  # pragma: no cover - defensive
+            raise ValueError(f"unknown baseline level {level!r}")
+        times.append(frame_seconds)
+    return float(np.median(times))
+
+
 # --------------------------------------------------------------------
 # TPU pipeline.
 # --------------------------------------------------------------------
@@ -454,6 +525,146 @@ def tpu_class_fps(which: str) -> float:
     return (total - chunk) / (t_end - marks[0])
 
 
+def tpu_config_fps(which: str) -> float:
+    """Steady-state frames/sec of the BASELINE.md config-4/5 and ISF
+    pipelines, driven through the REAL classes end-to-end:
+
+    - ``"profile"``: number + charge density profiles along z and the
+      post-hoc electric potential (config 4; reference
+      ``analysis/profile.py:287-996``);
+    - ``"polymer"``: Gyradius + EndToEndVector + RouseModes folded
+      into ONE shared trajectory pass (config 5; reference
+      ``analysis/polymer.py:110-1130``);
+    - ``"conductivity"``: Onsager with charges through
+      ``calculate_transport_coefficients`` +
+      ``calculate_conductivity`` (config 5; reference
+      ``analysis/transport.py:288-336``);
+    - ``"isf"``: coherent + incoherent F(q, t) with a 64-lag
+      device-resident ring buffer (reference
+      ``analysis/structure.py:1552-2127``).
+
+    Timing matches :func:`tpu_class_fps`: one streaming run clocked
+    from the end of the first chunk (absorbing trace/compile/upload)
+    through the conclusion AND any post-hoc methods.
+    """
+
+    from mdhelper_tpu.core.universe import Universe
+
+    chunk = 8
+    n_frames = N_FRAMES
+    if which == "isf":
+        # A 64-lag ring needs a longer window to fill and correlate.
+        n_frames = max(N_FRAMES, 96)
+    total = chunk + n_frames
+    rng = np.random.default_rng(2027)
+    traj = (
+        rng.random((total, N_ATOMS, 3), dtype=np.float32) * BOX
+    ).astype(np.float64)
+    charges = np.tile([1.0, -1.0], N_ATOMS // 2)
+    u = Universe.from_arrays(
+        traj,
+        np.array([BOX] * 3 + [90.0] * 3),
+        dt=1.0,
+        charges=charges,
+    )
+
+    post = None
+    fused = None
+    if which == "profile":
+        from mdhelper_tpu.analysis.profile import DensityProfile
+
+        a = DensityProfile(
+            [u.select_atoms("charge > 0"),
+             u.select_atoms("charge < 0")],
+            axes="z", n_bins=N_BINS, verbose=False,
+        )
+
+        def post(a):
+            a.calculate_potential_profile(dielectric=78.0, axis="z")
+
+    elif which == "polymer":
+        from mdhelper_tpu.analysis.multi import run_together
+        from mdhelper_tpu.analysis.polymer import (
+            EndToEndVector,
+            Gyradius,
+            RouseModes,
+        )
+
+        n_monomers = 50
+        n_chains = N_ATOMS // n_monomers
+        kwargs = dict(
+            n_chains=n_chains, n_monomers=n_monomers, verbose=False
+        )
+        fused = [
+            Gyradius(u.atoms, **kwargs),
+            EndToEndVector(u.atoms, **kwargs),
+            RouseModes(u.atoms, n_modes=8, **kwargs),
+        ]
+    elif which == "conductivity":
+        from mdhelper_tpu.analysis.transport import Onsager
+
+        a = Onsager(
+            [u.select_atoms("charge > 0"),
+             u.select_atoms("charge < 0")],
+            temperature=300, verbose=False,
+        )
+
+        def post(a):
+            a.calculate_transport_coefficients()
+            a.calculate_conductivity()
+
+    elif which == "isf":
+        from mdhelper_tpu.analysis.structure import (
+            IntermediateScatteringFunction,
+        )
+
+        a = IntermediateScatteringFunction(
+            u.atoms, n_points=N_QPTS, sort=False, unique=False,
+            n_lags=64, incoherent=True, precision=PRECISION,
+            verbose=False,
+        )
+    else:  # pragma: no cover - defensive
+        raise ValueError(f"unknown config phase {which!r}")
+
+    marks = []
+    if fused is not None:
+        from mdhelper_tpu.analysis.multi import run_together
+
+        for f in fused:
+            f._chunk_bytes = chunk * N_ATOMS * 3 * 4
+
+        def on_chunk(batch):
+            marks.append(time.perf_counter())
+
+        run_together(fused, on_chunk=on_chunk)
+        t_end = time.perf_counter()
+        return (total - chunk) / (t_end - marks[0])
+
+    a._chunk_bytes = chunk * N_ATOMS * 3 * 4
+    orig = a._batched_update
+
+    def clocked(carry, batch):
+        out = orig(carry, batch)
+        if not marks:
+            import jax as _jax
+
+            out = _jax.tree_util.tree_map(
+                lambda x: np.asarray(x)
+                if isinstance(x, _jax.Array)
+                else x,
+                out,
+            )
+        marks.append(time.perf_counter())
+        return out
+
+    a._batched_update = clocked
+    a.run()
+    if post is not None:
+        post(a)
+    t_end = time.perf_counter()
+    return (total - chunk) / (t_end - marks[0])
+
+
 def _measure_tpu_subprocess() -> float:
     """Measure TPU throughput, one phase per fresh subprocess.
 
@@ -482,6 +693,17 @@ def _measure_tpu_subprocess() -> float:
             "import sys; sys.path.insert(0, {root!r})\n"
             "import bench\n"
             "print('MDTPU_FPS', bench.tpu_class_fps({phase!r}))\n"
+        )
+    elif LEVEL in ("config4", "config5", "isf"):
+        phases = {
+            "config4": ("profile",),
+            "config5": ("polymer", "conductivity"),
+            "isf": ("isf",),
+        }[LEVEL]
+        template = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "print('MDTPU_FPS', bench.tpu_config_fps({phase!r}))\n"
         )
     else:
         phases = ("hist", "trig")
@@ -543,7 +765,10 @@ def _measure_tpu_subprocess() -> float:
 
 def main() -> None:
     qs = wavevectors()
-    ref_seconds = baseline_frame_seconds(qs)
+    if LEVEL in ("config4", "config5", "isf"):
+        ref_seconds = baseline_config_frame_seconds(LEVEL, qs)
+    else:
+        ref_seconds = baseline_frame_seconds(qs)
     tpu_fps = _measure_tpu_subprocess()
     baseline_fps = 1.0 / ref_seconds
     what = {
@@ -552,6 +777,18 @@ def main() -> None:
             "(run_together)"
         ),
         "classes": "end-to-end RDF+S(q)+MSD analysis-class throughput",
+        "config4": (
+            "density/charge profiles + potential (config 4) "
+            "throughput"
+        ),
+        "config5": (
+            "polymer suite (Rg+e2e+Rouse fused) + Onsager "
+            "conductivity (config 5) throughput"
+        ),
+        "isf": (
+            "coherent+incoherent F(q,t), 64-lag ring buffer, "
+            "throughput"
+        ),
     }.get(LEVEL, "fused RDF+S(q)+MSD kernel throughput")
     print(
         json.dumps(

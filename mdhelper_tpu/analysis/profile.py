@@ -130,7 +130,14 @@ def calculate_potential_profile(
             cuts = np.where(
                 np.diff(np.abs(np.gradient(first)) < threshold)
             )[0] + 1
-            if len(cuts) == 0:
+            middle = len(first) // 2
+            # Robustness beyond the reference (profile.py:240-244
+            # indexes unconditionally and crashes when every cut lies
+            # on one side of the midpoint): fall back to the whole-
+            # profile mean unless the cuts bracket the middle.
+            if len(cuts) == 0 or not (
+                (cuts <= middle).any() and (cuts >= middle).any()
+            ):
                 logging.warning(
                     "No bulk plateau region found in the charge "
                     "density profile. The average value over the "
@@ -138,7 +145,6 @@ def calculate_potential_profile(
                 )
                 sigma_q = first.mean()
             else:
-                middle = len(first) // 2
                 sigma_q = first[
                     cuts[cuts <= middle][-1]:cuts[cuts >= middle][0]
                 ].mean()

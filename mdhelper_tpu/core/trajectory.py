@@ -21,7 +21,8 @@ from typing import Iterator, Sequence, Union
 import numpy as np
 
 __all__ = ["Frame", "TrajectoryReader", "ArrayReader", "NPZReader",
-           "NetCDFReader"]
+           "NetCDFReader", "DCDReader", "XTCReader",
+           "open_trajectory"]
 
 
 @dataclass
@@ -283,3 +284,163 @@ class NetCDFReader(TrajectoryReader):
 
     def _read_time(self, index: int) -> float:
         return float(self._times[index])
+
+
+#: AKMA time unit in picoseconds (the CHARMM DCD timestep unit).
+AKMA_PS = 4.888821e-2
+
+
+class DCDReader(TrajectoryReader):
+    """CHARMM/NAMD/X-PLOR DCD trajectory reader backed by the
+    dependency-free codec (:mod:`mdhelper_tpu.io.dcd`) — covering the
+    reference's most common MDAnalysis input format (its fixtures are
+    PSF/DCD pairs, ``/root/reference/tests/test_analysis_structure.py:57-66``).
+
+    Parameters
+    ----------
+    filename : `str`
+    dt : `float`, optional
+        Time between saved frames in ps.  Default: derived from the
+        header as ``delta * nsavc`` with CHARMM's AKMA unit converted
+        to ps (the MDAnalysis convention).
+    """
+
+    def __init__(self, filename: str, *, dt: float = None):
+        from ..io.dcd import DCDFile
+
+        self._dcd = DCDFile(filename)
+        self.filename = filename
+        self._n_frames = self._dcd.n_frames
+        self._n_atoms = self._dcd.n_atoms
+        if dt is None:
+            dt = self._dcd.delta * max(1, self._dcd.nsavc) * AKMA_PS
+            if dt == 0:
+                dt = 1.0
+        self.dt = float(dt)
+
+    def _read_positions(self, index: int) -> np.ndarray:
+        positions, _ = self._dcd.read_frame(index)
+        return np.asarray(positions, dtype=np.float64)
+
+    def _read_dimensions(self, index: int) -> np.ndarray:
+        _, cell = self._dcd.read_frame(index)
+        if cell is None:
+            return np.zeros(6)
+        return np.asarray(cell, dtype=np.float64)
+
+    def read_frames(self, indices):
+        positions, cells = self._dcd.read_frames(indices)
+        return (
+            positions.astype(np.float64),
+            np.asarray(cells, dtype=np.float64),
+        )
+
+
+def _box_matrix_to_dimensions(box: np.ndarray) -> np.ndarray:
+    """(3, 3) box vectors -> (6,) [lx, ly, lz, alpha, beta, gamma]."""
+
+    lengths = np.linalg.norm(box, axis=1)
+    if np.any(lengths == 0):
+        return np.zeros(6)
+
+    def angle(u, v):
+        return np.degrees(
+            np.arccos(
+                np.clip(
+                    np.dot(u, v)
+                    / (np.linalg.norm(u) * np.linalg.norm(v)),
+                    -1.0,
+                    1.0,
+                )
+            )
+        )
+
+    return np.array(
+        [
+            *lengths,
+            angle(box[1], box[2]),
+            angle(box[0], box[2]),
+            angle(box[0], box[1]),
+        ]
+    )
+
+
+class XTCReader(TrajectoryReader):
+    """GROMACS XTC trajectory reader backed by the dependency-free
+    codec (:mod:`mdhelper_tpu.io.xtc`), converting nm to Angstrom like
+    MDAnalysis so XTC positions agree with every other reader.
+
+    Parameters
+    ----------
+    filename : `str`
+    convert_units : `bool`, optional
+        Convert nm -> Angstrom (default True, the MDAnalysis/
+        reference convention).  Set False for raw GROMACS units.
+    """
+
+    def __init__(self, filename: str, *, convert_units: bool = True):
+        from ..io.xtc import XTCFile
+
+        self._xtc = XTCFile(filename)
+        self.filename = filename
+        self._n_frames = self._xtc.n_frames
+        self._n_atoms = self._xtc.n_atoms
+        self._scale = 10.0 if convert_units else 1.0
+        times = self._xtc.times
+        self._times = times * 1.0  # XTC times are already ps
+        self.dt = (
+            float(times[1] - times[0]) if len(times) > 1 else 1.0
+        ) or 1.0
+
+    def _read_positions(self, index: int) -> np.ndarray:
+        coords, _box, _step, _time = self._xtc.read_frame(index)
+        return coords.astype(np.float64) * self._scale
+
+    def _read_dimensions(self, index: int) -> np.ndarray:
+        _coords, box, _step, _time = self._xtc.read_frame(index)
+        dims = _box_matrix_to_dimensions(box.astype(np.float64))
+        dims[:3] *= self._scale
+        return dims
+
+    def _read_time(self, index: int) -> float:
+        return float(self._times[index])
+
+    def read_frames(self, indices):
+        indices = np.asarray(indices, dtype=int)
+        positions = np.empty(
+            (len(indices), self._n_atoms, 3), dtype=np.float64
+        )
+        dimensions = np.empty((len(indices), 6), dtype=np.float64)
+        for out, index in enumerate(indices):
+            coords, box, _, _ = self._xtc.read_frame(int(index))
+            positions[out] = coords.astype(np.float64) * self._scale
+            dims = _box_matrix_to_dimensions(box.astype(np.float64))
+            dims[:3] *= self._scale
+            dimensions[out] = dims
+        return positions, dimensions
+
+
+_READERS = {
+    ".npz": NPZReader,
+    ".nc": NetCDFReader,
+    ".ncdf": NetCDFReader,
+    ".dcd": DCDReader,
+    ".xtc": XTCReader,
+}
+
+
+def open_trajectory(filename: str, **kwargs) -> TrajectoryReader:
+    """Open a trajectory file with the reader matching its extension
+    (``.npz``, ``.nc``/``.ncdf`` AMBER NetCDF, ``.dcd``, ``.xtc``)."""
+
+    import os
+
+    ext = os.path.splitext(filename)[1].lower()
+    try:
+        reader = _READERS[ext]
+    except KeyError:
+        raise ValueError(
+            f"Unsupported trajectory extension '{ext}'. Supported: "
+            + ", ".join(sorted(_READERS))
+        ) from None
+    return reader(filename, **kwargs)

