@@ -21,8 +21,8 @@ from typing import Iterator, Sequence, Union
 import numpy as np
 
 __all__ = ["Frame", "TrajectoryReader", "ArrayReader", "NPZReader",
-           "NetCDFReader", "DCDReader", "XTCReader",
-           "open_trajectory"]
+           "NetCDFReader", "DCDReader", "XTCReader", "TRRReader",
+           "LAMMPSDumpReader", "open_trajectory"]
 
 
 @dataclass
@@ -391,13 +391,22 @@ class XTCReader(TrajectoryReader):
         self.dt = (
             float(times[1] - times[0]) if len(times) > 1 else 1.0
         ) or 1.0
+        self._cache = (None, None)  # (index, decoded frame)
+
+    def _frame(self, index: int):
+        # One-frame memo: __getitem__ asks for positions and
+        # dimensions of the same index back-to-back; don't
+        # decompress twice.
+        if self._cache[0] != index:
+            self._cache = (index, self._xtc.read_frame(index))
+        return self._cache[1]
 
     def _read_positions(self, index: int) -> np.ndarray:
-        coords, _box, _step, _time = self._xtc.read_frame(index)
+        coords, _box, _step, _time = self._frame(index)
         return coords.astype(np.float64) * self._scale
 
     def _read_dimensions(self, index: int) -> np.ndarray:
-        _coords, box, _step, _time = self._xtc.read_frame(index)
+        _coords, box, _step, _time = self._frame(index)
         dims = _box_matrix_to_dimensions(box.astype(np.float64))
         dims[:3] *= self._scale
         return dims
@@ -420,12 +429,123 @@ class XTCReader(TrajectoryReader):
         return positions, dimensions
 
 
+class TRRReader(TrajectoryReader):
+    """GROMACS TRR (full-precision) trajectory reader backed by the
+    dependency-free codec (:mod:`mdhelper_tpu.io.trr`), converting nm
+    to Angstrom like MDAnalysis.
+
+    Parameters
+    ----------
+    filename : `str`
+    convert_units : `bool`, optional
+        Convert nm -> Angstrom (default True).
+    """
+
+    def __init__(self, filename: str, *, convert_units: bool = True):
+        from ..io.trr import TRRFile
+
+        self._trr = TRRFile(filename)
+        self.filename = filename
+        self._n_frames = self._trr.n_frames
+        self._n_atoms = self._trr.n_atoms
+        self._scale = 10.0 if convert_units else 1.0
+        times = self._trr.times
+        self._times = times * 1.0
+        self.dt = (
+            float(times[1] - times[0]) if len(times) > 1 else 1.0
+        ) or 1.0
+        self._cache = (None, None)
+
+    def _frame(self, index: int):
+        if self._cache[0] != index:
+            self._cache = (index, self._trr.read_frame(index))
+        return self._cache[1]
+
+    def _read_positions(self, index: int) -> np.ndarray:
+        frame = self._frame(index)
+        if frame["positions"] is None:
+            raise ValueError(f"Frame {index} stores no positions.")
+        return frame["positions"] * self._scale
+
+    def _read_dimensions(self, index: int) -> np.ndarray:
+        box = self._frame(index)["box"]
+        if box is None:
+            return np.zeros(6)
+        dims = _box_matrix_to_dimensions(box)
+        dims[:3] *= self._scale
+        return dims
+
+    def _read_time(self, index: int) -> float:
+        return float(self._times[index])
+
+    def read_frames(self, indices):
+        positions, boxes = self._trr.read_frames(indices)
+        dimensions = np.empty((len(positions), 6))
+        for i, box in enumerate(boxes):
+            dims = _box_matrix_to_dimensions(box)
+            dims[:3] *= self._scale
+            dimensions[i] = dims
+        return positions * self._scale, dimensions
+
+
+class LAMMPSDumpReader(TrajectoryReader):
+    """LAMMPS text dump reader backed by
+    :mod:`mdhelper_tpu.io.lammps_dump` (wrapped/scaled/unwrapped
+    column layouts, triclinic tilts, unsorted ids, ``.gz``).
+
+    Parameters
+    ----------
+    filename : `str`
+    dt : `float`, optional
+        Time per STEP (ps); frame times are ``step * dt``.
+        Default 1.0 per frame index.
+    """
+
+    def __init__(self, filename: str, *, dt: float = None):
+        from ..io.lammps_dump import LAMMPSDumpFile
+
+        self._dump = LAMMPSDumpFile(filename)
+        self.filename = filename
+        self._n_frames = self._dump.n_frames
+        self._n_atoms = self._dump.n_atoms
+        steps = self._dump.steps
+        if dt is not None:
+            self._times = steps.astype(float) * dt
+            self.dt = float(
+                self._times[1] - self._times[0]
+            ) if len(steps) > 1 else dt
+        else:
+            self._times = np.arange(self._n_frames, dtype=float)
+            self.dt = 1.0
+        self._cache = (None, None)
+
+    def _frame(self, index: int):
+        if self._cache[0] != index:
+            self._cache = (index, self._dump.read_frame(index))
+        return self._cache[1]
+
+    def _read_positions(self, index: int) -> np.ndarray:
+        return self._frame(index)[0]
+
+    def _read_dimensions(self, index: int) -> np.ndarray:
+        return self._frame(index)[1]
+
+    def _read_time(self, index: int) -> float:
+        return float(self._times[index])
+
+    def read_frames(self, indices):
+        return self._dump.read_frames(indices)
+
+
 _READERS = {
     ".npz": NPZReader,
     ".nc": NetCDFReader,
     ".ncdf": NetCDFReader,
     ".dcd": DCDReader,
     ".xtc": XTCReader,
+    ".trr": TRRReader,
+    ".lammpstrj": LAMMPSDumpReader,
+    ".dump": LAMMPSDumpReader,
 }
 
 
@@ -435,7 +555,10 @@ def open_trajectory(filename: str, **kwargs) -> TrajectoryReader:
 
     import os
 
-    ext = os.path.splitext(filename)[1].lower()
+    stem = filename
+    if stem.lower().endswith(".gz"):
+        stem = stem[:-3]
+    ext = os.path.splitext(stem)[1].lower()
     try:
         reader = _READERS[ext]
     except KeyError:

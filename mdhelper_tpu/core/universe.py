@@ -125,6 +125,58 @@ class Universe:
         topology = Topology(positions.shape[1], **topology_attrs)
         return cls(topology, reader)
 
+    @classmethod
+    def from_files(
+        cls,
+        topology: str,
+        trajectory: str = None,
+        **reader_kwargs,
+    ) -> "Universe":
+        """Build a Universe from file paths — the MDAnalysis-style
+        two-argument construction the reference's users write
+        (``mda.Universe(psf, dcd)``).
+
+        Parameters
+        ----------
+        topology : `str`
+            Topology file: ``.psf``, ``.pdb`` or ``.gro``
+            (:mod:`mdhelper_tpu.io.topology_files`).  PDB/GRO files
+            also carry coordinates, which become a one-frame
+            trajectory when `trajectory` is omitted.
+        trajectory : `str`, optional
+            Trajectory file: ``.dcd``, ``.xtc``, ``.nc``/``.ncdf`` or
+            ``.npz`` (:func:`~mdhelper_tpu.core.trajectory.
+            open_trajectory`).
+        **reader_kwargs
+            Forwarded to the trajectory reader (e.g. ``dt=...``).
+        """
+
+        from ..io.topology_files import read_topology_file
+        from .trajectory import open_trajectory
+
+        parsed = dict(read_topology_file(topology))
+        n_atoms = parsed.pop("n_atoms")
+        positions = parsed.pop("positions", None)
+        frames = parsed.pop("trajectory", None)
+        dimensions = parsed.pop("dimensions", None)
+        top = Topology(n_atoms, **parsed)
+
+        if trajectory is not None:
+            reader = open_trajectory(trajectory, **reader_kwargs)
+        elif frames is not None or positions is not None:
+            # Multi-MODEL PDBs carry a whole trajectory; single-frame
+            # files become a one-frame trajectory.
+            reader = ArrayReader(
+                frames if frames is not None else positions[None],
+                None if dimensions is None else dimensions,
+            )
+        else:
+            raise ValueError(
+                f"'{topology}' carries no coordinates; provide a "
+                "trajectory file."
+            )
+        return cls(top, reader)
+
     # -- accessors -------------------------------------------------------
     @property
     def atoms(self) -> "AtomGroup":

@@ -2,10 +2,21 @@
 File formats
 ============
 
-Dependency-free binary codecs backing the trajectory I/O layer.
+Dependency-free byte-level codecs backing the trajectory I/O layer:
+NetCDF-3 (AMBER), DCD (CHARMM/NAMD/X-PLOR), XTC (GROMACS compressed,
+with a C++ fast path), TRR (GROMACS full precision), LAMMPS text
+dumps, and the PSF/PDB/GRO topology parsers.
 """
 
-from . import netcdf3  # noqa: F401
+from . import dcd, lammps_dump, netcdf3, topology_files, trr, xtc  # noqa: F401
 from .netcdf3 import Dataset  # noqa: F401
 
-__all__ = ["netcdf3", "Dataset"]
+__all__ = [
+    "netcdf3",
+    "dcd",
+    "xtc",
+    "trr",
+    "lammps_dump",
+    "topology_files",
+    "Dataset",
+]

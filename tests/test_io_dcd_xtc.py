@@ -495,3 +495,68 @@ def test_xtc_reader_units_and_times(tmp_path):
 def test_open_trajectory_dispatch(tmp_path):
     with pytest.raises(ValueError, match="Unsupported"):
         open_trajectory("traj.weird")
+
+
+# ---------------------------------------------------------------------
+# TRR
+# ---------------------------------------------------------------------
+@pytest.mark.parametrize("double", [False, True])
+def test_trr_roundtrip(tmp_path, double):
+    from mdhelper_tpu.io.trr import TRRFile, read_trr, write_trr
+
+    n_frames, n_atoms = 4, 33
+    pos = rng.random((n_frames, n_atoms, 3)) * 3
+    vel = rng.normal(size=(n_frames, n_atoms, 3))
+    box = np.diag([3.0, 3.1, 3.2])
+    path = tmp_path / "traj.trr"
+    write_trr(
+        path, pos, box, velocities=vel, double=double,
+        times=np.arange(n_frames) * 0.25,
+    )
+
+    out, boxes, steps, times = read_trr(str(path))
+    atol = 0 if double else 1e-6
+    np.testing.assert_allclose(out, pos, atol=atol)
+    np.testing.assert_allclose(
+        boxes, np.tile(box, (n_frames, 1, 1)), atol=atol
+    )
+    np.testing.assert_allclose(times, np.arange(n_frames) * 0.25)
+
+    trr = TRRFile(str(path))
+    frame = trr.read_frame(2)
+    np.testing.assert_allclose(
+        frame["velocities"], vel[2], atol=atol
+    )
+    assert frame["forces"] is None
+    if double:  # float64 sections round-trip bit-exactly
+        np.testing.assert_array_equal(frame["positions"], pos[2])
+
+
+def test_trr_reader_units(tmp_path):
+    from mdhelper_tpu.core.trajectory import TRRReader
+    from mdhelper_tpu.io.trr import write_trr
+
+    pos_nm = rng.random((3, 12, 3)).astype(np.float64)
+    path = tmp_path / "units.trr"
+    write_trr(
+        path, pos_nm, np.diag([2.0, 2.0, 2.0]), double=True,
+        times=[0.0, 0.5, 1.0],
+    )
+    r = open_trajectory(str(path))
+    assert isinstance(r, TRRReader)
+    assert r.n_frames == 3 and np.isclose(r.dt, 0.5)
+    np.testing.assert_array_equal(r[1].positions, pos_nm[1] * 10.0)
+    np.testing.assert_allclose(
+        r[1].dimensions, [20.0, 20.0, 20.0, 90.0, 90.0, 90.0]
+    )
+    batch_pos, batch_dims = r.read_frames([0, 2])
+    np.testing.assert_array_equal(batch_pos[1], pos_nm[2] * 10.0)
+
+
+def test_trr_rejects_bad_magic(tmp_path):
+    from mdhelper_tpu.io.trr import TRRFile
+
+    path = tmp_path / "bad.trr"
+    path.write_bytes(struct.pack(">i", 42) + b"\x00" * 60)
+    with pytest.raises(ValueError, match="magic"):
+        TRRFile(str(path))

@@ -1,0 +1,274 @@
+"""PSF/PDB/GRO topology parsers and Universe.from_files — the
+MDAnalysis-style two-file construction the reference's users write
+(PSF/DCD and TPR/XTC pairs,
+`/root/reference/tests/test_analysis_structure.py:57-66`)."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.core.universe import Universe
+from mdhelper_tpu.io.topology_files import (
+    read_gro,
+    read_pdb,
+    read_psf,
+    read_topology_file,
+)
+
+PSF_TEXT = """PSF CMAP
+
+       2 !NTITLE
+ REMARKS test fixture
+ REMARKS two waters
+
+       6 !NATOM
+       1 WAT  1    TIP3 OH2  OT    -0.834000       15.9994           0
+       2 WAT  1    TIP3 H1   HT     0.417000        1.0080           0
+       3 WAT  1    TIP3 H2   HT     0.417000        1.0080           0
+       4 WAT  2    TIP3 OH2  OT    -0.834000       15.9994           0
+       5 WAT  2    TIP3 H1   HT     0.417000        1.0080           0
+       6 WAT  2    TIP3 H2   HT     0.417000        1.0080           0
+
+       4 !NBOND: bonds
+       1       2       1       3       4       5
+       4       6
+
+       0 !NTHETA: angles
+
+"""
+
+PDB_TEXT = """\
+CRYST1   20.000   21.000   22.000  90.00  90.00  90.00 P 1           1
+ATOM      1  N   ALA A   1       1.000   2.000   3.000  1.00  0.00           N
+ATOM      2  CA  ALA A   1       2.500   2.000   3.000  1.00  0.00           C
+ATOM      3  C   ALA A   1       3.200   3.300   3.000  1.00  0.00           C
+ATOM      4  O   ALA A   1       2.600   4.400   3.000  1.00  0.00           O
+HETATM    5  O   HOH B   2      10.000  10.000  10.000  1.00  0.00           O
+CONECT    1    2
+CONECT    2    3
+CONECT    3    4    2
+END
+"""
+
+GRO_TEXT = """Two waters
+    6
+    1SOL     OW    1   0.100   0.200   0.300
+    1SOL    HW1    2   0.190   0.200   0.300
+    1SOL    HW2    3   0.100   0.290   0.300
+    2SOL     OW    4   0.500   0.500   0.500
+    2SOL    HW1    5   0.590   0.500   0.500
+    2SOL    HW2    6   0.500   0.590   0.500
+   2.00000   2.10000   2.20000
+"""
+
+
+def test_read_psf(tmp_path):
+    path = tmp_path / "wat.psf"
+    path.write_text(PSF_TEXT)
+    top = read_psf(str(path))
+    assert top["n_atoms"] == 6
+    assert list(top["names"]) == ["OH2", "H1", "H2"] * 2
+    assert list(top["types"]) == ["OT", "HT", "HT"] * 2
+    np.testing.assert_allclose(
+        top["charges"], [-0.834, 0.417, 0.417] * 2
+    )
+    np.testing.assert_allclose(
+        top["masses"], [15.9994, 1.008, 1.008] * 2
+    )
+    np.testing.assert_array_equal(top["resids"], [1, 1, 1, 2, 2, 2])
+    np.testing.assert_array_equal(
+        top["resindices"], [0, 0, 0, 1, 1, 1]
+    )
+    np.testing.assert_array_equal(
+        top["bonds"], [[0, 1], [0, 2], [3, 4], [3, 5]]
+    )
+
+
+def test_read_pdb(tmp_path):
+    path = tmp_path / "ala.pdb"
+    path.write_text(PDB_TEXT)
+    top = read_pdb(str(path))
+    assert top["n_atoms"] == 5
+    assert list(top["names"]) == ["N", "CA", "C", "O", "O"]
+    assert list(top["types"]) == ["N", "C", "C", "O", "O"]
+    # Masses from the element column: CA is a carbon here.
+    np.testing.assert_allclose(
+        top["masses"], [14.007, 12.011, 12.011, 15.999, 15.999]
+    )
+    np.testing.assert_array_equal(top["resindices"], [0, 0, 0, 0, 1])
+    np.testing.assert_array_equal(top["segindices"], [0, 0, 0, 0, 1])
+    # CONECT dedup: 2-3 appears twice.
+    np.testing.assert_array_equal(
+        top["bonds"], [[0, 1], [1, 2], [2, 3]]
+    )
+    np.testing.assert_allclose(top["positions"][0], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(
+        top["dimensions"], [20, 21, 22, 90, 90, 90]
+    )
+
+
+def test_read_gro(tmp_path):
+    path = tmp_path / "wat.gro"
+    path.write_text(GRO_TEXT)
+    top = read_gro(str(path))
+    assert top["n_atoms"] == 6
+    assert list(top["names"]) == ["OW", "HW1", "HW2"] * 2
+    # nm -> Angstrom.
+    np.testing.assert_allclose(top["positions"][0], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(
+        top["dimensions"], [20, 21, 22, 90, 90, 90]
+    )
+    # Name-based mass guessing: OW -> oxygen, HW -> hydrogen.
+    np.testing.assert_allclose(
+        top["masses"], [15.999, 1.008, 1.008] * 2
+    )
+    np.testing.assert_array_equal(
+        top["resindices"], [0, 0, 0, 1, 1, 1]
+    )
+
+
+def test_universe_from_files_psf_dcd(tmp_path):
+    from mdhelper_tpu.io.dcd import write_dcd
+
+    psf = tmp_path / "wat.psf"
+    psf.write_text(PSF_TEXT)
+    rng = np.random.default_rng(0)
+    pos = (rng.random((5, 6, 3)) * 12).astype(np.float32)
+    dcd = tmp_path / "wat.dcd"
+    write_dcd(dcd, pos, np.array([12.0] * 3 + [90.0] * 3))
+
+    u = Universe.from_files(str(psf), str(dcd))
+    assert u.atoms.n_atoms == 6
+    assert u.trajectory.n_frames == 5
+    np.testing.assert_allclose(
+        u.trajectory[2].positions, pos[2], atol=1e-6
+    )
+    # Topology-driven selections + fragments work end-to-end.
+    assert u.select_atoms("charge < 0").n_atoms == 2
+    assert len(u.atoms.fragments) == 2
+    waters = u.select_atoms("type OT HT")
+    assert waters.n_atoms == 6
+
+
+def test_universe_from_files_gro_only(tmp_path):
+    gro = tmp_path / "wat.gro"
+    gro.write_text(GRO_TEXT)
+    u = Universe.from_files(str(gro))
+    assert u.trajectory.n_frames == 1
+    np.testing.assert_allclose(
+        u.atoms.positions[0], [1.0, 2.0, 3.0]
+    )
+    np.testing.assert_allclose(
+        u.dimensions[:3], [20, 21, 22]
+    )
+
+
+def test_universe_from_files_pdb_xtc(tmp_path):
+    from mdhelper_tpu.io.xtc import write_xtc
+
+    pdb = tmp_path / "ala.pdb"
+    pdb.write_text(PDB_TEXT)
+    pos_nm = np.random.default_rng(1).random((3, 5, 3)).astype(
+        np.float32
+    )
+    xtc = tmp_path / "ala.xtc"
+    write_xtc(xtc, pos_nm, np.diag([2.0, 2.1, 2.2]))
+    u = Universe.from_files(str(pdb), str(xtc))
+    assert u.trajectory.n_frames == 3
+    assert u.select_atoms("mass > 13").n_atoms == 3  # N, O, O
+
+
+def test_universe_from_files_errors(tmp_path):
+    psf = tmp_path / "wat.psf"
+    psf.write_text(PSF_TEXT)
+    with pytest.raises(ValueError, match="no coordinates"):
+        Universe.from_files(str(psf))
+    with pytest.raises(ValueError, match="Unsupported topology"):
+        read_topology_file("top.weird")
+    bad = tmp_path / "bad.psf"
+    bad.write_text("not a psf")
+    with pytest.raises(ValueError, match="not a PSF"):
+        read_psf(str(bad))
+
+
+def test_pdb_multi_model(tmp_path):
+    """Multi-MODEL PDBs become a whole trajectory (MDAnalysis
+    convention)."""
+
+    base = (
+        "CRYST1   10.000   10.000   10.000  90.00  90.00  90.00 P 1\n"
+    )
+    models = []
+    rng_local = np.random.default_rng(3)
+    coords = rng_local.random((3, 2, 3)) * 9
+    for m in range(3):
+        rows = [f"MODEL     {m + 1}"]
+        for a in range(2):
+            x, y, z = coords[m, a]
+            rows.append(
+                f"ATOM  {a + 1:>5}  O   HOH A{a + 1:>4}    "
+                f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           O"
+            )
+        rows.append("ENDMDL")
+        models.append("\n".join(rows))
+    path = tmp_path / "multi.pdb"
+    path.write_text(base + "\n".join(models) + "\nEND\n")
+
+    u = Universe.from_files(str(path))
+    assert u.trajectory.n_frames == 3
+    np.testing.assert_allclose(
+        u.trajectory[2].positions, coords[2], atol=1e-3
+    )
+
+    bad = base + models[0] + "\nMODEL 2\nATOM      1  O   HOH A   1" \
+        "       1.000   1.000   1.000  1.00  0.00           O\n" \
+        "ATOM      2  O   HOH A   2       1.000   1.000   1.000" \
+        "  1.00  0.00           O\nATOM      3  O   HOH A   3    " \
+        "   1.000   1.000   1.000  1.00  0.00           O\nENDMDL\n"
+    bad_path = tmp_path / "bad.pdb"
+    bad_path.write_text(bad)
+    with pytest.raises(ValueError, match="MODEL"):
+        read_pdb(str(bad_path))
+
+
+def test_lammps_data_roundtrip(tmp_path):
+    """read_lammps_data inverts lammps.topology.write_data
+    (atom_style full)."""
+
+    from mdhelper_tpu.io.topology_files import read_lammps_data
+    from mdhelper_tpu.lammps.topology import write_data
+
+    rng_local = np.random.default_rng(9)
+    pos_a = rng_local.random((4, 3)) * 10
+    pos_b = rng_local.random((6, 3)) * 10
+    path = tmp_path / "system.data"
+    write_data(
+        str(path),
+        [pos_a, pos_b],
+        dimensions=np.array([10.0, 10.0, 10.0]),
+        masses=[12.0, 1.0],
+        charges=[0.5, -1.0 / 3.0],
+        bonds=[np.array([[1, 2], [3, 4]]), np.array([[5, 6]])],
+    )
+
+    top = read_lammps_data(str(path))
+    assert top["n_atoms"] == 10
+    assert list(top["types"]) == ["1"] * 4 + ["2"] * 6
+    np.testing.assert_allclose(
+        top["masses"], [12.0] * 4 + [1.0] * 6
+    )
+    np.testing.assert_allclose(
+        top["charges"], [0.5] * 4 + [-1.0 / 3.0] * 6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        top["positions"], np.concatenate((pos_a, pos_b)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        top["dimensions"], [10, 10, 10, 90, 90, 90]
+    )
+    np.testing.assert_array_equal(
+        top["bonds"], [[0, 1], [2, 3], [4, 5]]
+    )
+
+    # And a Universe builds straight from it (+ dump trajectory).
+    u = Universe.from_files(str(path))
+    assert u.select_atoms("charge < 0").n_atoms == 6
