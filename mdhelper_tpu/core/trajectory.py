@@ -22,7 +22,7 @@ import numpy as np
 
 __all__ = ["Frame", "TrajectoryReader", "ArrayReader", "NPZReader",
            "NetCDFReader", "DCDReader", "XTCReader", "TRRReader",
-           "LAMMPSDumpReader", "open_trajectory"]
+           "LAMMPSDumpReader", "PDBReader", "open_trajectory"]
 
 
 @dataclass
@@ -537,6 +537,22 @@ class LAMMPSDumpReader(TrajectoryReader):
         return self._dump.read_frames(indices)
 
 
+class PDBReader(ArrayReader):
+    """PDB file as a trajectory: multi-``MODEL`` files yield one frame
+    per model (single-structure files one frame), with the ``CRYST1``
+    box applied to every frame."""
+
+    def __init__(self, filename: str, *, dt: float = 1.0):
+        from ..io.topology_files import read_pdb
+
+        parsed = read_pdb(filename)
+        frames = parsed.get("trajectory")
+        if frames is None:
+            frames = parsed["positions"][None]
+        super().__init__(frames, parsed.get("dimensions"), dt=dt)
+        self.filename = filename
+
+
 _READERS = {
     ".npz": NPZReader,
     ".nc": NetCDFReader,
@@ -546,6 +562,7 @@ _READERS = {
     ".trr": TRRReader,
     ".lammpstrj": LAMMPSDumpReader,
     ".dump": LAMMPSDumpReader,
+    ".pdb": PDBReader,
 }
 
 

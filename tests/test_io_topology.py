@@ -272,3 +272,33 @@ def test_lammps_data_roundtrip(tmp_path):
     # And a Universe builds straight from it (+ dump trajectory).
     u = Universe.from_files(str(path))
     assert u.select_atoms("charge < 0").n_atoms == 6
+
+
+def test_pdb_trajectory_reader(tmp_path):
+    from mdhelper_tpu.core.trajectory import PDBReader, open_trajectory
+
+    base = (
+        "CRYST1   10.000   10.000   10.000  90.00  90.00  90.00 P 1\n"
+    )
+    rng_local = np.random.default_rng(4)
+    coords = rng_local.random((2, 3, 3)) * 9
+    rows = [base.rstrip("\n")]
+    for m in range(2):
+        rows.append(f"MODEL     {m + 1}")
+        for a in range(3):
+            x, y, z = coords[m, a]
+            rows.append(
+                f"ATOM  {a + 1:>5}  C   LIG A   1    "
+                f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C"
+            )
+        rows.append("ENDMDL")
+    path = tmp_path / "traj.pdb"
+    path.write_text("\n".join(rows) + "\nEND\n")
+
+    r = open_trajectory(str(path))
+    assert isinstance(r, PDBReader)
+    assert r.n_frames == 2 and r.n_atoms == 3
+    np.testing.assert_allclose(r[1].positions, coords[1], atol=1e-3)
+    np.testing.assert_allclose(
+        r[0].dimensions, [10, 10, 10, 90, 90, 90]
+    )
