@@ -317,13 +317,19 @@ class DCDReader(TrajectoryReader):
             if dt == 0:
                 dt = 1.0
         self.dt = float(dt)
+        self._cache = (None, None)
+
+    def _frame(self, index: int):
+        if self._cache[0] != index:
+            self._cache = (index, self._dcd.read_frame(index))
+        return self._cache[1]
 
     def _read_positions(self, index: int) -> np.ndarray:
-        positions, _ = self._dcd.read_frame(index)
+        positions, _ = self._frame(index)
         return np.asarray(positions, dtype=np.float64)
 
     def _read_dimensions(self, index: int) -> np.ndarray:
-        _, cell = self._dcd.read_frame(index)
+        _, cell = self._frame(index)
         if cell is None:
             return np.zeros(6)
         return np.asarray(cell, dtype=np.float64)

@@ -322,3 +322,36 @@ def test_fit_models():
         distribution.weibull(x, a, b),
         a * b * x ** (b - 1) * np.exp(-a * x**b),
     )
+
+
+def test_onsager_async_store_pipeline(walk, universe):
+    """The entity store fetches asynchronously, one chunk deep: during
+    the stream exactly one chunk is pending, every chunk lands at its
+    correct offset (multi-chunk run), and the conclusion drains the
+    tail."""
+
+    ag = universe.atoms
+    ons = transport.Onsager(ag, temperature=300, verbose=False)
+    # Force several small chunks.
+    ons._chunk_bytes = 4 * ag.n_atoms * 3 * 8
+    depths = []
+    orig = transport.Onsager._store_chunk
+
+    def spy(self, entities, batch):
+        orig(self, entities, batch)
+        depths.append(len(self._pending_store))
+
+    ons._store_chunk = spy.__get__(ons)
+    ons.run()
+    assert len(depths) >= 2  # actually chunked
+    assert max(depths) == 1  # never more than one chunk pending
+    assert not ons._pending_store  # conclusion drained the tail
+    # The store holds every frame's entities in order: recompute
+    # frame 0 and the last frame directly.
+    np.testing.assert_allclose(
+        ons._positions[0], np.asarray(walk[0]), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        ons._positions[len(walk) - 1], np.asarray(walk[-1]),
+        atol=1e-12,
+    )

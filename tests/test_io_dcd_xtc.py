@@ -560,3 +560,49 @@ def test_trr_rejects_bad_magic(tmp_path):
     path.write_bytes(struct.pack(">i", 42) + b"\x00" * 60)
     with pytest.raises(ValueError, match="magic"):
         TRRFile(str(path))
+
+
+def test_xtc_fuzz_cross_round_trips():
+    """Randomized round trips across coordinate styles (uniform,
+    clustered, random-walk, bimodal-wide), precisions and sizes;
+    encoder and decoder implementations alternate when the native
+    library is available."""
+
+    local = np.random.default_rng(1234)
+    native = _native_available()
+    for trial in range(16):
+        n = int(local.integers(10, 400))
+        style = trial % 4
+        if style == 0:
+            coords = local.random((n, 3)) * local.uniform(1, 50)
+        elif style == 1:
+            nm = max(1, n // 3)
+            centers = local.random((nm, 3)) * 20
+            coords = (
+                centers[:, None]
+                + local.normal(scale=0.05, size=(nm, 3, 3))
+            ).reshape(-1, 3)[:n]
+            if len(coords) < n:
+                coords = np.concatenate(
+                    [coords, local.random((n - len(coords), 3)) * 20]
+                )
+        elif style == 2:
+            coords = np.cumsum(
+                local.normal(scale=0.02, size=(n, 3)), axis=0
+            )
+        else:
+            coords = local.random((n, 3)) * 10
+            coords[local.random(n) < 0.3] += 1500.0
+        prec = float(
+            local.choice([10.0, 1000.0, 10000.0, 100000.0])
+        )
+        enc_native = native and trial % 2 == 0
+        dec_native = native and trial % 2 == 1
+        data = compress_coords(coords, prec, use_native=enc_native)
+        out, consumed, _ = decompress_coords(
+            data, n, use_native=dec_native
+        )
+        assert consumed == len(data)
+        np.testing.assert_array_equal(
+            out, _quantize(coords, prec), err_msg=f"trial {trial}"
+        )
