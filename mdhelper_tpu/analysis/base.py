@@ -136,6 +136,7 @@ class SerialAnalysisBase:
     def __init__(self, trajectory, verbose: bool = False, **kwargs):
         self._trajectory = trajectory
         self._verbose = verbose
+        self._pending_stores = []
         self.results = Hash()
 
     # -- frame bookkeeping -------------------------------------------------
@@ -177,7 +178,16 @@ class SerialAnalysisBase:
         """Fold one streamed chunk into the carry.  The default drives
         the ``_update`` / ``_store_chunk`` pair (see those hooks);
         subclasses without a jitted ``_update`` override this (or
-        implement the frame protocol instead)."""
+        implement the frame protocol instead).
+
+        Store-type extras are absorbed ONE CHUNK LATE: the device
+        arrays start their device-to-host copy immediately
+        (``copy_to_host_async``) but ``_store_chunk`` runs when the
+        NEXT chunk's update has been dispatched, so the (possibly
+        large) extras transfer overlaps compute instead of
+        serializing the stream.  :meth:`_drain_stores` flushes the
+        tail before :meth:`_conclude`.
+        """
 
         update = getattr(self, "_update", None)
         if update is None:
@@ -188,8 +198,27 @@ class SerialAnalysisBase:
         if self._store_chunk is None:
             return out
         carry, extras = out
-        self._store_chunk(extras, batch)
+        self._queue_store(extras, batch)
         return carry
+
+    def _queue_store(self, extras, batch: _Batch) -> None:
+        """Start the async fetch of one chunk's extras, absorbing any
+        previously queued chunk (whose copy has had a full chunk of
+        compute to finish)."""
+
+        jax.tree_util.tree_map(
+            lambda leaf: leaf.copy_to_host_async()
+            if isinstance(leaf, jax.Array)
+            else None,
+            extras,
+        )
+        self._drain_stores()
+        self._pending_stores.append((extras, batch))
+
+    def _drain_stores(self) -> None:
+        for extras, batch in self._pending_stores:
+            self._store_chunk(extras, batch)
+        self._pending_stores.clear()
 
     def _conclude(self) -> None:
         pass
@@ -424,7 +453,11 @@ class SerialAnalysisBase:
 
                 from ..core.checkpoint import load_carry, save_carry
 
-                if getattr(self, "_store_offset", None):
+                if self._store_chunk is not None:
+                    # A truthiness check on _store_offset (always 0
+                    # here, set in _prepare) would silently checkpoint
+                    # only the carry and corrupt the host store on
+                    # resume.
                     raise ValueError(
                         "Checkpointing is only supported for "
                         "carry-accumulating analyses (this analysis "
@@ -455,6 +488,7 @@ class SerialAnalysisBase:
                 self._frame_index = index
                 self._single_frame()
 
+        self._drain_stores()
         self._conclude()
         if verbose:
             logging.info(
@@ -481,11 +515,13 @@ class SerialAnalysisBase:
         """
 
         update = self._update
-        store = self._store_chunk
-        if store is not None:
+        if self._store_chunk is not None:
+            # Queue-based absorb: same one-chunk-late async fetch as
+            # the standalone run() path (drained by _conclude via
+            # run_together's _drain_stores call).
             return (
                 lambda c, p, d, m: update(c, p, d, m)
-            ), store
+            ), self._queue_store
 
         def device_fn(carry, positions, dimensions, mask):
             return update(carry, positions, dimensions, mask), None

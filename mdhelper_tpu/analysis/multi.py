@@ -135,5 +135,6 @@ def run_together(
 
     for a, carry in zip(analyses, carries):
         a._carry = carry
+        a._drain_stores()
         a._conclude()
     return analyses

@@ -51,7 +51,12 @@ class TRRFile:
 
     def _parse_header(self, offset: int):
         data = self._data
-        (magic,) = struct.unpack_from(">i", data, offset)
+        try:
+            (magic,) = struct.unpack_from(">i", data, offset)
+        except struct.error:
+            raise ValueError(
+                f"Truncated TRR frame header at byte {offset}."
+            ) from None
         if magic != MAGIC:
             raise ValueError(
                 f"Bad TRR magic {magic} at byte {offset} (expected "

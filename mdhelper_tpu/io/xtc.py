@@ -442,7 +442,12 @@ def decompress_coords(
 # File level
 # ---------------------------------------------------------------------
 def _frame_header(data: bytes, offset: int):
-    magic, natoms, step = struct.unpack_from(">3i", data, offset)
+    try:
+        magic, natoms, step = struct.unpack_from(">3i", data, offset)
+    except struct.error:
+        raise ValueError(
+            f"Truncated XTC frame header at byte {offset}."
+        ) from None
     if magic != MAGIC:
         raise ValueError(
             f"Bad XTC magic {magic} at byte {offset} (expected "

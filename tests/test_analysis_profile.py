@@ -169,3 +169,23 @@ def test_density_profile_potential_pipeline(universe):
         dielectric=1.0, axis="z", sigma_q=0.0
     )
     assert dp.results.potentials[0].shape == (30,)
+
+
+def test_density_profile_parallel_store_per_frame(universe):
+    """Per-frame (average=False) profiles under frame sharding: the
+    store absorbs sharded extras one chunk late (base async queue) and
+    must still land frames in order, equal to the serial run."""
+
+    ag = universe.atoms
+    serial = profile.DensityProfile(
+        ag, axes="y", n_bins=12, average=False, verbose=False
+    ).run()
+    parallel = profile.DensityProfile(
+        ag, axes="y", n_bins=12, average=False, verbose=False,
+        parallel=True,
+    ).run()
+    np.testing.assert_allclose(
+        np.asarray(serial.results.number_densities[0]),
+        np.asarray(parallel.results.number_densities[0]),
+        rtol=1e-12,
+    )

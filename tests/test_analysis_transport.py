@@ -325,10 +325,10 @@ def test_fit_models():
 
 
 def test_onsager_async_store_pipeline(walk, universe):
-    """The entity store fetches asynchronously, one chunk deep: during
-    the stream exactly one chunk is pending, every chunk lands at its
-    correct offset (multi-chunk run), and the conclusion drains the
-    tail."""
+    """Store-type extras absorb one chunk late via the base-level
+    async queue (`SerialAnalysisBase._queue_store`): during the stream
+    exactly one chunk is pending, stores land in order at the right
+    offsets, and the tail drains before the conclusion."""
 
     ag = universe.atoms
     ons = transport.Onsager(ag, temperature=300, verbose=False)
@@ -339,15 +339,16 @@ def test_onsager_async_store_pipeline(walk, universe):
 
     def spy(self, entities, batch):
         orig(self, entities, batch)
-        depths.append(len(self._pending_store))
+        depths.append(len(self._pending_stores))
 
     ons._store_chunk = spy.__get__(ons)
     ons.run()
     assert len(depths) >= 2  # actually chunked
-    assert max(depths) == 1  # never more than one chunk pending
-    assert not ons._pending_store  # conclusion drained the tail
-    # The store holds every frame's entities in order: recompute
-    # frame 0 and the last frame directly.
+    # _store_chunk runs from _drain_stores while its own entry is
+    # still queued; the queue never grows beyond that one chunk.
+    assert max(depths) == 1
+    assert not ons._pending_stores
+    # The store holds every frame's entities in order.
     np.testing.assert_allclose(
         ons._positions[0], np.asarray(walk[0]), atol=1e-12
     )

@@ -1,0 +1,145 @@
+"""Execute the docs/cookbook.md recipes at miniature scale — the
+documented user workflows must actually run (API names, kwargs,
+results keys)."""
+
+import numpy as np
+
+from mdhelper_tpu.core import Universe
+
+rng = np.random.default_rng(77)
+BOX = 10.0
+N_FRAMES, N = 6, 48
+
+
+def make_universe():
+    positions = rng.random((N_FRAMES, N, 3)) * BOX
+    return Universe.from_arrays(
+        positions,
+        np.array([BOX] * 3),
+        types=np.array(["A", "B"] * (N // 2), dtype=object),
+        charges=np.tile([1.0, -1.0], N // 2),
+        masses=np.tile([22.99, 35.45], N // 2),
+        dt=0.5,
+    )
+
+
+def test_cookbook_selections():
+    u = make_universe()
+    assert u.select_atoms("type A and charge > 0").n_atoms == N // 2
+    assert u.select_atoms("mass > 12").n_atoms == N
+    assert u.select_atoms(
+        "(type A or type B) and not resid 1:10"
+    ).n_atoms == N - 10
+
+
+def test_cookbook_rdf():
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    u = make_universe()
+    rdf = RadialDistributionFunction(
+        u.select_atoms("type A"), u.select_atoms("type B"),
+        n_bins=24, range=(0.0, 4.0), exclusion=(1, 1), verbose=False,
+    ).run()
+    r, g = rdf.results.bins, rdf.results.rdf
+    assert r.shape == g.shape == (24,)
+    rdf.calculate_pmf(temperature=300)
+    rdf.calculate_coordination_numbers(rho=0.8)
+    assert rdf.results.pmf.shape == (24,)
+
+
+def test_cookbook_sq_isf():
+    from mdhelper_tpu.analysis.structure import (
+        IntermediateScatteringFunction,
+        StructureFactor,
+    )
+
+    u = make_universe()
+    sq = StructureFactor(u.atoms, n_points=4, verbose=False).run()
+    assert len(sq.results.wavenumbers) == len(sq.results.ssf[0]) or (
+        sq.results.ssf.ndim == 1
+    )
+    isf = IntermediateScatteringFunction(
+        u.atoms, n_points=3, n_lags=4, incoherent=True,
+        verbose=False,
+    ).run()
+    assert isf.results.cisf is not None
+    assert isf.results.iisf is not None
+
+
+def test_cookbook_onsager():
+    from mdhelper_tpu.analysis.transport import Onsager
+
+    u = make_universe()
+    onsager = Onsager(
+        [u.select_atoms("charge > 0"), u.select_atoms("charge < 0")],
+        temperature=300, unwrap=True, fft=True, verbose=False,
+    ).run()
+    onsager.calculate_transport_coefficients()
+    onsager.calculate_conductivity()
+    assert onsager.results.conductivities is not None
+
+
+def test_cookbook_profile():
+    from mdhelper_tpu.analysis.profile import DensityProfile
+
+    u = make_universe()
+    prof = DensityProfile(
+        [u.select_atoms("charge > 0"), u.select_atoms("charge < 0")],
+        axes="z", n_bins=32, verbose=False,
+    ).run()
+    prof.calculate_potential_profile(dielectric=78.0, axis="z")
+    assert prof.results.potentials is not None
+
+
+def test_cookbook_polymer():
+    from mdhelper_tpu.analysis.polymer import (
+        EndToEndVector,
+        Gyradius,
+        RouseModes,
+    )
+
+    u = make_universe()
+    kwargs = dict(n_chains=8, n_monomers=6, verbose=False)
+    rg = Gyradius(u.atoms, **kwargs).run()
+    assert rg.results.gyradii.shape[-1] == N_FRAMES
+    EndToEndVector(u.atoms, **kwargs).run()
+    RouseModes(u.atoms, n_modes=3, **kwargs).run()
+
+
+def test_cookbook_run_together_and_save(tmp_path):
+    from mdhelper_tpu.analysis.multi import run_together
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+        StructureFactor,
+    )
+    from mdhelper_tpu.analysis.transport import Onsager
+
+    u = make_universe()
+    rdf = RadialDistributionFunction(
+        u.atoms, n_bins=16, range=(0.0, 4.0), exclusion=(1, 1),
+        verbose=False,
+    )
+    sq = StructureFactor(u.atoms, n_points=3, verbose=False)
+    onsager = Onsager(u.atoms, temperature=300, verbose=False)
+    run_together([rdf, sq, onsager])
+    assert rdf.results.rdf is not None
+    assert sq.results.ssf is not None
+    assert onsager.results.msd_self is not None
+    rdf.save(str(tmp_path / "rdf_results"))
+    assert (tmp_path / "rdf_results.npz").exists()
+
+
+def test_cookbook_checkpoint(tmp_path):
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    u = make_universe()
+    rdf = RadialDistributionFunction(
+        u.atoms, n_bins=16, range=(0.0, 4.0), exclusion=(1, 1),
+        verbose=False,
+    )
+    rdf.run(checkpoint=str(tmp_path / "state.npz"))
+    assert rdf.results.rdf is not None

@@ -472,3 +472,16 @@ def test_trig_sums_exact_matches_float64_oracle():
     # A silent f32 fallback would give a ratio of ~1; the genuine
     # double-float path lands ~10x better (seed-dependent).
     assert err_fast.sum() > 5 * err.sum()
+
+
+def test_checkpoint_rejected_for_store_analyses(tmp_path):
+    """Store-type analyses (host per-frame buffers) must refuse
+    checkpointing BEFORE streaming — a carry-only checkpoint would
+    corrupt the host store on resume."""
+
+    from mdhelper_tpu.analysis.transport import Onsager
+
+    u = make_universe()
+    ons = Onsager(u.atoms, temperature=300, verbose=False)
+    with pytest.raises(ValueError, match="carry-accumulating"):
+        ons.run(checkpoint=str(tmp_path / "state.npz"))

@@ -154,3 +154,33 @@ def test_fused_density_profile_recenter(universe):
         separate.results.number_densities[0],
         rtol=1e-12,
     )
+
+
+def test_fused_isf_with_rdf(universe):
+    """The sequential ISF (lag ring buffer scan) fuses with other
+    carry analyses and matches its standalone run exactly."""
+
+    from mdhelper_tpu.analysis.structure import (
+        IntermediateScatteringFunction,
+        RadialDistributionFunction,
+    )
+
+    def make_isf():
+        return IntermediateScatteringFunction(
+            universe.atoms, n_points=3, n_lags=3, incoherent=True,
+            verbose=False,
+        )
+
+    solo = make_isf().run()
+    fused_isf = make_isf()
+    rdf = RadialDistributionFunction(
+        universe.atoms, n_bins=12, range=(0.0, 4.0),
+        exclusion=(1, 1), verbose=False,
+    )
+    run_together([rdf, fused_isf])
+    np.testing.assert_allclose(
+        solo.results.cisf, fused_isf.results.cisf, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        solo.results.iisf, fused_isf.results.iisf, rtol=1e-12
+    )
