@@ -204,8 +204,15 @@ class SerialAnalysisBase:
     def _queue_store(self, extras, batch: _Batch) -> None:
         """Start the async fetch of one chunk's extras, absorbing any
         previously queued chunk (whose copy has had a full chunk of
-        compute to finish)."""
+        compute to finish).  ``MDTPU_SYNC_STORE=1`` restores the
+        synchronous absorb (diagnostic / pathological-runtime
+        escape hatch)."""
 
+        import os
+
+        if os.environ.get("MDTPU_SYNC_STORE"):
+            self._store_chunk(extras, batch)
+            return
         jax.tree_util.tree_map(
             lambda leaf: leaf.copy_to_host_async()
             if isinstance(leaf, jax.Array)
