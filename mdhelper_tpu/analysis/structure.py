@@ -375,13 +375,13 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         )
         self._shard = shard
         if shard == "atoms":
-            self._shard_axis = "atoms"
-            if self.ag2 is not self.ag1:
-                raise ValueError(
-                    "shard='atoms' currently requires a self-RDF "
-                    "(ag2 is ag1); cross-group atom sharding is not "
-                    "implemented."
-                )
+            # Self-RDFs stream ONE atom-sharded copy of the group's
+            # columns; cross-group RDFs stream both groups' columns
+            # replicated and shard per group inside the update (the
+            # ring rotates the second group's shards).
+            self._shard_axis = (
+                "atoms" if self.ag2 is self.ag1 else "replicated"
+            )
             if (isinstance(groupings, str) and groupings != "atoms") or (
                 not isinstance(groupings, str)
                 and any(g != "atoms" for g in groupings)
@@ -439,7 +439,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         self._verbose = verbose
 
         # Host->device column selection: read both groups' atoms only.
-        if self._shard == "atoms" or self.ag2 is self.ag1:
+        if self.ag2 is self.ag1:
             # One copy of the group's columns: for the atom-sharded
             # ring the j-side is the ppermute-rotated shard, and for a
             # self-RDF both sides select the same columns (streaming
@@ -562,17 +562,22 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         from ..parallel.mesh import get_mesh
         from ..parallel.ring import _local_ring_histogram
 
-        n_real = self.ag1.n_atoms
+        cross = self.ag2 is not self.ag1
+        n1 = self.ag1.n_atoms
+        n2 = self.ag2.n_atoms if cross else n1
         self._mesh = get_mesh(self._n_shards(), axis_name="atoms")
         n_shards = self._mesh.devices.size
-        shard_size = -(-n_real // n_shards)
+        shard_i = -(-n1 // n_shards)
+        shard_j = -(-n2 // n_shards)
+        pad_i = shard_i * n_shards - n1
+        pad_j = shard_j * n_shards - n2
 
         body = functools.partial(
             _local_ring_histogram,
             axis_name="atoms",
             n_shards=n_shards,
-            shard_size=shard_size,
-            n_real=n_real,
+            shard_size=shard_i,
+            n_real=n1,
             exclusion=self._exclusion,
             n_bins=self._n_bins,
             precision=(
@@ -580,6 +585,8 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 if self._stream_dtype() == np.float32
                 else "fast"
             ),
+            shard_size_j=shard_j,
+            n_real_j=n2,
         )
         ring = jax.shard_map(
             body,
@@ -602,7 +609,15 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     vol = box.prod() / box[drop]
                 else:
                     vol = box.prod()
-                counts = ring(pos, pos, box, edges)
+                if cross:
+                    # Split the replicated [group1 | group2] columns
+                    # and pad each side to its shard multiple; the
+                    # ring masks padded rows by global index.
+                    p1 = jnp.pad(pos[:n1], ((0, pad_i), (0, 0)))
+                    p2 = jnp.pad(pos[n1:], ((0, pad_j), (0, 0)))
+                else:
+                    p1 = p2 = pos
+                counts = ring(p1, p2, box, edges)
                 return {
                     "counts": c["counts"] + counts * valid,
                     "volume": c["volume"] + vol * valid,

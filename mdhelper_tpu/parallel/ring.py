@@ -44,10 +44,17 @@ def _local_ring_histogram(
     exclusion,
     n_bins: int,
     precision: str = "fast",
+    shard_size_j: int = None,
+    n_real_j: int = None,
 ):
     """Per-device body: accumulate this device's i-shard against every
-    rotating j-shard, then reduce over the ring."""
+    rotating j-shard, then reduce over the ring.  For cross-group
+    histograms the j side carries its own shard size / real count
+    (``shard_size_j`` / ``n_real_j``); indices on each side are
+    per-group, so tile exclusion keeps the unsharded semantics."""
 
+    shard_size_j = shard_size if shard_size_j is None else shard_size_j
+    n_real_j = n_real if n_real_j is None else n_real_j
     my_id = jax.lax.axis_index(axis_name)
     i_offset = my_id * shard_size
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
@@ -55,7 +62,7 @@ def _local_ring_histogram(
     def step(carry, step_index):
         counts, j_block = carry
         j_owner = (my_id - step_index) % n_shards
-        j_offset = j_owner * shard_size
+        j_offset = j_owner * shard_size_j
         shape = (pos1.shape[0], j_block.shape[0])
         if precision == "exact":
             idx = _exact_bin_indices(
@@ -78,7 +85,7 @@ def _local_ring_histogram(
         if exclusion is not None:
             e0, e1 = exclusion
             weights = weights * (i_idx // e0 != j_idx // e1)
-        weights = weights * (i_idx < n_real) * (j_idx < n_real)
+        weights = weights * (i_idx < n_real) * (j_idx < n_real_j)
         if precision == "exact":
             counts = counts + _contract_bins(
                 jnp.where(weights > 0, idx, n_bins),
@@ -111,6 +118,7 @@ def ring_radial_histogram(
     edges,
     mesh: Mesh = None,
     *,
+    positions2=None,
     exclusion=None,
     axis_name: str = None,
     precision: str = "fast",
@@ -136,6 +144,12 @@ def ring_radial_histogram(
     exclusion : `tuple`, keyword-only, optional
         ``(e0, e1)`` tile exclusion on the *global* atom indices.
 
+    positions2 : array-like, keyword-only, optional
+        Second group's coordinates ``(N_2, 3)`` for a cross-group
+        histogram (i side stays `positions`; this side rotates).
+        Indices on each side are per-group, matching the unsharded
+        cross semantics.
+
     Returns
     -------
     counts : `numpy.ndarray`
@@ -149,14 +163,22 @@ def ring_radial_histogram(
         axis_name = mesh.axis_names[0]
     n_shards = mesh.devices.size
 
-    positions = np.asarray(positions)
-    n_real = positions.shape[0]
-    shard_size = -(-n_real // n_shards)
-    pad = shard_size * n_shards - n_real
-    if pad:
-        positions = np.concatenate(
-            (positions, np.repeat(positions[-1:], pad, axis=0))
-        )
+    def pad_to_shards(pos):
+        pos = np.asarray(pos)
+        n = pos.shape[0]
+        size = -(-n // n_shards)
+        pad = size * n_shards - n
+        if pad:
+            pos = np.concatenate(
+                (pos, np.repeat(pos[-1:], pad, axis=0))
+            )
+        return pos, size, n
+
+    positions, shard_size, n_real = pad_to_shards(positions)
+    if positions2 is None:
+        pos_j, shard_size_j, n_real_j = positions, shard_size, n_real
+    else:
+        pos_j, shard_size_j, n_real_j = pad_to_shards(positions2)
     n_bins = int(np.asarray(edges).shape[0]) - 1
 
     body = functools.partial(
@@ -168,6 +190,8 @@ def ring_radial_histogram(
         exclusion=exclusion,
         n_bins=n_bins,
         precision=precision,
+        shard_size_j=shard_size_j,
+        n_real_j=n_real_j,
     )
     sharded = jax.shard_map(
         body,
@@ -177,7 +201,7 @@ def ring_radial_histogram(
     )
     counts = jax.jit(sharded)(
         jnp.asarray(positions),
-        jnp.asarray(positions),
+        jnp.asarray(pos_j),
         jnp.asarray(box),
         jnp.asarray(edges),
     )

@@ -73,12 +73,41 @@ def test_rdf_shard_validation(universe):
     ag = universe.select_atoms("type A")
     with pytest.raises(ValueError, match="Invalid shard"):
         structure.RadialDistributionFunction(ag, shard="bogus")
-    half = universe.atoms[: N // 2]
-    other = universe.atoms[N // 2:]
-    with pytest.raises(ValueError, match="self-RDF"):
-        structure.RadialDistributionFunction(
-            half, other, shard="atoms"
-        )
+
+
+def test_rdf_shard_atoms_cross_group(universe):
+    """Cross-group atom sharding: the i side holds group-1 shards
+    fixed while group-2 shards rotate; counts must equal the serial
+    cross-RDF bit-for-bit (83 atoms split 30/53 over 8 devices —
+    both sides exercise padding)."""
+
+    half = universe.atoms[:30]
+    other = universe.atoms[30:]
+    kwargs = dict(
+        n_bins=48, range=(0.0, 5.0), verbose=False,
+    )
+    serial = structure.RadialDistributionFunction(
+        half, other, **kwargs
+    ).run()
+    ring = structure.RadialDistributionFunction(
+        half, other, shard="atoms", **kwargs
+    ).run()
+    np.testing.assert_array_equal(
+        serial.results.counts, ring.results.counts
+    )
+    np.testing.assert_allclose(
+        serial.results.rdf, ring.results.rdf, rtol=1e-12
+    )
+    # And with a cross-group molecule exclusion.
+    serial_ex = structure.RadialDistributionFunction(
+        half, other, exclusion=(2, 3), **kwargs
+    ).run()
+    ring_ex = structure.RadialDistributionFunction(
+        half, other, exclusion=(2, 3), shard="atoms", **kwargs
+    ).run()
+    np.testing.assert_array_equal(
+        serial_ex.results.counts, ring_ex.results.counts
+    )
 
 
 def _sf(universe, **kwargs):
