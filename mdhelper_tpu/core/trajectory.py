@@ -22,7 +22,8 @@ import numpy as np
 
 __all__ = ["Frame", "TrajectoryReader", "ArrayReader", "NPZReader",
            "NetCDFReader", "DCDReader", "XTCReader", "TRRReader",
-           "LAMMPSDumpReader", "PDBReader", "open_trajectory"]
+           "LAMMPSDumpReader", "PDBReader", "XYZReader",
+           "open_trajectory"]
 
 
 @dataclass
@@ -543,6 +544,47 @@ class LAMMPSDumpReader(TrajectoryReader):
         return self._dump.read_frames(indices)
 
 
+class XYZReader(ArrayReader):
+    """XYZ text trajectory (``n_atoms`` / comment / ``symbol x y z``
+    blocks, one per frame).  Element symbols from the first frame are
+    exposed as :attr:`symbols` (used as types by
+    ``Universe.from_files``); coordinates are taken as Angstrom.
+    There is no box information in the format."""
+
+    def __init__(self, filename: str, *, dt: float = 1.0):
+        import gzip
+
+        opener = (
+            gzip.open if filename.endswith(".gz") else open
+        )
+        with opener(filename, "rt") as fh:
+            lines = fh.read().splitlines()
+        frames = []
+        symbols = None
+        i = 0
+        while i < len(lines):
+            if not lines[i].strip():
+                i += 1
+                continue
+            n = int(lines[i])
+            rows = lines[i + 2:i + 2 + n]
+            if len(rows) < n:
+                raise ValueError(
+                    f"Truncated XYZ frame at line {i + 1}."
+                )
+            if symbols is None:
+                symbols = [r.split()[0] for r in rows]
+            frames.append(
+                [[float(v) for v in r.split()[1:4]] for r in rows]
+            )
+            i += 2 + n
+        if not frames:
+            raise ValueError(f"'{filename}' contains no frames.")
+        super().__init__(np.asarray(frames), None, dt=dt)
+        self.symbols = np.array(symbols, dtype=object)
+        self.filename = filename
+
+
 class PDBReader(ArrayReader):
     """PDB file as a trajectory: multi-``MODEL`` files yield one frame
     per model (single-structure files one frame), with the ``CRYST1``
@@ -569,6 +611,7 @@ _READERS = {
     ".lammpstrj": LAMMPSDumpReader,
     ".dump": LAMMPSDumpReader,
     ".pdb": PDBReader,
+    ".xyz": XYZReader,
 }
 
 

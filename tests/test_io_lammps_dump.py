@@ -172,3 +172,26 @@ def test_dump_errors(tmp_path):
     path.write_text("ITEM: WRONG\n")
     with pytest.raises(ValueError, match="TIMESTEP"):
         LAMMPSDumpFile(str(path))
+
+
+def test_xyz_reader(tmp_path):
+    from mdhelper_tpu.core.trajectory import XYZReader
+
+    coords = rng.random((3, 4, 3)) * 8
+    lines = []
+    for frame in coords:
+        lines.append("4")
+        lines.append("comment")
+        for sym, row in zip(("C", "H", "H", "O"), frame):
+            lines.append(
+                f"{sym} {row[0]:.8f} {row[1]:.8f} {row[2]:.8f}"
+            )
+    path = tmp_path / "traj.xyz"
+    path.write_text("\n".join(lines) + "\n")
+
+    r = open_trajectory(str(path), dt=0.5)
+    assert isinstance(r, XYZReader)
+    assert r.n_frames == 3 and r.n_atoms == 4
+    assert list(r.symbols) == ["C", "H", "H", "O"]
+    np.testing.assert_allclose(r[1].positions, coords[1], atol=1e-7)
+    assert np.isclose(r[2].time, 1.0)
