@@ -723,13 +723,13 @@ def _measure_tpu_subprocess() -> float:
         # throughput; the faster of two runs is the better estimate of
         # the machine (max 4 attempts total for hard failures).
         successes = []
-        for _ in range(4):
+        for _ in range(5):
             try:
                 out = subprocess.run(
                     [sys.executable, "-u", "-c", script],
                     capture_output=True,
                     text=True,
-                    timeout=1200,
+                    timeout=1500,
                     env=os.environ.copy(),
                 )
                 fps = None

@@ -44,9 +44,17 @@ class TRRFile:
     open; sections decode lazily per frame)."""
 
     def __init__(self, filename: str):
+        import mmap
+
         self.filename = filename
-        with open(filename, "rb") as fh:
-            self._data = fh.read()
+        self._fh = open(filename, "rb")
+        try:
+            # Lazy paging: multi-GB trajectories never load whole.
+            self._data = mmap.mmap(
+                self._fh.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except (ValueError, OSError):
+            self._data = self._fh.read()
         self._index()
 
     def _parse_header(self, offset: int):
@@ -163,7 +171,14 @@ class TRRFile:
         return pos, boxes
 
     def close(self) -> None:
+        import mmap
+
+        if isinstance(self._data, mmap.mmap):
+            self._data.close()
         self._data = b""
+        fh = getattr(self, "_fh", None)
+        if fh is not None:
+            fh.close()
 
 
 def read_trr(filename: str):

@@ -466,9 +466,17 @@ class XTCFile:
     open; frames decompress lazily and individually)."""
 
     def __init__(self, filename: str):
+        import mmap
+
         self.filename = filename
-        with open(filename, "rb") as fh:
-            self._data = fh.read()
+        self._fh = open(filename, "rb")
+        try:
+            # Lazy paging: multi-GB trajectories never load whole.
+            self._data = mmap.mmap(
+                self._fh.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except (ValueError, OSError):  # empty file etc.
+            self._data = self._fh.read()
         self._index()
 
     def _index(self) -> None:
@@ -531,7 +539,14 @@ class XTCFile:
         return pos, boxes
 
     def close(self) -> None:
+        import mmap
+
+        if isinstance(self._data, mmap.mmap):
+            self._data.close()
         self._data = b""
+        fh = getattr(self, "_fh", None)
+        if fh is not None:
+            fh.close()
 
 
 def read_xtc(filename: str):
