@@ -204,13 +204,25 @@ class SerialAnalysisBase:
     def _queue_store(self, extras, batch: _Batch) -> None:
         """Start the async fetch of one chunk's extras, absorbing any
         previously queued chunk (whose copy has had a full chunk of
-        compute to finish).  ``MDTPU_SYNC_STORE=1`` restores the
-        synchronous absorb (diagnostic / pathological-runtime
-        escape hatch)."""
+        compute to finish).
+
+        Default resolves per runtime: asynchronous everywhere except
+        the axon TPU tunnel, where a same-window interleaved A/B
+        measured outstanding async copies interfering with the next
+        dispatch (sync 4.11/3.50 fps vs async 4.05/2.49 on the
+        Onsager store phase) — consistent with its device-chained
+        execution pathology.  ``MDTPU_SYNC_STORE=1``/``0`` forces
+        either mode."""
 
         import os
 
-        if os.environ.get("MDTPU_SYNC_STORE"):
+        knob = os.environ.get("MDTPU_SYNC_STORE")
+        sync = (
+            knob not in (None, "", "0")
+            if knob is not None
+            else "axon" in os.environ.get("JAX_PLATFORMS", "")
+        )
+        if sync:
             self._store_chunk(extras, batch)
             return
         jax.tree_util.tree_map(

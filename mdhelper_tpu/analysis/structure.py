@@ -1574,6 +1574,17 @@ class IntermediateScatteringFunction(StructureFactor):
     incoherent : `bool`, keyword-only, default False
         Also compute :math:`F_s(q, t)` (keeps an ``(n_lags, N, 3)``
         position ring buffer on device).
+    fft : `bool`, keyword-only, optional
+        Coherent-only runs default to the Wiener-Khinchin time-FFT
+        estimator: per-frame :math:`\rho(\mathbf{q})` sums stream to
+        a host store and every lag's correlation evaluates as one FFT
+        per (group, q) — the identical triangular-normalized
+        statistics of the lag ring at :math:`O(1)` instead of
+        :math:`O(n_\mathrm{lags})` per-frame cost, without the
+        sequential constraint (``parallel=True`` works).
+        ``fft=False`` forces the reference-parity ring buffer;
+        ``incoherent=True`` implies the ring (the self part needs
+        per-particle phases at every lag).
     """
 
     _sequential = True
@@ -1596,6 +1607,7 @@ class IntermediateScatteringFunction(StructureFactor):
         unique: bool = True,
         n_lags: int = None,
         incoherent: bool = False,
+        fft: bool = None,
         parallel: bool = False,
         precision: str = "auto",
         verbose: bool = True,
@@ -1631,6 +1643,25 @@ class IntermediateScatteringFunction(StructureFactor):
         self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
         self._n_lags = n_lags
         self._incoherent = incoherent
+        if fft and incoherent:
+            raise ValueError(
+                "fft=True requires incoherent=False: the self part "
+                "needs per-particle phases at every lag (the ring "
+                "buffer bounds that memory; a time FFT would need "
+                "the full (N_t, N_q, N) phase history)."
+            )
+        # Coherent-only runs default to the Wiener-Khinchin time-FFT
+        # estimator: rho(q, t) streams to a host store and ALL-lag
+        # correlations evaluate as one FFT per (group, q) in the
+        # conclusion — identical triangular-normalized statistics to
+        # the reference's ring buffer at O(1) per-frame cost instead
+        # of O(n_lags), and without the sequential constraint (frame
+        # sharding works).  fft=False restores the ring path.
+        self._time_fft = (
+            not incoherent if fft is None else bool(fft)
+        )
+        if self._time_fft:
+            self._sequential = False
 
     def _prepare(self) -> None:
         n_lags = self._n_lags or self.n_frames
@@ -1780,6 +1811,33 @@ class IntermediateScatteringFunction(StructureFactor):
                 sin_rows.append(s)
             return jnp.stack(cos_rows), jnp.stack(sin_rows)
 
+        if self._time_fft:
+            # Wiener-Khinchin path (coherent only): stream per-frame
+            # rho(q) sums to a host store; correlations evaluate in
+            # _conclude as one FFT per (group, q).  No lag products,
+            # no sequential carry — frames may shard.
+            self._rho = np.empty((self.n_frames, n_groups, n_q, 2))
+            self._store_offset = 0
+            self._store_chunk = self._store_rho
+            self._carry = jnp.zeros(())
+
+            def fft_update(carry, positions, dimensions, mask):
+                del dimensions, mask
+                grouped = frame_positions(positions)
+
+                def one_frame(pos):
+                    prec = self._resolve_precision(pos)
+                    cos, sin = group_sums(pos, prec, qs)
+                    return jnp.stack((cos, sin), axis=-1)
+
+                rho = jax.lax.map(one_frame, grouped)
+                return carry, rho
+
+            self._update = jit_update(fft_update)
+            return
+
+        self._store_chunk = None
+
         def scan_step(carry, inputs):
             pos, valid = inputs  # (N, 3), scalar mask
             prec = self._resolve_precision(pos)
@@ -1871,20 +1929,57 @@ class IntermediateScatteringFunction(StructureFactor):
 
         self._update = jit_update(update)
 
+    def _store_rho(self, rho, batch) -> None:
+        rho = np.asarray(rho)
+        n_real = batch.n_real
+        self._rho[
+            self._store_offset:self._store_offset + n_real
+        ] = rho[:n_real]
+        self._store_offset += n_real
+
+    def _conclude_time_fft(self) -> np.ndarray:
+        """All-lag coherent F(q, t) from the stored rho(q, t) series
+        via the Fast Correlation Algorithm — the same
+        triangular-normalized estimator the lag ring accumulates
+        (every (t0, t0+t) window position), evaluated as one FFT per
+        (group, q) instead of n_lags products per frame."""
+
+        from ..algorithm import correlation
+
+        z = self._rho[..., 0] + 1j * self._rho[..., 1]  # (T, G, Nq)
+        rows = []
+        for j, k in self.results.pairs:
+            if j is None:
+                j = k = 0
+            if j == k:
+                corr = correlation.correlation_fft(z[:, j], axis=0)
+            else:
+                # Symmetric cross term: the folded (double) CCF is
+                # exactly the ring's j<->k product sum.
+                corr = correlation.correlation_fft(
+                    z[:, j], z[:, k], axis=0, double=True
+                )
+            rows.append(np.real(np.asarray(corr))[: self._lags])
+        return np.stack(rows, axis=1) / self._N
+
     def _conclude(self) -> None:
         n_lags = self._lags
-        normalization = (
-            self._N
-            * np.arange(
-                self.n_frames, self.n_frames - n_lags, -1
-            )[:, None, None]
-        )
-        cisf = np.asarray(self._carry["cisf"]) / normalization
-        iisf = (
-            np.asarray(self._carry["iisf"]) / normalization
-            if self._incoherent
-            else None
-        )
+        if self._time_fft:
+            cisf = self._conclude_time_fft()
+            iisf = None
+        else:
+            normalization = (
+                self._N
+                * np.arange(
+                    self.n_frames, self.n_frames - n_lags, -1
+                )[:, None, None]
+            )
+            cisf = np.asarray(self._carry["cisf"]) / normalization
+            iisf = (
+                np.asarray(self._carry["iisf"]) / normalization
+                if self._incoherent
+                else None
+            )
 
         if self._unique:
             n_unique = len(self.results.wavenumbers)

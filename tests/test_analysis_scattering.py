@@ -287,3 +287,62 @@ def test_ssf_factor_split_with_surfaces(universe):
     qs = _wavevector_grid(np.array([BOX] * 3), 5, 2, 8)
     ref = oracle_ssf(qs, universe.trajectory._positions)
     np.testing.assert_allclose(sf.results.ssf[0], ref, rtol=5e-5)
+
+
+def test_isf_time_fft_matches_ring(universe):
+    """The coherent-only default (Wiener-Khinchin time FFT over the
+    stored rho(q, t) series) reproduces the reference-parity lag ring
+    buffer exactly — same triangular-normalized estimator — across
+    total/partial/pair modes, n_lags truncation and raw output."""
+
+    for kwargs in (
+        dict(),
+        dict(n_lags=4),
+        dict(sort=False, unique=False),
+    ):
+        ring = IntermediateScatteringFunction(
+            universe.atoms, n_points=3, fft=False, verbose=False,
+            **kwargs,
+        ).run()
+        fft = IntermediateScatteringFunction(
+            universe.atoms, n_points=3, verbose=False, **kwargs
+        ).run()
+        assert fft._time_fft and not ring._time_fft
+        np.testing.assert_allclose(
+            ring.results.cisf, fft.results.cisf, rtol=1e-9, atol=1e-9
+        )
+
+    a, b = universe.atoms[:20], universe.atoms[20:]
+    for mode in ("partial", "pair"):
+        ring = IntermediateScatteringFunction(
+            [a, b], mode=mode, n_points=3, fft=False, verbose=False
+        ).run()
+        fft = IntermediateScatteringFunction(
+            [a, b], mode=mode, n_points=3, verbose=False
+        ).run()
+        np.testing.assert_allclose(
+            ring.results.cisf, fft.results.cisf, rtol=1e-9, atol=1e-9
+        )
+
+
+def test_isf_time_fft_parallel(universe):
+    """The FFT path lifts the sequential constraint: frame-sharded
+    execution matches the serial ring."""
+
+    ring = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, fft=False, verbose=False
+    ).run()
+    par = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, parallel=True, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        ring.results.cisf, par.results.cisf, rtol=1e-9, atol=1e-9
+    )
+
+
+def test_isf_fft_incoherent_rejected(universe):
+    with pytest.raises(ValueError, match="incoherent"):
+        IntermediateScatteringFunction(
+            universe.atoms, n_points=3, incoherent=True, fft=True,
+            verbose=False,
+        )
