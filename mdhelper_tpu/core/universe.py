@@ -154,6 +154,22 @@ class Universe:
         from ..io.topology_files import read_topology_file
         from .trajectory import open_trajectory
 
+        if topology.lower().endswith((".xyz", ".xyz.gz")):
+            # XYZ carries coordinates + element symbols only.
+            from ..io.topology_files import _guess_masses
+            from .trajectory import XYZReader
+
+            reader = XYZReader(topology)
+            top = Topology(
+                reader.n_atoms,
+                types=reader.symbols,
+                names=reader.symbols,
+                masses=_guess_masses(reader.symbols),
+            )
+            if trajectory is not None:
+                reader = open_trajectory(trajectory, **reader_kwargs)
+            return cls(top, reader)
+
         parsed = dict(read_topology_file(topology))
         n_atoms = parsed.pop("n_atoms")
         positions = parsed.pop("positions", None)

@@ -195,3 +195,26 @@ def test_xyz_reader(tmp_path):
     assert list(r.symbols) == ["C", "H", "H", "O"]
     np.testing.assert_allclose(r[1].positions, coords[1], atol=1e-7)
     assert np.isclose(r[2].time, 1.0)
+
+
+def test_universe_from_xyz(tmp_path):
+    from mdhelper_tpu.core.universe import Universe
+
+    coords = rng.random((2, 3, 3)) * 5
+    lines = []
+    for frame in coords:
+        lines.append("3")
+        lines.append("water-ish")
+        for sym, row in zip(("O", "H", "H"), frame):
+            lines.append(
+                f"{sym} {row[0]:.6f} {row[1]:.6f} {row[2]:.6f}"
+            )
+    path = tmp_path / "mol.xyz"
+    path.write_text("\n".join(lines) + "\n")
+
+    u = Universe.from_files(str(path))
+    assert u.trajectory.n_frames == 2
+    assert u.select_atoms("type H").n_atoms == 2
+    np.testing.assert_allclose(
+        u.atoms.masses, [15.999, 1.008, 1.008]
+    )
