@@ -246,6 +246,10 @@ class SerialAnalysisBase:
     #: atom indices to read per frame (None = all atoms); subclasses may
     #: set this in __init__/_prepare to slice reader columns on the host.
     _atom_indices: Optional[np.ndarray] = None
+    #: coordinate axes to stream (None = all three); analyses that only
+    #: consume a subset (e.g. a z-axis density profile) set this in
+    #: _prepare to cut the host->HBM transfer proportionally.
+    _coord_axes = None
     #: HBM budget per coordinate chunk.
     _chunk_bytes: int = 256 << 20
     #: dtype coordinates are cast to before device_put.  ``None``
@@ -354,6 +358,8 @@ class SerialAnalysisBase:
             positions, dimensions = self._trajectory.read_frames(block)
             if atom_indices is not None:
                 positions = positions[:, atom_indices]
+            if self._coord_axes is not None:
+                positions = positions[:, :, self._coord_axes]
             positions = positions.astype(self._stream_dtype(), copy=False)
             if shard_axis == "frames":
                 positions, mask = pad_to_multiple(positions, n_shards)
@@ -404,6 +410,8 @@ class SerialAnalysisBase:
             )
             if atom_indices is not None:
                 positions = positions[:, atom_indices]
+            if self._coord_axes is not None:
+                positions = positions[:, :, self._coord_axes]
             positions = positions.astype(self._stream_dtype(), copy=False)
             pad = per_proc - len(local_idx)
             if pad:
@@ -416,13 +424,17 @@ class SerialAnalysisBase:
                 )
         else:
             # This host's whole block is padding (masked out).
+            width = (
+                3 if self._coord_axes is None else len(self._coord_axes)
+            )
             positions = np.zeros(
-                (per_proc, n_atoms, 3), dtype=self._stream_dtype()
+                (per_proc, n_atoms, width), dtype=self._stream_dtype()
             )
             dimensions = np.ones((per_proc, 6), dtype=np.float64)
         return _Batch(
             jax.make_array_from_process_local_data(
-                data_sharding, positions, (padded, n_atoms, 3)
+                data_sharding, positions,
+                (padded, n_atoms, positions.shape[2]),
             ),
             jax.make_array_from_process_local_data(
                 box_sharding, dimensions, (padded, 6)

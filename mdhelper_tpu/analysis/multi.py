@@ -97,12 +97,22 @@ def run_together(
     gathers = []
     for a in analyses:
         idx = a._effective_atom_indices()
-        gathers.append(None if idx is None else jnp.asarray(idx))
+        axes = getattr(a, "_coord_axes", None)
+        gathers.append((
+            None if idx is None else jnp.asarray(idx),
+            None if axes is None else jnp.asarray(axes),
+        ))
 
     def fused_update(carries, positions, dimensions, mask):
         out_carries, auxes = [], []
-        for i, ((device_fn, _), idx) in enumerate(zip(parts, gathers)):
+        for i, ((device_fn, _), (idx, axes)) in enumerate(
+            zip(parts, gathers)
+        ):
             pos = positions if idx is None else positions[:, idx]
+            if axes is not None:
+                # Analyses that stream a coordinate-axis subset when
+                # run standalone get the same columns here.
+                pos = pos[:, :, axes]
             carry, aux = device_fn(carries[i], pos, dimensions, mask)
             out_carries.append(carry)
             auxes.append(aux)

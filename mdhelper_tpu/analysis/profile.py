@@ -450,6 +450,18 @@ class DensityProfile(DynamicAnalysisBase):
             for a, n in zip(self._axes, self._n_bins)
         ]
         axes = [int(a) for a in self._axes]
+        # Without recentering, only the profiled axes' coordinates are
+        # consumed: stream just those columns (a z-profile moves 3x
+        # fewer bytes host->HBM — the dominant cost at 100k atoms).
+        # Recentering keeps all three (the unwrap scan and the COM
+        # shift are 3-D).
+        if self._recenter is None:
+            self._coord_axes = sorted(set(axes))
+            column_of = {a: i for i, a in enumerate(self._coord_axes)}
+            box = box[jnp.asarray(self._coord_axes)]
+        else:
+            self._coord_axes = None
+            column_of = {a: a for a in axes}
         sels = [jnp.asarray(s) for s in self._sels]
         segs = [
             None if s is None else jnp.asarray(s) for s in self._segs
@@ -510,7 +522,7 @@ class DensityProfile(DynamicAnalysisBase):
             for axis, edges in zip(axes, edge_list):
                 per_group = []
                 for s in entity_slices:
-                    coords = entities[:, s, axis]
+                    coords = entities[:, s, column_of[axis]]
                     if average:
                         per_group.append(
                             axis_histogram_batch(coords, mask, edges)

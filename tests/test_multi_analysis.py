@@ -184,3 +184,33 @@ def test_fused_isf_with_rdf(universe):
     np.testing.assert_allclose(
         solo.results.iisf, fused_isf.results.iisf, rtol=1e-12
     )
+
+
+def test_fused_profile_axis_subset(universe):
+    """DensityProfile streams only its profiled axes standalone; in
+    fused mode the shared full-width stream must be column-gathered
+    identically (a z-profile reading x columns would be silently
+    wrong)."""
+
+    from mdhelper_tpu.analysis.profile import DensityProfile
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    def make_prof():
+        return DensityProfile(
+            universe.atoms, axes="z", n_bins=20, verbose=False
+        )
+
+    solo = make_prof().run()
+    fused_prof = make_prof()
+    rdf = RadialDistributionFunction(
+        universe.atoms, n_bins=8, range=(0.0, 3.0),
+        exclusion=(1, 1), verbose=False,
+    )
+    run_together([rdf, fused_prof])
+    np.testing.assert_allclose(
+        np.asarray(solo.results.number_densities[0]),
+        np.asarray(fused_prof.results.number_densities[0]),
+        rtol=1e-12,
+    )
