@@ -422,17 +422,34 @@ class XTCReader(TrajectoryReader):
         return float(self._times[index])
 
     def read_frames(self, indices):
+        import concurrent.futures
+        import os
+
         indices = np.asarray(indices, dtype=int)
         positions = np.empty(
             (len(indices), self._n_atoms, 3), dtype=np.float64
         )
         dimensions = np.empty((len(indices), 6), dtype=np.float64)
-        for out, index in enumerate(indices):
+
+        def decode(out_index):
+            out, index = out_index
             coords, box, _, _ = self._xtc.read_frame(int(index))
             positions[out] = coords.astype(np.float64) * self._scale
             dims = _box_matrix_to_dimensions(box.astype(np.float64))
             dims[:3] *= self._scale
             dimensions[out] = dims
+
+        # The native decompressor releases the GIL (ctypes), so
+        # batched reads parallelize across cores.
+        workers = min(8, os.cpu_count() or 1, max(1, len(indices)))
+        if workers > 1 and len(indices) > 1:
+            with concurrent.futures.ThreadPoolExecutor(
+                workers
+            ) as pool:
+                list(pool.map(decode, enumerate(indices)))
+        else:
+            for item in enumerate(indices):
+                decode(item)
         return positions, dimensions
 
 
