@@ -552,7 +552,7 @@ def tpu_config_fps(which: str) -> float:
 
     chunk = 8
     n_frames = N_FRAMES
-    if which == "isf":
+    if which.startswith("isf"):
         # A 64-lag ring needs a longer window to fill and correlate.
         n_frames = max(N_FRAMES, 96)
     total = chunk + n_frames
@@ -622,6 +622,18 @@ def tpu_config_fps(which: str) -> float:
             u.atoms, n_points=N_QPTS, sort=False, unique=False,
             n_lags=64, incoherent=True, precision=PRECISION,
             verbose=False,
+        )
+    elif which in ("isf_coh", "isf_coh_ring"):
+        # Coherent-only F(q, t): the time-FFT estimator (default) vs
+        # the reference-parity lag ring (fft=False).
+        from mdhelper_tpu.analysis.structure import (
+            IntermediateScatteringFunction,
+        )
+
+        a = IntermediateScatteringFunction(
+            u.atoms, n_points=N_QPTS, sort=False, unique=False,
+            n_lags=64, fft=(which == "isf_coh"),
+            precision=PRECISION, verbose=False,
         )
     else:  # pragma: no cover - defensive
         raise ValueError(f"unknown config phase {which!r}")
