@@ -1704,15 +1704,23 @@ class IntermediateScatteringFunction(StructureFactor):
         mode = self._mode
         incoherent = self._incoherent
 
+        # Rings live in the STREAM dtype: on TPU the per-frame trig
+        # sums are float32 (double-float exactness applies inside the
+        # sweep, the returned sums are f32-rounded), so float64 rings
+        # would only add emulated-f64 ring traffic without precision
+        # (lag products of f32 values err ~1e-7 relative, well under
+        # the phase fidelity); the cisf/iisf ACCUMULATORS stay f64.
+        # On CPU (f64 streams) the rings remain f64.
+        ring_dtype = jnp.dtype(self._stream_dtype())
         self._carry = {
-            "ring_cos": jnp.zeros((n_lags, n_groups, n_q), jnp.float64),
-            "ring_sin": jnp.zeros((n_lags, n_groups, n_q), jnp.float64),
+            "ring_cos": jnp.zeros((n_lags, n_groups, n_q), ring_dtype),
+            "ring_sin": jnp.zeros((n_lags, n_groups, n_q), ring_dtype),
             "cisf": jnp.zeros((n_lags, n_pairs, n_q), jnp.float64),
             "frame": jnp.zeros((), jnp.int64),
         }
         if incoherent:
             self._carry["ring_pos"] = jnp.zeros(
-                (n_lags, self._N, 3), jnp.float64
+                (n_lags, self._N, 3), ring_dtype
             )
             self._carry["iisf"] = jnp.zeros(
                 (n_lags, n_groups, n_q), jnp.float64
