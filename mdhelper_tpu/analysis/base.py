@@ -35,6 +35,7 @@ from datetime import datetime
 from typing import Iterator, Optional, TextIO, Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from jax.sharding import NamedSharding, PartitionSpec
@@ -103,10 +104,11 @@ class _Batch:
 
     __slots__ = (
         "positions", "dimensions", "mask", "indices", "n_real",
+        "host_positions", "host_dimensions",
     )
 
     def __init__(self, positions, dimensions, mask, indices,
-                 n_real=None):
+                 n_real=None, host_positions=None, host_dimensions=None):
         self.positions = positions
         self.dimensions = dimensions
         self.mask = mask
@@ -114,6 +116,12 @@ class _Batch:
         #: host-side count of real (unmasked) frames — the device mask
         #: may span non-addressable devices in a multi-host job.
         self.n_real = len(indices) if n_real is None else n_real
+        #: aliases of the reader's raw chunk (full atom width, reader
+        #: dtype, no frame padding) for host-pipeline analyses — free
+        #: to keep, since the arrays are alive for the iteration
+        #: anyway.  ``None`` in multi-host jobs.
+        self.host_positions = host_positions
+        self.host_dimensions = host_dimensions
 
 
 class SerialAnalysisBase:
@@ -189,6 +197,9 @@ class SerialAnalysisBase:
         tail before :meth:`_conclude`.
         """
 
+        if self._host_pipeline:
+            self._host_update(batch)
+            return carry
         update = getattr(self, "_update", None)
         if update is None:
             return NotImplemented
@@ -241,6 +252,42 @@ class SerialAnalysisBase:
 
     def _conclude(self) -> None:
         pass
+
+    # -- host pipeline -----------------------------------------------------
+    #: when True, the per-chunk update runs on the HOST (numpy) via
+    #: :meth:`_host_update` instead of the jitted device ``_update``.
+    #: Analyses whose conclusion is host-side anyway (e.g. the Onsager
+    #: MSD, whose f64 FFT cannot lower on TPU) and whose per-frame work
+    #: is O(N) bookkeeping opt in: on a *tunnel-attached* TPU the
+    #: device round trip (upload + store fetch + carry sync) costs far
+    #: more than the math, so the heterogeneous schedule places the
+    #: stage host-side and the device program never sees it.  Resolved
+    #: in ``_prepare`` via :meth:`_resolve_host_pipeline`; on
+    #: direct-attached runtimes the device path remains the default.
+    _host_pipeline: bool = False
+
+    @staticmethod
+    def _resolve_host_pipeline() -> bool:
+        """True iff the backend is a tunnel-attached TPU (the axon
+        runtime), where per-chunk device round trips dominate O(N)
+        per-frame math.  ``MDTPU_HOST_PIPELINE=1``/``0`` forces."""
+
+        import os
+
+        knob = os.environ.get("MDTPU_HOST_PIPELINE")
+        if knob not in (None, ""):
+            return knob != "0"
+        return (
+            jax.default_backend() == "tpu"
+            and "axon" in os.environ.get("JAX_PLATFORMS", "")
+        )
+
+    def _host_update(self, batch: "_Batch") -> None:
+        """Absorb one raw host chunk (``batch.host_positions``, full
+        atom width, reader dtype, unpadded frames).  Host-pipeline
+        analyses define this in ``_prepare``."""
+
+        raise NotImplementedError
 
     # -- batching ------------------------------------------------------------
     #: atom indices to read per frame (None = all atoms); subclasses may
@@ -356,6 +403,16 @@ class SerialAnalysisBase:
                 )
                 continue
             positions, dimensions = self._trajectory.read_frames(block)
+            host_positions, host_dimensions = positions, dimensions
+            if self._host_pipeline:
+                # Host-pipeline analyses consume the raw chunk as-is;
+                # no device transfer, slicing or padding is needed.
+                yield _Batch(
+                    None, None, None, block,
+                    host_positions=host_positions,
+                    host_dimensions=host_dimensions,
+                )
+                continue
             if atom_indices is not None:
                 positions = positions[:, atom_indices]
             if self._coord_axes is not None:
@@ -377,6 +434,8 @@ class SerialAnalysisBase:
                 jax.device_put(dimensions, box_sharding),
                 jax.device_put(mask, mask_sharding),
                 block,
+                host_positions=host_positions,
+                host_dimensions=host_dimensions,
             )
 
     def _multihost_batch(
@@ -544,6 +603,20 @@ class SerialAnalysisBase:
         Derived automatically from ``_update`` + ``_store_chunk``, so
         every carry-protocol analysis is fusable without overrides.
         """
+
+        if self._host_pipeline:
+            # The host half does all the work; the fused device program
+            # carries the state through untouched (a token aux keeps
+            # the absorb callback firing per chunk).
+            def device_fn(carry, positions, dimensions, mask):
+                del positions, dimensions, mask
+                return carry, jnp.zeros(())
+
+            def absorb(aux, batch):
+                del aux
+                self._host_update(batch)
+
+            return device_fn, absorb
 
         update = self._update
         if self._store_chunk is not None:

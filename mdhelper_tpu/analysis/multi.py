@@ -96,6 +96,12 @@ def run_together(
     parts = [a._fused_parts() for a in analyses]
     gathers = []
     for a in analyses:
+        if a._host_pipeline:
+            # Host-pipeline analyses consume batch.host_positions in
+            # their absorb callback; their device half ignores the
+            # positions, so no gather belongs in the fused program.
+            gathers.append((None, None))
+            continue
         idx = a._effective_atom_indices()
         axes = getattr(a, "_coord_axes", None)
         gathers.append((

@@ -356,3 +356,126 @@ def test_onsager_async_store_pipeline(walk, universe):
         ons._positions[len(walk) - 1], np.asarray(walk[-1]),
         atol=1e-12,
     )
+
+
+# -- host pipeline ---------------------------------------------------------
+# On tunnel-attached TPUs the whole Onsager per-frame stage runs
+# host-side (`Onsager._prepare_host`); forced on here via
+# MDTPU_HOST_PIPELINE, it must reproduce the device path bit-near
+# across every per-frame feature (unwrap carry across chunk
+# boundaries, COM drift removal, residue grouping, blocks).
+
+
+def _host_device_pair(make, monkeypatch, chunk_frames=5):
+    results = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        analysis = make()
+        analysis._chunk_bytes = (
+            chunk_frames * analysis.universe.atoms.n_atoms * 3 * 8
+        )
+        analysis.run()
+        results.append(analysis)
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = results
+    assert not device._host_pipeline
+    assert host._host_pipeline
+    return device, host
+
+
+def test_onsager_host_pipeline_plain(walk, universe, monkeypatch):
+    ag_a = universe.select_atoms("type A")
+    ag_b = universe.select_atoms("type B")
+    device, host = _host_device_pair(
+        lambda: transport.Onsager(
+            [ag_a, ag_b], temperature=300, verbose=False
+        ),
+        monkeypatch,
+    )
+    np.testing.assert_allclose(
+        host.results.msd_self, device.results.msd_self, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        host.results.msd_cross, device.results.msd_cross,
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_onsager_host_pipeline_unwrap_chunked(walk, monkeypatch):
+    """The unwrap image-count carry hands off across chunk boundaries
+    identically on host and device."""
+
+    wrapped = walk - BOX * np.floor(walk / BOX)
+    u = Universe.from_arrays(
+        wrapped,
+        np.array([BOX] * 3),
+        types=np.array(["A"] * NA + ["B"] * NB, dtype=object),
+        dt=0.1,
+    )
+    device, host = _host_device_pair(
+        lambda: transport.Onsager(
+            u.select_atoms("type A"), temperature=300, unwrap=True,
+            verbose=False,
+        ),
+        monkeypatch,
+        chunk_frames=7,
+    )
+    np.testing.assert_allclose(
+        host.results.msd_self, device.results.msd_self, rtol=1e-12
+    )
+    # And both recover the unwrapped oracle.
+    np.testing.assert_allclose(
+        host.results.msd_self[0, 0],
+        direct_msd(walk[:, :NA]) / 6,
+        rtol=1e-8,
+        atol=1e-10,
+    )
+
+
+def test_onsager_host_pipeline_center_groupings(walk, monkeypatch):
+    """COM drift removal + residue grouping in the host pipeline."""
+
+    u = Universe.from_arrays(
+        walk,
+        np.array([BOX] * 3),
+        resindices=np.repeat(np.arange(N // 2), 2),
+        dt=0.1,
+    )
+    device, host = _host_device_pair(
+        lambda: transport.Onsager(
+            u.atoms, "residues", temperature=300, center=True,
+            n_blocks=2, verbose=False,
+        ),
+        monkeypatch,
+    )
+    np.testing.assert_allclose(
+        host.results.msd_self, device.results.msd_self,
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        host.results.msd_cross, device.results.msd_cross,
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_onsager_host_pipeline_center_atom_wrap(walk, monkeypatch):
+    """center_atom/center_wrap force full-universe streaming; the host
+    path must mirror the wrapped system-COM reference."""
+
+    u = Universe.from_arrays(
+        walk,
+        np.array([BOX] * 3),
+        types=np.array(["A"] * NA + ["B"] * NB, dtype=object),
+        dt=0.1,
+    )
+    device, host = _host_device_pair(
+        lambda: transport.Onsager(
+            u.select_atoms("type A"), temperature=300, center=True,
+            center_atom=True, center_wrap=True, verbose=False,
+        ),
+        monkeypatch,
+    )
+    np.testing.assert_allclose(
+        host.results.msd_self, device.results.msd_self,
+        rtol=1e-10, atol=1e-12,
+    )

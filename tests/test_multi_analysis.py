@@ -214,3 +214,36 @@ def test_fused_profile_axis_subset(universe):
         np.asarray(fused_prof.results.number_densities[0]),
         rtol=1e-12,
     )
+
+
+def test_fused_host_pipeline_onsager(universe, monkeypatch):
+    """A host-pipeline Onsager rides the fused stream through
+    `batch.host_positions` (its device half is a no-op) and matches
+    the device-path separate run."""
+
+    separate = _make(universe)
+    for a in separate:
+        a.run()
+
+    monkeypatch.setenv("MDTPU_HOST_PIPELINE", "1")
+    fused = _make(universe)
+    run_together(fused)
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+
+    assert fused[2]._host_pipeline
+    assert not separate[2]._host_pipeline
+    # RDF/S(q) are unaffected (device path); Onsager ran host-side.
+    np.testing.assert_array_equal(
+        fused[0].results.counts, separate[0].results.counts
+    )
+    np.testing.assert_allclose(
+        fused[1].results.ssf, separate[1].results.ssf, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        fused[2].results.msd_self, separate[2].results.msd_self,
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        fused[2].results.msd_cross, separate[2].results.msd_cross,
+        rtol=1e-10,
+    )
