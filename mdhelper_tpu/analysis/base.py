@@ -198,7 +198,7 @@ class SerialAnalysisBase:
         """
 
         if self._host_pipeline:
-            self._host_update(batch)
+            self._host_update_async(batch)
             return carry
         update = getattr(self, "_update", None)
         if update is None:
@@ -249,6 +249,10 @@ class SerialAnalysisBase:
         for extras, batch in self._pending_stores:
             self._store_chunk(extras, batch)
         self._pending_stores.clear()
+        future = getattr(self, "_host_future", None)
+        if future is not None:
+            self._host_future = None
+            future.result()
 
     def _conclude(self) -> None:
         pass
@@ -288,6 +292,28 @@ class SerialAnalysisBase:
         analyses define this in ``_prepare``."""
 
         raise NotImplementedError
+
+    def _host_update_async(self, batch: "_Batch") -> None:
+        """Run :meth:`_host_update` one chunk deep on a single worker
+        thread.  Device execution waits are network/DMA-bound (the GIL
+        is released), so the host numpy genuinely overlaps them even
+        on a single core; one worker keeps order-dependent updates
+        (unwrap carries) sequential.  The reader hands out fresh
+        arrays per chunk, so a deferred update never sees clobbered
+        data.  :meth:`_drain_stores` joins the tail."""
+
+        future = getattr(self, "_host_future", None)
+        if future is not None:
+            self._host_future = None
+            future.result()
+        executor = getattr(self, "_host_executor", None)
+        if executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = self._host_executor = ThreadPoolExecutor(
+                max_workers=1
+            )
+        self._host_future = executor.submit(self._host_update, batch)
 
     # -- batching ------------------------------------------------------------
     #: atom indices to read per frame (None = all atoms); subclasses may
@@ -614,7 +640,7 @@ class SerialAnalysisBase:
 
             def absorb(aux, batch):
                 del aux
-                self._host_update(batch)
+                self._host_update_async(batch)
 
             return device_fn, absorb
 

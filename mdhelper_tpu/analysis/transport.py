@@ -483,6 +483,13 @@ class Onsager(SerialAnalysisBase):
         self._positions = np.empty((self.n_frames, self._N, 3))
         self._store_offset = 0
 
+        if self._fft:
+            # The conclusion's CPU-FFT programs compile (and crunch
+            # zeros) on a daemon thread while the stream runs — the
+            # device waits are network/DMA-bound, so the warmup rides
+            # them and the conclusion starts hot.
+            self._start_conclude_warmup()
+
         # On a tunnel-attached TPU the whole per-frame stage runs
         # host-side: the conclusion is a host CPU FFT regardless (f64
         # FFTs do not lower on TPU), so the device path's only effect
@@ -627,6 +634,63 @@ class Onsager(SerialAnalysisBase):
         )
         self._update = jax.jit(update)
 
+    def _start_conclude_warmup(self) -> None:
+        """Pre-compile (by calling on zeros of the real shapes) every
+        ``msd_fft_jit`` program the conclusion will need; joined at
+        the top of ``_conclude`` so at most one compile happens."""
+
+        import contextlib
+        import threading
+
+        calls = []
+        cross_shape = (self._n_blocks, self._n_frames_block, 3)
+        for i1, i2 in self.results.pairs:
+            if i1 == i2 and self._Ns[i1]:
+                calls.append((
+                    (cross_shape,), {"axis": 1}
+                ))
+                calls.append((
+                    (
+                        (
+                            self._n_blocks,
+                            self._n_frames_block,
+                            self._Ns[i1],
+                            3,
+                        ),
+                    ),
+                    {"axis": 1, "average": True},
+                ))
+            elif self._Ns[i1] and self._Ns[i2]:
+                calls.append((
+                    (cross_shape, cross_shape), {"axis": 1}
+                ))
+
+        def work():
+            import jax as _jax
+
+            try:
+                ctx = (
+                    _jax.default_device(_jax.devices("cpu")[0])
+                    if _jax.default_backend() == "tpu"
+                    else contextlib.nullcontext()
+                )
+                with ctx:
+                    seen = set()
+                    for shapes, kwargs in calls:
+                        key = (shapes, tuple(sorted(kwargs.items())))
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        correlation.msd_fft_jit(
+                            *[np.zeros(s) for s in shapes], **kwargs
+                        )
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+
+        thread = threading.Thread(target=work, daemon=True)
+        thread.start()
+        self._warmup_thread = thread
+
     def _prepare_host(self) -> None:
         """Build the numpy half of the chunk protocol: unwrap (image
         counts as a cumulative sum over the chunk), entity COMs and
@@ -659,8 +723,11 @@ class Onsager(SerialAnalysisBase):
             self.universe.trajectory[int(self.frames[0])]
             made_whole = unwrap_edge(group=self.universe.atoms)
             self._host_prev = np.asarray(made_whole, dtype=np.float64)
+            # Image counts as float64: small integers are exact, and
+            # keeping one dtype avoids int64 cumsums and int->float
+            # promotions on the single host core.
             self._host_images = np.zeros(
-                (self.universe.atoms.n_atoms, 3), dtype=np.int64
+                (self.universe.atoms.n_atoms, 3)
             )
 
         def entity_positions(unwrapped):
@@ -699,20 +766,23 @@ class Onsager(SerialAnalysisBase):
             if cols is not None:
                 pos = pos[:, cols]
             if self._unwrap:
-                deltas = np.diff(
-                    np.concatenate((self._host_prev[None], pos)), axis=0
+                deltas = np.empty_like(pos)
+                np.subtract(pos[0], self._host_prev, out=deltas[0])
+                np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+                # sign(delta) where |delta| >= box/2 else 0, as one
+                # mask-multiply in the working dtype (counts are small
+                # integers — exact in f64).
+                crossings = np.sign(deltas)
+                crossings *= np.abs(deltas) >= box / 2
+                np.cumsum(crossings, axis=0, out=crossings)
+                images = crossings
+                np.subtract(
+                    self._host_images, crossings, out=images
                 )
-                crossings = np.where(
-                    np.abs(deltas) >= box / 2,
-                    np.sign(deltas).astype(np.int64),
-                    0,
-                )
-                images = self._host_images - np.cumsum(
-                    crossings, axis=0
-                )
-                unwrapped = pos + images * box
+                unwrapped = images * box
+                unwrapped += pos
                 self._host_prev = pos[-1].copy()
-                self._host_images = images[-1]
+                self._host_images = images[-1].copy()
             else:
                 unwrapped = pos
             entities = entity_positions(unwrapped)
@@ -748,6 +818,10 @@ class Onsager(SerialAnalysisBase):
         self._store_offset += n_real
 
     def _conclude(self) -> None:
+        thread = getattr(self, "_warmup_thread", None)
+        if thread is not None:
+            thread.join()
+            self._warmup_thread = None
         positions_all = self._positions[:self._n_frames]
         if self._fft:
             import jax as _jax
@@ -773,6 +847,7 @@ class Onsager(SerialAnalysisBase):
             (self._n_groups, self._n_blocks, self._n_frames_block)
         )
 
+        need_zero = bool(delete_dims.any())
         for i, (i1, i2) in enumerate(self.results.pairs):
             if i1 == i2:
                 if self._Ns[i1]:
@@ -780,8 +855,13 @@ class Onsager(SerialAnalysisBase):
                         :, self._entity_slices[i1]
                     ].reshape(
                         self._n_blocks, -1, self._Ns[i1], 3
-                    ).copy()
-                    positions[:, :, :, delete_dims] = 0
+                    )
+                    if need_zero:
+                        # Mutation below must not write through a
+                        # reshape view into the entity store.
+                        if np.shares_memory(positions, positions_all):
+                            positions = positions.copy()
+                        positions[:, :, :, delete_dims] = 0
                     self.results.msd_cross[i] = np.asarray(
                         msd(positions.sum(axis=2), axis=1)
                     )
