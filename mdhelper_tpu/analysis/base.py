@@ -58,6 +58,33 @@ __all__ = [
 ]
 
 
+def host_unwrap_chunk(positions, box, prev, images):
+    """Numpy image-flag unwrap of one sequential chunk — the host-
+    pipeline mirror of :func:`mdhelper_tpu.ops.pbc.unwrap_scan`
+    (vectorized: crossings accumulate as a cumulative sum over the
+    frame axis instead of a per-frame scan).
+
+    Parameters: ``positions`` ``(B, ..., 3)`` wrapped frames, ``box``
+    ``(3,)``, ``prev`` the wrapped frame preceding the chunk, and
+    ``images`` its accumulated image counts (float64 — small integers
+    are exact, and one dtype avoids int round trips).
+
+    Returns ``(unwrapped, (new_prev, new_images))``.
+    """
+
+    deltas = np.empty_like(positions)
+    np.subtract(positions[0], prev, out=deltas[0])
+    np.subtract(positions[1:], positions[:-1], out=deltas[1:])
+    crossings = np.sign(deltas)
+    crossings *= np.abs(deltas) >= box / 2
+    np.cumsum(crossings, axis=0, out=crossings)
+    new_images = crossings
+    np.subtract(images, crossings, out=new_images)
+    unwrapped = new_images * box
+    unwrapped += positions
+    return unwrapped, (positions[-1].copy(), new_images[-1].copy())
+
+
 def jit_update(fn):
     """jit an accumulator-update function, donating the carry where the
     backend supports it.  Donation halves accumulator HBM traffic but
@@ -289,9 +316,23 @@ class SerialAnalysisBase:
     def _host_update(self, batch: "_Batch") -> None:
         """Absorb one raw host chunk (``batch.host_positions``, full
         atom width, reader dtype, unpadded frames).  Host-pipeline
-        analyses define this in ``_prepare``."""
+        analyses assign ``self._host_update_fn`` in ``_prepare``."""
 
-        raise NotImplementedError
+        fn = getattr(self, "_host_update_fn", None)
+        if fn is None:
+            raise NotImplementedError
+        fn(batch)
+
+    def _host_chunk_positions(self, batch: "_Batch") -> np.ndarray:
+        """Float64 positions of one raw host chunk with this analysis's
+        atom-column selection applied (mirrors what the device stream
+        would have received, in the host pipeline's precision)."""
+
+        positions = batch.host_positions[: batch.n_real]
+        cols = self._effective_atom_indices()
+        if cols is not None:
+            positions = positions[:, cols]
+        return np.asarray(positions, dtype=np.float64)
 
     def _host_update_async(self, batch: "_Batch") -> None:
         """Run :meth:`_host_update` one chunk deep on a single worker

@@ -32,7 +32,7 @@ import numpy as np
 from .. import Q_, ureg
 from ..algorithm.topology import unwrap_edge
 from ..algorithm.unit import strip_unit
-from .base import DynamicAnalysisBase
+from .base import DynamicAnalysisBase, host_unwrap_chunk
 from .structure import _group_segment_ids
 
 __all__ = ["calculate_relative_permittivity", "DipoleMoment"]
@@ -258,6 +258,18 @@ class DipoleMoment(DynamicAnalysisBase):
             self.results.units["times"] = ureg.picosecond
         self._store_offset = 0
 
+        # The dipole sums are O(N) einsums with per-frame host stores
+        # and a host conclusion, so on a tunnel-attached TPU the stage
+        # runs host-side (float64) like the Onsager pipeline.
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._prepare_host()
+            self._carry = np.zeros(())
+            return
+
         # Stream-dtype device constants (f64 would promote f32 TPU
         # position streams to emulated f64).
         dtype = self._stream_dtype()
@@ -325,6 +337,39 @@ class DipoleMoment(DynamicAnalysisBase):
                 return carry, (dipoles_of(positions), volumes)
 
         self._update = jax.jit(update)
+
+    def _prepare_host(self) -> None:
+        sels = self._sels
+        charges = self._effective_charges()
+        box = np.asarray(self._dimensions, dtype=np.float64)
+
+        if self._unwrap:
+            self.universe.trajectory[int(self.frames[0])]
+            init = np.empty((self._N, 3))
+            for g, s in zip(self._groups, self._slices):
+                init[s] = unwrap_edge(group=g)
+            self._host_state = (init, np.zeros((self._N, 3)))
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            if self._unwrap:
+                prev, images = self._host_state
+                positions, self._host_state = host_unwrap_chunk(
+                    positions, box, prev, images
+                )
+            dipoles = np.stack(
+                [
+                    np.einsum("a,bad->bd", q, positions[:, sel])
+                    for sel, q in zip(sels, charges)
+                ],
+                axis=1,
+            )
+            volumes = np.asarray(
+                batch.host_dimensions[: batch.n_real, :3]
+            ).prod(axis=1)
+            self._store_chunk((dipoles, volumes), batch)
+
+        self._host_update_fn = host_update
 
     def _store_chunk(self, extras, batch) -> None:
         dipoles, volumes = extras

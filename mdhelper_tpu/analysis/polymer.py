@@ -33,7 +33,11 @@ from ..algorithm.topology import unwrap_edge
 from ..algorithm.unit import strip_unit
 from ..fit.exponential import stretched_exp
 from ..ops.scattering import trig_sums_frame
-from .base import DynamicAnalysisBase, jit_update
+from .base import (
+    DynamicAnalysisBase,
+    host_unwrap_chunk,
+    jit_update,
+)
 from .structure import _com_positions, _group_segment_ids, _wavevector_grid
 
 __all__ = [
@@ -209,6 +213,78 @@ class _PolymerAnalysisBase(DynamicAnalysisBase):
 
         return extract
 
+    # -- host pipeline (tunnel-attached TPUs) ---------------------------
+    # The polymer reductions are O(N) einsums whose per-frame results
+    # stream to host stores and conclude with host FFT fits, so on a
+    # tunnel-attached TPU they run entirely host-side (float64), like
+    # the Onsager pipeline (see SerialAnalysisBase._host_pipeline).
+
+    def _resolve_polymer_host(self) -> bool:
+        return (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+
+    def _host_monomer_extractor(self, i: int):
+        """Numpy mirror of :meth:`_monomer_positions_fn` (float64)."""
+
+        sel = self._sels[i]
+        seg = self._segs[i]
+        m = int(self._n_chains[i])
+        n_p = int(self._n_monomers[i])
+        if seg is None:
+
+            def extract(positions):
+                return positions[:, sel].reshape(
+                    len(positions), m, n_p, 3
+                )
+
+        else:
+            masses = np.asarray(
+                self._groups[i].masses, dtype=np.float64
+            )
+            n_entities = m * n_p
+            mass_sums = np.bincount(
+                seg, weights=masses, minlength=n_entities
+            )
+
+            def extract(positions):
+                pos = positions[:, sel]
+                n_frames = len(pos)
+                com = np.zeros((n_frames, n_entities, 3))
+                np.add.at(
+                    com,
+                    (np.arange(n_frames)[:, None], seg[None, :]),
+                    masses[None, :, None] * pos,
+                )
+                com /= mass_sums[None, :, None]
+                return com.reshape(n_frames, m, n_p, 3)
+
+        return extract
+
+    def _init_host_unwrap(self, ends_only: bool = False) -> None:
+        """Per-group (previous frame, image counts) unwrap states
+        seeded by the edge-unwrapped first frame (float64)."""
+
+        self.universe.trajectory[int(self.frames[0])]
+        states = []
+        for i in range(self._n_groups):
+            prev = np.asarray(
+                self._initial_unwrapped_monomers(i), dtype=np.float64
+            )
+            if ends_only:
+                prev = prev[:, (0, -1)]
+            states.append((prev, np.zeros(prev.shape)))
+        self._host_states = states
+
+    def _host_unwrap(self, i: int, monomers: np.ndarray) -> np.ndarray:
+        box = np.asarray(self._dimensions, dtype=np.float64)
+        prev, images = self._host_states[i]
+        unwrapped, self._host_states[i] = host_unwrap_chunk(
+            monomers, box, prev, images
+        )
+        return unwrapped
+
     def _initial_unwrapped_monomers(self, i: int) -> np.ndarray:
         """Edge-unwrapped (M, N_p, 3) monomer positions at the first
         analyzed frame (for seeding image-flag tracking).
@@ -307,6 +383,12 @@ class Gyradius(_PolymerAnalysisBase):
         self.results.units = {"results.gyradii": ureg.angstrom}
         self._store_offset = 0
 
+        self._host_pipeline = self._resolve_polymer_host()
+        if self._host_pipeline:
+            self._prepare_host()
+            self._carry = np.zeros(())
+            return
+
         extractors = [
             self._monomer_positions_fn(i) for i in range(self._n_groups)
         ]
@@ -392,6 +474,53 @@ class Gyradius(_PolymerAnalysisBase):
 
         self._update = jax.jit(update)
 
+    def _prepare_host(self) -> None:
+        extractors = [
+            self._host_monomer_extractor(i)
+            for i in range(self._n_groups)
+        ]
+        masses_list = [
+            self._monomer_masses(i).astype(np.float64)
+            for i in range(self._n_groups)
+        ]
+        components = self._components
+        if self._unwrap:
+            self._init_host_unwrap()
+
+        def chain_gyradii(monomers, masses):
+            total = masses.sum(axis=-1)
+            com = np.einsum(
+                "mp,bmpd->bmd", masses, monomers
+            ) / total[None, :, None]
+            sq = (monomers - com[:, :, None, :]) ** 2
+            if components:
+                all_sq = sq.sum(axis=-1, keepdims=True)
+                ortho = all_sq - sq
+                rg = np.sqrt(
+                    np.einsum("mp,bmpd->bmd", masses, ortho)
+                    / total[None, :, None]
+                )
+                return rg.mean(axis=1)
+            rg = np.sqrt(
+                np.einsum("mp,bmpd->bm", masses, sq)
+                / total[None, :]
+            )
+            return rg.mean(axis=1)
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            outputs = []
+            for i, (extract, masses) in enumerate(
+                zip(extractors, masses_list)
+            ):
+                monomers = extract(positions)
+                if self._unwrap:
+                    monomers = self._host_unwrap(i, monomers)
+                outputs.append(chain_gyradii(monomers, masses))
+            self._store_chunk(np.stack(outputs, axis=1), batch)
+
+        self._host_update_fn = host_update
+
     def _store_chunk(self, gyradii, batch) -> None:
         n_real = batch.n_real
         lo = self._store_offset
@@ -472,6 +601,12 @@ class EndToEndVector(_PolymerAnalysisBase):
         self._e2e = np.empty((self.n_frames, self._N_chains, 3))
         self._store_offset = 0
 
+        self._host_pipeline = self._resolve_polymer_host()
+        if self._host_pipeline:
+            self._prepare_host()
+            self._carry = np.zeros(())
+            return
+
         extractors = [
             self._monomer_positions_fn(i) for i in range(self._n_groups)
         ]
@@ -541,6 +676,28 @@ class EndToEndVector(_PolymerAnalysisBase):
                 return carry, jnp.concatenate(vectors, axis=1)
 
         self._update = jax.jit(update)
+
+    def _prepare_host(self) -> None:
+        extractors = [
+            self._host_monomer_extractor(i)
+            for i in range(self._n_groups)
+        ]
+        if self._unwrap:
+            self._init_host_unwrap(ends_only=True)
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            vectors = []
+            for i, extract in enumerate(extractors):
+                ends = extract(positions)[:, :, (0, -1), :]
+                if self._unwrap:
+                    ends = self._host_unwrap(i, ends)
+                vectors.append(ends[:, :, 1] - ends[:, :, 0])
+            self._store_chunk(
+                np.concatenate(vectors, axis=1), batch
+            )
+
+        self._host_update_fn = host_update
 
     def _store_chunk(self, vectors, batch) -> None:
         n_real = batch.n_real
@@ -872,6 +1029,12 @@ class RouseModes(_PolymerAnalysisBase):
         ]
         self._store_offset = 0
 
+        self._host_pipeline = self._resolve_polymer_host()
+        if self._host_pipeline:
+            self._prepare_host()
+            self._carry = np.zeros(())
+            return
+
         extractors = [
             self._monomer_positions_fn(i) for i in range(self._n_groups)
         ]
@@ -927,6 +1090,33 @@ class RouseModes(_PolymerAnalysisBase):
                 return carry, amps
 
         self._update = jax.jit(update)
+
+    def _prepare_host(self) -> None:
+        extractors = [
+            self._host_monomer_extractor(i)
+            for i in range(self._n_groups)
+        ]
+        mode_mats = [
+            self._mode_matrix(i) for i in range(self._n_groups)
+        ]
+        if self._unwrap:
+            self._init_host_unwrap()
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            amps = []
+            for i, (extract, mat) in enumerate(
+                zip(extractors, mode_mats)
+            ):
+                monomers = extract(positions)
+                if self._unwrap:
+                    monomers = self._host_unwrap(i, monomers)
+                amps.append(
+                    np.einsum("pn,bmnd->bmpd", mat, monomers)
+                )
+            self._store_chunk(amps, batch)
+
+        self._host_update_fn = host_update
 
     def _store_chunk(self, amps, batch) -> None:
         n_real = batch.n_real

@@ -31,7 +31,7 @@ from ..algorithm.topology import unwrap_edge
 from ..algorithm.unit import strip_unit
 from ..fit.polynomial import poly1
 from ..ops.pbc import unwrap_scan, wrap_positions
-from .base import SerialAnalysisBase
+from .base import SerialAnalysisBase, host_unwrap_chunk
 from .structure import (
     _com_positions,
     _group_segment_ids,
@@ -760,29 +760,13 @@ class Onsager(SerialAnalysisBase):
             return positions - np.floor(positions / box) * box
 
         def host_update(batch) -> None:
-            pos = np.asarray(
-                batch.host_positions[: batch.n_real], dtype=np.float64
-            )
-            if cols is not None:
-                pos = pos[:, cols]
+            pos = self._host_chunk_positions(batch)
             if self._unwrap:
-                deltas = np.empty_like(pos)
-                np.subtract(pos[0], self._host_prev, out=deltas[0])
-                np.subtract(pos[1:], pos[:-1], out=deltas[1:])
-                # sign(delta) where |delta| >= box/2 else 0, as one
-                # mask-multiply in the working dtype (counts are small
-                # integers — exact in f64).
-                crossings = np.sign(deltas)
-                crossings *= np.abs(deltas) >= box / 2
-                np.cumsum(crossings, axis=0, out=crossings)
-                images = crossings
-                np.subtract(
-                    self._host_images, crossings, out=images
+                unwrapped, (self._host_prev, self._host_images) = (
+                    host_unwrap_chunk(
+                        pos, box, self._host_prev, self._host_images
+                    )
                 )
-                unwrapped = images * box
-                unwrapped += pos
-                self._host_prev = pos[-1].copy()
-                self._host_images = images[-1].copy()
             else:
                 unwrapped = pos
             entities = entity_positions(unwrapped)
@@ -805,9 +789,6 @@ class Onsager(SerialAnalysisBase):
             self._store_offset += n_real
 
         self._host_update_fn = host_update
-
-    def _host_update(self, batch) -> None:
-        self._host_update_fn(batch)
 
     def _store_chunk(self, entities, batch) -> None:
         entities = np.asarray(entities)

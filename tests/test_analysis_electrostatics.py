@@ -133,3 +133,43 @@ def test_dipole_unwrap():
     ref = np.einsum("a,tad->td", charges, true_traj)
     delta = dm.results.dipoles[:, 0] - ref
     assert np.allclose(delta - delta[0], 0, atol=1e-9)
+
+
+def test_dipole_host_pipeline(monkeypatch):
+    """Host-pipeline DipoleMoment (forced via MDTPU_HOST_PIPELINE)
+    matches the device path, including unwrap and neutralization."""
+
+    rng2 = np.random.default_rng(5)
+    T2, N2, BOX2 = 8, 30, 12.0
+    walk = (
+        np.cumsum(rng2.normal(0, 0.4, (T2, N2, 3)), axis=0)
+        + rng2.random((1, N2, 3)) * BOX2
+    )
+    wrapped = walk - BOX2 * np.floor(walk / BOX2)
+    u = Universe.from_arrays(
+        wrapped,
+        np.array([BOX2] * 3),
+        charges=rng2.standard_normal(N2),
+        resindices=np.repeat(np.arange(N2 // 2), 2),
+        dt=1.0,
+    )
+    results = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        dm = electrostatics.DipoleMoment(
+            u.atoms, average=False, neutralize=True, unwrap=True,
+            verbose=False,
+        )
+        dm._chunk_bytes = 3 * N2 * 3 * 8
+        dm.run()
+        results.append(dm)
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = results
+    assert host._host_pipeline and not device._host_pipeline
+    np.testing.assert_allclose(
+        host.results.dipoles, device.results.dipoles,
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        host.results.volumes, device.results.volumes, rtol=1e-12
+    )

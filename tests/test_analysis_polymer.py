@@ -279,3 +279,104 @@ def test_rouse_modes_unwrap_consistent(universe, traj):
 def test_rouse_modes_validation(universe):
     with pytest.raises(ValueError, match="n_modes"):
         polymer.RouseModes(universe.atoms, n_modes=N_P, verbose=False)
+
+
+# -- host pipeline ---------------------------------------------------------
+# On tunnel-attached TPUs the polymer per-frame stage runs host-side
+# (float64 numpy, `_PolymerAnalysisBase` host helpers); forced on via
+# MDTPU_HOST_PIPELINE it must reproduce the device path, including the
+# residue-COM bead reduction and unwrap carry across chunk boundaries.
+
+
+def _host_device_pair(make, monkeypatch, universe, chunk_frames=4):
+    results = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        analysis = make()
+        analysis._chunk_bytes = (
+            chunk_frames * universe.atoms.n_atoms * 3 * 8
+        )
+        analysis.run()
+        results.append(analysis)
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = results
+    assert not device._host_pipeline
+    assert host._host_pipeline
+    return device, host
+
+
+def test_gyradius_host_pipeline(universe, traj, monkeypatch):
+    device, host = _host_device_pair(
+        lambda: polymer.Gyradius(
+            universe.atoms, components=True, verbose=False
+        ),
+        monkeypatch,
+        universe,
+    )
+    np.testing.assert_allclose(
+        host.results.gyradii, device.results.gyradii, rtol=1e-12
+    )
+
+
+def test_gyradius_host_pipeline_residues_unwrap(traj, monkeypatch):
+    wrapped = traj - BOX * np.floor(traj / BOX)
+    u = Universe.from_arrays(
+        wrapped,
+        np.array([BOX] * 3),
+        masses=np.tile(np.linspace(1, 2, N_P), M),
+        segindices=np.repeat(np.arange(M), N_P),
+        resindices=np.arange(N),
+        dt=1.0,
+    )
+    device, host = _host_device_pair(
+        lambda: polymer.Gyradius(
+            u.atoms, "residues", unwrap=True, verbose=False
+        ),
+        monkeypatch,
+        u,
+        chunk_frames=3,
+    )
+    np.testing.assert_allclose(
+        host.results.gyradii, device.results.gyradii, rtol=1e-10
+    )
+
+
+def test_end_to_end_host_pipeline(traj, monkeypatch):
+    wrapped = traj - BOX * np.floor(traj / BOX)
+    u = Universe.from_arrays(
+        wrapped,
+        np.array([BOX] * 3),
+        masses=np.tile(np.linspace(1, 2, N_P), M),
+        segindices=np.repeat(np.arange(M), N_P),
+        resindices=np.arange(N),
+        dt=1.0,
+    )
+    device, host = _host_device_pair(
+        lambda: polymer.EndToEndVector(
+            u.atoms, unwrap=True, verbose=False
+        ),
+        monkeypatch,
+        u,
+        chunk_frames=3,
+    )
+    np.testing.assert_allclose(
+        host.results.acf, device.results.acf, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_rouse_modes_host_pipeline(universe, traj, monkeypatch):
+    device, host = _host_device_pair(
+        lambda: polymer.RouseModes(
+            universe.atoms, n_modes=4, unwrap=False, verbose=False
+        ),
+        monkeypatch,
+        universe,
+    )
+    np.testing.assert_allclose(
+        host.results.acf, device.results.acf, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        host.results.mean_square_amplitudes,
+        device.results.mean_square_amplitudes,
+        rtol=1e-12,
+    )
