@@ -29,7 +29,7 @@ from .. import Q_, ureg
 from ..algorithm.unit import strip_unit
 from ..ops.pbc import wrap_positions
 from ..ops.profiles import axis_histogram_batch
-from .base import DynamicAnalysisBase
+from .base import DynamicAnalysisBase, host_unwrap_chunk
 from .structure import _com_positions, _group_segment_ids
 
 __all__ = ["calculate_potential_profile", "DensityProfile"]
@@ -440,6 +440,19 @@ class DensityProfile(DynamicAnalysisBase):
         if not self._average:
             self.results.times = self.frames * self._dt
 
+        # Per-frame numpy histograms with host accumulators and a host
+        # conclusion: on a tunnel-attached TPU the whole stage runs
+        # host-side (like Onsager/the polymer suite) — the device
+        # path's only effect there is the coordinate upload.
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._prepare_host()
+            self._carry = np.zeros(())
+            return
+
         # Device constants and carries live in the stream dtype: f64
         # constants would promote f32 TPU position streams to emulated
         # f64 at (chunk, N, 3) scale.
@@ -609,6 +622,120 @@ class DensityProfile(DynamicAnalysisBase):
             ]
             self._store_offset = 0
 
+    def _prepare_host(self) -> None:
+        dims = self._dimensions
+        axes = [int(a) for a in self._axes]
+        edges_list = [
+            np.linspace(0.0, dims[a], n + 1)
+            for a, n in zip(self._axes, self._n_bins)
+        ]
+        box = np.asarray(dims, dtype=np.float64)
+        sels, segs, ns = self._sels, self._segs, self._Ns
+        masses_list = [
+            np.asarray(g.masses, dtype=np.float64)
+            for g in self._groups
+        ]
+        entity_slices = self._entity_slices
+        average = self._average
+        recenter = self._recenter
+
+        if average:
+            self._counts = [
+                np.zeros((self._n_groups, n)) for n in self._n_bins
+            ]
+        else:
+            self.results.number_densities = [
+                np.zeros((self._n_groups, self.n_frames, n))
+                for n in self._n_bins
+            ]
+            self._store_offset = 0
+
+        if recenter is not None:
+            rec_slice = entity_slices[recenter[0]]
+            rec_masses = np.asarray(
+                _entity_masses(
+                    self._groups[recenter[0]],
+                    self._groupings[recenter[0]],
+                ),
+                dtype=np.float64,
+            )
+            rec_target = np.asarray(recenter[1], dtype=np.float64)
+            self.universe.trajectory[int(self.frames[0])]
+            init_entities = np.empty((self._N, 3))
+            for g, gr, s in zip(
+                self._groups, self._groupings, entity_slices
+            ):
+                if gr == "atoms":
+                    init_entities[s] = g.positions
+                else:
+                    seg, n = _group_segment_ids(g, gr)
+                    masses = np.asarray(g.masses, dtype=np.float64)
+                    com = np.zeros((n, 3))
+                    np.add.at(com, seg, masses[:, None] * g.positions)
+                    com /= np.bincount(
+                        seg, weights=masses, minlength=n
+                    )[:, None]
+                    init_entities[s] = com
+            self._host_state = (
+                init_entities, np.zeros((self._N, 3))
+            )
+
+        def entity_positions(positions):
+            parts = []
+            for sel, seg, masses, n in zip(
+                sels, segs, masses_list, ns
+            ):
+                pos = positions[:, sel]
+                if seg is not None:
+                    n_frames = len(pos)
+                    com = np.zeros((n_frames, n, 3))
+                    np.add.at(
+                        com,
+                        (np.arange(n_frames)[:, None], seg[None, :]),
+                        masses[None, :, None] * pos,
+                    )
+                    com /= np.bincount(
+                        seg, weights=masses, minlength=n
+                    )[None, :, None]
+                    pos = com
+                parts.append(pos)
+            return np.concatenate(parts, axis=1)
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            entities = entity_positions(positions)
+            if recenter is not None:
+                prev, images = self._host_state
+                unwrapped, self._host_state = host_unwrap_chunk(
+                    entities, box, prev, images
+                )
+                scom = np.einsum(
+                    "e,bed->bd", rec_masses, unwrapped[:, rec_slice]
+                ) / rec_masses.sum()
+                shift = np.where(
+                    np.isnan(scom), 0.0, scom - rec_target
+                )
+                entities = unwrapped - shift[:, None, :]
+            entities = entities - np.floor(entities / box) * box
+            n_real = batch.n_real
+            for a, (axis, edges) in enumerate(zip(axes, edges_list)):
+                for g, s in enumerate(entity_slices):
+                    coords = entities[:, s, axis]
+                    if average:
+                        self._counts[a][g] += np.histogram(
+                            coords.reshape(-1), bins=edges
+                        )[0]
+                    else:
+                        lo = self._store_offset
+                        for b in range(n_real):
+                            self.results.number_densities[a][
+                                g, lo + b
+                            ] = np.histogram(coords[b], bins=edges)[0]
+            if not average:
+                self._store_offset += n_real
+
+        self._host_update_fn = host_update
+
     def _store_chunk(self, hists, batch) -> None:
         if hists is None:
             # Averaged, no recenter: the carry accumulates on device.
@@ -629,10 +756,10 @@ class DensityProfile(DynamicAnalysisBase):
 
     def _conclude(self) -> None:
         if self._average:
-            if self._recenter is None:
-                counts = [np.asarray(c) for c in self._carry]
-            else:
+            if self._host_pipeline or self._recenter is not None:
                 counts = self._counts
+            else:
+                counts = [np.asarray(c) for c in self._carry]
             self.results.number_densities = counts
 
         volume = np.prod(self._dimensions)

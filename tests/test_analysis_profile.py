@@ -189,3 +189,120 @@ def test_density_profile_parallel_store_per_frame(universe):
         np.asarray(parallel.results.number_densities[0]),
         rtol=1e-12,
     )
+
+
+# -- host pipeline ---------------------------------------------------------
+# On tunnel-attached TPUs DensityProfile runs host-side (per-frame
+# numpy histograms, host unwrap for recentering); forced on via
+# MDTPU_HOST_PIPELINE it must reproduce the device path across
+# averaged/time-resolved modes, groupings, and the recenter carry.
+
+
+def _host_device_pair(make, monkeypatch, n_atoms, chunk_frames=3):
+    results = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        analysis = make()
+        analysis._chunk_bytes = chunk_frames * n_atoms * 3 * 8
+        analysis.run()
+        results.append(analysis)
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = results
+    assert not device._host_pipeline
+    assert host._host_pipeline
+    return device, host
+
+
+def test_density_profile_host_pipeline(universe, monkeypatch):
+    device, host = _host_device_pair(
+        lambda: profile.DensityProfile(
+            [universe.select_atoms("type A"),
+             universe.select_atoms("type B")],
+            axes="xz",
+            n_bins=16,
+            verbose=False,
+        ),
+        monkeypatch,
+        N,
+    )
+    for a in range(2):
+        np.testing.assert_allclose(
+            np.asarray(device.results.number_densities[a]),
+            np.asarray(host.results.number_densities[a]),
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(device.results.charge_densities[a]),
+            np.asarray(host.results.charge_densities[a]),
+            rtol=1e-10,
+        )
+
+
+def test_density_profile_host_pipeline_time_resolved(
+    universe, monkeypatch
+):
+    device, host = _host_device_pair(
+        lambda: profile.DensityProfile(
+            universe.select_atoms("type A"),
+            axes="y",
+            n_bins=10,
+            average=False,
+            verbose=False,
+        ),
+        monkeypatch,
+        N,
+    )
+    np.testing.assert_allclose(
+        np.asarray(device.results.number_densities[0]),
+        np.asarray(host.results.number_densities[0]),
+        rtol=1e-10,
+    )
+
+
+def test_density_profile_host_pipeline_recenter(monkeypatch):
+    base = rng.random((1, 20, 3)) * 4 + 1
+    drift = (
+        np.linspace(0, 5, T)[:, None, None] * np.array([0, 0, 1.0])
+    )
+    u = Universe.from_arrays(base + drift, DIMS, dt=1.0)
+    device, host = _host_device_pair(
+        lambda: profile.DensityProfile(
+            u.atoms, axes="z", n_bins=28, recenter=0, verbose=False
+        ),
+        monkeypatch,
+        20,
+    )
+    np.testing.assert_allclose(
+        np.asarray(device.results.number_densities[0]),
+        np.asarray(host.results.number_densities[0]),
+        rtol=1e-8,
+    )
+
+
+def test_density_profile_host_pipeline_residue_coms(monkeypatch):
+    n_res, per = 12, 3
+    n = n_res * per
+    traj = rng.random((T, n, 3)) * DIMS
+    u = Universe.from_arrays(
+        traj,
+        DIMS,
+        masses=np.tile(np.linspace(1.0, 2.0, per), n_res),
+        resindices=np.repeat(np.arange(n_res), per),
+        dt=1.0,
+    )
+    device, host = _host_device_pair(
+        lambda: profile.DensityProfile(
+            u.atoms,
+            groupings="residues",
+            axes="y",
+            n_bins=14,
+            verbose=False,
+        ),
+        monkeypatch,
+        n,
+    )
+    np.testing.assert_allclose(
+        np.asarray(device.results.number_densities[0]),
+        np.asarray(host.results.number_densities[0]),
+        rtol=1e-10,
+    )
