@@ -68,3 +68,38 @@ def test_mirror_math_matches_python():
     # Verify the first two cells against direct reflections.
     assert np.isclose(zs[0], 2 * L - z0)          # mirror across z=L
     assert np.isclose(zs[1], 2 * L + z0)          # mirror of mirror
+
+
+def test_openmm_drude_force_math(tmp_path):
+    """Thole-screened pair + Drude spring forces verified against
+    finite differences of the energy (the CUDA kernels in
+    drudeForce.cu mirror this header math)."""
+
+    out = compile_and_run(
+        LIB / "openmm-ic-plugin" / "tests" / "test_drude_math.cpp",
+        LIB / "openmm-ic-plugin" / "openmmapi" / "include",
+        tmp_path,
+    )
+    assert "all assertions passed" in out
+
+
+def test_thole_screening_matches_python():
+    """The C++ screening matches a NumPy re-derivation of
+    S(u) = 1 - (1 + u/2) exp(-u) and its derivative."""
+
+    import numpy as np
+
+    u = np.linspace(0.05, 8.0, 50)
+
+    def energy(r):
+        s = 1 - (1 + r / 2) * np.exp(-r)
+        return s / r
+
+    # Radial force -dE/dr via the analytic screening derivative...
+    s = 1 - (1 + u / 2) * np.exp(-u)
+    ds = 0.5 * (1 + u) * np.exp(-u)
+    force = s / u**2 - ds / u
+    # ...matches central finite differences of the energy.
+    h = 1e-6
+    fd = -(energy(u + h) - energy(u - h)) / (2 * h)
+    assert np.allclose(force, fd, rtol=1e-6, atol=1e-9)
