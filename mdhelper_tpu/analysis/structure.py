@@ -1571,6 +1571,16 @@ class IntermediateScatteringFunction(StructureFactor):
         Time between frames (defaults to the trajectory's ``dt``).
     n_lags : `int`, keyword-only, optional
         Number of time lags (defaults to the analyzed frame count).
+    lags : `str` or array-like, keyword-only, optional
+        Subset of lag indices to evaluate (all of ``0..n_lags - 1``
+        by default).  ``"log"`` selects a logarithmic grid (every lag
+        through 8, then quarter-octave spacing) — the standard
+        correlator layout for dynamics spanning decades in time, and
+        an :math:`O(n_\mathrm{lags}) \to O(\log n_\mathrm{lags})`
+        cut of the per-frame cost on the ring path (each incoherent
+        lag costs a full displacement trig sweep).  An explicit
+        integer array selects exactly those lags; with no ``n_lags``
+        the ring shrinks to ``max(lags) + 1`` frames.
     incoherent : `bool`, keyword-only, default False
         Also compute :math:`F_s(q, t)` (keeps an ``(n_lags, N, 3)``
         position ring buffer on device).
@@ -1606,6 +1616,7 @@ class IntermediateScatteringFunction(StructureFactor):
         sort: bool = True,
         unique: bool = True,
         n_lags: int = None,
+        lags=None,
         incoherent: bool = False,
         fft: bool = None,
         parallel: bool = False,
@@ -1642,6 +1653,7 @@ class IntermediateScatteringFunction(StructureFactor):
             )
         self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
         self._n_lags = n_lags
+        self._lag_spec = lags
         self._incoherent = incoherent
         if fft and incoherent:
             raise ValueError(
@@ -1667,7 +1679,44 @@ class IntermediateScatteringFunction(StructureFactor):
         n_lags = self._n_lags or self.n_frames
         if n_lags > self.n_frames:
             n_lags = self.n_frames
-        self._lags = n_lags
+        spec = self._lag_spec
+        if spec is None:
+            lag_values = np.arange(n_lags)
+        elif isinstance(spec, str):
+            if spec != "log":
+                raise ValueError(
+                    f"Invalid lags specification: {spec!r}."
+                )
+            # Every lag through 8, then quarter-octave geometric
+            # spacing; always include the longest resident lag.
+            short = np.arange(min(n_lags, 9))
+            if n_lags > 9:
+                geometric = np.round(
+                    2.0 ** np.arange(3.0, np.log2(n_lags - 1) + 0.25,
+                                     0.25)
+                ).astype(np.int64)
+                lag_values = np.union1d(
+                    np.union1d(short, geometric[geometric < n_lags]),
+                    [n_lags - 1],
+                )
+            else:
+                lag_values = short
+        else:
+            lag_values = np.unique(np.asarray(spec, dtype=np.int64))
+            if len(lag_values) == 0 or lag_values[0] < 0:
+                raise ValueError(
+                    "lags must be non-negative frame offsets."
+                )
+            if self._n_lags is None:
+                n_lags = min(int(lag_values[-1]) + 1, self.n_frames)
+            lag_values = lag_values[lag_values < n_lags]
+            if len(lag_values) == 0:
+                raise ValueError(
+                    "No requested lag is below n_lags (the ring "
+                    "holds lags 0..n_lags - 1)."
+                )
+        self._lag_values = lag_values
+        self._lags = len(lag_values)
 
         df = np.diff(self.frames)
         if len(df) and (df[0] <= 0 or not np.allclose(df, df[0])):
@@ -1684,7 +1733,7 @@ class IntermediateScatteringFunction(StructureFactor):
             if self._mode == "pair"
             else ((None, None),)
         )
-        self.results.times = step * self._dt * np.arange(n_lags)
+        self.results.times = step * self._dt * lag_values
         if self._unique:
             self.results.wavenumbers, self._q_group = (
                 unique_wavenumber_groups(self._wavenumbers)
@@ -1715,7 +1764,9 @@ class IntermediateScatteringFunction(StructureFactor):
         self._carry = {
             "ring_cos": jnp.zeros((n_lags, n_groups, n_q), ring_dtype),
             "ring_sin": jnp.zeros((n_lags, n_groups, n_q), ring_dtype),
-            "cisf": jnp.zeros((n_lags, n_pairs, n_q), jnp.float64),
+            "cisf": jnp.zeros(
+                (len(lag_values), n_pairs, n_q), jnp.float64
+            ),
             "frame": jnp.zeros((), jnp.int64),
         }
         if incoherent:
@@ -1723,7 +1774,7 @@ class IntermediateScatteringFunction(StructureFactor):
                 (n_lags, self._N, 3), ring_dtype
             )
             self._carry["iisf"] = jnp.zeros(
-                (n_lags, n_groups, n_q), jnp.float64
+                (len(lag_values), n_groups, n_q), jnp.float64
             )
 
         group_slices = []
@@ -1752,7 +1803,7 @@ class IntermediateScatteringFunction(StructureFactor):
                 parts.append(pos)
             return jnp.concatenate(parts, axis=1)
 
-        lag_range = jnp.arange(n_lags)
+        lag_range = jnp.asarray(lag_values)
 
         use_mesh = getattr(self, "_method", "direct") == "mesh"
         if use_mesh:
@@ -1869,7 +1920,8 @@ class IntermediateScatteringFunction(StructureFactor):
                 carry["ring_sin"],
             )
 
-            # Resident lags: rifi[l] = (fi - l) mod n_lags, l <= fi.
+            # Resident lags: rifi[i] = (fi - lag_i) mod n_lags for
+            # each selected lag value, valid when lag_i <= fi.
             rifi = ((fi - lag_range) % n_lags).astype(jnp.int32)
             lag_ok = (
                 (lag_range <= fi) & (valid > 0)
@@ -1924,7 +1976,7 @@ class IntermediateScatteringFunction(StructureFactor):
                     return iisf.at[lag].add(rows * lag_ok[lag])
 
                 new_carry["iisf"] = jax.lax.fori_loop(
-                    0, n_lags, lag_body, carry["iisf"]
+                    0, len(lag_values), lag_body, carry["iisf"]
                 )
                 new_carry["ring_pos"] = ring_pos
             return new_carry, None
@@ -1967,20 +2019,19 @@ class IntermediateScatteringFunction(StructureFactor):
                 corr = correlation.correlation_fft(
                     z[:, j], z[:, k], axis=0, double=True
                 )
-            rows.append(np.real(np.asarray(corr))[: self._lags])
+            rows.append(np.real(np.asarray(corr))[self._lag_values])
         return np.stack(rows, axis=1) / self._N
 
     def _conclude(self) -> None:
-        n_lags = self._lags
         if self._time_fft:
             cisf = self._conclude_time_fft()
             iisf = None
         else:
+            # Triangular normalization: lag l averages over the
+            # n_frames - l windows that contain it.
             normalization = (
                 self._N
-                * np.arange(
-                    self.n_frames, self.n_frames - n_lags, -1
-                )[:, None, None]
+                * (self.n_frames - self._lag_values)[:, None, None]
             )
             cisf = np.asarray(self._carry["cisf"]) / normalization
             iisf = (

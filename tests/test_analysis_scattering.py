@@ -346,3 +346,84 @@ def test_isf_fft_incoherent_rejected(universe):
             universe.atoms, n_points=3, incoherent=True, fft=True,
             verbose=False,
         )
+
+
+def test_isf_lag_subset(universe):
+    """Explicit and log-spaced lag subsets reproduce the full-grid
+    values at the selected lags (ring and time-FFT estimators), and
+    the incoherent sweep count drops with the subset."""
+
+    full = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, n_lags=8, unique=False, sort=False,
+        incoherent=True, verbose=False,
+    ).run()
+
+    subset = [0, 2, 5, 7]
+    sub = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, n_lags=8, lags=subset,
+        unique=False, sort=False, incoherent=True, verbose=False,
+    ).run()
+    assert sub._lags == len(subset)
+    np.testing.assert_allclose(
+        sub.results.times, 2.0 * np.asarray(subset)
+    )
+    np.testing.assert_allclose(
+        sub.results.cisf, full.results.cisf[subset]
+    )
+    np.testing.assert_allclose(
+        sub.results.iisf, full.results.iisf[subset]
+    )
+
+    # Without n_lags the ring shrinks to max(lags) + 1.
+    auto = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, lags=[1, 6], unique=False,
+        sort=False, fft=False, verbose=False,
+    ).run()
+    np.testing.assert_allclose(
+        auto.results.cisf, full.results.cisf[[1, 6]]
+    )
+
+
+def test_isf_lags_log(universe):
+    """The "log" grid keeps every short lag, includes the longest,
+    and matches the dense run at its selected lags on both
+    estimators."""
+
+    dense = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, fft=False, unique=False,
+        sort=False, verbose=False,
+    ).run()
+    ring = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, lags="log", fft=False,
+        unique=False, sort=False, verbose=False,
+    ).run()
+    lag_values = ring._lag_values
+    assert lag_values[0] == 0 and lag_values[-1] == T - 1
+    np.testing.assert_allclose(
+        ring.results.cisf, dense.results.cisf[lag_values]
+    )
+    fft = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, lags="log", unique=False,
+        sort=False, verbose=False,
+    ).run()
+    assert fft._time_fft
+    np.testing.assert_allclose(
+        fft.results.cisf, ring.results.cisf, rtol=1e-9, atol=1e-9
+    )
+
+
+def test_isf_lags_validation(universe):
+    with pytest.raises(ValueError, match="[Ii]nvalid lags"):
+        IntermediateScatteringFunction(
+            universe.atoms, n_points=3, lags="geometric",
+            verbose=False,
+        ).run()
+    with pytest.raises(ValueError, match="non-negative"):
+        IntermediateScatteringFunction(
+            universe.atoms, n_points=3, lags=[-1, 2], verbose=False
+        ).run()
+    with pytest.raises(ValueError, match="below n_lags"):
+        IntermediateScatteringFunction(
+            universe.atoms, n_points=3, n_lags=4, lags=[9],
+            verbose=False,
+        ).run()
