@@ -623,6 +623,19 @@ def tpu_config_fps(which: str) -> float:
             n_lags=64, incoherent=True, precision=PRECISION,
             verbose=False,
         )
+    elif which == "isf_log":
+        # Same 64-frame ring, but the quarter-octave "log" lag grid
+        # (~22 of 64 lags): each skipped lag saves one factorized
+        # displacement sweep per frame on the incoherent path.
+        from mdhelper_tpu.analysis.structure import (
+            IntermediateScatteringFunction,
+        )
+
+        a = IntermediateScatteringFunction(
+            u.atoms, n_points=N_QPTS, sort=False, unique=False,
+            n_lags=64, lags="log", incoherent=True,
+            precision=PRECISION, verbose=False,
+        )
     elif which in ("isf_coh", "isf_coh_ring"):
         # Coherent-only F(q, t): the time-FFT estimator (default) vs
         # the reference-parity lag ring (fft=False).

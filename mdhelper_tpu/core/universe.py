@@ -43,6 +43,8 @@ class Topology:
         resindices: np.ndarray = None,
         segindices: np.ndarray = None,
         resids: np.ndarray = None,
+        resnames: Sequence[str] = None,
+        segids: Sequence[str] = None,
         bonds: np.ndarray = None,
     ):
         self.n_atoms = int(n_atoms)
@@ -72,6 +74,14 @@ class Topology:
             segindices, np.zeros(n_atoms, dtype=int), np.int64
         )
         self.resids = _arr(resids, self.resindices + 1, np.int64)
+        self.resnames = _arr(
+            resnames, np.array(["UNK"] * n_atoms, dtype=object),
+            object,
+        )
+        self.segids = _arr(
+            segids, np.array(["SYSTEM"] * n_atoms, dtype=object),
+            object,
+        )
         self.bonds = (
             np.empty((0, 2), dtype=np.int64)
             if bonds is None
@@ -139,7 +149,8 @@ class Universe:
         Parameters
         ----------
         topology : `str`
-            Topology file: ``.psf``, ``.pdb`` or ``.gro``
+            Topology file: ``.psf``, ``.pdb``, ``.gro``, LAMMPS
+            ``.data`` or GROMACS ``.top``/``.itp``
             (:mod:`mdhelper_tpu.io.topology_files`).  PDB/GRO files
             also carry coordinates, which become a one-frame
             trajectory when `trajectory` is omitted.
@@ -234,9 +245,16 @@ class _SelectionParser:
         "!=": np.not_equal,
     }
     _KEYWORDS = frozenset(
-        ("all", "none", "charged", "type", "name", "resid", "index",
-         "mass", "charge", "and", "or", "not")
+        ("all", "none", "charged", "type", "name", "resname",
+         "segid", "resid", "index", "mass", "charge", "and", "or",
+         "not")
     )
+    _LABEL_ATTRS = {
+        "type": "types",
+        "name": "names",
+        "resname": "resnames",
+        "segid": "segids",
+    }
     _TOKEN = re.compile(r"\(|\)|<=|>=|==|!=|<|>|[^\s()<>=!]+")
     _NUMBER = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
@@ -310,8 +328,8 @@ class _SelectionParser:
             return np.zeros(self._n, dtype=bool)
         if keyword == "charged":
             return group.charges != 0
-        if keyword in ("type", "name"):
-            values = group.types if keyword == "type" else group.names
+        if keyword in self._LABEL_ATTRS:
+            values = getattr(group, self._LABEL_ATTRS[keyword])
             labels = []
             while (
                 self._peek() is not None
@@ -423,6 +441,14 @@ class AtomGroup:
         return self.universe._topology.names[self._ix]
 
     @property
+    def resnames(self) -> np.ndarray:
+        return self.universe._topology.resnames[self._ix]
+
+    @property
+    def segids(self) -> np.ndarray:
+        return self.universe._topology.segids[self._ix]
+
+    @property
     def resindices(self) -> np.ndarray:
         return self.universe._topology.resindices[self._ix]
 
@@ -515,7 +541,7 @@ class AtomGroup:
             and_expr := not_expr ( "and" not_expr )*
             not_expr := "not" not_expr | "(" expr ")" | term
             term     := "all" | "none" | "charged"
-                      | ("type" | "name") WORD+
+                      | ("type" | "name" | "resname" | "segid") WORD+
                       | ("resid" | "index") (INT | INT:INT)+
                       | PROP OP NUMBER        # numeric comparison
             PROP     := "mass" | "charge" | "resid" | "index"

@@ -12,7 +12,10 @@ trajectories and TPR with XTC,
 - **PDB**: ``ATOM``/``HETATM`` records (+ ``CONECT`` bonds,
   ``CRYST1`` box) — also yields coordinates;
 - **GRO**: fixed-column GROMACS coordinate file — topology naming plus
-  nm coordinates and box.
+  nm coordinates and box;
+- **TOP/ITP**: GROMACS topologies — moleculetypes, atoms (types,
+  charges, masses), bonds/settles and the ``[ molecules ]``
+  composition, across ``#include``\\ s with ``#ifdef`` handling.
 
 Each parser returns a plain dict of arrays consumed by
 :meth:`mdhelper_tpu.core.universe.Universe.from_files`.
@@ -25,6 +28,7 @@ __all__ = [
     "read_pdb",
     "read_gro",
     "read_lammps_data",
+    "read_gmx_top",
     "read_topology_file",
 ]
 
@@ -103,8 +107,10 @@ def read_psf(filename: str) -> dict:
         "charges": np.asarray(charges),
         "masses": np.asarray(masses),
         "resids": np.asarray(resids, dtype=np.int64),
+        "resnames": _object_array(resnames),
         "resindices": resindices,
         "segindices": segindices,
+        "segids": _object_array(segids),
         "bonds": np.asarray(bonds, dtype=np.int64).reshape(-1, 2),
     }
 
@@ -239,8 +245,12 @@ def read_pdb(filename: str) -> dict:
         "types": _object_array(elements),
         "masses": _guess_masses(elements),
         "resids": np.asarray(resids, dtype=np.int64),
+        "resnames": _object_array(resnames),
         "resindices": _factorize(res_keys),
         "segindices": _factorize(chains),
+        "segids": _object_array(
+            [c if c else "SYSTEM" for c in chains]
+        ),
         "bonds": np.asarray(bond_idx, dtype=np.int64).reshape(-1, 2),
         "positions": np.asarray(coords),
         "trajectory": (
@@ -320,6 +330,7 @@ def read_gro(filename: str) -> dict:
             [name.rstrip("0123456789") or name for name in names]
         ),
         "resids": np.asarray(resids, dtype=np.int64),
+        "resnames": _object_array(resnames),
         "resindices": _factorize(res_keys),
         "masses": _guess_masses(names, from_names=True),
         "positions": 10.0 * np.asarray(coords),
@@ -508,17 +519,253 @@ def read_lammps_data(filename: str) -> dict:
     }
 
 
+def _gmx_preprocess(filename, defines, _depth=0):
+    """Yield cpp-preprocessed logical lines of a GROMACS topology:
+    ``#include`` expansion (relative to the including file),
+    ``#define`` collection and ``#ifdef``/``#ifndef``/``#else``/
+    ``#endif`` conditionals, ``;`` comments and ``\\`` continuations
+    stripped."""
+
+    import os
+    import warnings
+
+    if _depth > 16:
+        raise ValueError(
+            f"'{filename}': #include nesting deeper than 16 "
+            "(circular include?)."
+        )
+    base = os.path.dirname(os.path.abspath(filename))
+    with open(filename) as fh:
+        raw = fh.read().splitlines()
+
+    # Conditional-inclusion stack: (outer_ok, taking, seen_else) per
+    # open #ifdef — `taking` already folds in `outer_ok`, and GROMACS
+    # has no #elif, so #else takes iff the branch didn't and the
+    # enclosing branches do.
+    stack = []
+    pending = ""
+    for line in raw:
+        line = line.split(";", 1)[0]
+        if line.rstrip().endswith("\\"):
+            pending += line.rstrip()[:-1] + " "
+            continue
+        line = (pending + line).strip()
+        pending = ""
+        if not line:
+            continue
+        if line.startswith("#"):
+            fields = line.split()
+            directive = fields[0]
+            if directive == "#endif":
+                if not stack:
+                    raise ValueError(
+                        f"'{filename}': #endif without #ifdef."
+                    )
+                stack.pop()
+            elif directive == "#else":
+                outer_ok, taking, seen_else = stack[-1]
+                if seen_else:
+                    raise ValueError(
+                        f"'{filename}': duplicate #else."
+                    )
+                stack[-1] = (outer_ok, outer_ok and not taking, True)
+            elif directive in ("#ifdef", "#ifndef"):
+                want = fields[1] in defines
+                if directive == "#ifndef":
+                    want = not want
+                # A false outer branch suppresses the whole block.
+                outer_ok = all(t for _, t, _ in stack)
+                stack.append((outer_ok, want and outer_ok, False))
+            elif not all(t for _, t, _ in stack):
+                continue
+            elif directive == "#define":
+                defines[fields[1]] = (
+                    " ".join(fields[2:]) if len(fields) > 2 else ""
+                )
+            elif directive == "#undef":
+                defines.pop(fields[1], None)
+            elif directive == "#include":
+                target = fields[1].strip('"<>')
+                path = (
+                    target
+                    if os.path.isabs(target)
+                    else os.path.join(base, target)
+                )
+                if os.path.exists(path):
+                    yield from _gmx_preprocess(
+                        path, defines, _depth + 1
+                    )
+                else:
+                    # Force-field includes ([defaults]/[atomtypes]/
+                    # pair parameters) are not needed for the atom
+                    # table; a missing *moleculetype* include will
+                    # surface as an undefined molecule later.
+                    warnings.warn(
+                        f"Skipping missing include '{target}' "
+                        f"(referenced from '{filename}')."
+                    )
+            # #error inside a taken branch:
+            elif directive == "#error":
+                raise ValueError(
+                    f"'{filename}': {line}"
+                )
+            continue
+        if stack and not all(t for _, t, _ in stack):
+            continue
+        yield line
+
+
+def read_gmx_top(filename: str, *, defines=()) -> dict:
+    """Parse a GROMACS ``.top``/``.itp`` topology (the format the
+    reference reaches through MDAnalysis' ITP/TPR readers; fixtures
+    pair TPR with XTC, ``/root/reference/tests/
+    test_analysis_structure.py:57-66``).
+
+    Reads ``[ moleculetype ]`` / ``[ atoms ]`` / ``[ bonds ]`` /
+    ``[ settles ]`` (settle constraints become the two O-H bonds, as
+    in MDAnalysis) across ``#include``\\ d files, collects atom-type
+    masses from ``[ atomtypes ]`` as a fallback for omitted per-atom
+    masses, and expands the ``[ molecules ]`` composition.  A bare
+    ``.itp`` with no ``[ molecules ]`` section instantiates each
+    parsed moleculetype once.
+
+    Parameters
+    ----------
+    filename : `str`
+        Path to the ``.top`` or ``.itp`` file.
+    defines : iterable of `str` or `dict`, keyword-only, optional
+        Preprocessor symbols assumed defined (e.g. ``("FLEXIBLE",)``),
+        as with ``grompp -D``.
+    """
+
+    defines = (
+        dict(defines)
+        if isinstance(defines, dict)
+        else {name: "" for name in defines}
+    )
+    moltypes = {}  # name -> {"atoms": [...], "bonds": [...]}
+    order = []  # moleculetype definition order
+    atomtype_masses = {}
+    composition = None  # [(name, count), ...] from [ molecules ]
+    section = None
+    current = None
+
+    for line in _gmx_preprocess(filename, defines):
+        if line.startswith("["):
+            section = line.strip("[] \t").lower()
+            continue
+        fields = line.split()
+        if section == "atomtypes":
+            # name [btype] [atnum] mass charge ptype V W — locate the
+            # single-letter particle-type field; mass sits two left.
+            for i, f in enumerate(fields):
+                if f.upper() in ("A", "S", "D", "V") and i >= 2:
+                    try:
+                        atomtype_masses[fields[0]] = float(
+                            fields[i - 2]
+                        )
+                    except ValueError:
+                        pass
+                    break
+        elif section == "moleculetype":
+            current = {"atoms": [], "bonds": []}
+            moltypes[fields[0]] = current
+            order.append(fields[0])
+        elif section == "atoms" and current is not None:
+            # nr type resnr resname atom cgnr [charge [mass]]
+            current["atoms"].append(
+                (
+                    fields[1],  # type
+                    int(fields[2]),  # resnr
+                    fields[3],  # resname
+                    fields[4],  # atom name
+                    float(fields[6]) if len(fields) > 6 else None,
+                    float(fields[7]) if len(fields) > 7 else None,
+                )
+            )
+        elif section == "bonds" and current is not None:
+            current["bonds"].append(
+                (int(fields[0]) - 1, int(fields[1]) - 1)
+            )
+        elif section == "settles" and current is not None:
+            # ai funct doh dhh: rigid water — O bonds to the two
+            # following hydrogens.
+            ai = int(fields[0]) - 1
+            current["bonds"] += [(ai, ai + 1), (ai, ai + 2)]
+        elif section == "molecules":
+            if composition is None:
+                composition = []
+            composition.append((fields[0], int(fields[1])))
+
+    if composition is None:
+        composition = [(name, 1) for name in order]
+    if not composition:
+        raise ValueError(
+            f"'{filename}' defines no molecules."
+        )
+
+    names, types, resnames, resids = [], [], [], []
+    charges, masses, segids = [], [], []
+    bonds = []
+    res_keys, seg_keys = [], []
+    offset = 0
+    for instance, (molname, count) in enumerate(composition):
+        try:
+            mol = moltypes[molname]
+        except KeyError:
+            raise ValueError(
+                f"'{filename}': molecule '{molname}' in "
+                "[ molecules ] has no [ moleculetype ] definition "
+                "(missing #include?)."
+            ) from None
+        for copy in range(count):
+            for (atype, resnr, resname, name, charge,
+                 mass) in mol["atoms"]:
+                types.append(atype)
+                resids.append(resnr)
+                resnames.append(resname)
+                names.append(name)
+                charges.append(0.0 if charge is None else charge)
+                if mass is None:
+                    mass = atomtype_masses.get(atype)
+                if mass is None:
+                    mass = _guess_masses([name], from_names=True)[0]
+                masses.append(mass)
+                res_keys.append(f"{instance}|{copy}|{resnr}")
+                seg_keys.append(f"{instance}|{copy}")
+                segids.append(molname)
+            for ai, aj in mol["bonds"]:
+                bonds.append((offset + ai, offset + aj))
+            offset += len(mol["atoms"])
+
+    return {
+        "n_atoms": offset,
+        "names": _object_array(names),
+        "types": _object_array(types),
+        "charges": np.asarray(charges),
+        "masses": np.asarray(masses),
+        "resids": np.asarray(resids, dtype=np.int64),
+        "resnames": _object_array(resnames),
+        "resindices": _factorize(res_keys),
+        "segindices": _factorize(seg_keys),
+        "segids": _object_array(segids),
+        "bonds": np.asarray(bonds, dtype=np.int64).reshape(-1, 2),
+    }
+
+
 _PARSERS = {
     ".psf": read_psf,
     ".pdb": read_pdb,
     ".gro": read_gro,
     ".data": read_lammps_data,
+    ".top": read_gmx_top,
+    ".itp": read_gmx_top,
 }
 
 
 def read_topology_file(filename: str) -> dict:
     """Parse a topology file by extension (``.psf``, ``.pdb``,
-    ``.gro``)."""
+    ``.gro``, ``.data``, ``.top``/``.itp``)."""
 
     import os
 

@@ -595,6 +595,11 @@ def write_xtc(
         boxes = np.asarray(boxes, dtype=np.float64)
         if boxes.ndim == 2:
             boxes = np.tile(boxes, (n_frames, 1, 1))
+        if boxes.shape != (n_frames, 3, 3):
+            raise ValueError(
+                "boxes must have shape (3, 3) or (n_frames, 3, 3); "
+                f"got {np.asarray(boxes).shape}."
+            )
     if steps is None:
         steps = np.arange(n_frames)
     if times is None:

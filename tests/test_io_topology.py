@@ -302,3 +302,163 @@ def test_pdb_trajectory_reader(tmp_path):
     np.testing.assert_allclose(
         r[0].dimensions, [10, 10, 10, 90, 90, 90]
     )
+
+
+GMX_SOL_ITP = """\
+; TIP3P water
+[ moleculetype ]
+SOL  2
+
+[ atoms ]
+; nr type resnr residue atom cgnr charge mass
+ 1  OW   1  SOL  OW  1  -0.834  15.9994
+ 2  HW   1  SOL  HW1 1   0.417   1.008
+ 3  HW   1  SOL  HW2 1   0.417   1.008
+
+#ifdef FLEXIBLE
+[ bonds ]
+1 2 1
+1 3 1
+#else
+[ settles ]
+1 1 0.09572 0.15139
+#endif
+"""
+
+GMX_TOP = """\
+; test system
+#define _FF_TEST
+#include "ions.itp"
+#include "sol.itp"
+#include "missing_ff.itp"   ; force-field params not shipped
+
+[ system ]
+Salt water
+
+[ molecules ]
+; name count
+SOL  2
+NA   1
+CL   1
+"""
+
+GMX_IONS_ITP = """\
+[ atomtypes ]
+; name at.num mass charge ptype sigma epsilon
+NA  11  22.9898  1.0  A  0.25840  0.41840
+CL  17  35.4530 -1.0  A  0.40448  0.62760
+
+[ moleculetype ]
+NA  1
+[ atoms ]
+; ion mass omitted -> falls back to [ atomtypes ]
+ 1  NA  1  NA  NA  1  1.0
+[ moleculetype ]
+CL  1
+[ atoms ]
+ 1  CL  1  CL  CL  1  -1.0
+"""
+
+
+def _write_gmx(tmp_path):
+    (tmp_path / "sol.itp").write_text(GMX_SOL_ITP)
+    (tmp_path / "ions.itp").write_text(GMX_IONS_ITP)
+    top = tmp_path / "system.top"
+    top.write_text(GMX_TOP)
+    return top
+
+
+def test_read_gmx_top(tmp_path):
+    from mdhelper_tpu.io.topology_files import read_gmx_top
+
+    with pytest.warns(UserWarning, match="missing_ff"):
+        parsed = read_gmx_top(str(_write_gmx(tmp_path)))
+    assert parsed["n_atoms"] == 8
+    assert list(parsed["names"]) == [
+        "OW", "HW1", "HW2", "OW", "HW1", "HW2", "NA", "CL",
+    ]
+    np.testing.assert_allclose(
+        parsed["charges"],
+        [-0.834, 0.417, 0.417, -0.834, 0.417, 0.417, 1.0, -1.0],
+    )
+    # Water masses from [ atoms ]; ion masses from [ atomtypes ].
+    np.testing.assert_allclose(
+        parsed["masses"][[0, 6, 7]], [15.9994, 22.9898, 35.453]
+    )
+    # Rigid (non-FLEXIBLE) branch: settles become the two O-H bonds,
+    # offset per molecule instance.
+    np.testing.assert_array_equal(
+        parsed["bonds"], [[0, 1], [0, 2], [3, 4], [3, 5]]
+    )
+    # One residue and one segment per molecule instance.
+    np.testing.assert_array_equal(
+        parsed["resindices"], [0, 0, 0, 1, 1, 1, 2, 3]
+    )
+    np.testing.assert_array_equal(
+        parsed["segindices"], [0, 0, 0, 1, 1, 1, 2, 3]
+    )
+
+
+def test_read_gmx_top_defines(tmp_path):
+    from mdhelper_tpu.io.topology_files import read_gmx_top
+
+    top = _write_gmx(tmp_path)
+    with pytest.warns(UserWarning, match="missing_ff"):
+        parsed = read_gmx_top(str(top), defines=("FLEXIBLE",))
+    # FLEXIBLE branch: explicit harmonic bonds, same connectivity.
+    np.testing.assert_array_equal(
+        parsed["bonds"], [[0, 1], [0, 2], [3, 4], [3, 5]]
+    )
+
+
+def test_read_gmx_bare_itp(tmp_path):
+    """A lone .itp (no [ molecules ]) instantiates each moleculetype
+    once."""
+
+    from mdhelper_tpu.io.topology_files import read_gmx_top
+
+    path = tmp_path / "sol.itp"
+    path.write_text(GMX_SOL_ITP)
+    parsed = read_gmx_top(str(path))
+    assert parsed["n_atoms"] == 3
+    assert list(parsed["types"]) == ["OW", "HW", "HW"]
+
+
+def test_gmx_undefined_molecule(tmp_path):
+    from mdhelper_tpu.io.topology_files import read_gmx_top
+
+    path = tmp_path / "bad.top"
+    path.write_text(
+        "[ moleculetype ]\nA 1\n[ atoms ]\n1 X 1 A X 1 0.0 1.0\n"
+        "[ system ]\nx\n[ molecules ]\nB 3\n"
+    )
+    with pytest.raises(ValueError, match="no \\[ moleculetype \\]"):
+        read_gmx_top(str(path))
+
+
+def test_universe_from_files_top_xtc(tmp_path):
+    """RDF-ready ingestion from a GROMACS (.top, .xtc) pair."""
+
+    from mdhelper_tpu.io.xtc import write_xtc
+
+    top = _write_gmx(tmp_path)
+    rng = np.random.default_rng(11)
+    pos = rng.random((3, 8, 3)).astype(np.float32) * 2.0
+    xtc = tmp_path / "traj.xtc"
+    # write_xtc takes nm; positions convert back to Angstrom on read.
+    write_xtc(
+        str(xtc), pos / 10.0, np.full((3, 3), 0.2), dt=0.002
+    )
+    with pytest.warns(UserWarning, match="missing_ff"):
+        u = Universe.from_files(str(top), str(xtc))
+    assert u.atoms.n_atoms == 8
+    # resname/segid ride the selection grammar (MDAnalysis-style).
+    assert u.select_atoms("resname SOL").n_atoms == 6
+    assert u.select_atoms("segid NA CL").n_atoms == 2
+    assert u.select_atoms(
+        "resname SOL and not name OW"
+    ).n_atoms == 4
+    frame = u.trajectory[1]
+    np.testing.assert_allclose(
+        frame.positions, pos[1] * 1.0, atol=2e-3
+    )
