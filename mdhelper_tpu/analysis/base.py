@@ -357,6 +357,47 @@ class SerialAnalysisBase:
         self._host_future = executor.submit(self._host_update, batch)
 
     # -- batching ------------------------------------------------------------
+    #: overlap the NEXT chunk's host work (file read/decode, dtype
+    #: cast, padding, device upload) with the current chunk's compute:
+    #: a depth-1 pipeline on one worker thread.  ``None`` resolves in
+    #: :meth:`_prefetch_enabled`; ``MDTPU_PREFETCH=1``/``0`` forces.
+    _prefetch_batches = None
+
+    def _prefetch_enabled(self) -> bool:
+        import os
+
+        knob = os.environ.get("MDTPU_PREFETCH")
+        if knob not in (None, ""):
+            return knob != "0"
+        if self._prefetch_batches is not None:
+            return bool(self._prefetch_batches)
+        # Multi-host chunks assemble globally sharded arrays
+        # (cross-process coordination); keep that on the main thread.
+        return jax.process_count() == 1
+
+    def _stream_batches(self) -> Iterator["_Batch"]:
+        """:meth:`_iter_batches`, optionally pipelined one chunk deep:
+        while the consumer folds chunk *n*, a worker thread reads,
+        casts and ``device_put``\\ s chunk *n + 1* (trajectory codecs
+        and transfers release the GIL).  The reader hands out fresh
+        arrays per chunk, so an in-flight prefetch never sees
+        clobbered data."""
+
+        gen = self._iter_batches()
+        if not self._prefetch_enabled():
+            yield from gen
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as executor:
+            future = executor.submit(next, gen, None)
+            while True:
+                batch = future.result()
+                if batch is None:
+                    return
+                future = executor.submit(next, gen, None)
+                yield batch
+
     #: atom indices to read per frame (None = all atoms); subclasses may
     #: set this in __init__/_prepare to slice reader columns on the host.
     _atom_indices: Optional[np.ndarray] = None
@@ -627,7 +668,7 @@ class SerialAnalysisBase:
                         f"{skip_frames}."
                     )
             processed = 0
-            for batch in self._iter_batches():
+            for batch in self._stream_batches():
                 n_real = batch.n_real
                 if processed + n_real <= skip_frames:
                     processed += n_real

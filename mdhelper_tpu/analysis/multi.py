@@ -138,7 +138,7 @@ def run_together(
     driver._chunk_bytes = min(a._chunk_bytes for a in analyses)
 
     carries = tuple(a._carry for a in analyses)
-    for batch in driver._iter_batches():
+    for batch in driver._stream_batches():
         carries, auxes = fused(
             carries, batch.positions, batch.dimensions, batch.mask
         )

@@ -5,7 +5,7 @@ File formats
 Dependency-free byte-level codecs backing the trajectory I/O layer:
 NetCDF-3 (AMBER), DCD (CHARMM/NAMD/X-PLOR), XTC (GROMACS compressed,
 with a C++ fast path), TRR (GROMACS full precision), LAMMPS text
-dumps, and the PSF/PDB/GRO topology parsers.
+dumps, and the PSF/PDB/GRO/LAMMPS-data/GROMACS-top topology parsers.
 """
 
 from . import dcd, lammps_dump, netcdf3, topology_files, trr, xtc  # noqa: F401

@@ -485,3 +485,31 @@ def test_checkpoint_rejected_for_store_analyses(tmp_path):
     ons = Onsager(u.atoms, temperature=300, verbose=False)
     with pytest.raises(ValueError, match="carry-accumulating"):
         ons.run(checkpoint=str(tmp_path / "state.npz"))
+
+
+def test_prefetch_preserves_order_and_results(monkeypatch):
+    """The depth-1 batch prefetcher must hand chunks to sequential
+    (order-dependent) analyses in frame order and change nothing
+    numerically."""
+
+    from mdhelper_tpu.analysis.structure import (
+        IntermediateScatteringFunction,
+    )
+
+    u = make_universe()
+
+    def run(prefetch):
+        monkeypatch.setenv("MDTPU_PREFETCH", prefetch)
+        isf = IntermediateScatteringFunction(
+            u.atoms, n_points=3, fft=False, incoherent=True,
+            unique=False, sort=False, verbose=False,
+        )
+        # Tiny chunks exercise several prefetched handoffs.
+        isf._chunk_bytes = 2 * u.atoms.n_atoms * 3 * 8
+        isf.run()
+        return isf.results
+
+    off = run("0")
+    on = run("1")
+    np.testing.assert_array_equal(off.cisf, on.cisf)
+    np.testing.assert_array_equal(off.iisf, on.iisf)
