@@ -602,6 +602,61 @@ class XYZReader(ArrayReader):
         self.filename = filename
 
 
+class GROReader(ArrayReader):
+    """Multi-frame GROMACS ``.gro`` trajectory (concatenated
+    title / n_atoms / atom-rows / box blocks, the ``gmx trjconv -o
+    traj.gro`` layout; a plain single-structure file yields one
+    frame).  Fixed 8.3f columns; coordinates and boxes convert
+    nm -> Angstrom (the package convention, like MDAnalysis)."""
+
+    def __init__(self, filename: str, *, dt: float = 1.0):
+        from ..io.topology_files import parse_gro_box
+
+        with open(filename) as fh:
+            lines = fh.read().splitlines()
+        frames, dims = [], []
+        n_atoms = None
+        i = 0
+        while i < len(lines):
+            if not lines[i].strip() and i + 1 >= len(lines):
+                break  # trailing blank line
+            n = int(lines[i + 1])
+            if n_atoms is None:
+                n_atoms = n
+            elif n != n_atoms:
+                raise ValueError(
+                    f"Frame {len(frames)} of '{filename}' has {n} "
+                    f"atoms (expected {n_atoms})."
+                )
+            rows = lines[i + 2:i + 2 + n]
+            if len(rows) < n or i + 2 + n >= len(lines):
+                raise ValueError(
+                    f"Truncated .gro frame at line {i + 1}."
+                )
+            frames.append(
+                [
+                    (
+                        float(r[20:28]),
+                        float(r[28:36]),
+                        float(r[36:44]),
+                    )
+                    for r in rows
+                ]
+            )
+            dims.append(parse_gro_box(lines[i + 2 + n]))
+            i += n + 3
+        if not frames:
+            raise ValueError(f"'{filename}' contains no frames.")
+        if any(d is None for d in dims):
+            dimensions = None
+        else:
+            dimensions = np.asarray(dims)
+        super().__init__(
+            10.0 * np.asarray(frames), dimensions, dt=dt
+        )
+        self.filename = filename
+
+
 class PDBReader(ArrayReader):
     """PDB file as a trajectory: multi-``MODEL`` files yield one frame
     per model (single-structure files one frame), with the ``CRYST1``
@@ -628,6 +683,7 @@ _READERS = {
     ".lammpstrj": LAMMPSDumpReader,
     ".dump": LAMMPSDumpReader,
     ".pdb": PDBReader,
+    ".gro": GROReader,
     ".xyz": XYZReader,
 }
 

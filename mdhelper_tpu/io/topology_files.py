@@ -260,35 +260,17 @@ def read_pdb(filename: str) -> dict:
     }
 
 
-def read_gro(filename: str) -> dict:
-    """Parse a GROMACS ``.gro`` file (fixed columns, nm).  Returns
-    topology arrays plus ``positions``/``dimensions`` converted to
-    Angstrom (the package convention, like MDAnalysis)."""
+def parse_gro_box(line: str):
+    """``(lx ly lz [90 x 3])`` dimensions (Angstrom) from a .gro box
+    line — 3 fields for rectangular boxes, 9 (``v1x v2y v3z v1y v1z
+    v2x v2z v3x v3y``) for triclinic; ``None`` if unparseable."""
 
-    with open(filename) as fh:
-        lines = fh.read().splitlines()
-    if len(lines) < 3:
-        raise ValueError(f"'{filename}' is too short to be a .gro file.")
-    n_atoms = int(lines[1])
-    if len(lines) < n_atoms + 3:
-        raise ValueError(f"'{filename}' is truncated.")
-
-    resids, resnames, names, coords = [], [], [], []
-    for line in lines[2:2 + n_atoms]:
-        resids.append(int(line[0:5]))
-        resnames.append(line[5:10].strip())
-        names.append(line[10:15].strip())
-        coords.append(
-            (float(line[20:28]), float(line[28:36]), float(line[36:44]))
-        )
-
-    box_fields = [float(x) for x in lines[2 + n_atoms].split()]
+    box_fields = [float(x) for x in line.split()]
     if len(box_fields) == 3 and all(v >= 0 for v in box_fields):
-        dimensions = np.array(
+        return np.array(
             [*(10.0 * np.asarray(box_fields)), 90.0, 90.0, 90.0]
         )
-    elif len(box_fields) == 9:
-        # v1x v2y v3z v1y v1z v2x v2z v3x v3y -> box matrix rows.
+    if len(box_fields) == 9:
         v = box_fields
         matrix = 10.0 * np.array(
             [
@@ -311,7 +293,7 @@ def read_gro(filename: str) -> dict:
                 )
             )
 
-        dimensions = np.array(
+        return np.array(
             [
                 *lengths,
                 angle(matrix[1], matrix[2]),
@@ -319,8 +301,32 @@ def read_gro(filename: str) -> dict:
                 angle(matrix[0], matrix[1]),
             ]
         )
-    else:
-        dimensions = None
+    return None
+
+
+def read_gro(filename: str) -> dict:
+    """Parse a GROMACS ``.gro`` file (fixed columns, nm).  Returns
+    topology arrays plus ``positions``/``dimensions`` converted to
+    Angstrom (the package convention, like MDAnalysis)."""
+
+    with open(filename) as fh:
+        lines = fh.read().splitlines()
+    if len(lines) < 3:
+        raise ValueError(f"'{filename}' is too short to be a .gro file.")
+    n_atoms = int(lines[1])
+    if len(lines) < n_atoms + 3:
+        raise ValueError(f"'{filename}' is truncated.")
+
+    resids, resnames, names, coords = [], [], [], []
+    for line in lines[2:2 + n_atoms]:
+        resids.append(int(line[0:5]))
+        resnames.append(line[5:10].strip())
+        names.append(line[10:15].strip())
+        coords.append(
+            (float(line[20:28]), float(line[28:36]), float(line[36:44]))
+        )
+
+    dimensions = parse_gro_box(lines[2 + n_atoms])
 
     res_keys = [f"{r}|{n}" for r, n in zip(resids, resnames)]
     return {

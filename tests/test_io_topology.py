@@ -462,3 +462,46 @@ def test_universe_from_files_top_xtc(tmp_path):
     np.testing.assert_allclose(
         frame.positions, pos[1] * 1.0, atol=2e-3
     )
+
+
+def test_gro_trajectory_reader(tmp_path):
+    """Multi-frame concatenated .gro (gmx trjconv -o traj.gro) reads
+    as a trajectory with per-frame boxes, nm -> Angstrom."""
+
+    rng = np.random.default_rng(5)
+    pos = rng.random((3, 2, 3)) * 2.0  # nm
+    blocks = []
+    for f in range(3):
+        rows = [
+            f"    1SOL     OW    1{pos[f,0,0]:8.3f}{pos[f,0,1]:8.3f}"
+            f"{pos[f,0,2]:8.3f}",
+            f"    1SOL    HW1    2{pos[f,1,0]:8.3f}{pos[f,1,1]:8.3f}"
+            f"{pos[f,1,2]:8.3f}",
+        ]
+        blocks += [f"frame {f}", "2", *rows,
+                   f"   {2.0 + f:.5f}   2.00000   2.00000"]
+    path = tmp_path / "traj.gro"
+    path.write_text("\n".join(blocks) + "\n")
+
+    from mdhelper_tpu.core.trajectory import open_trajectory
+
+    reader = open_trajectory(str(path), dt=0.5)
+    assert reader.n_frames == 3 and reader.n_atoms == 2
+    for f in range(3):
+        ts = reader[f]
+        np.testing.assert_allclose(
+            ts.positions, pos[f] * 10.0, atol=5e-3
+        )
+        np.testing.assert_allclose(
+            ts.dimensions, [20.0 + 10 * f, 20, 20, 90, 90, 90]
+        )
+
+    # Pairs with a .top topology through Universe.from_files.
+    (tmp_path / "sol.itp").write_text(GMX_SOL_ITP)
+    top = tmp_path / "m.top"
+    top.write_text(
+        '#include "sol.itp"\n[ system ]\nx\n[ molecules ]\nSOL 1\n'
+    )
+    # SOL has 3 atoms but the fixture has 2 -> mismatch must raise.
+    with pytest.raises(ValueError, match="atoms"):
+        Universe.from_files(str(top), str(path))
