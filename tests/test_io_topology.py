@@ -505,3 +505,34 @@ def test_gro_trajectory_reader(tmp_path):
     # SOL has 3 atoms but the fixture has 2 -> mismatch must raise.
     with pytest.raises(ValueError, match="atoms"):
         Universe.from_files(str(top), str(path))
+
+
+def test_gmx_nested_ifdef(tmp_path):
+    """#else under a false OUTER branch must stay suppressed, and
+    #define inside a taken branch is honored."""
+
+    path = tmp_path / "cond.itp"
+    path.write_text(
+        """
+#define USE_B
+[ moleculetype ]
+M 1
+[ atoms ]
+#ifdef MISSING
+#ifdef ALSO_MISSING
+ 1 X 1 M GHOST1 1 0.0 1.0
+#else
+ 1 X 1 M GHOST2 1 0.0 1.0
+#endif
+#else
+ 1 X 1 M REAL 1 0.0 1.0
+#ifdef USE_B
+ 2 X 1 M B 1 0.0 1.0
+#endif
+#endif
+"""
+    )
+    from mdhelper_tpu.io.topology_files import read_gmx_top
+
+    parsed = read_gmx_top(str(path))
+    assert list(parsed["names"]) == ["REAL", "B"]
