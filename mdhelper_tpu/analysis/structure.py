@@ -1974,12 +1974,19 @@ class IntermediateScatteringFunction(StructureFactor):
                     carry["ring_pos"],
                 )
 
+                # One factorized displacement sweep per selected lag.
+                # Batching 8 lags under vmap was tried and REVERTED:
+                # bracketed tunnel A/B measured it ~7% SLOWER (4.51 /
+                # 4.46 vs 4.82 / 4.77 frames/s, both pairs) — the
+                # sweep loop is not the phase's bottleneck (the
+                # sequential frame scan + ring bookkeeping is), and
+                # the batched tables only added HBM traffic.
+                # Displacement phases are small, so the fast path is
+                # accurate; the mesh path wraps deltas periodically
+                # (e^{iq.dr} is box-periodic).
                 def lag_body(lag, iisf):
                     past = ring_pos[rifi[lag]]
                     delta = pos - past
-                    # Displacement phases are small, so the fast path
-                    # is accurate; the mesh path wraps deltas
-                    # periodically (e^{iq.dr} is box-periodic).
                     rows, _ = group_sums(delta, "fast", qs_t)
                     return iisf.at[lag].add(rows * lag_ok[lag])
 
