@@ -405,8 +405,10 @@ class SerialAnalysisBase:
     #: consume a subset (e.g. a z-axis density profile) set this in
     #: _prepare to cut the host->HBM transfer proportionally.
     _coord_axes = None
-    #: HBM budget per coordinate chunk.
-    _chunk_bytes: int = 256 << 20
+    #: HBM budget per coordinate chunk.  With the depth-1 prefetch
+    #: two chunks are resident at once (n computing, n+1 uploaded),
+    #: so this is half the effective coordinate budget.
+    _chunk_bytes: int = 128 << 20
     #: dtype coordinates are cast to before device_put.  ``None``
     #: (default) resolves by backend: float32 on TPU — f64 there is
     #: emulated (~100x slow) and the exact kernels deliver f64-grade

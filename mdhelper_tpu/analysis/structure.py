@@ -1709,11 +1709,13 @@ class IntermediateScatteringFunction(StructureFactor):
                 )
             if self._n_lags is None:
                 n_lags = min(int(lag_values[-1]) + 1, self.n_frames)
-            lag_values = lag_values[lag_values < n_lags]
-            if len(lag_values) == 0:
+            dropped = lag_values[lag_values >= n_lags]
+            if len(dropped):
                 raise ValueError(
-                    "No requested lag is below n_lags (the ring "
-                    "holds lags 0..n_lags - 1)."
+                    f"lags {dropped.tolist()} are not below n_lags "
+                    f"({n_lags}; n_lags is capped at the analyzed "
+                    f"frame count {self.n_frames}) — the ring holds "
+                    "lags 0..n_lags - 1 only."
                 )
         self._lag_values = lag_values
         self._lags = len(lag_values)

@@ -618,9 +618,27 @@ class GROReader(ArrayReader):
         n_atoms = None
         i = 0
         while i < len(lines):
-            if not lines[i].strip() and i + 1 >= len(lines):
-                break  # trailing blank line
-            n = int(lines[i + 1])
+            if not lines[i].strip() and not (
+                i + 1 < len(lines) and lines[i + 1].strip().isdigit()
+            ):
+                i += 1  # blank separator/trailing line (an empty
+                continue  # frame TITLE is kept: atom count follows)
+            if i + 1 >= len(lines):
+                if frames:
+                    break  # trailing junk after the last frame
+                raise ValueError(
+                    f"'{filename}' is too short to be a .gro file."
+                )
+            try:
+                n = int(lines[i + 1])
+            except ValueError:
+                if frames:
+                    break  # trailing non-frame content (e.g. 'END')
+                raise ValueError(
+                    f"Malformed .gro frame header at line {i + 2} "
+                    f"of '{filename}': expected an atom count, got "
+                    f"{lines[i + 1]!r}."
+                ) from None
             if n_atoms is None:
                 n_atoms = n
             elif n != n_atoms:

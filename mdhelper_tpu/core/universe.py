@@ -190,6 +190,11 @@ class Universe:
 
         if trajectory is not None:
             reader = open_trajectory(trajectory, **reader_kwargs)
+        elif topology.lower().endswith(".gro"):
+            # Concatenated multi-frame .gro files (gmx trjconv) carry
+            # a whole trajectory; route through GROReader so frames
+            # past the first are not discarded.
+            reader = open_trajectory(topology, **reader_kwargs)
         elif frames is not None or positions is not None:
             # Multi-MODEL PDBs carry a whole trajectory; single-frame
             # files become a one-frame trajectory.

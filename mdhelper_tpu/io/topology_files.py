@@ -569,6 +569,10 @@ def _gmx_preprocess(filename, defines, _depth=0):
                     )
                 stack.pop()
             elif directive == "#else":
+                if not stack:
+                    raise ValueError(
+                        f"'{filename}': #else without #ifdef."
+                    )
                 outer_ok, taking, seen_else = stack[-1]
                 if seen_else:
                     raise ValueError(
@@ -576,6 +580,10 @@ def _gmx_preprocess(filename, defines, _depth=0):
                     )
                 stack[-1] = (outer_ok, outer_ok and not taking, True)
             elif directive in ("#ifdef", "#ifndef"):
+                if len(fields) < 2:
+                    raise ValueError(
+                        f"'{filename}': {directive} needs a symbol."
+                    )
                 want = fields[1] in defines
                 if directive == "#ifndef":
                     want = not want

@@ -593,12 +593,13 @@ def write_xtc(
         boxes = np.zeros((n_frames, 3, 3))
     else:
         boxes = np.asarray(boxes, dtype=np.float64)
+        given = boxes.shape
         if boxes.ndim == 2:
             boxes = np.tile(boxes, (n_frames, 1, 1))
         if boxes.shape != (n_frames, 3, 3):
             raise ValueError(
                 "boxes must have shape (3, 3) or (n_frames, 3, 3); "
-                f"got {np.asarray(boxes).shape}."
+                f"got {given}."
             )
     if steps is None:
         steps = np.arange(n_frames)

@@ -427,3 +427,13 @@ def test_isf_lags_validation(universe):
             universe.atoms, n_points=3, n_lags=4, lags=[9],
             verbose=False,
         ).run()
+
+
+def test_isf_lags_out_of_range_rejected(universe):
+    """Explicit lags beyond n_lags must raise, not silently drop."""
+
+    with pytest.raises(ValueError, match="not below n_lags"):
+        IntermediateScatteringFunction(
+            universe.atoms, n_points=3, n_lags=8, lags=[0, 2, 100],
+            verbose=False,
+        ).run()

@@ -536,3 +536,75 @@ M 1
 
     parsed = read_gmx_top(str(path))
     assert list(parsed["names"]) == ["REAL", "B"]
+
+
+def test_gro_trailing_content(tmp_path):
+    """Trailing blank lines / junk after the last frame parse fine;
+    leading junk raises a filename-bearing error."""
+
+    from mdhelper_tpu.core.trajectory import GROReader
+
+    body = (
+        "t\n2\n"
+        "    1SOL     OW    1   0.100   0.200   0.300\n"
+        "    1SOL    HW1    2   0.190   0.200   0.300\n"
+        "   2.00000   2.00000   2.00000\n"
+    )
+    ok1 = tmp_path / "a.gro"
+    ok1.write_text(body + "\n\n")
+    assert GROReader(str(ok1)).n_frames == 1
+    ok2 = tmp_path / "b.gro"
+    ok2.write_text(body + "END\n")
+    assert GROReader(str(ok2)).n_frames == 1
+    bad = tmp_path / "c.gro"
+    bad.write_text("garbage\nmore garbage\n" + body)
+    with pytest.raises(ValueError, match="frame header"):
+        GROReader(str(bad))
+    # An EMPTY frame title is legal and kept.
+    ok3 = tmp_path / "d.gro"
+    ok3.write_text("\n" + body[2:])
+    assert GROReader(str(ok3)).n_frames == 1
+
+
+def test_from_files_multiframe_gro(tmp_path):
+    """A multi-frame .gro as the only file yields the FULL
+    trajectory (not just the first frame)."""
+
+    body = []
+    for f in range(3):
+        body += [
+            f"frame {f}", "1",
+            f"    1SOL     OW    1   {0.1 * (f + 1):.3f}   0.200"
+            "   0.300",
+            "   2.00000   2.00000   2.00000",
+        ]
+    path = tmp_path / "traj.gro"
+    path.write_text("\n".join(body) + "\n")
+    u = Universe.from_files(str(path))
+    assert u.trajectory.n_frames == 3
+    np.testing.assert_allclose(
+        [u.trajectory[f].positions[0, 0] for f in range(3)],
+        [1.0, 2.0, 3.0], atol=5e-3,
+    )
+
+
+def test_gmx_preprocessor_errors(tmp_path):
+    from mdhelper_tpu.io.topology_files import read_gmx_top
+
+    bad_else = tmp_path / "a.itp"
+    bad_else.write_text("#else\n")
+    with pytest.raises(ValueError, match="#else without"):
+        read_gmx_top(str(bad_else))
+    bad_sym = tmp_path / "b.itp"
+    bad_sym.write_text("#ifdef\n#endif\n")
+    with pytest.raises(ValueError, match="needs a symbol"):
+        read_gmx_top(str(bad_sym))
+
+
+def test_write_xtc_box_validation(tmp_path):
+    from mdhelper_tpu.io.xtc import write_xtc
+
+    pos = np.zeros((4, 2, 3), np.float32)
+    with pytest.raises(ValueError, match=r"got \(2, 3\)"):
+        write_xtc(str(tmp_path / "x.xtc"), pos,
+                  np.zeros((2, 3)))
