@@ -45,6 +45,7 @@ def run_together(
     step: int = None,
     frames=None,
     on_chunk=None,
+    parallel: bool = False,
 ):
     """Run several analyses over one shared trajectory stream.
 
@@ -52,13 +53,22 @@ def run_together(
     ----------
     analyses : sequence of analysis instances
         Carry-protocol analyses sharing the SAME trajectory reader.
-        Sharding knobs (``parallel=True``, ``shard=``) are not
-        supported in fused mode — the stream runs single-device.
+        Per-analysis sharding knobs (``parallel=True``, ``shard=``)
+        are not supported in fused mode — sharding of the fused
+        stream is the `parallel` argument below.
     start, stop, step, frames
         Frame selection, as in ``run()``.
     on_chunk : callable, optional
         Progress hook called with each streamed batch after its
         update has been folded (and synchronized) into the carries.
+    parallel : bool, optional
+        Shard the fused stream's frame axis over the local device
+        mesh (each device folds its sub-batch; XLA inserts the carry
+        ``psum`` over ICI).  Requires every device-path analysis to
+        be order-independent — sequential physics (trajectory
+        unwrap, ISF lag rings) cannot shard frames; host-pipeline
+        analyses are unaffected (their absorb consumes the raw host
+        chunk).
 
     Returns
     -------
@@ -129,11 +139,25 @@ def run_together(
     # Drive the stream off a bare base instance so column selection
     # stays the FULL universe (each analysis gathers its own columns
     # on device) and the chunk size accounts for the full width.
-    driver = SerialAnalysisBase(trajectory)
+    if parallel:
+        from .base import ParallelAnalysisBase
+
+        for a in analyses:
+            if a._sequential and not a._host_pipeline:
+                raise ValueError(
+                    f"{type(a).__name__} streams order-dependent "
+                    "physics (a lax.scan carry) and cannot shard "
+                    "frames; run the fused pass serially or move "
+                    "this analysis out of it."
+                )
+        driver = ParallelAnalysisBase(trajectory)
+        driver._sequential = False
+    else:
+        driver = SerialAnalysisBase(trajectory)
+        driver._sequential = True  # single device; order preserved
     driver._setup_frames(
         trajectory, start=start, stop=stop, step=step, frames=frames
     )
-    driver._sequential = True  # single device; order preserved
     driver._mesh = None
     driver._chunk_bytes = min(a._chunk_bytes for a in analyses)
 

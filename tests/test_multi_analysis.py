@@ -247,3 +247,55 @@ def test_fused_host_pipeline_onsager(universe, monkeypatch):
         fused[2].results.msd_cross, separate[2].results.msd_cross,
         rtol=1e-10,
     )
+
+
+def test_fused_parallel_matches_serial(universe):
+    """run_together(parallel=True) shards the fused stream's frame
+    axis over the 8-device mesh; results match the serial fused pass
+    (RDF counts bit-equal)."""
+
+    from mdhelper_tpu.analysis.profile import DensityProfile
+
+    def make():
+        return [
+            RadialDistributionFunction(
+                universe.atoms, n_bins=32, range=(0.0, 3.5),
+                exclusion=(1, 1), verbose=False,
+            ),
+            StructureFactor(
+                universe.atoms, n_points=4, unique=False, sort=False,
+                verbose=False,
+            ),
+            DensityProfile(
+                universe.atoms, axes="z", n_bins=16, verbose=False
+            ),
+        ]
+
+    serial = make()
+    run_together(serial)
+    sharded = make()
+    run_together(sharded, parallel=True)
+
+    np.testing.assert_array_equal(
+        serial[0].results.counts, sharded[0].results.counts
+    )
+    np.testing.assert_allclose(
+        serial[1].results.ssf, sharded[1].results.ssf, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        serial[2].results.number_densities,
+        sharded[2].results.number_densities, rtol=1e-12,
+    )
+
+
+def test_fused_parallel_rejects_sequential(universe):
+    analyses = [
+        RadialDistributionFunction(
+            universe.atoms, n_bins=8, range=(0.0, 3.0),
+            verbose=False,
+        ),
+        Onsager(universe.atoms, temperature=300, unwrap=True,
+                verbose=False),
+    ]
+    with pytest.raises(ValueError, match="order-dependent"):
+        run_together(analyses, parallel=True)
