@@ -252,7 +252,7 @@ class _SelectionParser:
     _KEYWORDS = frozenset(
         ("all", "none", "charged", "type", "name", "resname",
          "segid", "resid", "index", "mass", "charge", "and", "or",
-         "not")
+         "not", "around")
     )
     _LABEL_ATTRS = {
         "type": "types",
@@ -333,6 +333,19 @@ class _SelectionParser:
             return np.zeros(self._n, dtype=bool)
         if keyword == "charged":
             return group.charges != 0
+        if keyword == "around":
+            # around CUTOFF <sel>: atoms within CUTOFF Angstrom of
+            # ANY reference atom, excluding the reference itself
+            # (MDAnalysis semantics).  Evaluated at the CURRENT
+            # trajectory frame with minimum-image distances for
+            # orthorhombic boxes; `<sel>` binds one unit — use
+            # parentheses for compound references.
+            number = self._next()
+            if number is None or not self._NUMBER.match(number):
+                self._error("'around' expects a cutoff distance.")
+            cutoff = float(number)
+            inner = self._not_expr()
+            return self._around(cutoff, inner)
         if keyword in self._LABEL_ATTRS:
             values = getattr(group, self._LABEL_ATTRS[keyword])
             labels = []
@@ -381,6 +394,37 @@ class _SelectionParser:
                 )
             return mask
         self._error(f"unsupported selection term '{keyword}'.")
+
+    def _around(self, cutoff: float, inner: np.ndarray) -> np.ndarray:
+        """Atoms of the group within `cutoff` of any `inner` atom,
+        excluding `inner` — a cKDTree ball query, periodic when the
+        current box is orthorhombic (MDAnalysis applies the same
+        minimum-image convention; triclinic boxes fall back to
+        non-periodic distances, documented in select_atoms)."""
+
+        from scipy.spatial import cKDTree
+
+        if not inner.any():
+            return np.zeros(self._n, dtype=bool)
+        group = self._group
+        positions = np.asarray(group.positions, dtype=np.float64)
+        dims = group.dimensions
+        box = None
+        if (
+            dims is not None
+            and np.all(np.asarray(dims[:3]) > 0)
+            and np.allclose(dims[3:6], 90.0)
+        ):
+            box = np.asarray(dims[:3], dtype=np.float64)
+            positions = positions % box
+            # Guard the half-open [0, box) domain cKDTree requires
+            # (x % box can land exactly on box for tiny negatives).
+            positions[positions >= box] = 0.0
+        tree = cKDTree(positions[inner], boxsize=box)
+        dist, _ = tree.query(
+            positions, k=1, distance_upper_bound=cutoff
+        )
+        return (dist <= cutoff) & ~inner
 
 
 class _SubGroup:
@@ -549,6 +593,7 @@ class AtomGroup:
                       | ("type" | "name" | "resname" | "segid") WORD+
                       | ("resid" | "index") (INT | INT:INT)+
                       | PROP OP NUMBER        # numeric comparison
+                      | "around" NUMBER not_expr
             PROP     := "mass" | "charge" | "resid" | "index"
             OP       := "<" | "<=" | ">" | ">=" | "==" | "!="
 
@@ -557,6 +602,15 @@ class AtomGroup:
         ``"(type A or type B) and not resid 1:10"``,
         ``"mass > 12 and charged"``.  ``resid i:j`` ranges are
         inclusive on both ends (MDAnalysis convention).
+
+        ``around CUTOFF sel`` selects atoms within ``CUTOFF``
+        Angstrom of any atom matched by ``sel``, excluding ``sel``
+        itself (MDAnalysis ``around`` semantics), evaluated at the
+        current trajectory frame.  Distances are minimum-image for
+        orthorhombic boxes; triclinic (or absent) boxes use plain
+        Euclidean distances.  ``sel`` binds one ``not_expr`` unit —
+        parenthesise compound references:
+        ``"around 3.5 (resname SOL and name OW)"``.
         """
 
         parser = _SelectionParser(selection, self)

@@ -74,8 +74,55 @@ def test_atomgroup_selection():
     np.testing.assert_array_equal(sel.ix, [0, 2, 4, 6])
     both = u.select_atoms("type A or type B")
     assert both.n_atoms == 24
-    with pytest.raises(ValueError):
-        u.select_atoms("around 5 type A")
+
+
+def test_selection_around():
+    """Geometric ``around CUTOFF sel`` selection: periodic KD-tree
+    shell query vs a brute-force minimum-image oracle (MDAnalysis
+    ``around`` semantics: within cutoff of any reference atom,
+    excluding the reference itself)."""
+
+    u = make_universe()
+    box = np.asarray(u.dimensions[:3], dtype=np.float64)
+    pos = np.asarray(u.atoms.positions, dtype=np.float64)
+    ref_ix = u.select_atoms("type A").ix
+    inner = np.zeros(u.atoms.n_atoms, dtype=bool)
+    inner[ref_ix] = True
+    cutoff = 2.5
+
+    delta = pos[:, None, :] - pos[ref_ix][None, :, :]
+    delta -= box * np.round(delta / box)
+    dmin = np.linalg.norm(delta, axis=-1).min(axis=1)
+    expect = np.flatnonzero((dmin <= cutoff) & ~inner)
+
+    got = u.select_atoms("around 2.5 type A")
+    np.testing.assert_array_equal(got.ix, expect)
+
+    # composes with boolean operators (shell restricted to anions)
+    anion_shell = u.select_atoms("charge < 0 and around 2.5 type A")
+    np.testing.assert_array_equal(
+        anion_shell.ix, np.intersect1d(expect, np.arange(1, 24, 2))
+    )
+
+    # parenthesised compound reference binds as one unit
+    sub_ref = u.select_atoms("type A and index 0:7").ix
+    delta = pos[:, None, :] - pos[sub_ref][None, :, :]
+    delta -= box * np.round(delta / box)
+    dmin = np.linalg.norm(delta, axis=-1).min(axis=1)
+    sub_inner = np.zeros(u.atoms.n_atoms, dtype=bool)
+    sub_inner[sub_ref] = True
+    np.testing.assert_array_equal(
+        u.select_atoms("around 2.5 (type A and index 0:7)").ix,
+        np.flatnonzero((dmin <= cutoff) & ~sub_inner),
+    )
+
+    # empty reference set -> empty shell
+    assert u.select_atoms("around 3 none").n_atoms == 0
+
+    # errors: missing/invalid cutoff, missing reference selection
+    for bad in ("around type A", "around 2.5", "around"):
+        with pytest.raises(ValueError):
+            u.select_atoms(bad)
 
 
 def test_selection_grammar_not_parens_numeric():
