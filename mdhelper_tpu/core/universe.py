@@ -14,6 +14,7 @@ once at construction and then stream coordinate batches straight from
 ``universe.trajectory.read_frames`` onto the device mesh.
 """
 
+import fnmatch
 import re
 from typing import Sequence
 
@@ -358,7 +359,25 @@ class _SelectionParser:
                 labels.append(self._next())
             if not labels:
                 self._error(f"'{keyword}' expects one or more labels.")
-            return np.isin(values, labels)
+            # fnmatch globbing (MDAnalysis semantics): "name H*"
+            # matches H, H1, HW1, ...; plain labels match literally.
+            plain = [l for l in labels if not any(c in l for c in "*?[")]
+            mask = (
+                np.isin(values, plain)
+                if plain
+                else np.zeros(self._n, dtype=bool)
+            )
+            patterns = [l for l in labels if l not in plain]
+            if patterns:
+                unique = np.unique(np.asarray(values, dtype=object))
+                matched = {
+                    label
+                    for pattern in patterns
+                    for label in fnmatch.filter(unique, pattern)
+                }
+                if matched:
+                    mask = mask | np.isin(values, list(matched))
+            return mask
         if keyword in ("mass", "charge", "resid", "index"):
             op = self._peek()
             if op in self._COMPARISONS:
@@ -597,8 +616,12 @@ class AtomGroup:
             PROP     := "mass" | "charge" | "resid" | "index"
             OP       := "<" | "<=" | ">" | ">=" | "==" | "!="
 
-        Examples: ``"type A B"``, ``"not name H*"`` (no globbing —
-        names match literally), ``"charge < 0"``,
+        Label terms support :mod:`fnmatch` globbing (MDAnalysis
+        semantics): ``"name H*"`` matches H, H1, HW1, ...; ``?``
+        and ``[seq]`` work too; labels without glob characters
+        match literally.
+
+        Examples: ``"type A B"``, ``"not name H*"``, ``"charge < 0"``,
         ``"(type A or type B) and not resid 1:10"``,
         ``"mass > 12 and charged"``.  ``resid i:j`` ranges are
         inclusive on both ends (MDAnalysis convention).

@@ -125,6 +125,38 @@ def test_selection_around():
             u.select_atoms(bad)
 
 
+def test_selection_glob():
+    """fnmatch globbing on label terms (MDAnalysis semantics)."""
+
+    n = 8
+    u = Universe.from_arrays(
+        rng.random((2, n, 3)) * 5.0,
+        np.array([5.0, 5.0, 5.0]),
+        masses=np.ones(n),
+        charges=np.zeros(n),
+        types=np.array(
+            ["HW1", "HW2", "OW", "H1", "NA", "CL", "H", "OW"],
+            dtype=object,
+        ),
+        resindices=np.zeros(n, int),
+        segindices=np.zeros(n, int),
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("type H*").ix, [0, 1, 3, 6]
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("type HW?").ix, [0, 1]
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("type OW H1").ix, [2, 3, 7]
+    )
+    # mixed literal + glob, and glob matching nothing
+    np.testing.assert_array_equal(
+        u.select_atoms("type NA X* H?").ix, [3, 4]
+    )
+    assert u.select_atoms("type Z*").n_atoms == 0
+
+
 def test_selection_grammar_not_parens_numeric():
     """Widened selection grammar: ``not``, parentheses and numeric
     property comparisons (mass/charge/resid/index with
