@@ -26,9 +26,19 @@ from itertools import combinations_with_replacement
 
 from ..algorithm.topology import triclinic_matrices
 from ..algorithm.utility import get_closest_factors
-from ..ops.histogram import radial_histogram_batch
+from ..ops.histogram import (
+    _min_image_distance,
+    displacement_histogram_frame,
+    radial_histogram_batch,
+    radial_histogram_frame,
+)
 from ..ops.scattering import trig_sums_frame
-from .base import DynamicAnalysisBase, NumbaAnalysisBase, jit_update
+from .base import (
+    DynamicAnalysisBase,
+    NumbaAnalysisBase,
+    SerialAnalysisBase,
+    jit_update,
+)
 
 __all__ = [
     "radial_histogram",
@@ -39,6 +49,7 @@ __all__ = [
     "RadialDistributionFunction",
     "StructureFactor",
     "IntermediateScatteringFunction",
+    "VanHoveFunction",
 ]
 
 
@@ -1551,6 +1562,67 @@ class StructureFactor(NumbaAnalysisBase):
         self.results.ssf = ssf
 
 
+def _resolve_lag_values(spec, n_lags, n_frames):
+    """Resolve a ``lags=`` specification against the ring length
+    ``n_lags`` (``None`` = analyzed frame count) — shared by the ISF
+    lag ring and the van Hove ring.  Returns ``(lag_values, n_lags)``
+    with ``lag_values`` an ascending `numpy` array of frame offsets.
+    """
+
+    resolved = n_lags or n_frames
+    if resolved > n_frames:
+        resolved = n_frames
+    if spec is None:
+        lag_values = np.arange(resolved)
+    elif isinstance(spec, str):
+        if spec != "log":
+            raise ValueError(f"Invalid lags specification: {spec!r}.")
+        # Every lag through 8, then quarter-octave geometric
+        # spacing; always include the longest resident lag.
+        short = np.arange(min(resolved, 9))
+        if resolved > 9:
+            geometric = np.round(
+                2.0 ** np.arange(3.0, np.log2(resolved - 1) + 0.25,
+                                 0.25)
+            ).astype(np.int64)
+            lag_values = np.union1d(
+                np.union1d(short, geometric[geometric < resolved]),
+                [resolved - 1],
+            )
+        else:
+            lag_values = short
+    else:
+        lag_values = np.unique(np.asarray(spec, dtype=np.int64))
+        if len(lag_values) == 0 or lag_values[0] < 0:
+            raise ValueError(
+                "lags must be non-negative frame offsets."
+            )
+        if n_lags is None:
+            resolved = min(int(lag_values[-1]) + 1, n_frames)
+        dropped = lag_values[lag_values >= resolved]
+        if len(dropped):
+            raise ValueError(
+                f"lags {dropped.tolist()} are not below n_lags "
+                f"({resolved}; n_lags is capped at the analyzed "
+                f"frame count {n_frames}) — the ring holds "
+                "lags 0..n_lags - 1 only."
+            )
+    return lag_values, resolved
+
+
+def _check_even_frame_spacing(frames) -> int:
+    """Validate evenly spaced, forward-in-time frame selections (lag
+    rings index time in frame steps); returns the frame step."""
+
+    df = np.diff(frames)
+    if len(df) and (df[0] <= 0 or not np.allclose(df, df[0])):
+        raise ValueError(
+            "The selected frames must be evenly spaced and proceed "
+            "forward in time."
+        )
+    return int(df[0]) if len(df) else 1
+
+
 class IntermediateScatteringFunction(StructureFactor):
     r"""Coherent :math:`F(q, t)`, partial :math:`F_{\alpha\beta}(q,t)`
     and incoherent (self) :math:`F_s(q, t)` intermediate scattering
@@ -1676,57 +1748,12 @@ class IntermediateScatteringFunction(StructureFactor):
             self._sequential = False
 
     def _prepare(self) -> None:
-        n_lags = self._n_lags or self.n_frames
-        if n_lags > self.n_frames:
-            n_lags = self.n_frames
-        spec = self._lag_spec
-        if spec is None:
-            lag_values = np.arange(n_lags)
-        elif isinstance(spec, str):
-            if spec != "log":
-                raise ValueError(
-                    f"Invalid lags specification: {spec!r}."
-                )
-            # Every lag through 8, then quarter-octave geometric
-            # spacing; always include the longest resident lag.
-            short = np.arange(min(n_lags, 9))
-            if n_lags > 9:
-                geometric = np.round(
-                    2.0 ** np.arange(3.0, np.log2(n_lags - 1) + 0.25,
-                                     0.25)
-                ).astype(np.int64)
-                lag_values = np.union1d(
-                    np.union1d(short, geometric[geometric < n_lags]),
-                    [n_lags - 1],
-                )
-            else:
-                lag_values = short
-        else:
-            lag_values = np.unique(np.asarray(spec, dtype=np.int64))
-            if len(lag_values) == 0 or lag_values[0] < 0:
-                raise ValueError(
-                    "lags must be non-negative frame offsets."
-                )
-            if self._n_lags is None:
-                n_lags = min(int(lag_values[-1]) + 1, self.n_frames)
-            dropped = lag_values[lag_values >= n_lags]
-            if len(dropped):
-                raise ValueError(
-                    f"lags {dropped.tolist()} are not below n_lags "
-                    f"({n_lags}; n_lags is capped at the analyzed "
-                    f"frame count {self.n_frames}) — the ring holds "
-                    "lags 0..n_lags - 1 only."
-                )
+        lag_values, n_lags = _resolve_lag_values(
+            self._lag_spec, self._n_lags, self.n_frames
+        )
         self._lag_values = lag_values
         self._lags = len(lag_values)
-
-        df = np.diff(self.frames)
-        if len(df) and (df[0] <= 0 or not np.allclose(df, df[0])):
-            raise ValueError(
-                "The selected frames must be evenly spaced and proceed "
-                "forward in time."
-            )
-        step = int(df[0]) if len(df) else 1
+        step = _check_even_frame_spacing(self.frames)
 
         self.results.pairs = (
             tuple(combinations_with_replacement(range(self._n_groups), 2))
@@ -2074,3 +2101,291 @@ class IntermediateScatteringFunction(StructureFactor):
         self.results.cisf = cisf
         if iisf is not None:
             self.results.iisf = iisf
+
+
+class VanHoveFunction(SerialAnalysisBase):
+    r"""Van Hove space–time correlation function :math:`G(r, t)`.
+
+    .. math::
+
+       G(r, t) = \underbrace{\frac{1}{N}\Bigl\langle\sum_i
+       \delta\bigl(r - |\mathbf{r}_i(t) - \mathbf{r}_i(0)|\bigr)
+       \Bigr\rangle}_{G_\mathrm{s}(r,t)\ \text{(self)}}
+       + \underbrace{\frac{1}{N}\Bigl\langle\sum_{i \ne j}
+       \delta\bigl(r - |\mathbf{r}_j(t) - \mathbf{r}_i(0)|\bigr)
+       \Bigr\rangle}_{G_\mathrm{d}(r,t)\ \text{(distinct)}}
+
+    A beyond-reference capability: the reference computes only the
+    :math:`t = 0` limit (`RadialDistributionFunction`, reference
+    ``analysis/structure.py:444-1032``) and the reciprocal-space
+    transform (`IntermediateScatteringFunction`, reference
+    ``analysis/structure.py:1552-2127``); the real-space
+    :math:`G(r, t)` reuses both of this framework's device designs —
+    the :class:`IntermediateScatteringFunction` position ring buffer
+    (an ``(n_lags, N, 3)`` carry in a :func:`jax.lax.scan` over the
+    frame axis) and the RDF's tiled MXU one-hot pair binning
+    (:func:`mdhelper_tpu.ops.histogram.radial_histogram_frame`).
+    Each streamed frame cross-histograms against every resident lag,
+    so the per-frame cost is ``len(lags)`` pair sweeps — use
+    ``lags="log"`` (the multiple-tau correlator grid) for dynamics
+    spanning decades in time.
+
+    Results (lag rows follow ``results.times``):
+
+    - ``results.counts_self`` — raw displacement counts,
+      ``(n_lags, n_bins)``.
+    - ``results.counts_distinct`` — raw distinct-pair counts (ordered
+      pairs, ``i != j``).
+    - ``results.gs`` — :math:`G_\mathrm{s}(r, t)` normalized as a
+      probability density: :math:`\int G_\mathrm{s}\,4\pi r^2 dr = 1`
+      when every displacement falls inside `range`.
+    - ``results.gd`` — the distinct part normalized like a time-lagged
+      RDF: :math:`g_\mathrm{d}(r, 0) = g(r)` and
+      :math:`g_\mathrm{d}(r, t) \to 1` as :math:`r \to \infty`.
+    - ``results.msd`` — the displacement second moment
+      :math:`\langle r^2(t)\rangle` (accumulated exactly from the
+      minimum-image displacements, not from the binned histogram).
+    - ``results.alpha2`` — the non-Gaussian parameter
+      :math:`\alpha_2(t) = 3\langle r^4\rangle /
+      (5\langle r^2\rangle^2) - 1`, the standard companion to
+      :math:`G_\mathrm{s}` for dynamic-heterogeneity analysis.
+
+    Minimum-image caveat (shared with every wrapped-trajectory
+    :math:`G_\mathrm{s}` estimator): displacements are meaningful
+    while :math:`|\Delta\mathbf{r}| < L/2` per axis between the two
+    frames of a lag — use lag times short enough that particles do
+    not diffuse half a box.
+
+    Parameters
+    ----------
+    group : `AtomGroup`
+        Atoms (or grouping entities) to analyze.
+    n_bins : `int`, default 201
+        Number of radial histogram bins.
+    range : array-like, default ``(0.0, 15.0)``
+        Radii range (should stay below half the box).
+    grouping : `str`, keyword-only, default ``"atoms"``
+        ``"atoms"``, ``"residues"`` or ``"segments"`` (COM positions).
+    dt : `float` or `pint.Quantity`, keyword-only, optional
+        Time between frames (defaults to the trajectory's ``dt``).
+    n_lags : `int`, keyword-only, optional
+        Ring length in frames (defaults to the analyzed frame count).
+    lags : `str` or array-like, keyword-only, optional
+        Lag subset — ``"log"`` or explicit frame offsets (see
+        :class:`IntermediateScatteringFunction`).
+    self_part, distinct_part : `bool`, keyword-only, default True
+        Which parts to accumulate (the distinct part pays the
+        per-lag pair sweep; the self part is :math:`O(N)`).
+    reduced : `bool`, keyword-only, default False
+        Data is in reduced (LJ) units (affects ``results.units``
+        only; the histogram math is unitless).
+    """
+
+    _sequential = True
+
+    def __init__(
+        self,
+        group,
+        n_bins: int = 201,
+        range: tuple = (0.0, 15.0),
+        *,
+        grouping: str = "atoms",
+        dt=None,
+        n_lags: int = None,
+        lags=None,
+        self_part: bool = True,
+        distinct_part: bool = True,
+        reduced: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self.group = group
+        self.universe = group.universe
+        super().__init__(self.universe.trajectory, verbose, **kwargs)
+
+        if not (self_part or distinct_part):
+            raise ValueError(
+                "At least one of self_part/distinct_part is required."
+            )
+        self._grouping = _validate_groupings(grouping)[0]
+        self._n_bins = int(n_bins)
+        self._range = tuple(range)
+        self._self_part = bool(self_part)
+        self._distinct_part = bool(distinct_part)
+        self._reduced = reduced
+        self._n_lags = n_lags
+        self._lag_spec = lags
+        self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
+
+        dims = self.universe.dimensions
+        self._triclinic = bool(
+            dims is not None
+            and len(dims) >= 6
+            and not np.allclose(dims[3:6], 90.0)
+        )
+
+        self._atom_indices = np.asarray(group.ix)
+        self._seg, self._n = _group_segment_ids(group, self._grouping)
+
+    def _prepare(self) -> None:
+        lag_values, n_lags = _resolve_lag_values(
+            self._lag_spec, self._n_lags, self.n_frames
+        )
+        self._lag_values = lag_values
+        step = _check_even_frame_spacing(self.frames)
+
+        self.results.edges = np.linspace(*self._range, self._n_bins + 1)
+        self.results.bins = (
+            self.results.edges[:-1] + self.results.edges[1:]
+        ) / 2
+        self.results.times = step * self._dt * lag_values
+        self.results.units = {
+            "results.bins": ureg.angstrom,
+            "results.edges": ureg.angstrom,
+            "results.times": ureg.picosecond,
+            "results.gs": ureg.angstrom**-3,
+        }
+
+        n_sel = len(lag_values)
+        ring_dtype = jnp.dtype(self._stream_dtype())
+        self._carry = {
+            "ring": jnp.zeros((n_lags, self._n, 3), ring_dtype),
+            "self": jnp.zeros((n_sel, self._n_bins), jnp.float64),
+            "distinct": jnp.zeros((n_sel, self._n_bins), jnp.float64),
+            "m2": jnp.zeros(n_sel, jnp.float64),
+            "m4": jnp.zeros(n_sel, jnp.float64),
+            "origins": jnp.zeros(n_sel, jnp.float64),
+            "volume": jnp.zeros((), jnp.float64),
+            "frame": jnp.zeros((), jnp.int64),
+        }
+        # Ring-program sync policy: like the ISF ring (and unlike the
+        # RDF Pallas program), the scan chains cleanly — a one-leaf
+        # fetch bounds the dispatch queue without shipping the
+        # multi-MB position ring per chunk (CLAUDE.md invariants;
+        # A/Bs in BASELINE.md "Ring-carry sync policy").
+        self._sync_carry_bytes = 0
+        self._store_chunk = None
+
+        edges = jnp.asarray(self.results.edges)
+        n_cols = len(self._atom_indices)
+        take = _column_selector(
+            np.arange(n_cols), n_cols
+        )  # identity; columns were already narrowed to the group
+        seg = None if self._seg is None else jnp.asarray(self._seg)
+        masses = jnp.asarray(self.group.masses)
+        n_entities = self._n
+        triclinic = self._triclinic
+        self_part = self._self_part
+        distinct_part = self._distinct_part
+        lag_range = jnp.asarray(lag_values)
+        precision = (
+            "exact" if self._stream_dtype() == np.float32 else "fast"
+        )
+
+        def scan_step(carry, inputs):
+            pos, box, vol, valid = inputs  # (N, 3), box, scalar mask
+            fi = carry["frame"]
+            rcfi = (fi % n_lags).astype(jnp.int32)
+            ring = jnp.where(
+                valid > 0, carry["ring"].at[rcfi].set(pos), carry["ring"]
+            )
+            rifi = ((fi - lag_range) % n_lags).astype(jnp.int32)
+            lag_ok = (
+                (lag_range <= fi) & (valid > 0)
+            ).astype(jnp.float64)
+
+            def lag_body(lag, acc):
+                counts_s, counts_d, m2, m4 = acc
+                past = ring[rifi[lag]]
+                ok = lag_ok[lag]
+                if self_part:
+                    cs = displacement_histogram_frame(
+                        pos, past, box, edges, precision=precision
+                    )
+                    counts_s = counts_s.at[lag].add(cs * ok)
+                    # Displacement moments (for <r^2>(t) and the
+                    # non-Gaussian parameter): exact values, not
+                    # re-binned histogram estimates.  Per-atom math
+                    # stays in the stream dtype; the per-lag sums
+                    # accumulate in f64.
+                    r2 = (
+                        _min_image_distance(
+                            pos - past, box.astype(pos.dtype)
+                        )
+                        ** 2
+                    )
+                    m2 = m2.at[lag].add(
+                        r2.sum().astype(jnp.float64) * ok
+                    )
+                    m4 = m4.at[lag].add(
+                        (r2 * r2).sum().astype(jnp.float64) * ok
+                    )
+                if distinct_part:
+                    cd = radial_histogram_frame(
+                        past, pos, box, edges, exclusion=(1, 1),
+                        precision=precision,
+                    )
+                    counts_d = counts_d.at[lag].add(cd * ok)
+                return counts_s, counts_d, m2, m4
+
+            counts_s, counts_d, m2, m4 = jax.lax.fori_loop(
+                0, len(lag_values), lag_body,
+                (
+                    carry["self"], carry["distinct"],
+                    carry["m2"], carry["m4"],
+                ),
+            )
+            new_carry = {
+                "ring": ring,
+                "self": counts_s,
+                "distinct": counts_d,
+                "m2": m2,
+                "m4": m4,
+                "origins": carry["origins"] + lag_ok,
+                "volume": carry["volume"]
+                + vol.astype(jnp.float64) * (valid > 0),
+                "frame": fi + (valid > 0),
+            }
+            return new_carry, None
+
+        def update(carry, positions, dimensions, mask):
+            pos = take(positions)
+            if seg is not None:
+                pos = _com_positions(pos, masses, seg, n_entities)
+            if triclinic:
+                box = triclinic_matrices(dimensions)  # (B, 3, 3)
+                vol = box[:, 0, 0] * box[:, 1, 1] * box[:, 2, 2]
+            else:
+                box = dimensions[:, :3]
+                vol = box.prod(axis=1)
+            carry, _ = jax.lax.scan(
+                scan_step, carry, (pos, box, vol, mask)
+            )
+            return carry
+
+        self._update = jit_update(update)
+
+    def _conclude(self) -> None:
+        counts_s = np.asarray(self._carry["self"])
+        counts_d = np.asarray(self._carry["distinct"])
+        origins = np.asarray(self._carry["origins"])
+        volume_mean = float(self._carry["volume"]) / self.n_frames
+        shell = 4 * np.pi * np.diff(self.results.edges**3) / 3
+        n = self._n
+
+        if self._self_part:
+            self.results.counts_self = counts_s.astype(np.int64)
+            self.results.gs = counts_s / (
+                origins[:, None] * n * shell
+            )
+            m2 = np.asarray(self._carry["m2"]) / (origins * n)
+            m4 = np.asarray(self._carry["m4"]) / (origins * n)
+            self.results.msd = m2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                self.results.alpha2 = 3 * m4 / (5 * m2**2) - 1
+            self.results.units["results.msd"] = ureg.angstrom**2
+        if self._distinct_part:
+            self.results.counts_distinct = counts_d.astype(np.int64)
+            self.results.gd = counts_d * volume_mean / (
+                origins[:, None] * n * (n - 1) * shell
+            )

@@ -106,15 +106,18 @@ def _contract_bins(idx, weights, n_bins):
 
 
 def _exact_d2_orthorhombic(p1, p2, box):
-    """Squared minimum-image distances of a float32 pair block in
+    """Squared minimum-image distances of a float32 block in
     error-free double-float arithmetic.  Assumes wrapped inputs (image
-    multiple in {-1, 0, 1})."""
+    multiple in {-1, 0, 1}).  `p1`/`p2` are broadcast-compatible
+    ``(..., 3)`` arrays — callers supply ``p1[:, None, :]`` /
+    ``p2[None, :, :]`` views for a pair block, or equal shapes for
+    elementwise displacements (the van Hove self part)."""
 
     from .doublefloat import df_sub, df_sum3, df_square, two_diff
 
     components = []
     for k in range(3):
-        s, e = two_diff(p1[:, None, k], p2[None, :, k])
+        s, e = two_diff(p1[..., k], p2[..., k])
         m = jnp.round(s / box[k])
         d = df_sub((s, e), (m * box[k], jnp.float32(0.0)))
         components.append(df_square(d))
@@ -134,7 +137,8 @@ def _exact_d2_triclinic(p1, p2, box):
     triclinic_matrices`); the structural zeros above the diagonal are
     exploited to skip 1/3 of the products.  Exactness is relative to
     the float32 box the kernel receives (same contract as the
-    orthorhombic path).
+    orthorhombic path).  `p1`/`p2` are broadcast-compatible
+    ``(..., 3)`` arrays (see :func:`_exact_d2_orthorhombic`).
     """
 
     from .doublefloat import (
@@ -152,7 +156,7 @@ def _exact_d2_triclinic(p1, p2, box):
     # image multiple from fractional rounding.
     s_hi, s_lo = [], []
     for k in range(3):
-        s, e = two_diff(p1[:, None, k], p2[None, :, k])
+        s, e = two_diff(p1[..., k], p2[..., k])
         s_hi.append(s)
         s_lo.append(e)
     frac = jnp.stack(s_hi, axis=-1) @ inv
@@ -176,7 +180,8 @@ def _exact_d2_triclinic(p1, p2, box):
     return best
 
 
-def _exact_bin_indices(p1, p2, box, edges, n_bins):
+def _exact_bin_indices(p1, p2, box, edges, n_bins, *,
+                       elementwise: bool = False):
     """Exact double-float bin assignment for a pair block with UNIFORM
     float32-stream edges: squared minimum-image distances evaluate in
     error-free two-float32 arithmetic
@@ -187,7 +192,9 @@ def _exact_bin_indices(p1, p2, box, edges, n_bins):
     ``_bin_exact``).  `box` is ``(3,)`` orthorhombic lengths (wrapped
     inputs assumed) or a ``(3, 3)`` lower-triangular box matrix.
     Returns spill-row (``n_bins``) indices for out-of-range pairs; the
-    last bin is closed (np.histogram).
+    last bin is closed (np.histogram).  With ``elementwise=True``,
+    `p1`/`p2` pair row-for-row (``(N, 3) -> (N,)`` displacement
+    indices) instead of all-against-all.
     """
 
     from .doublefloat import df_add, df_ge, df_lt, two_prod
@@ -214,6 +221,9 @@ def _exact_bin_indices(p1, p2, box, edges, n_bins):
     p1 = p1.astype(jnp.float32)
     p2 = p2.astype(jnp.float32)
 
+    if not elementwise:
+        p1 = p1[:, None, :]
+        p2 = p2[None, :, :]
     if box.ndim == 1:
         d2 = _exact_d2_orthorhombic(p1, p2, box)
     else:
@@ -452,6 +462,61 @@ def radial_histogram_frame(
         block, init, jnp.arange(nt1 * nt2, dtype=jnp.int32)
     )
     return counts
+
+
+def displacement_histogram_frame(
+    pos1,
+    pos2,
+    box,
+    edges,
+    *,
+    n_real=None,
+    precision: str = "fast",
+):
+    r"""Histogram of ELEMENTWISE minimum-image displacement magnitudes
+    :math:`|\mathbf{r}_{1,i} - \mathbf{r}_{2,i}|` for one frame — the
+    van Hove *self*-part histogram (compare
+    :func:`radial_histogram_frame`, which histograms all pairs).
+
+    Parameters
+    ----------
+    pos1, pos2 : `jax.Array`
+        Same-ordering particle positions, both ``(N, 3)`` (wrapped;
+        the minimum image resolves the crossing of periodic
+        boundaries between the two frames).
+    box : `jax.Array`
+        ``(3,)`` orthorhombic lengths or a ``(3, 3)`` lower-triangular
+        box matrix.
+    edges : `jax.Array`
+        Monotonic bin edges, shape ``(n_bins + 1,)``.
+    n_real : `int`, optional
+        Number of real (unpadded) rows.
+    precision : `str`, static keyword-only
+        ``"fast"`` bins in the positions' dtype; ``"exact"`` (uniform
+        edges) bins float32 streams in double-float — float64-grade
+        counts without emulated f64 (:func:`_exact_bin_indices`).
+
+    Returns
+    -------
+    counts : `jax.Array`
+        Histogram counts, shape ``(n_bins,)``, float accumulator.
+    """
+
+    n_bins = edges.shape[0] - 1
+    n = pos1.shape[0]
+    n_real = n if n_real is None else n_real
+    valid = jax.lax.iota(jnp.int32, n) < n_real
+    weights = valid.astype(jnp.float32)
+    if precision == "exact":
+        idx = _exact_bin_indices(
+            pos1, pos2, box, edges, n_bins, elementwise=True
+        )
+        return _contract_bins(
+            jnp.where(valid, idx, n_bins), weights, n_bins
+        )
+    box = box.astype(pos1.dtype)
+    dist = _min_image_distance(pos1 - pos2, box)
+    return _bin_distances(dist, edges, weights, n_bins)
 
 
 def radial_histogram_batch(

@@ -68,6 +68,19 @@ def test_cookbook_sq_isf():
     assert isf.results.iisf is not None
 
 
+def test_cookbook_vanhove():
+    from mdhelper_tpu.analysis.structure import VanHoveFunction
+
+    u = make_universe()
+    vh = VanHoveFunction(
+        u.atoms, n_bins=16, range=(0.0, 4.0), n_lags=4, lags="log",
+        verbose=False,
+    ).run()
+    assert vh.results.gs.shape == vh.results.gd.shape
+    assert vh.results.gs.shape[1] == 16
+    assert vh.results.times.shape[0] == vh.results.gs.shape[0]
+
+
 def test_cookbook_onsager():
     from mdhelper_tpu.analysis.transport import Onsager
 

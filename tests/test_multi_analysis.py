@@ -299,3 +299,38 @@ def test_fused_parallel_rejects_sequential(universe):
     ]
     with pytest.raises(ValueError, match="order-dependent"):
         run_together(analyses, parallel=True)
+
+
+def test_fused_vanhove_rides_the_stream(universe):
+    from mdhelper_tpu.analysis.structure import VanHoveFunction
+
+    def make():
+        return [
+            RadialDistributionFunction(
+                universe.atoms, n_bins=16, range=(0.0, 3.5),
+                exclusion=(1, 1), verbose=False,
+            ),
+            VanHoveFunction(
+                universe.atoms, n_bins=16, range=(0.0, 3.5),
+                n_lags=4, verbose=False,
+            ),
+        ]
+
+    separate = make()
+    for a in separate:
+        a.run()
+    fused = make()
+    run_together(fused)
+    np.testing.assert_array_equal(
+        fused[0].results.counts, separate[0].results.counts
+    )
+    np.testing.assert_array_equal(
+        fused[1].results.counts_self, separate[1].results.counts_self
+    )
+    np.testing.assert_array_equal(
+        fused[1].results.counts_distinct,
+        separate[1].results.counts_distinct,
+    )
+    np.testing.assert_allclose(
+        fused[1].results.msd, separate[1].results.msd, rtol=1e-12
+    )
