@@ -253,7 +253,7 @@ class _SelectionParser:
     _KEYWORDS = frozenset(
         ("all", "none", "charged", "type", "name", "resname",
          "segid", "resid", "index", "mass", "charge", "and", "or",
-         "not", "around")
+         "not", "around", "prop", "point", "sphzone")
     )
     _LABEL_ATTRS = {
         "type": "types",
@@ -347,6 +347,57 @@ class _SelectionParser:
             cutoff = float(number)
             inner = self._not_expr()
             return self._around(cutoff, inner)
+        if keyword == "prop":
+            # prop [abs] x|y|z OP NUMBER: positional comparison at
+            # the current frame (MDAnalysis semantics).
+            token = self._next()
+            use_abs = token == "abs"
+            if use_abs:
+                token = self._next()
+            if token not in ("x", "y", "z"):
+                self._error(
+                    "'prop' expects x, y or z (optionally "
+                    "preceded by 'abs')."
+                )
+            axis = ord(token) - 120
+            op = self._next()
+            if op not in self._COMPARISONS:
+                self._error("'prop' requires a comparison operator.")
+            number = self._next()
+            if number is None or not self._NUMBER.match(number):
+                self._error(f"'prop {token} {op}' expects a number.")
+            values = np.asarray(
+                self._group.positions, dtype=np.float64
+            )[:, axis]
+            if use_abs:
+                values = np.abs(values)
+            return self._COMPARISONS[op](values, float(number))
+        if keyword == "point":
+            # point X Y Z CUTOFF: atoms within CUTOFF of the point.
+            numbers = []
+            for _ in range(4):
+                token = self._next()
+                if token is None or not self._NUMBER.match(token):
+                    self._error("'point' expects x y z cutoff.")
+                numbers.append(float(token))
+            return self._within_point(
+                np.asarray(numbers[:3]), numbers[3]
+            )
+        if keyword == "sphzone":
+            # sphzone CUTOFF <sel>: atoms within CUTOFF of the
+            # center of geometry of <sel> (inclusive — unlike
+            # 'around', the reference atoms themselves may match).
+            number = self._next()
+            if number is None or not self._NUMBER.match(number):
+                self._error("'sphzone' expects a cutoff distance.")
+            cutoff = float(number)
+            inner = self._not_expr()
+            if not inner.any():
+                return np.zeros(self._n, dtype=bool)
+            center = np.asarray(
+                self._group.positions, dtype=np.float64
+            )[inner].mean(axis=0)
+            return self._within_point(center, cutoff)
         if keyword in self._LABEL_ATTRS:
             values = getattr(group, self._LABEL_ATTRS[keyword])
             labels = []
@@ -444,6 +495,26 @@ class _SelectionParser:
             positions, k=1, distance_upper_bound=cutoff
         )
         return (dist <= cutoff) & ~inner
+
+    def _within_point(
+        self, point: np.ndarray, cutoff: float
+    ) -> np.ndarray:
+        """Atoms of the group within `cutoff` of `point` — minimum-
+        image for orthorhombic boxes, plain Euclidean otherwise
+        (same convention as :meth:`_around`)."""
+
+        group = self._group
+        positions = np.asarray(group.positions, dtype=np.float64)
+        delta = positions - np.asarray(point, dtype=np.float64)
+        dims = group.dimensions
+        if (
+            dims is not None
+            and np.all(np.asarray(dims[:3]) > 0)
+            and np.allclose(dims[3:6], 90.0)
+        ):
+            box = np.asarray(dims[:3], dtype=np.float64)
+            delta -= box * np.round(delta / box)
+        return (delta**2).sum(axis=1) <= cutoff**2
 
 
 class _SubGroup:
@@ -612,8 +683,12 @@ class AtomGroup:
                       | ("type" | "name" | "resname" | "segid") WORD+
                       | ("resid" | "index") (INT | INT:INT)+
                       | PROP OP NUMBER        # numeric comparison
+                      | "prop" ["abs"] AXIS OP NUMBER  # positional
                       | "around" NUMBER not_expr
+                      | "sphzone" NUMBER not_expr
+                      | "point" NUMBER NUMBER NUMBER NUMBER
             PROP     := "mass" | "charge" | "resid" | "index"
+            AXIS     := "x" | "y" | "z"
             OP       := "<" | "<=" | ">" | ">=" | "==" | "!="
 
         Label terms support :mod:`fnmatch` globbing (MDAnalysis
@@ -634,6 +709,14 @@ class AtomGroup:
         Euclidean distances.  ``sel`` binds one ``not_expr`` unit —
         parenthesise compound references:
         ``"around 3.5 (resname SOL and name OW)"``.
+
+        Positional terms (evaluated at the current frame, same
+        periodicity convention as ``around``):
+        ``prop z < 10`` / ``prop abs z < 5`` compare one coordinate
+        (slab selections); ``point X Y Z CUTOFF`` selects within
+        ``CUTOFF`` of a fixed point; ``sphzone CUTOFF sel`` selects
+        within ``CUTOFF`` of the center of geometry of ``sel``
+        (inclusive of ``sel`` itself, unlike ``around``).
         """
 
         parser = _SelectionParser(selection, self)
@@ -652,6 +735,45 @@ class AtomGroup:
         if prop == "index":
             return self._ix
         raise ValueError(f"Unknown selection property: '{prop}'.")
+
+    def write(self, filename: str) -> None:
+        """Write the group at the CURRENT trajectory frame to a
+        structure file — dispatched by extension: ``.pdb``, ``.gro``
+        or ``.xyz`` (:mod:`mdhelper_tpu.io.structure_writers`).  The
+        MDAnalysis ``u.atoms.write(...)`` convenience the reference's
+        users rely on."""
+
+        from ..io import structure_writers as sw
+
+        lower = filename.lower()
+        topology = self.universe._topology
+        if lower.endswith(".pdb"):
+            sw.write_pdb(
+                filename,
+                self.positions,
+                names=self.names,
+                resnames=self.resnames,
+                resids=topology.resids[self._ix],
+                segids=self.segids,
+                elements=self.types,
+                dimensions=self.dimensions,
+            )
+        elif lower.endswith(".gro"):
+            sw.write_gro(
+                filename,
+                self.positions,
+                names=self.names,
+                resnames=self.resnames,
+                resids=topology.resids[self._ix],
+                dimensions=self.dimensions,
+            )
+        elif lower.endswith(".xyz"):
+            sw.write_xyz(filename, self.positions, symbols=self.types)
+        else:
+            raise ValueError(
+                f"Unsupported structure format: '{filename}' "
+                "(supported: .pdb, .gro, .xyz)."
+            )
 
     def __eq__(self, other) -> bool:
         return (

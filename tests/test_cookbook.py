@@ -30,6 +30,16 @@ def test_cookbook_selections():
     assert u.select_atoms(
         "(type A or type B) and not resid 1:10"
     ).n_atoms == N - 10
+    assert u.select_atoms("not type B*").n_atoms == N // 2
+    slab = u.select_atoms("prop z > 2 and prop z < 8")
+    assert np.all(
+        (slab.positions[:, 2] > 2) & (slab.positions[:, 2] < 8)
+    )
+    sphere = u.select_atoms("point 5 5 5 4.0")
+    near = u.select_atoms("around 3.5 type B")
+    zone = u.select_atoms("sphzone 4.0 type A")
+    for g in (sphere, near, zone):
+        assert 0 <= g.n_atoms <= N
 
 
 def test_cookbook_rdf():

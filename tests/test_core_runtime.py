@@ -125,6 +125,57 @@ def test_selection_around():
             u.select_atoms(bad)
 
 
+def test_selection_positional_terms():
+    """prop/point/sphzone geometric selections (current frame,
+    minimum-image for orthorhombic boxes)."""
+
+    n = 6
+    pos = np.array(
+        [
+            [0.5, 0.5, 0.5],
+            [0.5, 0.5, 4.0],
+            [0.5, 0.5, 9.5],   # wraps to within 1.0 of the origin
+            [5.0, 5.0, 5.0],
+            [5.2, 5.0, 5.0],
+            [9.0, 9.0, 9.0],
+        ]
+    )
+    u = Universe.from_arrays(
+        pos[None],
+        np.array([10.0, 10.0, 10.0]),
+        masses=np.ones(n),
+        charges=np.zeros(n),
+        types=np.array(list("ABCDEF"), dtype=object),
+        resindices=np.zeros(n, int),
+        segindices=np.zeros(n, int),
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("prop z < 4.5").ix, [0, 1]
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("prop z >= 4.0 and prop x > 1").ix, [3, 4, 5]
+    )
+    # point: periodic — atom 2 (z=9.5) is 1.0 from the origin corner
+    np.testing.assert_array_equal(
+        u.select_atoms("point 0.5 0.5 0.5 1.5").ix, [0, 2]
+    )
+    # sphzone: inclusive of the reference selection
+    np.testing.assert_array_equal(
+        u.select_atoms("sphzone 1.0 type D").ix, [3, 4]
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("around 1.0 type D").ix, [4]
+    )
+    for bad in (
+        "prop w < 1",
+        "prop z 1",
+        "point 1 2 3",
+        "sphzone type A",
+    ):
+        with pytest.raises(ValueError):
+            u.select_atoms(bad)
+
+
 def test_selection_glob():
     """fnmatch globbing on label terms (MDAnalysis semantics)."""
 
