@@ -253,7 +253,8 @@ class _SelectionParser:
     _KEYWORDS = frozenset(
         ("all", "none", "charged", "type", "name", "resname",
          "segid", "resid", "index", "mass", "charge", "and", "or",
-         "not", "around", "prop", "point", "sphzone")
+         "not", "around", "prop", "point", "sphzone", "byres",
+         "bysegment")
     )
     _LABEL_ATTRS = {
         "type": "types",
@@ -347,6 +348,17 @@ class _SelectionParser:
             cutoff = float(number)
             inner = self._not_expr()
             return self._around(cutoff, inner)
+        if keyword in ("byres", "bysegment"):
+            # byres <sel> / bysegment <sel>: expand the matched atoms
+            # to every atom sharing their residue/segment
+            # (MDAnalysis semantics).
+            inner = self._not_expr()
+            labels = (
+                self._group.resindices
+                if keyword == "byres"
+                else self._group.segindices
+            )
+            return np.isin(labels, np.unique(labels[inner]))
         if keyword == "prop":
             # prop [abs] x|y|z OP NUMBER: positional comparison at
             # the current frame (MDAnalysis semantics).
@@ -687,6 +699,7 @@ class AtomGroup:
                       | "around" NUMBER not_expr
                       | "sphzone" NUMBER not_expr
                       | "point" NUMBER NUMBER NUMBER NUMBER
+                      | ("byres" | "bysegment") not_expr
             PROP     := "mass" | "charge" | "resid" | "index"
             AXIS     := "x" | "y" | "z"
             OP       := "<" | "<=" | ">" | ">=" | "==" | "!="
@@ -717,6 +730,11 @@ class AtomGroup:
         ``CUTOFF`` of a fixed point; ``sphzone CUTOFF sel`` selects
         within ``CUTOFF`` of the center of geometry of ``sel``
         (inclusive of ``sel`` itself, unlike ``around``).
+
+        ``byres sel`` / ``bysegment sel`` expand the matched atoms to
+        every atom sharing their residue / segment — e.g.
+        ``"byres around 3.5 type NA"`` selects whole solvation-shell
+        molecules.
         """
 
         parser = _SelectionParser(selection, self)

@@ -176,6 +176,37 @@ def test_selection_positional_terms():
             u.select_atoms(bad)
 
 
+def test_selection_byres():
+    n = 9
+    u = Universe.from_arrays(
+        np.arange(n * 3, dtype=float).reshape(1, n, 3),
+        np.array([100.0, 100.0, 100.0]),
+        types=np.array(list("ABCABCABC"), dtype=object),
+        resindices=np.repeat(np.arange(3), 3),
+        segindices=np.array([0, 0, 0, 0, 0, 0, 1, 1, 1]),
+    )
+    # expand one matched atom per residue to the whole residue
+    np.testing.assert_array_equal(
+        u.select_atoms("byres type A").ix, np.arange(9)
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("byres index 4").ix, [3, 4, 5]
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("bysegment (type C and index 8)").ix,
+        [6, 7, 8],
+    )
+    # without parentheses 'and' applies after the expansion
+    np.testing.assert_array_equal(
+        u.select_atoms("bysegment type C and index 8").ix, [8]
+    )
+    # precedence: byres binds one not_expr unit
+    np.testing.assert_array_equal(
+        u.select_atoms("byres (index 0 or index 8)").ix,
+        [0, 1, 2, 6, 7, 8],
+    )
+
+
 def test_selection_glob():
     """fnmatch globbing on label terms (MDAnalysis semantics)."""
 
