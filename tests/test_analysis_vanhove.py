@@ -259,3 +259,36 @@ def test_vanhove_triclinic():
     np.testing.assert_array_equal(
         vh.results.counts_distinct, counts_d
     )
+
+
+def test_vanhove_checkpoint_resume(tmp_path):
+    """The ring carry (positions + counters) checkpoints and resumes
+    mid-stream like any carry-accumulating analysis."""
+
+    u, pos, box = _make_universe(n=16, n_frames=10)
+    ckpt = str(tmp_path / "vh_carry.npz")
+
+    full = VanHoveFunction(
+        u.atoms, n_bins=10, range=(0.0, 4.0), n_lags=4,
+        verbose=False,
+    ).run()
+
+    partial = VanHoveFunction(
+        u.atoms, n_bins=10, range=(0.0, 4.0), n_lags=4,
+        verbose=False,
+    )
+    partial._chunk_bytes = 2 * 16 * 3 * 8  # 2 frames per chunk
+    partial.run(stop=6, checkpoint=ckpt)
+
+    resumed = VanHoveFunction(
+        u.atoms, n_bins=10, range=(0.0, 4.0), n_lags=4,
+        verbose=False,
+    )
+    resumed._chunk_bytes = 2 * 16 * 3 * 8
+    resumed.run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        resumed.results.counts_self, full.results.counts_self
+    )
+    np.testing.assert_array_equal(
+        resumed.results.counts_distinct, full.results.counts_distinct
+    )
