@@ -49,6 +49,55 @@ __all__ = [
 ]
 
 
+def _sym3_eigvals(S, xp=jnp):
+    """Descending eigenvalues of symmetric ``(..., 3, 3)`` matrices
+    via the trigonometric closed form — elementwise math only, so it
+    lowers on this TPU backend (``jnp.linalg`` LU/QR paths do not).
+
+    `xp` selects the array module (``jnp`` on device, ``np`` in the
+    host pipeline).
+    """
+
+    q = (S[..., 0, 0] + S[..., 1, 1] + S[..., 2, 2]) / 3.0
+    eye = xp.eye(3, dtype=S.dtype)
+    A = S - q[..., None, None] * eye
+    p2 = (A * A).sum(axis=(-2, -1)) / 6.0
+    p = xp.sqrt(xp.maximum(p2, 0.0))
+    det = (
+        A[..., 0, 0]
+        * (A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1])
+        - A[..., 0, 1]
+        * (A[..., 1, 0] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 0])
+        + A[..., 0, 2]
+        * (A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0])
+    )
+    safe = xp.maximum(2.0 * p * p * p, xp.finfo(p2.dtype).tiny)
+    r = xp.clip(det / safe, -1.0, 1.0)
+    phi = xp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * xp.cos(phi)
+    l3 = q + 2.0 * p * xp.cos(phi + 2.0 * np.pi / 3.0)
+    l2 = 3.0 * q - l1 - l3
+    return l1, l2, l3
+
+
+def _shape_descriptors(S, xp=jnp):
+    r"""Gyration-tensor shape invariants of symmetric ``(..., 3, 3)``
+    tensors: asphericity :math:`b = \lambda_1 - (\lambda_2 +
+    \lambda_3)/2`, acylindricity :math:`c = \lambda_2 - \lambda_3`
+    and relative shape anisotropy :math:`\kappa^2 = (b^2 + 3c^2/4) /
+    (\lambda_1+\lambda_2+\lambda_3)^2` (Theodorou--Suter
+    conventions; :math:`\kappa^2 = 0` for spherical symmetry, 1 for
+    a rod)."""
+
+    l1, l2, l3 = _sym3_eigvals(S, xp=xp)
+    b = l1 - 0.5 * (l2 + l3)
+    c = l2 - l3
+    tr = l1 + l2 + l3
+    tr2 = xp.maximum(tr * tr, xp.finfo(b.dtype).tiny)
+    kappa2 = (b * b + 0.75 * c * c) / tr2
+    return b, c, kappa2
+
+
 def calculate_relaxation_time(
     time: np.ndarray, acf: np.ndarray
 ) -> float:
@@ -348,6 +397,15 @@ class Gyradius(_PolymerAnalysisBase):
 
     Results: ``results.gyradii`` with shape ``(N_g, N_t)`` (or
     ``(N_g, N_t, 3)`` with components).
+
+    ``shape=True`` (beyond reference) additionally computes the
+    gyration-tensor shape invariants per chain, averaged over chains
+    per frame: ``results.asphericity`` (:math:`b`, Angstrom^2),
+    ``results.acylindricity`` (:math:`c`, Angstrom^2) and
+    ``results.shape_anisotropy`` (:math:`\kappa^2`, dimensionless —
+    0 for spherical symmetry, 1 for a rod), each ``(N_g, N_t)``.
+    Eigenvalues come from the closed-form trigonometric solution for
+    symmetric 3x3 tensors (device-friendly; no ``linalg`` lowering).
     """
 
     def __init__(
@@ -358,6 +416,7 @@ class Gyradius(_PolymerAnalysisBase):
         n_monomers=None,
         *,
         components: bool = False,
+        shape: bool = False,
         unwrap: bool = False,
         parallel: bool = False,
         verbose: bool = True,
@@ -373,7 +432,12 @@ class Gyradius(_PolymerAnalysisBase):
             verbose=verbose,
             **kwargs,
         )
+        if shape and components:
+            raise ValueError(
+                "components and shape are mutually exclusive."
+            )
         self._components = components
+        self._shape = shape
 
     def _prepare(self) -> None:
         shape = [self._n_groups, self.n_frames]
@@ -381,6 +445,19 @@ class Gyradius(_PolymerAnalysisBase):
             shape.append(3)
         self.results.gyradii = np.empty(shape)
         self.results.units = {"results.gyradii": ureg.angstrom}
+        if self._shape:
+            for name in (
+                "asphericity", "acylindricity", "shape_anisotropy"
+            ):
+                self.results[name] = np.empty(
+                    (self._n_groups, self.n_frames)
+                )
+            self.results.units["results.asphericity"] = (
+                ureg.angstrom**2
+            )
+            self.results.units["results.acylindricity"] = (
+                ureg.angstrom**2
+            )
         self._store_offset = 0
 
         self._host_pipeline = self._resolve_polymer_host()
@@ -417,15 +494,18 @@ class Gyradius(_PolymerAnalysisBase):
         else:
             self._carry = (jnp.zeros(()), jnp.zeros(()))
 
+        shape_descriptors = self._shape
+
         def chain_gyradii(monomers, masses):
-            """(B, M, N_p, 3), (M, N_p) -> (B,) or (B, 3) chain-mean
-            radii of gyration."""
+            """(B, M, N_p, 3), (M, N_p) -> (B,) / (B, 3) / (B, 4)
+            chain-mean radii of gyration (+ shape invariants)."""
 
             total = masses.sum(axis=-1)  # (M,)
             com = jnp.einsum(
                 "mp,bmpd->bmd", masses, monomers
             ) / total[None, :, None]
-            sq = (monomers - com[:, :, None, :]) ** 2
+            dr = monomers - com[:, :, None, :]
+            sq = dr**2
             if components:
                 all_sq = sq.sum(axis=-1, keepdims=True)
                 ortho = all_sq - sq
@@ -437,6 +517,20 @@ class Gyradius(_PolymerAnalysisBase):
             rg = jnp.sqrt(
                 jnp.einsum("mp,bmpd->bm", masses, sq) / total[None, :]
             )
+            if shape_descriptors:
+                tensor = jnp.einsum(
+                    "mp,bmpd,bmpe->bmde", masses, dr, dr
+                ) / total[None, :, None, None]
+                b, c, kappa2 = _shape_descriptors(tensor)
+                return jnp.stack(
+                    (
+                        rg.mean(axis=1),
+                        b.mean(axis=1),
+                        c.mean(axis=1),
+                        kappa2.mean(axis=1),
+                    ),
+                    axis=-1,
+                )
             return rg.mean(axis=1)
 
         if unwrap:
@@ -487,12 +581,15 @@ class Gyradius(_PolymerAnalysisBase):
         if self._unwrap:
             self._init_host_unwrap()
 
+        shape_descriptors = self._shape
+
         def chain_gyradii(monomers, masses):
             total = masses.sum(axis=-1)
             com = np.einsum(
                 "mp,bmpd->bmd", masses, monomers
             ) / total[None, :, None]
-            sq = (monomers - com[:, :, None, :]) ** 2
+            dr = monomers - com[:, :, None, :]
+            sq = dr**2
             if components:
                 all_sq = sq.sum(axis=-1, keepdims=True)
                 ortho = all_sq - sq
@@ -505,6 +602,20 @@ class Gyradius(_PolymerAnalysisBase):
                 np.einsum("mp,bmpd->bm", masses, sq)
                 / total[None, :]
             )
+            if shape_descriptors:
+                tensor = np.einsum(
+                    "mp,bmpd,bmpe->bmde", masses, dr, dr
+                ) / total[None, :, None, None]
+                b, c, kappa2 = _shape_descriptors(tensor, xp=np)
+                return np.stack(
+                    (
+                        rg.mean(axis=1),
+                        b.mean(axis=1),
+                        c.mean(axis=1),
+                        kappa2.mean(axis=1),
+                    ),
+                    axis=-1,
+                )
             return rg.mean(axis=1)
 
         def host_update(batch) -> None:
@@ -524,10 +635,19 @@ class Gyradius(_PolymerAnalysisBase):
     def _store_chunk(self, gyradii, batch) -> None:
         n_real = batch.n_real
         lo = self._store_offset
-        block = np.asarray(gyradii)[:n_real]  # (B, G[, 3])
-        self.results.gyradii[:, lo:lo + n_real] = np.moveaxis(
-            block, 0, 1
-        )
+        block = np.asarray(gyradii)[:n_real]  # (B, G[, 3 | 4])
+        block = np.moveaxis(block, 0, 1)  # (G, B[, ...])
+        if self._shape:
+            self.results.gyradii[:, lo:lo + n_real] = block[..., 0]
+            self.results.asphericity[:, lo:lo + n_real] = block[..., 1]
+            self.results.acylindricity[:, lo:lo + n_real] = (
+                block[..., 2]
+            )
+            self.results.shape_anisotropy[:, lo:lo + n_real] = (
+                block[..., 3]
+            )
+        else:
+            self.results.gyradii[:, lo:lo + n_real] = block
         self._store_offset += n_real
 
     def _conclude(self) -> None:

@@ -380,3 +380,77 @@ def test_rouse_modes_host_pipeline(universe, traj, monkeypatch):
         device.results.mean_square_amplitudes,
         rtol=1e-12,
     )
+
+
+def test_gyradius_shape_descriptors(universe, traj):
+    """Gyration-tensor invariants (b, c, kappa^2) vs an eigvalsh
+    oracle, plus the rod and mutual-exclusion edge cases."""
+
+    gr = polymer.Gyradius(
+        universe.atoms, shape=True, verbose=False
+    ).run()
+    assert gr.results.asphericity.shape == (1, T)
+    masses = universe.atoms.masses.reshape(M, N_P)
+    for t in (0, T - 1):
+        chains = traj[t].reshape(M, N_P, 3)
+        bs, cs, k2s = [], [], []
+        for c, m in zip(chains, masses):
+            com = (m[:, None] * c).sum(0) / m.sum()
+            dr = c - com
+            S = np.einsum("p,pd,pe->de", m, dr, dr) / m.sum()
+            l3, l2, l1 = np.linalg.eigvalsh(S)  # ascending
+            bs.append(l1 - 0.5 * (l2 + l3))
+            cs.append(l2 - l3)
+            k2s.append(
+                (bs[-1] ** 2 + 0.75 * cs[-1] ** 2)
+                / (l1 + l2 + l3) ** 2
+            )
+        np.testing.assert_allclose(
+            gr.results.asphericity[0, t], np.mean(bs), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            gr.results.acylindricity[0, t], np.mean(cs), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            gr.results.shape_anisotropy[0, t], np.mean(k2s),
+            rtol=1e-8,
+        )
+
+    # A straight rod has kappa^2 = 1, acylindricity 0.
+    n = 8
+    rod = np.zeros((1, n, 3))
+    rod[0, :, 0] = np.arange(n, dtype=float)
+    u_rod = Universe.from_arrays(
+        rod, np.array([100.0] * 3), dt=1.0
+    )
+    gr_rod = polymer.Gyradius(
+        u_rod.atoms, n_chains=1, n_monomers=n, shape=True,
+        verbose=False,
+    ).run()
+    np.testing.assert_allclose(
+        gr_rod.results.shape_anisotropy[0, 0], 1.0, rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        gr_rod.results.acylindricity[0, 0], 0.0, atol=1e-10
+    )
+
+    with pytest.raises(ValueError):
+        polymer.Gyradius(
+            universe.atoms, components=True, shape=True
+        )
+
+
+def test_gyradius_shape_host_pipeline(universe, monkeypatch):
+    device, host = _host_device_pair(
+        lambda: polymer.Gyradius(
+            universe.atoms, shape=True, verbose=False
+        ),
+        monkeypatch,
+        universe,
+    )
+    for name in (
+        "gyradii", "asphericity", "acylindricity", "shape_anisotropy"
+    ):
+        np.testing.assert_allclose(
+            host.results[name], device.results[name], rtol=1e-10
+        )
