@@ -179,6 +179,40 @@ def baseline_config_frame_seconds(level: str, qs: np.ndarray) -> float:
             frame_seconds += (
                 (time.perf_counter() - t0) * q_scale * n_lags
             )
+        elif level == "vanhove":
+            # Van Hove G(r, t) on the ~22-lag log grid of a 64-frame
+            # ring: per frame, each resident lag costs one
+            # cross-frame pair histogram (KD-tree ball query, the
+            # reference's capped_distance idiom) + an O(N) self
+            # displacement histogram.  One lag is timed and
+            # extrapolated.
+            from scipy.spatial import cKDTree
+
+            n_sel = 22
+            pos_b = make_frame(i + 1).astype(np.float64)
+            t0 = time.perf_counter()
+            tree = cKDTree(pos_b % BOX, boxsize=BOX)
+            neighbors = tree.query_ball_point(pos % BOX, R_MAX)
+            counts = [len(nb) for nb in neighbors]
+            rows = np.repeat(np.arange(N_ATOMS), counts)
+            cols = (
+                np.concatenate([nb for nb in neighbors if nb])
+                if any(counts)
+                else np.empty(0, dtype=int)
+            )
+            delta = pos[rows] - pos_b[cols]
+            delta -= BOX * np.round(delta / BOX)
+            np.histogram(
+                np.sqrt((delta**2).sum(axis=1)),
+                bins=N_BINS, range=(0.0, R_MAX),
+            )
+            d = pos - pos_b
+            d -= BOX * np.round(d / BOX)
+            np.histogram(
+                np.sqrt((d**2).sum(axis=1)),
+                bins=N_BINS, range=(0.0, R_MAX),
+            )
+            frame_seconds = (time.perf_counter() - t0) * n_sel
         else:  # pragma: no cover - defensive
             raise ValueError(f"unknown baseline level {level!r}")
         times.append(frame_seconds)
@@ -552,7 +586,7 @@ def tpu_config_fps(which: str) -> float:
 
     chunk = 8
     n_frames = N_FRAMES
-    if which.startswith("isf"):
+    if which.startswith("isf") or which == "vanhove":
         # A 64-lag ring needs a longer window to fill and correlate.
         n_frames = max(N_FRAMES, 96)
     total = chunk + n_frames
@@ -648,6 +682,15 @@ def tpu_config_fps(which: str) -> float:
             n_lags=64, fft=(which == "isf_coh"),
             precision=PRECISION, verbose=False,
         )
+    elif which == "vanhove":
+        # Van Hove G(r, t) (beyond reference): position ring + one
+        # tiled pair sweep per resident log-grid lag per frame.
+        from mdhelper_tpu.analysis.structure import VanHoveFunction
+
+        a = VanHoveFunction(
+            u.atoms, n_bins=N_BINS, range=(0.0, R_MAX),
+            n_lags=64, lags="log", verbose=False,
+        )
     else:  # pragma: no cover - defensive
         raise ValueError(f"unknown config phase {which!r}")
 
@@ -719,11 +762,12 @@ def _measure_tpu_subprocess() -> float:
             "import bench\n"
             "print('MDTPU_FPS', bench.tpu_class_fps({phase!r}))\n"
         )
-    elif LEVEL in ("config4", "config5", "isf"):
+    elif LEVEL in ("config4", "config5", "isf", "vanhove"):
         phases = {
             "config4": ("profile",),
             "config5": ("polymer", "conductivity"),
             "isf": ("isf",),
+            "vanhove": ("vanhove",),
         }[LEVEL]
         template = (
             "import sys; sys.path.insert(0, {root!r})\n"
@@ -790,7 +834,7 @@ def _measure_tpu_subprocess() -> float:
 
 def main() -> None:
     qs = wavevectors()
-    if LEVEL in ("config4", "config5", "isf"):
+    if LEVEL in ("config4", "config5", "isf", "vanhove"):
         ref_seconds = baseline_config_frame_seconds(LEVEL, qs)
     else:
         ref_seconds = baseline_frame_seconds(qs)
@@ -812,6 +856,10 @@ def main() -> None:
         ),
         "isf": (
             "coherent+incoherent F(q,t), 64-lag ring buffer, "
+            "throughput"
+        ),
+        "vanhove": (
+            "van Hove G(r,t), 64-frame ring, log lag grid, "
             "throughput"
         ),
     }.get(LEVEL, "fused RDF+S(q)+MSD kernel throughput")
