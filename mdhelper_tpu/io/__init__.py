@@ -20,6 +20,50 @@ from . import (  # noqa: F401
 from .netcdf3 import Dataset  # noqa: F401
 from .structure_writers import write_gro, write_pdb, write_xyz  # noqa: F401
 
+
+def open_trajectory_writer(filename: str, n_atoms: int = None, **kwargs):
+    """Streaming trajectory writer dispatched by extension — append
+    frames one at a time without materializing the trajectory (the
+    MDAnalysis ``Writer`` idiom):
+
+    - ``.dcd`` — :class:`~mdhelper_tpu.io.dcd.DCDWriter` (Angstrom;
+      requires `n_atoms`, the header is patched with the frame count
+      on close);
+    - ``.xtc`` — :class:`~mdhelper_tpu.io.xtc.XTCWriter` (nm,
+      compressed);
+    - ``.trr`` — :class:`~mdhelper_tpu.io.trr.TRRWriter` (nm, full
+      precision, optional velocities/forces).
+
+    Use as a context manager::
+
+        with open_trajectory_writer("out.xtc") as w:
+            for frame, box in stream:
+                w.write(frame, box)
+    """
+
+    lower = filename.lower()
+    if lower.endswith(".dcd"):
+        if n_atoms is None:
+            raise ValueError(
+                "The DCD header needs n_atoms up front; pass "
+                "open_trajectory_writer(filename, n_atoms=...)."
+            )
+        from .dcd import DCDWriter
+
+        return DCDWriter(filename, n_atoms, **kwargs)
+    if lower.endswith(".xtc"):
+        from .xtc import XTCWriter
+
+        return XTCWriter(filename, **kwargs)
+    if lower.endswith(".trr"):
+        from .trr import TRRWriter
+
+        return TRRWriter(filename, **kwargs)
+    raise ValueError(
+        f"Unsupported trajectory-writer format: '{filename}' "
+        "(supported: .dcd, .xtc, .trr)."
+    )
+
 __all__ = [
     "netcdf3",
     "dcd",
@@ -32,4 +76,5 @@ __all__ = [
     "write_pdb",
     "write_gro",
     "write_xyz",
+    "open_trajectory_writer",
 ]

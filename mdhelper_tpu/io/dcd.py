@@ -310,47 +310,122 @@ def write_dcd(
                 f"got {unitcells.shape}."
             )
 
-    def record(payload: bytes) -> bytes:
-        return (
-            struct.pack("<i", len(payload))
-            + payload
-            + struct.pack("<i", len(payload))
-        )
-
-    icntrl = np.zeros(20, dtype=np.int32)
-    icntrl[0] = n_frames
-    icntrl[1] = istart
-    icntrl[2] = nsavc
-    icntrl[3] = n_frames * nsavc
-    icntrl[9] = np.float32(delta).view(np.int32)
-    icntrl[10] = 1 if unitcells is not None else 0
-    icntrl[19] = 24  # CHARMM version
-    header = b"CORD" + icntrl.astype("<i4").tobytes()
-
-    line = title.encode("latin-1")[:80].ljust(80)
-    title_rec = struct.pack("<i", 1) + line
-
-    with open(filename, "wb") as fh:
-        fh.write(record(header))
-        fh.write(record(title_rec))
-        fh.write(record(struct.pack("<i", n_atoms)))
-        xyz = positions.astype("<f4", copy=False)
+    with DCDWriter(
+        filename, n_atoms, istart=istart, nsavc=nsavc, delta=delta,
+        title=title,
+    ) as writer:
         for f in range(n_frames):
-            if unitcells is not None:
-                a, b, c, al, be, g = unitcells[f]
-                # CHARMM >= 22 layout with cosine angles.
-                cell = struct.pack(
-                    "<6d",
-                    a,
-                    np.cos(np.radians(g)),
-                    b,
-                    np.cos(np.radians(be)),
-                    np.cos(np.radians(al)),
-                    c,
-                )
-                fh.write(record(cell))
-            frame = xyz[f]
-            for k in range(3):
-                fh.write(
-                    record(np.ascontiguousarray(frame[:, k]).tobytes())
-                )
+            writer.write(
+                positions[f],
+                unitcells[f] if unitcells is not None else None,
+            )
+
+
+def _record(payload: bytes) -> bytes:
+    return (
+        struct.pack("<i", len(payload))
+        + payload
+        + struct.pack("<i", len(payload))
+    )
+
+
+class DCDWriter:
+    """Streaming DCD writer — append one frame at a time.  The DCD
+    header carries the frame count, so it is written with a zero
+    count and patched in place on :meth:`close` (the MDAnalysis
+    ``DCDWriter`` does the same); :func:`write_dcd` is the
+    whole-array convenience over this.  Coordinates in Angstrom.
+
+    Whether frames carry a unit cell is fixed by the FIRST
+    :meth:`write` call (the header's ``icntrl[10]`` flag is patched
+    accordingly); later frames must match.
+    """
+
+    def __init__(
+        self,
+        filename: str,
+        n_atoms: int,
+        *,
+        istart: int = 0,
+        nsavc: int = 1,
+        delta: float = 1.0,
+        title: str = "Created by mdhelper_tpu",
+    ) -> None:
+        self._n_atoms = int(n_atoms)
+        self._nsavc = int(nsavc)
+        self._n_frames = 0
+        self._has_cell = None
+        self._fh = open(filename, "wb")
+
+        icntrl = np.zeros(20, dtype=np.int32)
+        icntrl[1] = istart
+        icntrl[2] = nsavc
+        icntrl[9] = np.float32(delta).view(np.int32)
+        icntrl[19] = 24  # CHARMM version
+        self._fh.write(_record(b"CORD" + icntrl.astype("<i4").tobytes()))
+        line = title.encode("latin-1")[:80].ljust(80)
+        self._fh.write(_record(struct.pack("<i", 1) + line))
+        self._fh.write(_record(struct.pack("<i", self._n_atoms)))
+
+    def write(self, positions, unitcell=None) -> None:
+        """Append one frame: `positions` ``(n_atoms, 3)`` Angstrom,
+        `unitcell` ``[a, b, c, alpha, beta, gamma]`` (degrees) or
+        ``None``."""
+
+        positions = np.asarray(positions)
+        if positions.shape != (self._n_atoms, 3):
+            raise ValueError(
+                f"positions must have shape ({self._n_atoms}, 3); "
+                f"got {positions.shape}."
+            )
+        has_cell = unitcell is not None
+        if self._has_cell is None:
+            self._has_cell = has_cell
+        elif has_cell != self._has_cell:
+            raise ValueError(
+                "All frames must consistently have (or not have) a "
+                "unit cell."
+            )
+        if has_cell:
+            a, b, c, al, be, g = np.asarray(
+                unitcell, dtype=np.float64
+            )
+            # CHARMM >= 22 layout with cosine angles.
+            cell = struct.pack(
+                "<6d",
+                a,
+                np.cos(np.radians(g)),
+                b,
+                np.cos(np.radians(be)),
+                np.cos(np.radians(al)),
+                c,
+            )
+            self._fh.write(_record(cell))
+        frame = positions.astype("<f4", copy=False)
+        for k in range(3):
+            self._fh.write(
+                _record(np.ascontiguousarray(frame[:, k]).tobytes())
+            )
+        self._n_frames += 1
+
+    def close(self) -> None:
+        if self._fh.closed:
+            return
+        # Patch the frame count (icntrl[0], file offset 8), total
+        # steps (icntrl[3], offset 20) and the unit-cell flag
+        # (icntrl[10], offset 48) now that they are known.
+        self._fh.seek(8)
+        self._fh.write(struct.pack("<i", self._n_frames))
+        self._fh.seek(20)
+        self._fh.write(
+            struct.pack("<i", self._n_frames * self._nsavc)
+        )
+        self._fh.seek(48)
+        self._fh.write(struct.pack("<i", 1 if self._has_cell else 0))
+        self._fh.close()
+
+    def __enter__(self) -> "DCDWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -223,43 +223,106 @@ def write_trr(
     if times is None:
         times = np.asarray(steps, dtype=float) * dt
 
-    width = 8 if double else 4
-    dtype = ">f8" if double else ">f4"
-    ffmt = ">d" if double else ">f"
-    sec = 3 * n_atoms * width
-
-    nchars = len(_VERSION)
-    version = (
-        struct.pack(">i", nchars + 1)
-        + _VERSION
-        + b"\x00" * (-nchars % 4)
-    )
-
-    with open(filename, "wb") as fh:
+    with TRRWriter(filename, double=double, dt=dt) as writer:
         for i in range(n_frames):
-            fh.write(struct.pack(">i", MAGIC))
-            fh.write(version)
-            fh.write(
-                struct.pack(
-                    ">10i",
-                    0, 0, 9 * width, 0, 0, 0, 0,
-                    sec,
-                    sec if velocities is not None else 0,
-                    sec if forces is not None else 0,
-                )
+            writer.write(
+                positions[i],
+                boxes[i],
+                velocities=(
+                    velocities[i] if velocities is not None else None
+                ),
+                forces=forces[i] if forces is not None else None,
+                step=int(steps[i]),
+                time=float(times[i]),
             )
-            fh.write(
-                struct.pack(">3i", n_atoms, int(steps[i]), 0)
+
+
+class TRRWriter:
+    """Streaming TRR writer — append one frame at a time (frames are
+    independent records; :func:`write_trr` is the whole-array
+    convenience over this).  Positions/boxes in nm."""
+
+    def __init__(
+        self,
+        filename: str,
+        *,
+        double: bool = False,
+        dt: float = 1.0,
+    ) -> None:
+        self._fh = open(filename, "wb")
+        self._double = bool(double)
+        self._dt = float(dt)
+        self._step = 0
+
+    def write(
+        self,
+        positions,
+        box=None,
+        *,
+        velocities=None,
+        forces=None,
+        step=None,
+        time=None,
+    ) -> None:
+        """Append one frame: `positions` ``(n_atoms, 3)`` nm, `box`
+        ``(3, 3)`` nm; optional same-shape `velocities`/`forces`."""
+
+        positions = np.asarray(positions, dtype=np.float64)
+        if positions.ndim != 2 or positions.shape[-1] != 3:
+            raise ValueError(
+                "positions must have shape (n_atoms, 3); got "
+                f"{positions.shape}."
             )
-            fh.write(struct.pack(ffmt, float(times[i])))
-            fh.write(struct.pack(ffmt, 0.0))  # lambda
-            fh.write(boxes[i].astype(dtype).tobytes())
-            fh.write(positions[i].astype(dtype).tobytes())
-            if velocities is not None:
-                fh.write(
-                    np.asarray(velocities[i]).astype(dtype).tobytes()
-                )
-            if forces is not None:
-                fh.write(
-                    np.asarray(forces[i]).astype(dtype).tobytes()
-                )
+        n_atoms = positions.shape[0]
+        step = self._step if step is None else int(step)
+        time = step * self._dt if time is None else float(time)
+        box = (
+            np.zeros((3, 3))
+            if box is None
+            else np.asarray(box, dtype=np.float64)
+        )
+
+        double = self._double
+        width = 8 if double else 4
+        dtype = ">f8" if double else ">f4"
+        ffmt = ">d" if double else ">f"
+        sec = 3 * n_atoms * width
+        nchars = len(_VERSION)
+        version = (
+            struct.pack(">i", nchars + 1)
+            + _VERSION
+            + b"\x00" * (-nchars % 4)
+        )
+
+        fh = self._fh
+        fh.write(struct.pack(">i", MAGIC))
+        fh.write(version)
+        fh.write(
+            struct.pack(
+                ">10i",
+                0, 0, 9 * width, 0, 0, 0, 0,
+                sec,
+                sec if velocities is not None else 0,
+                sec if forces is not None else 0,
+            )
+        )
+        fh.write(struct.pack(">3i", n_atoms, step, 0))
+        fh.write(struct.pack(ffmt, time))
+        fh.write(struct.pack(ffmt, 0.0))  # lambda
+        fh.write(box.astype(dtype).tobytes())
+        fh.write(positions.astype(dtype).tobytes())
+        if velocities is not None:
+            fh.write(np.asarray(velocities).astype(dtype).tobytes())
+        if forces is not None:
+            fh.write(np.asarray(forces).astype(dtype).tobytes())
+        self._step = step + 1
+
+    def close(self) -> None:
+        if not self._fh.closed:
+            self._fh.close()
+
+    def __enter__(self) -> "TRRWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -606,14 +606,76 @@ def write_xtc(
     if times is None:
         times = np.asarray(steps, dtype=float) * dt
 
-    with open(filename, "wb") as fh:
+    with XTCWriter(filename, precision=precision, dt=dt) as writer:
         for f in range(n_frames):
-            fh.write(
-                struct.pack(
-                    ">3if", MAGIC, n_atoms, int(steps[f]),
-                    float(times[f]),
-                )
+            writer.write(
+                positions[f], boxes[f],
+                step=int(steps[f]), time=float(times[f]),
             )
-            fh.write(boxes[f].astype(">f4").tobytes())
-            fh.write(struct.pack(">i", n_atoms))
-            fh.write(compress_coords(positions[f], precision))
+
+
+class XTCWriter:
+    """Streaming XTC writer — append one frame at a time without
+    materializing the whole trajectory (the MDAnalysis ``Writer``
+    idiom the reference's users rely on; :func:`write_xtc` is the
+    whole-array convenience over this).
+
+    Frames are independent records in XTC, so streaming is a plain
+    append.  Coordinates and boxes are in nm (the format's native
+    unit, like :func:`write_xtc`).
+
+    >>> with XTCWriter("out.xtc") as w:
+    ...     for frame in frames:
+    ...         w.write(frame, box)
+    """
+
+    def __init__(
+        self,
+        filename: str,
+        *,
+        precision: float = 1000.0,
+        dt: float = 1.0,
+    ) -> None:
+        self._fh = open(filename, "wb")
+        self._precision = float(precision)
+        self._dt = float(dt)
+        self._step = 0
+
+    def write(
+        self, positions, box=None, *, step=None, time=None
+    ) -> None:
+        """Append one frame: `positions` ``(n_atoms, 3)`` nm, `box`
+        ``(3, 3)`` nm (zeros when omitted).  `step` defaults to an
+        auto-incrementing counter, `time` to ``step * dt``."""
+
+        positions = np.asarray(positions, dtype=np.float64)
+        if positions.ndim != 2 or positions.shape[-1] != 3:
+            raise ValueError(
+                "positions must have shape (n_atoms, 3); got "
+                f"{positions.shape}."
+            )
+        step = self._step if step is None else int(step)
+        time = step * self._dt if time is None else float(time)
+        box = (
+            np.zeros((3, 3))
+            if box is None
+            else np.asarray(box, dtype=np.float64)
+        )
+        n_atoms = positions.shape[0]
+        self._fh.write(
+            struct.pack(">3if", MAGIC, n_atoms, step, time)
+        )
+        self._fh.write(box.astype(">f4").tobytes())
+        self._fh.write(struct.pack(">i", n_atoms))
+        self._fh.write(compress_coords(positions, self._precision))
+        self._step = step + 1
+
+    def close(self) -> None:
+        if not self._fh.closed:
+            self._fh.close()
+
+    def __enter__(self) -> "XTCWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
