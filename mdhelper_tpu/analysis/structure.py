@@ -2267,10 +2267,6 @@ class VanHoveFunction(SerialAnalysisBase):
         self._store_chunk = None
 
         edges = jnp.asarray(self.results.edges)
-        n_cols = len(self._atom_indices)
-        take = _column_selector(
-            np.arange(n_cols), n_cols
-        )  # identity; columns were already narrowed to the group
         seg = None if self._seg is None else jnp.asarray(self._seg)
         masses = jnp.asarray(self.group.masses)
         n_entities = self._n
@@ -2349,7 +2345,8 @@ class VanHoveFunction(SerialAnalysisBase):
             return new_carry, None
 
         def update(carry, positions, dimensions, mask):
-            pos = take(positions)
+            # The stream already narrows columns to the group's atoms.
+            pos = positions
             if seg is not None:
                 pos = _com_positions(pos, masses, seg, n_entities)
             if triclinic:
