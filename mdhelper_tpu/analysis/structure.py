@@ -27,6 +27,7 @@ from itertools import combinations_with_replacement
 from ..algorithm.topology import triclinic_matrices
 from ..algorithm.utility import get_closest_factors
 from ..ops.histogram import (
+    _bin_distances,
     _min_image_distance,
     displacement_histogram_frame,
     radial_histogram_batch,
@@ -2239,12 +2240,14 @@ class VanHoveFunction(SerialAnalysisBase):
             self.results.edges[:-1] + self.results.edges[1:]
         ) / 2
         self.results.times = step * self._dt * lag_values
-        self.results.units = {
-            "results.bins": ureg.angstrom,
-            "results.edges": ureg.angstrom,
-            "results.times": ureg.picosecond,
-            "results.gs": ureg.angstrom**-3,
-        }
+        self.results.units = {}
+        if not self._reduced:
+            self.results.units = {
+                "results.bins": ureg.angstrom,
+                "results.edges": ureg.angstrom,
+                "results.times": ureg.picosecond,
+                "results.gs": ureg.angstrom**-3,
+            }
 
         n_sel = len(lag_values)
         ring_dtype = jnp.dtype(self._stream_dtype())
@@ -2295,27 +2298,36 @@ class VanHoveFunction(SerialAnalysisBase):
                 past = ring[rifi[lag]]
                 ok = lag_ok[lag]
                 if self_part:
-                    cs = displacement_histogram_frame(
-                        pos, past, box, edges, precision=precision
+                    # One minimum-image pass serves both the moments
+                    # (<r^2>, <r^4> — exact values, not re-binned
+                    # histogram estimates; per-atom math in the
+                    # stream dtype, per-lag sums in f64) and the
+                    # fast-path histogram.  Exact-precision binning
+                    # needs the double-float pipeline and keeps its
+                    # own pass (O(N) — negligible next to the
+                    # distinct part's pair sweep).
+                    dmin = _min_image_distance(
+                        pos - past, box.astype(pos.dtype)
                     )
-                    counts_s = counts_s.at[lag].add(cs * ok)
-                    # Displacement moments (for <r^2>(t) and the
-                    # non-Gaussian parameter): exact values, not
-                    # re-binned histogram estimates.  Per-atom math
-                    # stays in the stream dtype; the per-lag sums
-                    # accumulate in f64.
-                    r2 = (
-                        _min_image_distance(
-                            pos - past, box.astype(pos.dtype)
-                        )
-                        ** 2
-                    )
+                    r2 = dmin * dmin
                     m2 = m2.at[lag].add(
                         r2.sum().astype(jnp.float64) * ok
                     )
                     m4 = m4.at[lag].add(
                         (r2 * r2).sum().astype(jnp.float64) * ok
                     )
+                    if precision == "exact":
+                        cs = displacement_histogram_frame(
+                            pos, past, box, edges,
+                            precision=precision,
+                        )
+                    else:
+                        cs = _bin_distances(
+                            dmin, edges,
+                            jnp.ones(dmin.shape, jnp.float32),
+                            self._n_bins,
+                        )
+                    counts_s = counts_s.at[lag].add(cs * ok)
                 if distinct_part:
                     cd = radial_histogram_frame(
                         past, pos, box, edges, exclusion=(1, 1),
@@ -2380,7 +2392,8 @@ class VanHoveFunction(SerialAnalysisBase):
             self.results.msd = m2
             with np.errstate(divide="ignore", invalid="ignore"):
                 self.results.alpha2 = 3 * m4 / (5 * m2**2) - 1
-            self.results.units["results.msd"] = ureg.angstrom**2
+            if not self._reduced:
+                self.results.units["results.msd"] = ureg.angstrom**2
         if self._distinct_part:
             self.results.counts_distinct = counts_d.astype(np.int64)
             self.results.gd = counts_d * volume_mean / (

@@ -477,6 +477,20 @@ class _SelectionParser:
             return mask
         self._error(f"unsupported selection term '{keyword}'.")
 
+    def _periodic_box(self):
+        """The current orthorhombic box lengths (float64, (3,)) when
+        minimum-image distances apply, else ``None`` — the shared
+        periodicity convention of every geometric selection term."""
+
+        dims = self._group.dimensions
+        if (
+            dims is not None
+            and np.all(np.asarray(dims[:3]) > 0)
+            and np.allclose(dims[3:6], 90.0)
+        ):
+            return np.asarray(dims[:3], dtype=np.float64)
+        return None
+
     def _around(self, cutoff: float, inner: np.ndarray) -> np.ndarray:
         """Atoms of the group within `cutoff` of any `inner` atom,
         excluding `inner` — a cKDTree ball query, periodic when the
@@ -490,14 +504,8 @@ class _SelectionParser:
             return np.zeros(self._n, dtype=bool)
         group = self._group
         positions = np.asarray(group.positions, dtype=np.float64)
-        dims = group.dimensions
-        box = None
-        if (
-            dims is not None
-            and np.all(np.asarray(dims[:3]) > 0)
-            and np.allclose(dims[3:6], 90.0)
-        ):
-            box = np.asarray(dims[:3], dtype=np.float64)
+        box = self._periodic_box()
+        if box is not None:
             positions = positions % box
             # Guard the half-open [0, box) domain cKDTree requires
             # (x % box can land exactly on box for tiny negatives).
@@ -515,16 +523,12 @@ class _SelectionParser:
         image for orthorhombic boxes, plain Euclidean otherwise
         (same convention as :meth:`_around`)."""
 
-        group = self._group
-        positions = np.asarray(group.positions, dtype=np.float64)
+        positions = np.asarray(
+            self._group.positions, dtype=np.float64
+        )
         delta = positions - np.asarray(point, dtype=np.float64)
-        dims = group.dimensions
-        if (
-            dims is not None
-            and np.all(np.asarray(dims[:3]) > 0)
-            and np.allclose(dims[3:6], 90.0)
-        ):
-            box = np.asarray(dims[:3], dtype=np.float64)
+        box = self._periodic_box()
+        if box is not None:
             delta -= box * np.round(delta / box)
         return (delta**2).sum(axis=1) <= cutoff**2
 
@@ -707,7 +711,10 @@ class AtomGroup:
         Label terms support :mod:`fnmatch` globbing (MDAnalysis
         semantics): ``"name H*"`` matches H, H1, HW1, ...; ``?``
         and ``[seq]`` work too; labels without glob characters
-        match literally.
+        match literally.  Grammar keywords (``prop``, ``point``,
+        ``around``, ...) are reserved words inside label lists; a
+        label that collides with one can be matched with a
+        single-character glob class (``"name [p]oint"``).
 
         Examples: ``"type A B"``, ``"not name H*"``, ``"charge < 0"``,
         ``"(type A or type B) and not resid 1:10"``,
@@ -766,6 +773,9 @@ class AtomGroup:
         lower = filename.lower()
         topology = self.universe._topology
         if lower.endswith(".pdb"):
+            # elements omitted: force-field type strings ("OW",
+            # "CT") are not element symbols; write_pdb's
+            # name-derived guess is safer for external readers.
             sw.write_pdb(
                 filename,
                 self.positions,
@@ -773,7 +783,6 @@ class AtomGroup:
                 resnames=self.resnames,
                 resids=topology.resids[self._ix],
                 segids=self.segids,
-                elements=self.types,
                 dimensions=self.dimensions,
             )
         elif lower.endswith(".gro"):

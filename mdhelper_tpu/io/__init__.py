@@ -54,11 +54,11 @@ def open_trajectory_writer(filename: str, n_atoms: int = None, **kwargs):
     if lower.endswith(".xtc"):
         from .xtc import XTCWriter
 
-        return XTCWriter(filename, **kwargs)
+        return XTCWriter(filename, n_atoms=n_atoms, **kwargs)
     if lower.endswith(".trr"):
         from .trr import TRRWriter
 
-        return TRRWriter(filename, **kwargs)
+        return TRRWriter(filename, n_atoms=n_atoms, **kwargs)
     raise ValueError(
         f"Unsupported trajectory-writer format: '{filename}' "
         "(supported: .dcd, .xtc, .trr)."

@@ -246,10 +246,12 @@ class TRRWriter:
         self,
         filename: str,
         *,
+        n_atoms: int = None,
         double: bool = False,
         dt: float = 1.0,
     ) -> None:
         self._fh = open(filename, "wb")
+        self._n_atoms = None if n_atoms is None else int(n_atoms)
         self._double = bool(double)
         self._dt = float(dt)
         self._step = 0
@@ -274,6 +276,13 @@ class TRRWriter:
                 f"{positions.shape}."
             )
         n_atoms = positions.shape[0]
+        if self._n_atoms is None:
+            self._n_atoms = n_atoms
+        elif n_atoms != self._n_atoms:
+            raise ValueError(
+                f"Frame has {n_atoms} atoms; this file holds "
+                f"{self._n_atoms}-atom frames."
+            )
         step = self._step if step is None else int(step)
         time = step * self._dt if time is None else float(time)
         box = (

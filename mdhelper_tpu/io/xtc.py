@@ -633,10 +633,12 @@ class XTCWriter:
         self,
         filename: str,
         *,
+        n_atoms: int = None,
         precision: float = 1000.0,
         dt: float = 1.0,
     ) -> None:
         self._fh = open(filename, "wb")
+        self._n_atoms = None if n_atoms is None else int(n_atoms)
         self._precision = float(precision)
         self._dt = float(dt)
         self._step = 0
@@ -653,6 +655,13 @@ class XTCWriter:
             raise ValueError(
                 "positions must have shape (n_atoms, 3); got "
                 f"{positions.shape}."
+            )
+        if self._n_atoms is None:
+            self._n_atoms = positions.shape[0]
+        elif positions.shape[0] != self._n_atoms:
+            raise ValueError(
+                f"Frame has {positions.shape[0]} atoms; this file "
+                f"holds {self._n_atoms}-atom frames."
             )
         step = self._step if step is None else int(step)
         time = step * self._dt if time is None else float(time)

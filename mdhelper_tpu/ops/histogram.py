@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["radial_histogram_frame", "radial_histogram_batch"]
+__all__ = [
+    "radial_histogram_frame",
+    "radial_histogram_batch",
+    "displacement_histogram_frame",
+]
 
 
 def _bin_distances(dist, edges, weights, n_bins):

@@ -292,3 +292,13 @@ def test_vanhove_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(
         resumed.results.counts_distinct, full.results.counts_distinct
     )
+
+
+def test_vanhove_reduced_units():
+    u, pos, box = _make_universe(n=12, n_frames=4)
+    vh = VanHoveFunction(
+        u.atoms, n_bins=8, range=(0.0, 3.0), reduced=True,
+        verbose=False,
+    ).run()
+    assert vh.results.units == {}
+    assert vh.results.msd is not None

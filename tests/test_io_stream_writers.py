@@ -87,3 +87,18 @@ def test_writer_dispatch_errors(tmp_path):
         open_trajectory_writer(str(tmp_path / "x.dcd"))  # n_atoms
     with pytest.raises(ValueError):
         open_trajectory_writer(str(tmp_path / "x.pdb"))
+
+
+def test_xtc_trr_atom_count_validation(tmp_path):
+    pos = _traj()
+    for ext in ("xtc", "trr"):
+        path = str(tmp_path / f"v.{ext}")
+        with open_trajectory_writer(path, n_atoms=N) as w:
+            w.write(pos[0])
+            with pytest.raises(ValueError):
+                w.write(pos[1, : N - 1])
+        # Count inferred from the first frame when not given.
+        with open_trajectory_writer(path) as w:
+            w.write(pos[0])
+            with pytest.raises(ValueError):
+                w.write(pos[1, : N - 1])
