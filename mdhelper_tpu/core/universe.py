@@ -254,7 +254,7 @@ class _SelectionParser:
         ("all", "none", "charged", "type", "name", "resname",
          "segid", "resid", "index", "mass", "charge", "and", "or",
          "not", "around", "prop", "point", "sphzone", "byres",
-         "bysegment")
+         "bysegment", "same")
     )
     _LABEL_ATTRS = {
         "type": "types",
@@ -348,6 +348,28 @@ class _SelectionParser:
             cutoff = float(number)
             inner = self._not_expr()
             return self._around(cutoff, inner)
+        if keyword == "same":
+            # same ATTR as <sel>: atoms sharing any matched atom's
+            # value of ATTR (MDAnalysis semantics; "byres" is the
+            # resindex special case).
+            attr = self._next()
+            label_attrs = dict(self._LABEL_ATTRS)
+            numeric = ("mass", "charge", "resid", "index")
+            if attr not in label_attrs and attr not in numeric:
+                self._error(
+                    "'same' expects one of "
+                    f"{sorted((*label_attrs, *numeric))}."
+                )
+            if self._next() != "as":
+                self._error("'same ATTR' must be followed by 'as'.")
+            inner = self._not_expr()
+            values = (
+                getattr(group, label_attrs[attr])
+                if attr in label_attrs
+                else group._selection_values(attr)
+            )
+            values = np.asarray(values)
+            return np.isin(values, np.unique(values[inner]))
         if keyword in ("byres", "bysegment"):
             # byres <sel> / bysegment <sel>: expand the matched atoms
             # to every atom sharing their residue/segment
@@ -704,6 +726,7 @@ class AtomGroup:
                       | "sphzone" NUMBER not_expr
                       | "point" NUMBER NUMBER NUMBER NUMBER
                       | ("byres" | "bysegment") not_expr
+                      | "same" ATTR "as" not_expr
             PROP     := "mass" | "charge" | "resid" | "index"
             AXIS     := "x" | "y" | "z"
             OP       := "<" | "<=" | ">" | ">=" | "==" | "!="
@@ -741,7 +764,9 @@ class AtomGroup:
         ``byres sel`` / ``bysegment sel`` expand the matched atoms to
         every atom sharing their residue / segment — e.g.
         ``"byres around 3.5 type NA"`` selects whole solvation-shell
-        molecules.
+        molecules.  ``same ATTR as sel`` generalizes this to any
+        attribute (``type``/``name``/``resname``/``segid``/``resid``/
+        ``mass``/``charge``/``index``): ``"same resname as index 0"``.
         """
 
         parser = _SelectionParser(selection, self)

@@ -205,6 +205,16 @@ def test_selection_byres():
         u.select_atoms("byres (index 0 or index 8)").ix,
         [0, 1, 2, 6, 7, 8],
     )
+    # same ATTR as <sel>: the general attribute expansion
+    np.testing.assert_array_equal(
+        u.select_atoms("same type as index 0").ix, [0, 3, 6]
+    )
+    np.testing.assert_array_equal(
+        u.select_atoms("same resid as index 4").ix, [3, 4, 5]
+    )
+    for bad in ("same foo as type A", "same type index 0"):
+        with pytest.raises(ValueError):
+            u.select_atoms(bad)
 
 
 def test_selection_glob():
