@@ -684,3 +684,58 @@ def test_prefetch_preserves_order_and_results(monkeypatch):
     on = run("1")
     np.testing.assert_array_equal(off.cisf, on.cisf)
     np.testing.assert_array_equal(off.iisf, on.iisf)
+
+
+def test_selection_fuzz_random_expressions():
+    """Differential fuzz: random boolean expression trees evaluated
+    by select_atoms must match a direct mask-algebra oracle."""
+
+    n = 40
+    r = np.random.default_rng(123)
+    types = r.choice(["A", "B", "CX", "H1", "H2"], n)
+    masses = r.choice([1.0, 12.0, 16.0], n)
+    charges = r.choice([-1.0, 0.0, 1.0], n)
+    resindices = np.sort(r.integers(0, 8, n))
+    u = Universe.from_arrays(
+        r.random((1, n, 3)) * 10.0,
+        np.array([10.0, 10.0, 10.0]),
+        types=np.asarray(types, dtype=object),
+        masses=masses,
+        charges=charges,
+        resindices=resindices,
+    )
+    resids = resindices + 1
+
+    leaves = [
+        ("type A", np.isin(types, ["A"])),
+        ("type A CX", np.isin(types, ["A", "CX"])),
+        ("type H*", np.isin(types, ["H1", "H2"])),
+        ("name ZZZ", np.zeros(n, dtype=bool)),
+        ("charged", charges != 0),
+        ("mass > 10", masses > 10),
+        ("charge <= 0", charges <= 0),
+        ("resid 2:4", (resids >= 2) & (resids <= 4)),
+        ("index 0 5 7", np.isin(np.arange(n), [0, 5, 7])),
+        ("all", np.ones(n, dtype=bool)),
+        ("none", np.zeros(n, dtype=bool)),
+    ]
+
+    def build(depth):
+        if depth == 0 or r.random() < 0.3:
+            return leaves[r.integers(len(leaves))]
+        kind = r.integers(3)
+        if kind == 0:
+            expr, mask = build(depth - 1)
+            return f"not ({expr})", ~mask
+        a_expr, a_mask = build(depth - 1)
+        b_expr, b_mask = build(depth - 1)
+        if kind == 1:
+            return f"({a_expr}) and ({b_expr})", a_mask & b_mask
+        return f"({a_expr}) or ({b_expr})", a_mask | b_mask
+
+    for _ in range(200):
+        expr, mask = build(3)
+        got = u.select_atoms(expr).ix
+        np.testing.assert_array_equal(
+            got, np.flatnonzero(mask), err_msg=expr
+        )
