@@ -32,7 +32,11 @@ from ..ops.profiles import axis_histogram_batch
 from .base import DynamicAnalysisBase, host_unwrap_chunk
 from .structure import _com_positions, _group_segment_ids
 
-__all__ = ["calculate_potential_profile", "DensityProfile"]
+__all__ = [
+    "calculate_potential_profile",
+    "DensityProfile",
+    "RadialDensityProfile",
+]
 
 
 def calculate_potential_profile(
@@ -866,3 +870,301 @@ def _entity_masses(group, grouping: str) -> np.ndarray:
     out = np.zeros(n)
     np.add.at(out, seg, group.masses)
     return out
+
+
+class RadialDensityProfile(DynamicAnalysisBase):
+    r"""Number and charge density profiles as a function of distance
+    from a fixed point or a group's per-frame center of mass —
+    spherical shells (droplets, micelles, nanoparticles) or
+    cylindrical shells around a box axis (nanopores, fibrils).
+
+    A beyond-reference capability (the reference's
+    :class:`DensityProfile` bins Cartesian axes only, reference
+    ``analysis/profile.py:287-996``); the binning rides the same
+    elementwise minimum-image distance kernel as the van Hove self
+    part (:func:`mdhelper_tpu.ops.histogram.
+    displacement_histogram_frame`), so float32 streams bin in exact
+    double-float on TPU.
+
+    Results: ``results.bins`` (shell centers), raw ``results.counts``
+    ``(G, n_bins)``, ``results.number_densities`` ``(G, n_bins)``
+    (counts / frames / shell volume) and — when every group's entity
+    charge is uniform or `charges` is given —
+    ``results.charge_densities`` ``(n_bins,)``.
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Group(s) to profile.
+    center : array-like or `AtomGroup`
+        Fixed reference point ``(x, y, z)`` (Angstrom) or a group
+        whose per-frame center of mass is the reference.  A COM
+        center must not straddle the periodic boundary (wrap/unwrap
+        the trajectory accordingly — the COM is computed from the
+        wrapped coordinates as streamed).
+    n_bins : `int`, default 201
+        Number of radial shells.
+    range : array-like, default ``(0.0, 15.0)``
+        Radii range.
+    geometry : `str`, keyword-only, default ``"spherical"``
+        ``"spherical"`` (distance from the point) or
+        ``"cylindrical"`` (in-plane distance from the line through
+        the point along `axis`).
+    axis : `int` or `str`, keyword-only, default 2
+        Cylinder axis (cylindrical geometry only).
+    groupings : `str` or array-like, keyword-only, default ``"atoms"``
+        ``"atoms"``, ``"residues"`` or ``"segments"`` (COM entities).
+    charges : array-like, keyword-only, optional
+        Per-group entity charges (auto-detected from the topology
+        when uniform within each group, like :class:`DensityProfile`).
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh (the counts carry is
+        order-independent).
+    """
+
+    def __init__(
+        self,
+        groups,
+        center,
+        n_bins: int = 201,
+        range: tuple = (0.0, 15.0),
+        *,
+        geometry: str = "spherical",
+        axis: Union[int, str] = 2,
+        groupings: Union[str, tuple] = "atoms",
+        charges=None,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        self._n_groups = len(self._groups)
+        self.universe = self._groups[0].universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+
+        if geometry not in ("spherical", "cylindrical"):
+            raise ValueError(
+                "Invalid geometry. Valid values: 'spherical', "
+                "'cylindrical'."
+            )
+        self._geometry = geometry
+        self._axis = (
+            ord(axis.lower()) - 120 if isinstance(axis, str) else int(axis)
+        )
+        if self._axis not in (0, 1, 2):
+            raise ValueError("Invalid cylinder axis.")
+
+        if isinstance(groupings, str):
+            self._groupings = [groupings] * self._n_groups
+        else:
+            groupings = list(groupings)
+            if len(groupings) != self._n_groups:
+                raise ValueError(
+                    "The number of grouping values is not equal to "
+                    "the number of groups."
+                )
+            self._groupings = groupings
+        for g in self._groupings:
+            if g not in ("atoms", "residues", "segments"):
+                raise ValueError(f"Invalid grouping '{g}'.")
+
+        self._n_bins = int(n_bins)
+        self._range = tuple(range)
+        self._reduced = reduced
+
+        # Center: fixed point or a COM group.
+        if hasattr(center, "universe"):
+            self._center_group = center
+            self._center_point = None
+        else:
+            self._center_group = None
+            point, unit_ = strip_unit(center, "angstrom")
+            if reduced and not isinstance(unit_, (str, type(None))):
+                raise TypeError(
+                    "'center' cannot have units when reduced=True."
+                )
+            point = np.asarray(point, dtype=np.float64)
+            if point.shape != (3,):
+                raise ValueError(
+                    "A fixed center must have shape (3,)."
+                )
+            self._center_point = point
+
+        # Per-group entity charges (DensityProfile convention).
+        if charges is not None:
+            if len(charges) != self._n_groups:
+                raise ValueError(
+                    "The number of group charges is not equal to the "
+                    "number of groups."
+                )
+            charges, unit_ = strip_unit(charges, "elementary_charge")
+            if reduced and not isinstance(unit_, (str, type(None))):
+                raise TypeError(
+                    "'charges' cannot have units when reduced=True."
+                )
+            self._charges = np.asarray(charges)
+        else:
+            self._charges = np.empty(self._n_groups)
+            for i, (group, grouping) in enumerate(
+                zip(self._groups, self._groupings)
+            ):
+                entity = _entity_charges(group, grouping)
+                if not np.allclose(entity[0], entity):
+                    self._charges = None
+                    warnings.warn(
+                        f"Not all {grouping} in group {i} share the "
+                        "same charge. No charge density profile will "
+                        "be calculated."
+                    )
+                    break
+                self._charges[i] = entity[0]
+
+        # Streaming columns: profiled groups + the COM center group.
+        column_groups = list(self._groups)
+        if self._center_group is not None:
+            column_groups.append(self._center_group)
+        self._atom_indices = np.concatenate(
+            [g.ix for g in column_groups]
+        )
+        self._sels, self._segs, self._Ns = [], [], []
+        offset = 0
+        for group, grouping in zip(self._groups, self._groupings):
+            self._sels.append(offset + np.arange(group.n_atoms))
+            seg, n = _group_segment_ids(group, grouping)
+            self._segs.append(seg)
+            self._Ns.append(int(n))
+            offset += group.n_atoms
+        self._center_sel = (
+            offset + np.arange(self._center_group.n_atoms)
+            if self._center_group is not None
+            else None
+        )
+
+    def _prepare(self) -> None:
+        from ..ops.histogram import displacement_histogram_frame
+
+        self.results.edges = np.linspace(
+            *self._range, self._n_bins + 1
+        )
+        self.results.bins = (
+            self.results.edges[:-1] + self.results.edges[1:]
+        ) / 2
+        self.results.units = {}
+        if not self._reduced:
+            self.results.units = {
+                "results.bins": ureg.angstrom,
+                "results.edges": ureg.angstrom,
+                "results.number_densities": ureg.angstrom**-3,
+            }
+            if self._charges is not None:
+                self.results.units["results.charge_densities"] = (
+                    ureg.elementary_charge / ureg.angstrom**3
+                )
+
+        self._carry = {
+            "counts": jnp.zeros(
+                (self._n_groups, self._n_bins), jnp.float64
+            ),
+            "length": jnp.zeros((), jnp.float64),
+        }
+
+        edges = jnp.asarray(self.results.edges)
+        n_cols = len(self._atom_indices)
+        from .structure import _column_selector
+
+        takes = [
+            _column_selector(sel, n_cols) for sel in self._sels
+        ]
+        segs = [
+            None if s is None else jnp.asarray(s) for s in self._segs
+        ]
+        masses = [
+            jnp.asarray(g.masses) for g in self._groups
+        ]
+        ns = self._Ns
+        cylindrical = self._geometry == "cylindrical"
+        axis = self._axis
+        precision = (
+            "exact" if self._stream_dtype() == np.float32 else "fast"
+        )
+        if self._center_group is not None:
+            center_take = _column_selector(self._center_sel, n_cols)
+            center_masses = jnp.asarray(self._center_group.masses)
+            center_seg = jnp.zeros(
+                self._center_group.n_atoms, jnp.int32
+            )
+            fixed_center = None
+        else:
+            fixed_center = jnp.asarray(self._center_point)
+
+        def update(carry, positions, dimensions, mask):
+            box = dimensions[:, :3]
+            if self._center_group is not None:
+                centers = _com_positions(
+                    center_take(positions), center_masses,
+                    center_seg, 1,
+                )[:, 0, :]  # (B, 3)
+            else:
+                centers = jnp.broadcast_to(
+                    fixed_center.astype(positions.dtype),
+                    (positions.shape[0], 3),
+                )
+            counts = carry["counts"]
+            for i, (take, seg, m, n) in enumerate(
+                zip(takes, segs, masses, ns)
+            ):
+                pos = take(positions)
+                if seg is not None:
+                    pos = _com_positions(pos, m, seg, n)
+
+                def frame_counts(args):
+                    pos_f, center_f, box_f = args
+                    c = jnp.broadcast_to(center_f, pos_f.shape)
+                    if cylindrical:
+                        pos_f = pos_f.at[:, axis].set(0.0)
+                        c = c.at[:, axis].set(0.0)
+                    return displacement_histogram_frame(
+                        pos_f, c, box_f, edges, precision=precision
+                    )
+
+                per_frame = jax.lax.map(
+                    frame_counts, (pos, centers, box)
+                )
+                counts = counts.at[i].add(
+                    (per_frame * mask[:, None]).sum(axis=0)
+                )
+            new_carry = {
+                "counts": counts,
+                "length": carry["length"]
+                + (box[:, axis] * mask).sum().astype(jnp.float64),
+            }
+            return new_carry
+
+        from .base import jit_update
+
+        self._update = jit_update(update)
+
+    def _conclude(self) -> None:
+        counts = np.asarray(self._carry["counts"])
+        self.results.counts = counts.astype(np.int64)
+        edges = self.results.edges
+        if self._geometry == "spherical":
+            shell = 4 * np.pi * np.diff(edges**3) / 3
+        else:
+            mean_length = float(self._carry["length"]) / self.n_frames
+            shell = np.pi * np.diff(edges**2) * mean_length
+        self.results.number_densities = counts / (
+            self.n_frames * shell
+        )
+        if self._charges is not None:
+            self.results.charge_densities = np.einsum(
+                "g,gb->b", self._charges,
+                self.results.number_densities,
+            )

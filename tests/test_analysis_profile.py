@@ -306,3 +306,123 @@ def test_density_profile_host_pipeline_residue_coms(monkeypatch):
         np.asarray(host.results.number_densities[0]),
         rtol=1e-10,
     )
+
+
+# -- RadialDensityProfile (beyond reference) ---------------------------------
+
+
+def test_radial_density_profile_spherical_oracle():
+    from mdhelper_tpu.analysis.profile import RadialDensityProfile
+    from mdhelper_tpu.core.universe import Universe
+
+    r = np.random.default_rng(11)
+    n, F, L = 60, 5, 12.0
+    pos = r.random((F, n, 3)) * L
+    box = np.array([L] * 3)
+    u = Universe.from_arrays(
+        pos, box,
+        charges=np.ones(n),
+        types=np.array(["A"] * n, dtype=object),
+    )
+    center = np.array([3.0, 4.0, 5.0])
+    prof = RadialDensityProfile(
+        u.atoms, center, n_bins=16, range=(0.0, 5.0), verbose=False
+    ).run()
+
+    # Oracle: minimum-image distances to the fixed point.
+    counts = np.zeros(16)
+    for f in range(F):
+        d = pos[f] - center
+        d -= box * np.round(d / box)
+        counts += np.histogram(
+            np.linalg.norm(d, axis=1),
+            bins=prof.results.edges,
+        )[0]
+    np.testing.assert_array_equal(prof.results.counts[0], counts)
+    shell = 4 * np.pi * np.diff(prof.results.edges**3) / 3
+    np.testing.assert_allclose(
+        prof.results.number_densities[0], counts / (F * shell),
+        rtol=1e-12,
+    )
+    # uniform unit charges -> charge density equals number density
+    np.testing.assert_allclose(
+        prof.results.charge_densities,
+        prof.results.number_densities[0],
+        rtol=1e-12,
+    )
+    # The sphere bulk density approaches N/V for r in range.
+    total = (counts / (F * shell))[4:].mean()
+    assert abs(total - n / L**3) / (n / L**3) < 0.5
+
+
+def test_radial_density_profile_cylindrical_and_com_center():
+    from mdhelper_tpu.analysis.profile import RadialDensityProfile
+    from mdhelper_tpu.core.universe import Universe
+
+    r = np.random.default_rng(12)
+    n, F, L = 40, 4, 10.0
+    pos = r.random((F, n, 3)) * L
+    # Compact center group near the middle (no PBC straddle).
+    pos[:, :4] = L / 2 + r.random((F, 4, 3))
+    box = np.array([L] * 3)
+    u = Universe.from_arrays(
+        pos, box,
+        masses=np.ones(n),
+        charges=np.zeros(n),
+        types=np.array(["C"] * 4 + ["A"] * (n - 4), dtype=object),
+    )
+    center_group = u.select_atoms("type C")
+    shell_group = u.select_atoms("type A")
+    prof = RadialDensityProfile(
+        shell_group, center_group, n_bins=10, range=(0.0, 4.0),
+        geometry="cylindrical", axis="z", verbose=False,
+    ).run()
+
+    counts = np.zeros(10)
+    for f in range(F):
+        com = pos[f, :4].mean(axis=0)
+        d = pos[f, 4:] - com
+        d -= box * np.round(d / box)
+        counts += np.histogram(
+            np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2),
+            bins=prof.results.edges,
+        )[0]
+    np.testing.assert_array_equal(prof.results.counts[0], counts)
+    shell = np.pi * np.diff(prof.results.edges**2) * L
+    np.testing.assert_allclose(
+        prof.results.number_densities[0], counts / (F * shell),
+        rtol=1e-12,
+    )
+
+
+def test_radial_density_profile_parallel_and_validation():
+    import pytest as _pytest
+
+    from mdhelper_tpu.analysis.profile import RadialDensityProfile
+    from mdhelper_tpu.core.universe import Universe
+
+    r = np.random.default_rng(13)
+    n, F, L = 24, 8, 8.0
+    pos = r.random((F, n, 3)) * L
+    u = Universe.from_arrays(
+        pos, np.array([L] * 3), charges=np.ones(n),
+        types=np.array(["A"] * n, dtype=object),
+    )
+    serial = RadialDensityProfile(
+        u.atoms, [4.0, 4.0, 4.0], n_bins=12, range=(0.0, 3.9),
+        verbose=False,
+    ).run()
+    sharded = RadialDensityProfile(
+        u.atoms, [4.0, 4.0, 4.0], n_bins=12, range=(0.0, 3.9),
+        parallel=True, verbose=False,
+    ).run()
+    np.testing.assert_array_equal(
+        serial.results.counts, sharded.results.counts
+    )
+    with _pytest.raises(ValueError):
+        RadialDensityProfile(u.atoms, [1.0, 2.0], verbose=False)
+    with _pytest.raises(ValueError):
+        RadialDensityProfile(
+            u.atoms, [1.0, 2.0, 3.0], geometry="torus",
+            verbose=False,
+        )
