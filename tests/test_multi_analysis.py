@@ -334,3 +334,36 @@ def test_fused_vanhove_rides_the_stream(universe):
     np.testing.assert_allclose(
         fused[1].results.msd, separate[1].results.msd, rtol=1e-12
     )
+
+
+def test_fused_radial_profile_rides_the_stream(universe):
+    from mdhelper_tpu.analysis.profile import RadialDensityProfile
+
+    def make():
+        return [
+            RadialDistributionFunction(
+                universe.atoms, n_bins=16, range=(0.0, 3.5),
+                exclusion=(1, 1), verbose=False,
+            ),
+            RadialDensityProfile(
+                universe.atoms, [6.0, 6.0, 6.0], n_bins=12,
+                range=(0.0, 4.0), verbose=False,
+            ),
+        ]
+
+    separate = make()
+    for a in separate:
+        a.run()
+    fused = make()
+    run_together(fused)
+    np.testing.assert_array_equal(
+        fused[0].results.counts, separate[0].results.counts
+    )
+    np.testing.assert_array_equal(
+        fused[1].results.counts, separate[1].results.counts
+    )
+    np.testing.assert_allclose(
+        fused[1].results.number_densities,
+        separate[1].results.number_densities,
+        rtol=1e-12,
+    )
