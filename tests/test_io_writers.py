@@ -112,3 +112,17 @@ def test_write_dispatch_errors():
     u, _ = _universe()
     with pytest.raises(ValueError):
         u.atoms.write("/tmp/mdtpu_rt.mol2")
+
+
+def test_gro_multi_frame_round_trip_through_universe():
+    u, pos = _universe()
+    write_gro(
+        "/tmp/mdtpu_traj.gro", pos,
+        names=u.atoms.names, resnames=u.atoms.resnames,
+        dimensions=u.dimensions,
+    )
+    u2 = Universe.from_files("/tmp/mdtpu_traj.gro")
+    assert u2.trajectory.n_frames == 3
+    frames, dims = u2.trajectory.read_frames(np.arange(3))
+    np.testing.assert_allclose(frames, pos, atol=5.1e-3)
+    np.testing.assert_allclose(dims[0][:3], 12.0, atol=1e-3)
