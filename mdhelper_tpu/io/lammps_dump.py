@@ -23,7 +23,8 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["LAMMPSDumpFile", "read_lammps_dump"]
+__all__ = ["LAMMPSDumpFile", "read_lammps_dump",
+           "LAMMPSDumpWriter", "write_lammps_dump"]
 
 
 def _open(filename: str):
@@ -193,3 +194,146 @@ def read_lammps_dump(filename: str):
     dump = LAMMPSDumpFile(filename)
     pos, dims = dump.read_frames(range(dump.n_frames))
     return pos, dims, dump.steps
+
+
+class LAMMPSDumpWriter:
+    """Streaming LAMMPS text dump writer (``dump custom ... id type
+    x y z`` layout) — the write-side complement of
+    :class:`LAMMPSDumpFile`; frames append one at a time.
+
+    `dimensions` per frame is ``[lx, ly, lz, alpha, beta, gamma]``
+    (Angstrom/degrees); triclinic cells emit ``BOX BOUNDS xy xz yz``
+    with the LAMMPS bounding-box extension (the exact inverse of the
+    reader's conversion).
+    """
+
+    def __init__(self, filename: str) -> None:
+        self._fh = (
+            gzip.open(filename, "wt")
+            if filename.endswith(".gz")
+            else open(filename, "w")
+        )
+        self._step = 0
+
+    def write(
+        self,
+        positions,
+        dimensions=None,
+        *,
+        types=None,
+        ids=None,
+        step: int = None,
+    ) -> None:
+        """Append one frame: `positions` ``(N, 3)``, optional
+        `dimensions` ``(3,)``/``(6,)``, integer `types`/`ids`
+        (defaults 1 / 1..N), `step` (auto-incrementing default)."""
+
+        positions = np.asarray(positions, dtype=np.float64)
+        if positions.ndim != 2 or positions.shape[-1] != 3:
+            raise ValueError(
+                "positions must have shape (n_atoms, 3); got "
+                f"{positions.shape}."
+            )
+        n = positions.shape[0]
+        step = self._step if step is None else int(step)
+        types = (
+            np.ones(n, dtype=int)
+            if types is None
+            else np.asarray(types, dtype=int)
+        )
+        ids = (
+            np.arange(1, n + 1)
+            if ids is None
+            else np.asarray(ids, dtype=int)
+        )
+
+        if dimensions is None:
+            lo = positions.min(axis=0)
+            hi = positions.max(axis=0)
+            bounds_item = "ITEM: BOX BOUNDS pp pp pp"
+            rows = [f"{lo[k]:.10g} {hi[k]:.10g}" for k in range(3)]
+        else:
+            dims = np.asarray(dimensions, dtype=np.float64).ravel()
+            if len(dims) == 3:
+                dims = np.concatenate((dims, [90.0, 90.0, 90.0]))
+            if np.allclose(dims[3:6], 90.0):
+                bounds_item = "ITEM: BOX BOUNDS pp pp pp"
+                rows = [f"0 {dims[k]:.10g}" for k in range(3)]
+            else:
+                from ..algorithm.topology import triclinic_matrices
+
+                m = np.asarray(triclinic_matrices(dims))
+                lx, ly, lz = m[0, 0], m[1, 1], m[2, 2]
+                xy, xz, yz = m[1, 0], m[2, 0], m[2, 1]
+                # LAMMPS Howto triclinic: bounds extend by the tilts.
+                xlo_b = min(0.0, xy, xz, xy + xz)
+                xhi_b = lx + max(0.0, xy, xz, xy + xz)
+                ylo_b = min(0.0, yz)
+                yhi_b = ly + max(0.0, yz)
+                bounds_item = (
+                    "ITEM: BOX BOUNDS xy xz yz pp pp pp"
+                )
+                rows = [
+                    f"{xlo_b:.10g} {xhi_b:.10g} {xy:.10g}",
+                    f"{ylo_b:.10g} {yhi_b:.10g} {xz:.10g}",
+                    f"0 {lz:.10g} {yz:.10g}",
+                ]
+
+        out = [
+            "ITEM: TIMESTEP",
+            str(step),
+            "ITEM: NUMBER OF ATOMS",
+            str(n),
+            bounds_item,
+            *rows,
+            "ITEM: ATOMS id type x y z",
+        ]
+        for k in range(n):
+            x, y, z = positions[k]
+            out.append(
+                f"{ids[k]} {types[k]} {x:.10g} {y:.10g} {z:.10g}"
+            )
+        self._fh.write("\n".join(out) + "\n")
+        self._step = step + 1
+
+    def close(self) -> None:
+        if not self._fh.closed:
+            self._fh.close()
+
+    def __enter__(self) -> "LAMMPSDumpWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def write_lammps_dump(
+    filename: str,
+    positions,
+    dimensions=None,
+    *,
+    types=None,
+    steps=None,
+) -> None:
+    """Write a whole ``(n_frames, n_atoms, 3)`` trajectory as a
+    LAMMPS text dump (see :class:`LAMMPSDumpWriter`)."""
+
+    positions = np.asarray(positions, dtype=np.float64)
+    if positions.ndim != 3 or positions.shape[-1] != 3:
+        raise ValueError(
+            "positions must have shape (n_frames, n_atoms, 3); got "
+            f"{positions.shape}."
+        )
+    n_frames = positions.shape[0]
+    if dimensions is not None:
+        dimensions = np.asarray(dimensions, dtype=np.float64)
+        if dimensions.ndim == 1:
+            dimensions = np.tile(dimensions, (n_frames, 1))
+    with LAMMPSDumpWriter(filename) as writer:
+        for f in range(n_frames):
+            writer.write(
+                positions[f],
+                dimensions[f] if dimensions is not None else None,
+                types=types,
+                step=None if steps is None else int(steps[f]),
+            )

@@ -218,3 +218,39 @@ def test_universe_from_xyz(tmp_path):
     np.testing.assert_allclose(
         u.atoms.masses, [15.999, 1.008, 1.008]
     )
+
+
+def test_dump_writer_round_trip(tmp_path):
+    """write_lammps_dump -> read_lammps_dump round trip, orthorhombic
+    and triclinic boxes, gz streaming."""
+
+    from mdhelper_tpu.io.lammps_dump import (
+        LAMMPSDumpWriter,
+        read_lammps_dump,
+        write_lammps_dump,
+    )
+
+    r = np.random.default_rng(3)
+    F, N = 4, 17
+    dims = np.array([8.0, 7.0, 6.0, 90.0, 90.0, 90.0])
+    pos = r.random((F, N, 3)) * dims[:3]
+    path = str(tmp_path / "t.dump")
+    write_lammps_dump(path, pos, dims, steps=np.arange(0, 40, 10))
+    frames, boxes, steps = read_lammps_dump(path)
+    np.testing.assert_allclose(frames, pos, rtol=1e-9)
+    np.testing.assert_allclose(boxes[0], dims, atol=1e-9)
+    np.testing.assert_array_equal(steps, [0, 10, 20, 30])
+
+    # Triclinic: dimensions survive the bounding-box extension.
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+
+    dims6 = np.array([8.0, 7.0, 6.0, 80.0, 95.0, 100.0])
+    mat = np.asarray(triclinic_matrices(dims6))
+    tpos = r.random((2, N, 3)) @ mat
+    tpath = str(tmp_path / "tric.dump.gz")
+    with LAMMPSDumpWriter(tpath) as w:
+        for f in range(2):
+            w.write(tpos[f], dims6)
+    tframes, tboxes, _ = read_lammps_dump(tpath)
+    np.testing.assert_allclose(tframes, tpos, rtol=1e-8)
+    np.testing.assert_allclose(tboxes[0], dims6, atol=1e-7)
