@@ -59,9 +59,14 @@ def open_trajectory_writer(filename: str, n_atoms: int = None, **kwargs):
         from .trr import TRRWriter
 
         return TRRWriter(filename, n_atoms=n_atoms, **kwargs)
+    stem = lower[:-3] if lower.endswith(".gz") else lower
+    if stem.endswith((".dump", ".lammpstrj")):
+        from .lammps_dump import LAMMPSDumpWriter
+
+        return LAMMPSDumpWriter(filename, **kwargs)
     raise ValueError(
         f"Unsupported trajectory-writer format: '{filename}' "
-        "(supported: .dcd, .xtc, .trr)."
+        "(supported: .dcd, .xtc, .trr, .dump/.lammpstrj[.gz])."
     )
 
 __all__ = [

@@ -102,3 +102,16 @@ def test_xtc_trr_atom_count_validation(tmp_path):
             w.write(pos[0])
             with pytest.raises(ValueError):
                 w.write(pos[1, : N - 1])
+
+
+def test_dump_writer_dispatch(tmp_path):
+    from mdhelper_tpu.io.lammps_dump import read_lammps_dump
+
+    pos = _traj()
+    path = str(tmp_path / "s.lammpstrj")
+    with open_trajectory_writer(path) as w:
+        for f in range(F):
+            w.write(pos[f], [4.0, 4.0, 4.0])
+    frames, boxes, steps = read_lammps_dump(path)
+    np.testing.assert_allclose(frames, pos, rtol=1e-9)
+    np.testing.assert_array_equal(steps, np.arange(F))
