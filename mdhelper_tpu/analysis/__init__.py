@@ -8,6 +8,7 @@ User-facing trajectory analyses (reference:
 
 from . import (  # noqa: F401
     base,
+    bonded,
     electrostatics,
     multi,
     polymer,
@@ -27,6 +28,7 @@ from .base import (  # noqa: F401
 
 __all__ = [
     "base",
+    "bonded",
     "multi",
     "run_together",
     "electrostatics",

@@ -1,0 +1,128 @@
+"""Bonded-structure distributions (bond lengths / angles) vs NumPy
+oracles — beyond-reference capability built on the topology's bond
+connectivity."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis.bonded import (
+    BondAngleDistribution,
+    BondLengthDistribution,
+    derive_angles,
+)
+from mdhelper_tpu.core.universe import Universe
+
+rng = np.random.default_rng(31)
+
+
+def _water_universe(n_mol=8, n_frames=5, box=10.0):
+    """Rigid-ish 3-site molecules: O-H1, O-H2 bonds per molecule."""
+
+    n = 3 * n_mol
+    pos = np.empty((n_frames, n, 3))
+    bonds = []
+    for m in range(n_mol):
+        o = 3 * m
+        bonds += [(o, o + 1), (o, o + 2)]
+    for f in range(n_frames):
+        centers = rng.random((n_mol, 3)) * box
+        for m in range(n_mol):
+            o = 3 * m
+            pos[f, o] = centers[m]
+            for h, angle0 in ((o + 1, 0.0), (o + 2, 104.5)):
+                direction = rng.standard_normal(3)
+                direction /= np.linalg.norm(direction)
+                pos[f, h] = (
+                    centers[m]
+                    + direction * (0.96 + 0.02 * rng.standard_normal())
+                )
+    pos %= box
+    u = Universe.from_arrays(
+        pos,
+        np.array([box] * 3),
+        types=np.array(["O", "H", "H"] * n_mol, dtype=object),
+        resindices=np.repeat(np.arange(n_mol), 3),
+        bonds=np.asarray(bonds),
+    )
+    return u, pos, np.asarray(bonds), np.array([box] * 3)
+
+
+def test_derive_angles():
+    bonds = np.array([(0, 1), (0, 2), (3, 0)])
+    np.testing.assert_array_equal(
+        derive_angles(bonds),
+        [[1, 0, 2], [1, 0, 3], [2, 0, 3]],
+    )
+    assert derive_angles(np.array([(5, 6)])).shape == (0, 3)
+
+
+def test_bond_length_distribution_oracle():
+    u, pos, bonds, box = _water_universe()
+    dist = BondLengthDistribution(
+        u.atoms, n_bins=30, range=(0.5, 1.5), verbose=False
+    ).run()
+
+    d = pos[:, bonds[:, 0]] - pos[:, bonds[:, 1]]
+    d -= box * np.round(d / box)
+    lengths = np.linalg.norm(d, axis=-1)
+    counts = np.histogram(
+        lengths, bins=dist.results.edges
+    )[0]
+    np.testing.assert_array_equal(dist.results.counts, counts)
+    np.testing.assert_allclose(
+        dist.results.mean, lengths.mean(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        dist.results.std, lengths.std(), rtol=1e-7
+    )
+    widths = np.diff(dist.results.edges)
+    np.testing.assert_allclose(
+        (dist.results.probability * widths).sum(), 1.0, rtol=1e-12
+    )
+
+    # parallel=True: bit-equal counts
+    par = BondLengthDistribution(
+        u.atoms, n_bins=30, range=(0.5, 1.5), parallel=True,
+        verbose=False,
+    ).run()
+    np.testing.assert_array_equal(
+        par.results.counts, dist.results.counts
+    )
+
+
+def test_bond_angle_distribution_oracle():
+    u, pos, bonds, box = _water_universe()
+    dist = BondAngleDistribution(
+        u.atoms, n_bins=36, range=(0.0, 180.0), verbose=False
+    ).run()
+    triples = derive_angles(bonds)
+
+    v1 = pos[:, triples[:, 0]] - pos[:, triples[:, 1]]
+    v2 = pos[:, triples[:, 2]] - pos[:, triples[:, 1]]
+    v1 -= box * np.round(v1 / box)
+    v2 -= box * np.round(v2 / box)
+    cos = (v1 * v2).sum(-1) / (
+        np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1)
+    )
+    theta = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+    counts = np.histogram(theta, bins=dist.results.edges)[0]
+    np.testing.assert_array_equal(dist.results.counts, counts)
+    np.testing.assert_allclose(
+        dist.results.mean, theta.mean(), rtol=1e-9
+    )
+    assert dist.results.units["results.bins"] is not None
+
+
+def test_bonded_validation_and_explicit_terms():
+    u, pos, bonds, box = _water_universe()
+    no_bonds = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * pos.shape[1], dtype=object)
+    )
+    with pytest.raises(ValueError):
+        BondLengthDistribution(no_bonds.atoms, verbose=False)
+    # Explicit bond list on a bond-less topology works.
+    dist = BondLengthDistribution(
+        no_bonds.atoms, n_bins=30, range=(0.5, 1.5),
+        bonds=bonds, verbose=False,
+    ).run()
+    assert dist.results.counts.sum() > 0
