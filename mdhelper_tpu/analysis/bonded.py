@@ -32,8 +32,10 @@ from .base import DynamicAnalysisBase, jit_update
 
 __all__ = [
     "derive_angles",
+    "derive_dihedrals",
     "BondLengthDistribution",
     "BondAngleDistribution",
+    "DihedralDistribution",
 ]
 
 
@@ -319,3 +321,109 @@ class BondAngleDistribution(_BondedBase):
         var = float(self._carry["m2"]) / n - mean**2
         self.results.mean = mean
         self.results.std = float(np.sqrt(max(var, 0.0)))
+
+
+def derive_dihedrals(bonds: np.ndarray) -> np.ndarray:
+    """All proper-dihedral quadruples ``(i, j, k, l)`` implied by a
+    bond list: every bond ``(j, k)`` extended by distinct neighbors
+    ``i`` of ``j`` and ``l`` of ``k``."""
+
+    bonds = np.asarray(bonds, dtype=np.int64).reshape(-1, 2)
+    neighbors = {}
+    for a, b in bonds:
+        neighbors.setdefault(int(a), set()).add(int(b))
+        neighbors.setdefault(int(b), set()).add(int(a))
+    quads = []
+    for j, k in sorted(
+        (int(a), int(b)) for a, b in bonds
+    ):
+        for i in sorted(neighbors[j] - {k}):
+            for l in sorted(neighbors[k] - {j}):
+                if i != l:
+                    quads.append((i, j, k, l))
+    return np.asarray(quads, dtype=np.int64).reshape(-1, 4)
+
+
+class DihedralDistribution(_BondedBase):
+    r"""Histogram of proper dihedral (torsion) angles
+    :math:`\phi_{ijkl}` in degrees over ``(-180, 180]`` (IUPAC sign
+    convention: the angle from the ``i-j-k`` plane to the ``j-k-l``
+    plane, positive clockwise looking down ``j -> k``), with the
+    quadruples derived from the bond connectivity by default
+    (:func:`derive_dihedrals`).
+
+    Parameters mirror :class:`BondLengthDistribution` (`dihedrals`
+    overrides the derived quadruples).  Results:
+    ``results.bins``/``edges`` (degrees), ``results.counts``,
+    ``results.probability``.
+    """
+
+    def __init__(
+        self,
+        group,
+        n_bins: int = 181,
+        range: tuple = (-180.0, 180.0),
+        *,
+        dihedrals=None,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        if dihedrals is None:
+            topo_bonds = group.universe._topology.bonds
+            in_group = np.isin(topo_bonds, group.ix).all(axis=1)
+            dihedrals = derive_dihedrals(topo_bonds[in_group])
+        super().__init__(
+            group, dihedrals, n_bins, range,
+            reduced=reduced, parallel=parallel, verbose=verbose,
+            **kwargs,
+        )
+
+    def _prepare(self) -> None:
+        super()._prepare()
+        if not self._reduced:
+            self.results.units = {
+                "results.bins": ureg.degree,
+                "results.edges": ureg.degree,
+            }
+        self._make_update()
+
+    def _make_update(self) -> None:
+        edges = jnp.asarray(self.results.edges)
+        cols = [jnp.asarray(self._cols[:, c]) for c in range(4)]
+        n_bins = self._n_bins
+
+        def update(carry, positions, dimensions, mask):
+            box = dimensions[:, :3]
+
+            def frame(args):
+                pos_f, box_f = args
+                b = box_f.astype(pos_f.dtype)
+
+                def mi(v):
+                    return v - b * jnp.round(v / b)
+
+                b1 = mi(pos_f[cols[1]] - pos_f[cols[0]])
+                b2 = mi(pos_f[cols[2]] - pos_f[cols[1]])
+                b3 = mi(pos_f[cols[3]] - pos_f[cols[2]])
+                n1 = jnp.cross(b1, b2)
+                n2 = jnp.cross(b2, b3)
+                m1 = jnp.cross(
+                    n1, b2 / jnp.linalg.norm(b2, axis=-1)[:, None]
+                )
+                x = (n1 * n2).sum(axis=-1)
+                y = (m1 * n2).sum(axis=-1)
+                phi = jnp.degrees(jnp.arctan2(y, x))
+                return _bin_distances(
+                    phi, edges,
+                    jnp.ones(phi.shape, jnp.float32), n_bins,
+                )
+
+            counts = jax.lax.map(frame, (positions, box))
+            return {
+                "counts": carry["counts"]
+                + (counts * mask[:, None]).sum(axis=0),
+            }
+
+        self._update = jit_update(update)

@@ -126,3 +126,94 @@ def test_bonded_validation_and_explicit_terms():
         bonds=bonds, verbose=False,
     ).run()
     assert dist.results.counts.sum() > 0
+
+
+def test_dihedral_distribution():
+    from mdhelper_tpu.analysis.bonded import (
+        DihedralDistribution,
+        derive_dihedrals,
+    )
+
+    # derive_dihedrals on a butane-like chain 0-1-2-3 (+ branch 4 on 2)
+    bonds = np.array([(0, 1), (1, 2), (2, 3), (2, 4)])
+    np.testing.assert_array_equal(
+        derive_dihedrals(bonds),
+        [[0, 1, 2, 3], [0, 1, 2, 4]],
+    )
+
+    # Known geometry: set phi exactly by construction.
+    def quad(phi_deg):
+        phi = np.radians(phi_deg)
+        return np.array(
+            [
+                [1.0, np.cos(phi), np.sin(phi)],  # i rotated about x
+                [0.0, 1.0, 0.0],                  # j
+                [0.0, 0.0, 0.0],                  # k (b2 along -y)
+                [1.0, -1.0, 0.0],                 # l in the xz ref
+            ]
+        )
+
+    box = np.array([50.0] * 3)
+    for phi in (-120.0, -60.0, 0.0, 60.0, 179.0):
+        pos = (quad(phi) + 10.0)[None]
+        u = Universe.from_arrays(
+            pos, box,
+            types=np.array(["C"] * 4, dtype=object),
+        )
+        dist = DihedralDistribution(
+            u.atoms, n_bins=360, range=(-180.0, 180.0),
+            dihedrals=np.array([[0, 1, 2, 3]]), verbose=False,
+        ).run()
+        measured = dist.results.bins[np.argmax(dist.results.counts)]
+        # oracle via the standard atan2 formula
+        p = pos[0]
+        b1, b2, b3 = p[1] - p[0], p[2] - p[1], p[3] - p[2]
+        n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+        m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+        oracle = np.degrees(
+            np.arctan2(np.dot(m1, n2), np.dot(n1, n2))
+        )
+        assert abs(measured - oracle) <= 0.5, (phi, measured, oracle)
+
+    # Random geometry vs oracle counts (multi-frame, PBC wrap).
+    r = np.random.default_rng(4)
+    n_mol, F, L = 6, 3, 12.0
+    pos = np.empty((F, 4 * n_mol, 3))
+    quads = []
+    bonds = []
+    for m in range(n_mol):
+        a = 4 * m
+        quads.append((a, a + 1, a + 2, a + 3))
+        bonds += [(a, a + 1), (a + 1, a + 2), (a + 2, a + 3)]
+    for f in range(F):
+        centers = r.random((n_mol, 3)) * L
+        for m in range(n_mol):
+            pos[f, 4 * m:4 * m + 4] = (
+                centers[m] + r.standard_normal((4, 3)) * 0.8
+            )
+    pos %= L
+    u = Universe.from_arrays(
+        pos, np.array([L] * 3),
+        types=np.array(["C"] * (4 * n_mol), dtype=object),
+        bonds=np.asarray(bonds),
+    )
+    dist = DihedralDistribution(
+        u.atoms, n_bins=72, verbose=False
+    ).run()
+    quads = np.asarray(quads)
+    phis = []
+    for f in range(F):
+        p = pos[f]
+        for i, j, k, l in quads:
+            def mi(v):
+                return v - L * np.round(v / L)
+            b1, b2, b3 = mi(p[j] - p[i]), mi(p[k] - p[j]), mi(p[l] - p[k])
+            n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+            m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+            phis.append(
+                np.degrees(np.arctan2(np.dot(m1, n2), np.dot(n1, n2)))
+            )
+    counts = np.histogram(
+        phis, bins=dist.results.edges
+    )[0]
+    np.testing.assert_array_equal(dist.results.counts, counts)
