@@ -166,3 +166,34 @@ def test_cookbook_checkpoint(tmp_path):
     )
     rdf.run(checkpoint=str(tmp_path / "state.npz"))
     assert rdf.results.rdf is not None
+
+
+def test_cookbook_bonded():
+    from mdhelper_tpu.analysis.bonded import (
+        BondAngleDistribution,
+        BondLengthDistribution,
+        DihedralDistribution,
+    )
+
+    u = make_universe()
+    bonds = np.array([(i, i + 1) for i in range(0, N - 1)])
+    bl = BondLengthDistribution(
+        u.atoms, n_bins=20, range=(0.0, 6.0), bonds=bonds,
+        verbose=False,
+    ).run()
+    assert bl.results.counts.sum() > 0 and bl.results.mean > 0
+    ba = BondAngleDistribution(
+        u.atoms, n_bins=18,
+        angles=np.array([(i, i + 1, i + 2) for i in range(N - 2)]),
+        verbose=False,
+    ).run()
+    widths = np.diff(ba.results.edges)
+    assert abs((ba.results.probability * widths).sum() - 1.0) < 1e-9
+    phi = DihedralDistribution(
+        u.atoms,
+        dihedrals=np.array(
+            [(i, i + 1, i + 2, i + 3) for i in range(N - 3)]
+        ),
+        verbose=False,
+    ).run()
+    assert phi.results.counts.sum() == (N - 3) * N_FRAMES
