@@ -12,7 +12,10 @@ TPU formulation: bonded terms are fixed index lists, so each frame is
 a column gather + an elementwise minimum-image kernel — lengths ride
 :func:`mdhelper_tpu.ops.histogram.displacement_histogram_frame`
 (double-float exact binning on float32 streams), angles are two
-min-image displacement vectors and an `arccos`.  The counts carry is
+min-image displacement vectors and an `arccos`.  Triclinic cells are
+supported everywhere: vectors fold through the box-matrix 27-image
+search (:func:`mdhelper_tpu.ops.histogram._min_image_vectors`), the
+same contract as the radial kernels.  The counts carry is
 order-independent, so ``parallel=True`` shards frames over the mesh.
 """
 
@@ -23,9 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ureg
+from ..algorithm.topology import triclinic_matrices
 from ..ops.histogram import (
     _bin_distances,
     _min_image_distance,
+    _min_image_vectors,
     displacement_histogram_frame,
 )
 from .base import DynamicAnalysisBase, jit_update
@@ -87,6 +92,23 @@ class _BondedBase(DynamicAnalysisBase):
         unique, inverse = np.unique(terms, return_inverse=True)
         self._atom_indices = unique
         self._cols = inverse.reshape(terms.shape)
+
+        dims = self.universe.dimensions
+        self._triclinic = bool(
+            dims is not None
+            and len(dims) >= 6
+            and not np.allclose(dims[3:6], 90.0)
+        )
+
+    def _frame_boxes(self, dimensions):
+        """Per-frame box representation for the update kernels:
+        ``(B, 3)`` orthorhombic lengths or ``(B, 3, 3)``
+        lower-triangular matrices for triclinic cells (both accepted
+        by the min-image helpers in :mod:`mdhelper_tpu.ops.histogram`)."""
+
+        if self._triclinic:
+            return triclinic_matrices(dimensions)
+        return dimensions[:, :3]
 
     def _prepare(self) -> None:
         self.results.edges = np.linspace(
@@ -176,12 +198,13 @@ class BondLengthDistribution(_BondedBase):
         i_col = jnp.asarray(self._cols[:, 0])
         j_col = jnp.asarray(self._cols[:, 1])
         n_terms = self._terms.shape[0]
+        frame_boxes = self._frame_boxes
         precision = (
             "exact" if self._stream_dtype() == np.float32 else "fast"
         )
 
         def update(carry, positions, dimensions, mask):
-            box = dimensions[:, :3]
+            box = frame_boxes(dimensions)
 
             def frame(args):
                 pos_f, box_f = args
@@ -276,17 +299,16 @@ class BondAngleDistribution(_BondedBase):
         k_col = jnp.asarray(self._cols[:, 2])
         n_terms = self._terms.shape[0]
         n_bins = self._n_bins
+        frame_boxes = self._frame_boxes
 
         def update(carry, positions, dimensions, mask):
-            box = dimensions[:, :3]
+            box = frame_boxes(dimensions)
 
             def frame(args):
                 pos_f, box_f = args
                 b = box_f.astype(pos_f.dtype)
-                v1 = pos_f[i_col] - pos_f[j_col]
-                v2 = pos_f[k_col] - pos_f[j_col]
-                v1 = v1 - b * jnp.round(v1 / b)
-                v2 = v2 - b * jnp.round(v2 / b)
+                v1 = _min_image_vectors(pos_f[i_col] - pos_f[j_col], b)
+                v2 = _min_image_vectors(pos_f[k_col] - pos_f[j_col], b)
                 cos = (v1 * v2).sum(axis=-1) / jnp.sqrt(
                     (v1 * v1).sum(axis=-1) * (v2 * v2).sum(axis=-1)
                 )
@@ -393,16 +415,17 @@ class DihedralDistribution(_BondedBase):
         edges = jnp.asarray(self.results.edges)
         cols = [jnp.asarray(self._cols[:, c]) for c in range(4)]
         n_bins = self._n_bins
+        frame_boxes = self._frame_boxes
 
         def update(carry, positions, dimensions, mask):
-            box = dimensions[:, :3]
+            box = frame_boxes(dimensions)
 
             def frame(args):
                 pos_f, box_f = args
                 b = box_f.astype(pos_f.dtype)
 
                 def mi(v):
-                    return v - b * jnp.round(v / b)
+                    return _min_image_vectors(v, b)
 
                 b1 = mi(pos_f[cols[1]] - pos_f[cols[0]])
                 b2 = mi(pos_f[cols[2]] - pos_f[cols[1]])

@@ -333,6 +333,31 @@ def _min_image_distance(delta, box):
     return jnp.sqrt(d2)
 
 
+def _min_image_vectors(delta, box):
+    """Minimum-image displacement VECTORS (``(..., 3)``) — the
+    vector-valued counterpart of :func:`_min_image_distance` (angles
+    and dihedrals need the folded vectors, not just their norms).
+    `box` is ``(3,)`` orthorhombic lengths or a ``(3, 3)``
+    lower-triangular box matrix."""
+
+    if box.ndim == 1:
+        return delta - box * jnp.round(delta / box)
+    inv = _inv3(box)
+    frac = delta @ inv
+    frac = frac - jnp.round(frac)
+    base = frac @ box
+    best = base
+    best_d2 = (base * base).sum(axis=-1)
+    shift_vecs = jnp.asarray(_IMAGE_SHIFTS, dtype=delta.dtype) @ box
+    for k in range(shift_vecs.shape[0]):  # static: 26 fused steps
+        cand = base + shift_vecs[k]
+        d2 = (cand * cand).sum(axis=-1)
+        take = d2 < best_d2
+        best = jnp.where(take[..., None], cand, best)
+        best_d2 = jnp.minimum(best_d2, d2)
+    return best
+
+
 def _pair_block_histogram(
     p1, p2, box, edges, i_offset, j_offset, exclusion, n_bins
 ):

@@ -128,6 +128,135 @@ def test_bonded_validation_and_explicit_terms():
     assert dist.results.counts.sum() > 0
 
 
+TRICLINIC_DIMS = np.array([9.0, 10.0, 11.0, 75.0, 85.0, 100.0])
+
+
+def _box_matrix(dims):
+    a, b, c = dims[:3]
+    al, be, ga = np.deg2rad(dims[3:6])
+    bx, by = b * np.cos(ga), b * np.sin(ga)
+    cx = c * np.cos(be)
+    cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    cz = np.sqrt(c**2 - cx**2 - cy**2)
+    return np.array([[a, 0, 0], [bx, by, 0], [cx, cy, cz]])
+
+
+def _min_image_oracle(v, h):
+    """Brute-force 27-image minimum-image vectors (float64)."""
+
+    frac = v @ np.linalg.inv(h)
+    frac -= np.round(frac)
+    base = frac @ h
+    best = base.copy()
+    best_d2 = (base**2).sum(-1)
+    for sx in (-1, 0, 1):
+        for sy in (-1, 0, 1):
+            for sz in (-1, 0, 1):
+                if sx == sy == sz == 0:
+                    continue
+                cand = base + np.array([sx, sy, sz], float) @ h
+                d2 = (cand**2).sum(-1)
+                take = d2 < best_d2
+                best[take] = cand[take]
+                best_d2 = np.minimum(best_d2, d2)
+    return best
+
+
+def test_bonded_triclinic_oracle():
+    """Bond lengths, angles, and dihedrals on a triclinic cell fold
+    vectors through the box-matrix 27-image search; counts match a
+    float64 brute-force oracle."""
+
+    from mdhelper_tpu.analysis.bonded import (
+        DihedralDistribution,
+        derive_dihedrals,
+    )
+
+    r = np.random.default_rng(11)
+    h = _box_matrix(TRICLINIC_DIMS)
+    n_mol, F = 6, 4
+    n = 4 * n_mol
+    pos = np.empty((F, n, 3))
+    bonds = []
+    for m in range(n_mol):
+        a = 4 * m
+        bonds += [(a, a + 1), (a + 1, a + 2), (a + 2, a + 3)]
+    for f in range(F):
+        centers = r.random((n_mol, 3)) @ h
+        for m in range(n_mol):
+            pos[f, 4 * m:4 * m + 4] = (
+                centers[m] + r.standard_normal((4, 3)) * 0.7
+            )
+    # wrap into the triclinic cell so min-image folding is exercised
+    frac = pos.reshape(-1, 3) @ np.linalg.inv(h)
+    pos = ((frac % 1.0) @ h).reshape(F, n, 3)
+    bonds = np.asarray(bonds)
+    u = Universe.from_arrays(
+        pos, TRICLINIC_DIMS,
+        types=np.array(["C"] * n, dtype=object),
+        bonds=bonds,
+    )
+
+    # lengths
+    dist = BondLengthDistribution(
+        u.atoms, n_bins=40, range=(0.0, 4.0), verbose=False
+    ).run()
+    d = _min_image_oracle(
+        (pos[:, bonds[:, 0]] - pos[:, bonds[:, 1]]).reshape(-1, 3), h
+    )
+    lengths = np.linalg.norm(d, axis=-1)
+    np.testing.assert_array_equal(
+        dist.results.counts,
+        np.histogram(lengths, bins=dist.results.edges)[0],
+    )
+    np.testing.assert_allclose(dist.results.mean, lengths.mean(),
+                               rtol=1e-9)
+
+    # angles
+    triples = derive_angles(bonds)
+    ang = BondAngleDistribution(
+        u.atoms, n_bins=36, verbose=False
+    ).run()
+    v1 = _min_image_oracle(
+        (pos[:, triples[:, 0]] - pos[:, triples[:, 1]]).reshape(-1, 3), h
+    )
+    v2 = _min_image_oracle(
+        (pos[:, triples[:, 2]] - pos[:, triples[:, 1]]).reshape(-1, 3), h
+    )
+    cos = (v1 * v2).sum(-1) / (
+        np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1)
+    )
+    theta = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+    np.testing.assert_array_equal(
+        ang.results.counts,
+        np.histogram(theta, bins=ang.results.edges)[0],
+    )
+
+    # dihedrals
+    quads = derive_dihedrals(bonds)
+    dih = DihedralDistribution(u.atoms, n_bins=72, verbose=False).run()
+    b1 = _min_image_oracle(
+        (pos[:, quads[:, 1]] - pos[:, quads[:, 0]]).reshape(-1, 3), h
+    )
+    b2 = _min_image_oracle(
+        (pos[:, quads[:, 2]] - pos[:, quads[:, 1]]).reshape(-1, 3), h
+    )
+    b3 = _min_image_oracle(
+        (pos[:, quads[:, 3]] - pos[:, quads[:, 2]]).reshape(-1, 3), h
+    )
+    n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+    m1 = np.cross(
+        n1, b2 / np.linalg.norm(b2, axis=-1)[:, None]
+    )
+    phi = np.degrees(
+        np.arctan2((m1 * n2).sum(-1), (n1 * n2).sum(-1))
+    )
+    np.testing.assert_array_equal(
+        dih.results.counts,
+        np.histogram(phi, bins=dih.results.edges)[0],
+    )
+
+
 def test_dihedral_distribution():
     from mdhelper_tpu.analysis.bonded import (
         DihedralDistribution,
