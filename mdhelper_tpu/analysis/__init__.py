@@ -9,6 +9,7 @@ User-facing trajectory analyses (reference:
 from . import (  # noqa: F401
     base,
     bonded,
+    cluster,
     electrostatics,
     multi,
     polymer,
@@ -29,6 +30,7 @@ from .base import (  # noqa: F401
 __all__ = [
     "base",
     "bonded",
+    "cluster",
     "multi",
     "run_together",
     "electrostatics",

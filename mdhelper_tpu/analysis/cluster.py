@@ -1,0 +1,281 @@
+r"""
+Cluster / aggregation analysis
+==============================
+
+Distance-cutoff clustering of particles or molecules per frame —
+aggregation numbers, cluster size distributions, and percolation
+indicators (the ``gmx clustsize`` family of observables).  A
+beyond-reference capability (the reference has no clustering; its
+closest surface is the DFS connectivity helper used by the topology
+writers, reference ``algorithm/utility.py:175-212``).
+
+TPU formulation: the contact graph is a dense minimum-image
+:math:`N \times N` adjacency built from one fused elementwise sweep,
+and connected components are found with label propagation + pointer
+jumping — :math:`O(\log N)` rounds of a masked row-min (an
+MXU/VPU-friendly reduction) and label-of-label gathers, all static
+shapes inside one jit.  Cluster sizes and the size histogram are
+one-hot reductions (scatter-adds serialize on TPU).  The per-frame
+cluster count and largest-cluster series stream through the store
+queue; the size-histogram carry is order-independent, so
+``parallel=True`` shards frames over the mesh.
+
+Memory scales as :math:`O(N^2)` per frame (dense adjacency): sized
+for the typical aggregation-analysis regime (:math:`N \lesssim 10^4`
+entities), not the 100k-atom RDF regime.
+"""
+
+from numbers import Real
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ureg
+from ..algorithm.topology import triclinic_matrices
+from ..algorithm.unit import strip_unit
+from ..ops.histogram import _min_image_vectors
+from .base import DynamicAnalysisBase
+from .structure import _com_positions, _group_segment_ids
+
+__all__ = ["ClusterSizeDistribution"]
+
+
+def _label_components(adj, n):
+    """Connected-component root labels from a boolean adjacency.
+
+    Label propagation with full pointer-jumping compression each
+    round: every round each node hooks to the minimum label in its
+    neighborhood (masked row-min over the adjacency), then labels are
+    fully compressed (``ceil(log2 n)`` label-of-label gathers), which
+    contracts every component's diameter geometrically — ``ceil(log2
+    n) + 2`` rounds suffice for any graph.  All loops are static
+    Python loops (fixed trip counts), so the whole search is one
+    fused XLA program.
+    """
+
+    n_jumps = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    labels = jnp.arange(n, dtype=jnp.int32)
+    sentinel = np.int32(n)
+    for _ in range(n_jumps + 2):
+        nbr_min = jnp.where(adj, labels[None, :], sentinel).min(axis=1)
+        labels = jnp.minimum(labels, nbr_min)
+        for _ in range(n_jumps):
+            labels = labels[labels]
+    return labels
+
+
+class ClusterSizeDistribution(DynamicAnalysisBase):
+    r"""Distance-cutoff cluster statistics: size distribution,
+    aggregation numbers, and per-frame cluster counts.
+
+    Two entities belong to the same cluster when they are within
+    `cutoff` of each other (minimum image; orthorhombic or triclinic
+    cells), transitively closed per frame.
+
+    Parameters
+    ----------
+    group : `AtomGroup`
+        Atoms to cluster.
+    cutoff : `float`
+        Contact distance (Angstrom, or the LJ length scale when
+        ``reduced=True``).
+    grouping : `str`, default ``"atoms"``
+        Entities to cluster: ``"atoms"``, ``"residues"``, or
+        ``"segments"``.
+    criterion : `str`, keyword-only, optional
+        For molecule groupings, the inter-entity contact criterion:
+        ``"closest"`` (default — entities touch when *any* atom pair
+        is within `cutoff`, the ``gmx clustsize`` convention) or
+        ``"com"`` (centers of mass within `cutoff`; note COMs of
+        molecules split across the boundary follow the wrapped
+        coordinates).  Ignored for ``grouping="atoms"``.
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units (omits ``results.units``).
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh.
+
+    Results
+    -------
+    ``results.sizes``
+        Cluster sizes :math:`s = 1 \ldots N_\mathrm{entities}`.
+    ``results.size_counts``
+        Total number of clusters of each size observed over the run.
+    ``results.size_distribution``
+        Normalized :math:`P(s)` (fraction of clusters of size `s`).
+    ``results.number_average``
+        Number-averaged mean cluster size :math:`\langle s \rangle_n
+        = \sum_s s P(s)`.
+    ``results.weight_average``
+        Weight-averaged mean cluster size :math:`\langle s \rangle_w
+        = \sum_s s^2 P(s) / \langle s \rangle_n` (what a randomly
+        chosen *entity* sees).
+    ``results.n_clusters``, ``results.largest``
+        Per-frame cluster count and largest cluster size.
+    ``results.times``
+        Frame times (ps).
+    """
+
+    def __init__(
+        self,
+        group,
+        cutoff: float,
+        grouping: str = "atoms",
+        *,
+        criterion: str = "closest",
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self.group = group
+        self.universe = group.universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+
+        if grouping not in ("atoms", "residues", "segments"):
+            raise ValueError(f"Invalid grouping: '{grouping}'.")
+        if criterion not in ("closest", "com"):
+            raise ValueError(f"Invalid criterion: '{criterion}'.")
+        if not isinstance(cutoff, Real):
+            cutoff = strip_unit(cutoff, "angstrom")[0]
+        if cutoff <= 0:
+            raise ValueError("'cutoff' must be positive.")
+        self._cutoff = float(cutoff)
+        self._grouping = grouping
+        self._criterion = criterion
+        self._reduced = reduced
+
+        self._seg, self._n_entities = _group_segment_ids(
+            group, grouping
+        )
+        self._atom_indices = group.ix
+
+        dims = self.universe.dimensions
+        self._triclinic = bool(
+            dims is not None
+            and len(dims) >= 6
+            and not np.allclose(dims[3:6], 90.0)
+        )
+
+    def _prepare(self) -> None:
+        n = self._n_entities
+        self.results.sizes = np.arange(1, n + 1)
+        self.results.n_clusters = np.empty(self.n_frames, dtype=int)
+        self.results.largest = np.empty(self.n_frames, dtype=int)
+        self.results.times = self.frames * self._trajectory.dt
+        if not self._reduced:
+            self.results.units = {
+                "results.times": ureg.picosecond,
+            }
+        self._store_offset = 0
+        self._carry = {
+            "size_counts": jnp.zeros(n, dtype=jnp.float64),
+        }
+        self._make_update()
+
+    def _make_update(self) -> None:
+        n = self._n_entities
+        triclinic = self._triclinic
+        seg = self._seg
+        criterion = self._criterion if seg is not None else "atoms"
+        masses = (
+            None if seg is None else jnp.asarray(self.group.masses)
+        )
+        seg_j = None if seg is None else jnp.asarray(seg)
+        cutoff = self._cutoff
+        entity_range = jnp.arange(n, dtype=jnp.int32)
+
+        def cluster_frame(args):
+            pos_f, box_f = args
+            b = box_f.astype(pos_f.dtype)
+            cut2 = jnp.asarray(cutoff * cutoff, dtype=pos_f.dtype)
+
+            if criterion == "com":
+                pts = _com_positions(
+                    pos_f[None], masses, seg_j, n
+                )[0]
+            else:
+                pts = pos_f
+            delta = pts[:, None, :] - pts[None, :, :]
+            dvec = _min_image_vectors(delta, b)
+            d2 = (dvec * dvec).sum(axis=-1)
+            contact = d2 <= cut2
+
+            if criterion == "closest":
+                # project the atom contact map onto entities:
+                # adj[e, f] = any_{i in e, j in f} contact[i, j],
+                # via two one-hot matmuls (MXU) instead of segment
+                # scatters.
+                onehot = (
+                    seg_j[None, :] == entity_range[:, None]
+                ).astype(pos_f.dtype)  # (G, N)
+                adj = (
+                    onehot @ contact.astype(pos_f.dtype) @ onehot.T
+                ) > 0
+            else:
+                adj = contact
+
+            labels = _label_components(adj, n)
+            # sizes[r] = |{i : labels[i] == r}| — one-hot reduction.
+            root_onehot = labels[:, None] == entity_range[None, :]
+            sizes = root_onehot.sum(
+                axis=0, dtype=jnp.int32
+            )  # (G,), 0 for non-roots
+            is_root = labels == entity_range
+            # histogram of sizes over s = 1..G among roots
+            # int32 reduce on the G x G one-hot (f64 is emulated on
+            # TPU); widened to f64 only at the (G,) accumulator.
+            size_hist = (
+                (sizes[:, None] == entity_range[None, :] + 1)
+                & is_root[:, None]
+            ).sum(axis=0, dtype=jnp.int32)
+            n_clusters = is_root.sum(dtype=jnp.int32)
+            largest = sizes.max()
+            return size_hist, n_clusters, largest
+
+        def update(carry, positions, dimensions, mask):
+            if triclinic:
+                box = triclinic_matrices(dimensions)
+            else:
+                box = dimensions[:, :3]
+            size_hist, n_clusters, largest = jax.lax.map(
+                cluster_frame, (positions, box)
+            )
+            carry = {
+                "size_counts": carry["size_counts"]
+                + (
+                    size_hist.astype(jnp.float64) * mask[:, None]
+                ).sum(axis=0),
+            }
+            return carry, (n_clusters, largest)
+
+        self._update = jax.jit(update)
+
+    def _store_chunk(self, extras, batch) -> None:
+        n_clusters, largest = extras
+        n_real = batch.n_real
+        lo = self._store_offset
+        self.results.n_clusters[lo:lo + n_real] = np.asarray(
+            n_clusters
+        )[:n_real]
+        self.results.largest[lo:lo + n_real] = np.asarray(largest)[
+            :n_real
+        ]
+        self._store_offset += n_real
+
+    def _conclude(self) -> None:
+        counts = np.asarray(self._carry["size_counts"])
+        self.results.size_counts = counts.astype(np.int64)
+        total = counts.sum()
+        dist = counts / total if total else counts
+        self.results.size_distribution = dist
+        s = self.results.sizes.astype(np.float64)
+        number_avg = float((s * dist).sum()) if total else 0.0
+        self.results.number_average = number_avg
+        self.results.weight_average = (
+            float((s * s * dist).sum()) / number_avg
+            if number_avg
+            else 0.0
+        )

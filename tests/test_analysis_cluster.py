@@ -1,0 +1,224 @@
+"""Cluster / aggregation analysis vs a union-find NumPy oracle —
+beyond-reference capability (gmx clustsize family)."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+from mdhelper_tpu.core.universe import Universe
+
+rng = np.random.default_rng(7)
+
+
+def _box_matrix(dims):
+    a, b, c = dims[:3]
+    al, be, ga = np.deg2rad(dims[3:6])
+    bx, by = b * np.cos(ga), b * np.sin(ga)
+    cx = c * np.cos(be)
+    cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    cz = np.sqrt(c**2 - cx**2 - cy**2)
+    return np.array([[a, 0, 0], [bx, by, 0], [cx, cy, cz]])
+
+
+def _min_image_d2(pts, h):
+    """Brute-force 27-image squared distance matrix (float64)."""
+
+    delta = pts[:, None, :] - pts[None, :, :]
+    if h.ndim == 1:
+        delta -= h * np.round(delta / h)
+        return (delta**2).sum(-1)
+    frac = delta @ np.linalg.inv(h)
+    frac -= np.round(frac)
+    base = frac @ h
+    d2 = np.full(base.shape[:2], np.inf)
+    for sx in (-1, 0, 1):
+        for sy in (-1, 0, 1):
+            for sz in (-1, 0, 1):
+                cand = base + np.array([sx, sy, sz], float) @ h
+                d2 = np.minimum(d2, (cand**2).sum(-1))
+    return d2
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.parent = list(range(n))
+
+    def find(self, i):
+        while self.parent[i] != i:
+            self.parent[i] = self.parent[self.parent[i]]
+            i = self.parent[i]
+        return i
+
+    def union(self, i, j):
+        ri, rj = self.find(i), self.find(j)
+        if ri != rj:
+            self.parent[max(ri, rj)] = min(ri, rj)
+
+
+def _oracle_frame(adj):
+    """Cluster sizes from a boolean adjacency via union-find."""
+
+    n = adj.shape[0]
+    uf = _UnionFind(n)
+    for i, j in zip(*np.nonzero(np.triu(adj, 1))):
+        uf.union(int(i), int(j))
+    roots = np.array([uf.find(i) for i in range(n)])
+    _, sizes = np.unique(roots, return_counts=True)
+    hist = np.bincount(sizes - 1, minlength=n)
+    return hist, len(sizes), sizes.max()
+
+
+def test_cluster_atoms_oracle_ortho():
+    box = np.array([12.0, 12.0, 12.0])
+    F, n = 5, 40
+    pos = rng.random((F, n, 3)) * box
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * n, dtype=object)
+    )
+    cutoff = 2.1
+    cl = ClusterSizeDistribution(
+        u.atoms, cutoff, verbose=False
+    ).run()
+
+    total = np.zeros(n, dtype=np.int64)
+    for f in range(F):
+        d2 = _min_image_d2(pos[f], box)
+        hist, n_cl, largest = _oracle_frame(d2 <= cutoff**2)
+        total += hist
+        assert cl.results.n_clusters[f] == n_cl
+        assert cl.results.largest[f] == largest
+    np.testing.assert_array_equal(cl.results.size_counts, total)
+
+    # distribution + averages
+    dist = total / total.sum()
+    s = np.arange(1, n + 1, dtype=float)
+    np.testing.assert_allclose(
+        cl.results.size_distribution, dist, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        cl.results.number_average, (s * dist).sum(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        cl.results.weight_average,
+        (s * s * dist).sum() / (s * dist).sum(),
+        rtol=1e-12,
+    )
+
+    # parallel=True bit-equality
+    par = ClusterSizeDistribution(
+        u.atoms, cutoff, parallel=True, verbose=False
+    ).run()
+    np.testing.assert_array_equal(
+        par.results.size_counts, cl.results.size_counts
+    )
+    np.testing.assert_array_equal(
+        par.results.n_clusters, cl.results.n_clusters
+    )
+
+
+def test_cluster_pbc_wrap_joins():
+    """Two atoms straddling the boundary cluster together."""
+
+    box = np.array([10.0, 10.0, 10.0])
+    pos = np.array(
+        [[[0.2, 5.0, 5.0], [9.9, 5.0, 5.0], [5.0, 5.0, 5.0]]]
+    )
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * 3, dtype=object)
+    )
+    cl = ClusterSizeDistribution(u.atoms, 1.0, verbose=False).run()
+    np.testing.assert_array_equal(
+        cl.results.size_counts, [1, 1, 0]
+    )
+    assert cl.results.n_clusters[0] == 2
+    assert cl.results.largest[0] == 2
+
+
+def test_cluster_molecules_closest_and_com():
+    """Residue clustering: any-atom contact vs COM criterion give
+    different answers for elongated molecules; both match oracles."""
+
+    box = np.array([20.0, 20.0, 20.0])
+    # two 3-atom rods, end-to-end close but COMs far
+    mol_a = np.array([[5.0, 5, 5], [6.5, 5, 5], [8.0, 5, 5]])
+    mol_b = np.array([[9.0, 5, 5], [10.5, 5, 5], [12.0, 5, 5]])
+    mol_c = np.array([[5.0, 15, 15], [6.5, 15, 15], [8.0, 15, 15]])
+    pos = np.concatenate([mol_a, mol_b, mol_c])[None]
+    u = Universe.from_arrays(
+        pos, box,
+        types=np.array(["C"] * 9, dtype=object),
+        resindices=np.repeat(np.arange(3), 3),
+        masses=np.ones(9),
+    )
+    cutoff = 1.6  # a-b end gap = 1.0 < cutoff; COM gap = 4.0 > cutoff
+    closest = ClusterSizeDistribution(
+        u.atoms, cutoff, "residues", verbose=False
+    ).run()
+    np.testing.assert_array_equal(
+        closest.results.size_counts, [1, 1, 0]
+    )
+    com = ClusterSizeDistribution(
+        u.atoms, cutoff, "residues", criterion="com", verbose=False
+    ).run()
+    np.testing.assert_array_equal(
+        com.results.size_counts, [3, 0, 0]
+    )
+
+
+def test_cluster_triclinic_oracle():
+    dims = np.array([9.0, 10.0, 11.0, 75.0, 85.0, 100.0])
+    h = _box_matrix(dims)
+    F, n = 4, 30
+    pos = (rng.random((F * n, 3)) @ h).reshape(F, n, 3)
+    u = Universe.from_arrays(
+        pos, dims, types=np.array(["A"] * n, dtype=object)
+    )
+    cutoff = 2.4
+    cl = ClusterSizeDistribution(u.atoms, cutoff, verbose=False).run()
+    total = np.zeros(n, dtype=np.int64)
+    for f in range(F):
+        d2 = _min_image_d2(pos[f], h)
+        hist, n_cl, largest = _oracle_frame(d2 <= cutoff**2)
+        total += hist
+        assert cl.results.n_clusters[f] == n_cl
+        assert cl.results.largest[f] == largest
+    np.testing.assert_array_equal(cl.results.size_counts, total)
+
+
+def test_cluster_chain_topology():
+    """A linear chain of touching atoms is ONE cluster — exercises
+    the pointer-jumping convergence on a diameter-N graph."""
+
+    n = 64
+    box = np.array([200.0, 50.0, 50.0])
+    pos = np.zeros((1, n, 3))
+    pos[0, :, 0] = 10.0 + np.arange(n) * 1.0  # spacing 1.0
+    pos[0, :, 1] = 25.0
+    pos[0, :, 2] = 25.0
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * n, dtype=object)
+    )
+    cl = ClusterSizeDistribution(u.atoms, 1.05, verbose=False).run()
+    assert cl.results.n_clusters[0] == 1
+    assert cl.results.largest[0] == n
+    expected = np.zeros(n, dtype=np.int64)
+    expected[n - 1] = 1
+    np.testing.assert_array_equal(cl.results.size_counts, expected)
+
+
+def test_cluster_validation():
+    box = np.array([10.0, 10.0, 10.0])
+    pos = rng.random((1, 4, 3)) * box
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * 4, dtype=object)
+    )
+    with pytest.raises(ValueError):
+        ClusterSizeDistribution(u.atoms, -1.0, verbose=False)
+    with pytest.raises(ValueError):
+        ClusterSizeDistribution(
+            u.atoms, 1.0, "molecules", verbose=False
+        )
+    with pytest.raises(ValueError):
+        ClusterSizeDistribution(
+            u.atoms, 1.0, criterion="nearest", verbose=False
+        )
