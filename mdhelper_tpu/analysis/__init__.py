@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     bonded,
     cluster,
     electrostatics,
+    hbonds,
     multi,
     polymer,
     profile,
@@ -31,6 +32,7 @@ __all__ = [
     "base",
     "bonded",
     "cluster",
+    "hbonds",
     "multi",
     "run_together",
     "electrostatics",
