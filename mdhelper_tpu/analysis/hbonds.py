@@ -65,6 +65,13 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
     pair_counts : `bool`, keyword-only, default False
         Accumulate the full ``(n_DH, n_A)`` per-pair bond-count
         matrix (memory: one extra ``n_DH x n_A`` carry).
+    lifetimes : `bool`, keyword-only, default False
+        Store the per-frame bond-existence matrix and compute the
+        intermittent hydrogen-bond time-correlation function
+        :math:`c(t) = \langle h(0)h(t) \rangle / \langle h \rangle`
+        (Luzar & Chandler 1996) over all pairs ever bonded, via the
+        Wiener-Khinchin engine.  Memory: ``n_frames x n_DH x n_A``
+        bools on the host.
     reduced : `bool`, keyword-only, default False
         Reduced (LJ) units (omits ``results.units``).
     parallel : `bool`, keyword-only, default False
@@ -86,6 +93,10 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
     ``results.pair_counts``
         (only with ``pair_counts=True``) per-(D-H, A) bonded-frame
         counts, shape ``(n_DH, n_A)``.
+    ``results.lifetime``, ``results.lifetime_times``
+        (only with ``lifetimes=True``) intermittent bond correlation
+        :math:`c(t)` (normalized to :math:`c(0) = 1`) and its lag
+        times (ps).
     ``results.times``
         Frame times (ps).
     """
@@ -101,6 +112,7 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         d_a_cutoff: float = 3.0,
         d_h_a_angle_cutoff: float = 150.0,
         pair_counts: bool = False,
+        lifetimes: bool = False,
         reduced: bool = False,
         parallel: bool = False,
         verbose: bool = True,
@@ -165,6 +177,7 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             raise ValueError("No donor-hydrogen pairs found.")
         self._pairs = pairs
         self._pair_counts = bool(pair_counts)
+        self._lifetimes = bool(lifetimes)
         self._reduced = reduced
 
         # Stream only the involved atoms' columns.
@@ -210,6 +223,10 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             self._carry["pair_counts"] = jnp.zeros(
                 (n_dh, n_a), dtype=jnp.float64
             )
+        if self._lifetimes:
+            self._existence = np.empty(
+                (self.n_frames, n_dh, n_a), dtype=bool
+            )
         self._make_update()
 
     def _make_update(self) -> None:
@@ -224,6 +241,8 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         cos_cut = float(np.cos(np.radians(self._angle_cutoff)))
         triclinic = self._triclinic
         track_pairs = self._pair_counts
+        lifetimes = self._lifetimes
+        need_hb = track_pairs or lifetimes
 
         def hbonds_frame(args):
             pos_f, box_f = args
@@ -253,7 +272,7 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             hb = within & angle_ok & not_self
             count = hb.sum(dtype=jnp.int32)
             bonded = hb.any(axis=1)
-            if track_pairs:
+            if need_hb:
                 return count, bonded, hb
             return count, bonded, count
 
@@ -278,17 +297,24 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
                 new["pair_counts"] = carry["pair_counts"] + (
                     hb & valid[:, None, None]
                 ).sum(axis=0, dtype=jnp.int32).astype(jnp.float64)
+            if lifetimes:
+                return new, (counts, hb)
             return new, counts
 
         self._update = jax.jit(update)
 
     def _store_chunk(self, extras, batch) -> None:
-        counts = extras
+        if self._lifetimes:
+            counts, hb = extras
+        else:
+            counts, hb = extras, None
         n_real = batch.n_real
         lo = self._store_offset
         self.results.counts[lo:lo + n_real] = np.asarray(counts)[
             :n_real
         ]
+        if hb is not None:
+            self._existence[lo:lo + n_real] = np.asarray(hb)[:n_real]
         self._store_offset += n_real
 
     def _conclude(self) -> None:
@@ -302,3 +328,37 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             self.results.pair_counts = np.asarray(
                 self._carry["pair_counts"]
             ).astype(np.int64)
+        if self._lifetimes:
+            self._conclude_lifetimes()
+
+    def _conclude_lifetimes(self) -> None:
+        """Intermittent bond correlation c(t) = <h(0)h(t)> / <h>
+        (Luzar & Chandler 1996), summed over every (D-H, A) pair
+        ever bonded.  With 0/1 data and the engine's triangular
+        normalization, <h(0)h(0)> = <h>, so c(t) is the pair-summed
+        ACF normalized by its t = 0 value."""
+
+        from ..algorithm.correlation import correlation_fft
+
+        T = self.n_frames
+        h = self._existence.reshape(T, -1)
+        ever = h.any(axis=0)
+        if not ever.any():
+            self.results.lifetime = np.zeros(T)
+            self.results.lifetime[0] = 1.0 if T else 1.0
+            self.results.lifetime_times = (
+                np.arange(T) * self._trajectory.dt
+            )
+            return
+        series = h[:, ever].astype(np.float64)
+        acf = np.asarray(
+            correlation_fft(series, axis=0)
+        ).sum(axis=1)
+        self.results.lifetime = acf / acf[0]
+        self.results.lifetime_times = (
+            np.arange(T) * self._trajectory.dt
+        )
+        if not self._reduced:
+            self.results.units[
+                "results.lifetime_times"
+            ] = ureg.picosecond

@@ -212,6 +212,57 @@ def test_hbonds_triclinic():
     np.testing.assert_array_equal(hba.results.counts, [1])
 
 
+def test_hbonds_lifetime_intermittent():
+    """c(t) for a deterministic on/off bond pattern matches the
+    direct triangular-normalized autocorrelation."""
+
+    pattern = np.array(
+        [1, 1, 1, 0, 1, 0, 0, 1, 1, 0, 1, 1, 0, 0, 0, 1], dtype=bool
+    )
+    T = len(pattern)
+    box = np.array([30.0] * 3)
+    frames = []
+    for on in pattern:
+        acc_x = 7.8 if on else 20.0
+        frames.append(
+            np.array(
+                [
+                    [5.0, 5.0, 5.0],
+                    [5.96, 5.0, 5.0],
+                    [4.7, 5.9, 5.0],
+                    [acc_x, 5.0, 5.0],
+                ]
+            )
+        )
+    u = Universe.from_arrays(
+        np.stack(frames), box,
+        names=np.array(["O", "H1", "H2", "O"], dtype=object),
+        bonds=np.array([(0, 1), (0, 2)]),
+        dt=2.0,
+    )
+    hba = HydrogenBondAnalysis(
+        u, hydrogens_sel="name H*", acceptors_sel="name O*",
+        lifetimes=True, verbose=False,
+    ).run()
+    np.testing.assert_array_equal(
+        hba.results.counts, pattern.astype(int)
+    )
+    p = pattern.astype(float)
+    acf = np.array(
+        [
+            (p[: T - t] * p[t:]).sum() / (T - t)
+            for t in range(T)
+        ]
+    )
+    np.testing.assert_allclose(
+        hba.results.lifetime, acf / acf[0], rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        hba.results.lifetime_times, np.arange(T) * 2.0
+    )
+    assert hba.results.lifetime[0] == 1.0
+
+
 def test_hbonds_validation():
     u, pos, bonds, box = _water_box(n_mol=2, n_frames=1)
     with pytest.raises(ValueError):
