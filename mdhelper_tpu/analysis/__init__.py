@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     electrostatics,
     hbonds,
     multi,
+    orientation,
     polymer,
     profile,
     structure,
@@ -34,6 +35,7 @@ __all__ = [
     "cluster",
     "hbonds",
     "multi",
+    "orientation",
     "run_together",
     "electrostatics",
     "polymer",
