@@ -197,3 +197,41 @@ def test_cookbook_bonded():
         verbose=False,
     ).run()
     assert phi.results.counts.sum() == (N - 3) * N_FRAMES
+
+
+def test_cookbook_cluster_hbonds_orientation():
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+    from mdhelper_tpu.analysis.hbonds import HydrogenBondAnalysis
+    from mdhelper_tpu.analysis.orientation import (
+        NematicOrderParameter,
+    )
+
+    u = make_universe()
+    cs = ClusterSizeDistribution(u.atoms, cutoff=2.5,
+                                 verbose=False).run()
+    assert cs.results.size_counts.sum() == cs.results.n_clusters.sum()
+    assert cs.results.weight_average >= cs.results.number_average > 0
+
+    # the generic fixture has no names/bonds: build a tiny HB system
+    pos = np.array(
+        [[[2.0, 2, 2], [2.96, 2, 2], [1.7, 2.9, 2], [4.8, 2, 2]]]
+    )
+    w = Universe.from_arrays(
+        pos, np.array([BOX] * 3),
+        names=np.array(["O", "H1", "H2", "O"], dtype=object),
+        bonds=np.array([(0, 1), (0, 2)]),
+    )
+    hb = HydrogenBondAnalysis(
+        w, hydrogens_sel="name H*", acceptors_sel="name O* N*",
+        pair_counts=True, lifetimes=True, verbose=False,
+    ).run()
+    assert hb.results.counts[0] == 1
+    assert hb.results.lifetime[0] == 1.0
+
+    nop = NematicOrderParameter(
+        u.select_atoms("type A"), u.select_atoms("type B"),
+        acf=True, verbose=False,
+    ).run()
+    assert nop.results.Q.shape == (N_FRAMES, 3, 3)
+    assert -0.5 <= nop.results.P2_mean <= 1.0
+    assert abs(nop.results.C2[0] - 1.0) < 1e-9

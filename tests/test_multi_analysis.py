@@ -367,3 +367,83 @@ def test_fused_radial_profile_rides_the_stream(universe):
         separate[1].results.number_densities,
         rtol=1e-12,
     )
+
+
+def test_fused_cluster_hbonds_orientation():
+    """The round-3 beyond-reference trio (clustering, hydrogen bonds,
+    nematic order) fuses into one pass with bit-identical results."""
+
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+    from mdhelper_tpu.analysis.hbonds import HydrogenBondAnalysis
+    from mdhelper_tpu.analysis.orientation import NematicOrderParameter
+
+    local = np.random.default_rng(29)
+    box, n_mol, F = 14.0, 12, 6
+    n = 3 * n_mol
+    pos = np.empty((F, n, 3))
+    names, bonds = [], []
+    for m in range(n_mol):
+        o = 3 * m
+        names += ["O", "H1", "H2"]
+        bonds += [(o, o + 1), (o, o + 2)]
+    for f in range(F):
+        centers = local.random((n_mol, 3)) * box
+        for m in range(n_mol):
+            o = 3 * m
+            pos[f, o] = centers[m]
+            for h in (o + 1, o + 2):
+                d = local.standard_normal(3)
+                d /= np.linalg.norm(d)
+                pos[f, h] = centers[m] + 0.96 * d
+    pos %= box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3), dt=1.0,
+        names=np.array(names, dtype=object),
+        types=np.array(["O", "H", "H"] * n_mol, dtype=object),
+        resindices=np.repeat(np.arange(n_mol), 3),
+        bonds=np.asarray(bonds),
+    )
+
+    def make():
+        return [
+            ClusterSizeDistribution(
+                u.atoms, 3.2, "residues", verbose=False
+            ),
+            HydrogenBondAnalysis(
+                u, hydrogens_sel="name H*", acceptors_sel="name O*",
+                pair_counts=True, lifetimes=True, verbose=False,
+            ),
+            NematicOrderParameter(
+                u.select_atoms("name H1"), u.select_atoms("name H2"),
+                acf=True, verbose=False,
+            ),
+        ]
+
+    separate = make()
+    for a in separate:
+        a.run()
+    fused = make()
+    run_together(fused)
+
+    np.testing.assert_array_equal(
+        fused[0].results.size_counts, separate[0].results.size_counts
+    )
+    np.testing.assert_array_equal(
+        fused[0].results.n_clusters, separate[0].results.n_clusters
+    )
+    np.testing.assert_array_equal(
+        fused[1].results.counts, separate[1].results.counts
+    )
+    np.testing.assert_array_equal(
+        fused[1].results.pair_counts, separate[1].results.pair_counts
+    )
+    np.testing.assert_allclose(
+        fused[1].results.lifetime, separate[1].results.lifetime,
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        fused[2].results.Q, separate[2].results.Q, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        fused[2].results.C2, separate[2].results.C2, rtol=1e-12
+    )
