@@ -97,6 +97,12 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         (only with ``lifetimes=True``) intermittent bond correlation
         :math:`c(t)` (normalized to :math:`c(0) = 1`) and its lag
         times (ps).
+    ``results.survival``
+        (only with ``lifetimes=True``) continuous (strict) bond
+        survival :math:`S(t) = \langle h(0) H(t) \rangle / \langle
+        h \rangle`, where :math:`H(t) = 1` only if the bond existed
+        at *every* sample in :math:`[0, t]` — evaluated exactly from
+        the bonded run lengths.
     ``results.times``
         Frame times (ps).
     """
@@ -343,22 +349,52 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         T = self.n_frames
         h = self._existence.reshape(T, -1)
         ever = h.any(axis=0)
+        self.results.lifetime_times = (
+            np.arange(T) * self._trajectory.dt
+        )
         if not ever.any():
-            self.results.lifetime = np.zeros(T)
-            self.results.lifetime[0] = 1.0 if T else 1.0
-            self.results.lifetime_times = (
-                np.arange(T) * self._trajectory.dt
-            )
+            empty = np.zeros(T)
+            if T:
+                empty[0] = 1.0
+            self.results.lifetime = empty
+            self.results.survival = empty.copy()
             return
         series = h[:, ever].astype(np.float64)
         acf = np.asarray(
             correlation_fft(series, axis=0)
         ).sum(axis=1)
         self.results.lifetime = acf / acf[0]
-        self.results.lifetime_times = (
-            np.arange(T) * self._trajectory.dt
-        )
+        self.results.survival = self._survival(h[:, ever])
         if not self._reduced:
             self.results.units[
                 "results.lifetime_times"
             ] = ureg.picosecond
+
+    @staticmethod
+    def _survival(h: np.ndarray) -> np.ndarray:
+        """Continuous survival S(t) from bonded run lengths.
+
+        A maximal run of `L` consecutive bonded samples contributes
+        ``max(L - t, 0)`` origins to the numerator at lag `t`, so with
+        `cnt[L]` runs of each length, ``num(t) = sum_{L > t}
+        cnt[L] (L - t)`` — two reversed cumulative sums, O(T)."""
+
+        T, P = h.shape
+        # column-major flatten with a zero separator so every run
+        # closes inside its own pair's series
+        flat = np.concatenate(
+            [h.T, np.zeros((P, 1), dtype=bool)], axis=1
+        ).ravel()
+        d = np.diff(np.concatenate([[0], flat.astype(np.int8)]))
+        lengths = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
+        cnt = np.bincount(lengths, minlength=T + 2).astype(
+            np.float64
+        )
+        rev1 = np.append(np.cumsum(cnt[::-1])[::-1], 0.0)
+        rev2 = np.append(
+            np.cumsum((cnt * np.arange(len(cnt)))[::-1])[::-1], 0.0
+        )
+        t = np.arange(T)
+        num = rev2[t + 1] - t * rev1[t + 1]
+        S = num / (T - t)
+        return S / S[0]

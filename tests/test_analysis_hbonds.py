@@ -262,6 +262,23 @@ def test_hbonds_lifetime_intermittent():
     )
     assert hba.results.lifetime[0] == 1.0
 
+    # continuous survival: brute-force H(t0, t0+t) oracle
+    surv = np.empty(T)
+    for t in range(T):
+        H = np.array(
+            [p[t0:t0 + t + 1].all() for t0 in range(T - t)]
+        )
+        surv[t] = H.mean()
+    surv /= surv[0]
+    np.testing.assert_allclose(
+        hba.results.survival, surv, rtol=1e-12, atol=1e-15
+    )
+    # strict survival can never exceed the intermittent correlation
+    assert (
+        hba.results.survival
+        <= hba.results.lifetime + 1e-12
+    ).all()
+
 
 def test_hbonds_validation():
     u, pos, bonds, box = _water_box(n_mol=2, n_frames=1)
