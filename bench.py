@@ -32,7 +32,12 @@ Configuration via env vars:
                         the single-pass CPU baseline; "classes": each
                         analysis pipeline separately (each re-streams
                         the trajectory, like the reference); "ops":
-                        the raw kernels only (the round-1 metric)
+                        the raw kernels only (the round-1 metric);
+                        "config4"/"config5"/"isf"/"vanhove": the
+                        BASELINE.md config phases; "aggregates": the
+                        beyond-reference clustering + hydrogen-bond
+                        + nematic-order trio fused into one pass
+                        (MDTPU_BENCH_AGG_ATOMS, default 9000)
 """
 
 import json
@@ -64,6 +69,12 @@ SQ_METHOD = os.environ.get("MDTPU_BENCH_SQ", "factor")
 # analyses in one jitted update; "classes": each pipeline separately;
 # "ops": raw kernels in dedicated loops (the round-1 metric).
 LEVEL = os.environ.get("MDTPU_BENCH_LEVEL", "fused")
+# Atom count for the "aggregates" level (clustering + hydrogen bonds
+# + nematic order are O(N^2) dense sweeps sized for the typical
+# aggregation-analysis regime, not the 100k RDF regime).
+AGG_ATOMS = 3 * (
+    int(os.environ.get("MDTPU_BENCH_AGG_ATOMS", 9000)) // 3
+)
 BOX = float(N_ATOMS / 0.8) ** (1 / 3)  # LJ-liquid-like density 0.8
 R_MAX = min(6.0, BOX / 2 * 0.99)
 
@@ -71,6 +82,31 @@ R_MAX = min(6.0, BOX / 2 * 0.99)
 def make_frame(seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return (rng.random((N_ATOMS, 3)) * BOX).astype(np.float32)
+
+
+def agg_box() -> float:
+    """Water-density box for the aggregates level (0.0334 mol/A^3)."""
+
+    return float((AGG_ATOMS / 3 / 0.0334) ** (1 / 3))
+
+
+def make_water_frame(seed: int, n_frames: int = 1) -> np.ndarray:
+    """(n_frames, AGG_ATOMS, 3) of rigid 3-site waters at liquid
+    density: O at random centers, two H at 0.96 A."""
+
+    rng = np.random.default_rng(seed)
+    n_mol = AGG_ATOMS // 3
+    box = agg_box()
+    centers = rng.random((n_frames, n_mol, 3)) * box
+    d1 = rng.standard_normal((n_frames, n_mol, 3))
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = rng.standard_normal((n_frames, n_mol, 3))
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    traj = np.empty((n_frames, AGG_ATOMS, 3))
+    traj[:, 0::3] = centers
+    traj[:, 1::3] = centers + 0.96 * d1
+    traj[:, 2::3] = centers + 0.96 * d2
+    return traj % box
 
 
 def wavevectors() -> np.ndarray:
@@ -213,6 +249,72 @@ def baseline_config_frame_seconds(level: str, qs: np.ndarray) -> float:
                 bins=N_BINS, range=(0.0, R_MAX),
             )
             frame_seconds = (time.perf_counter() - t0) * n_sel
+        elif level == "aggregates":
+            # Clustering + hydrogen bonds + Q-tensor per frame, the
+            # way a reference user codes them single-core: KD-tree
+            # contact pairs -> union-find molecule components; KD-tree
+            # donor-acceptor candidates -> angle filter; one einsum.
+            from scipy.spatial import cKDTree
+
+            box = agg_box()
+            pos = make_water_frame(i)[0]
+            n_mol = AGG_ATOMS // 3
+            mol = np.repeat(np.arange(n_mol), 3)
+            d_ix = np.repeat(3 * np.arange(n_mol), 2)
+            h_ix = (
+                3 * np.repeat(np.arange(n_mol), 2)
+                + np.tile([1, 2], n_mol)
+            )
+            a_ix = 3 * np.arange(n_mol)
+            t0 = time.perf_counter()
+            tree = cKDTree(pos, boxsize=box)
+            pairs = tree.query_pairs(3.5, output_type="ndarray")
+            parent = np.arange(n_mol)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in mol[pairs]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            roots = np.array([find(x) for x in range(n_mol)])
+            _, sizes = np.unique(roots, return_counts=True)
+            np.bincount(sizes - 1, minlength=n_mol)
+            # H-bonds: D-A candidates within 3.0, then the angle test
+            atree = cKDTree(pos[a_ix], boxsize=box)
+            cand = atree.query_ball_point(pos[d_ix], 3.0)
+            for k, accs in enumerate(cand):
+                D = pos[d_ix[k]]
+                H = pos[h_ix[k]]
+                vhd = D - H
+                vhd -= box * np.round(vhd / box)
+                for j in accs:
+                    if a_ix[j] == d_ix[k]:
+                        continue
+                    vha = pos[a_ix[j]] - H
+                    vha -= box * np.round(vha / box)
+                    den = np.linalg.norm(vhd) * np.linalg.norm(vha)
+                    np.degrees(
+                        np.arccos(
+                            np.clip(np.dot(vhd, vha) / den, -1, 1)
+                        )
+                    )
+            # Q-tensor over the H1 -> H2 axes
+            v = pos[3 * np.arange(n_mol) + 2] - pos[
+                3 * np.arange(n_mol) + 1
+            ]
+            v -= box * np.round(v / box)
+            uhat = v / np.linalg.norm(v, axis=-1, keepdims=True)
+            Q = (
+                3 * np.einsum("ia,ib->ab", uhat, uhat) / n_mol
+                - np.eye(3)
+            ) / 2
+            np.linalg.eigvalsh(Q)
+            frame_seconds = time.perf_counter() - t0
         else:  # pragma: no cover - defensive
             raise ValueError(f"unknown baseline level {level!r}")
         times.append(frame_seconds)
@@ -559,6 +661,66 @@ def tpu_class_fps(which: str) -> float:
     return (total - chunk) / (t_end - marks[0])
 
 
+def tpu_aggregates_fps() -> float:
+    """Steady-state frames/sec of the beyond-reference aggregation
+    trio fused into ONE trajectory pass: molecule clustering
+    (``ClusterSizeDistribution``, any-atom contact), hydrogen bonds
+    (``HydrogenBondAnalysis``) and nematic order
+    (``NematicOrderParameter``) on ``AGG_ATOMS`` water-like atoms at
+    liquid density.  Timing matches :func:`tpu_class_fps`."""
+
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+    from mdhelper_tpu.analysis.hbonds import HydrogenBondAnalysis
+    from mdhelper_tpu.analysis.multi import run_together
+    from mdhelper_tpu.analysis.orientation import (
+        NematicOrderParameter,
+    )
+    from mdhelper_tpu.core.universe import Universe
+
+    chunk = 4
+    total = chunk + N_FRAMES
+    n_mol = AGG_ATOMS // 3
+    box = agg_box()
+    traj = make_water_frame(2028, total)
+    names = np.array(["O", "H1", "H2"] * n_mol, dtype=object)
+    bonds = np.empty((2 * n_mol, 2), dtype=np.int64)
+    bonds[0::2] = np.stack(
+        [3 * np.arange(n_mol), 3 * np.arange(n_mol) + 1], axis=1
+    )
+    bonds[1::2] = np.stack(
+        [3 * np.arange(n_mol), 3 * np.arange(n_mol) + 2], axis=1
+    )
+    u = Universe.from_arrays(
+        traj, np.array([box] * 3 + [90.0] * 3), dt=1.0,
+        names=names, resindices=np.repeat(np.arange(n_mol), 3),
+        bonds=bonds,
+    )
+    fused = [
+        ClusterSizeDistribution(
+            u.atoms, 3.5, "residues", verbose=False
+        ),
+        HydrogenBondAnalysis(
+            u, hydrogens_sel="name H*", acceptors_sel="name O*",
+            verbose=False,
+        ),
+        NematicOrderParameter(
+            u.select_atoms("name H1"), u.select_atoms("name H2"),
+            verbose=False,
+        ),
+    ]
+    for f in fused:
+        f._chunk_bytes = chunk * AGG_ATOMS * 3 * 4
+
+    marks = []
+
+    def on_chunk(batch):
+        marks.append(time.perf_counter())
+
+    run_together(fused, on_chunk=on_chunk)
+    t_end = time.perf_counter()
+    return (total - chunk) / (t_end - marks[0])
+
+
 def tpu_config_fps(which: str) -> float:
     """Steady-state frames/sec of the BASELINE.md config-4/5 and ISF
     pipelines, driven through the REAL classes end-to-end:
@@ -762,6 +924,13 @@ def _measure_tpu_subprocess() -> float:
             "import bench\n"
             "print('MDTPU_FPS', bench.tpu_class_fps({phase!r}))\n"
         )
+    elif LEVEL == "aggregates":
+        phases = ("aggregates",)
+        template = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "print('MDTPU_FPS', bench.tpu_aggregates_fps())\n"
+        )
     elif LEVEL in ("config4", "config5", "isf", "vanhove"):
         phases = {
             "config4": ("profile",),
@@ -834,7 +1003,9 @@ def _measure_tpu_subprocess() -> float:
 
 def main() -> None:
     qs = wavevectors()
-    if LEVEL in ("config4", "config5", "isf", "vanhove"):
+    if LEVEL in (
+        "config4", "config5", "isf", "vanhove", "aggregates"
+    ):
         ref_seconds = baseline_config_frame_seconds(LEVEL, qs)
     else:
         ref_seconds = baseline_frame_seconds(qs)
@@ -861,6 +1032,10 @@ def main() -> None:
         "vanhove": (
             "van Hove G(r,t), 64-frame ring, log lag grid, "
             "throughput"
+        ),
+        "aggregates": (
+            "fused clustering + hydrogen bonds + nematic order "
+            f"throughput ({AGG_ATOMS} water-like atoms)"
         ),
     }.get(LEVEL, "fused RDF+S(q)+MSD kernel throughput")
     print(
