@@ -260,6 +260,28 @@ class SerialAnalysisBase:
             if knob is not None
             else "axon" in os.environ.get("JAX_PLATFORMS", "")
         )
+        if getattr(self, "_checkpoint_sync", False):
+            sync = True  # checkpointed stores must not lag the carry
+        skip = getattr(self, "_store_row_skip", 0)
+        if skip:
+            # Checkpoint-resume straddling chunk: drop the rows the
+            # interrupted run already stored (their recomputed values
+            # may be wrong for sequential analyses, whose masked
+            # frames see a frozen scan state).
+            self._store_row_skip = 0
+            extras = jax.tree_util.tree_map(
+                lambda leaf: leaf[skip:]
+                if getattr(leaf, "ndim", 0)
+                else leaf,
+                extras,
+            )
+            batch = _Batch(
+                batch.positions, batch.dimensions, batch.mask,
+                batch.indices[skip:],
+                n_real=batch.n_real - skip,
+                host_positions=batch.host_positions,
+                host_dimensions=batch.host_dimensions,
+            )
         if sync:
             self._store_chunk(extras, batch)
             return
@@ -280,6 +302,78 @@ class SerialAnalysisBase:
         if future is not None:
             self._host_future = None
             future.result()
+
+    # -- store-type checkpointing -------------------------------------------
+    #: Store-type analyses whose host buffers are fully captured by
+    #: :meth:`_store_state` (every per-frame buffer is either a
+    #: frame-leading numeric array in ``results`` or named by
+    #: :meth:`_checkpoint_attrs`) opt in by setting this True.  The
+    #: default False makes ``run(checkpoint=...)`` refuse rather than
+    #: silently checkpoint half the state.
+    _checkpointable_stores: bool = False
+
+    def _checkpoint_attrs(self) -> tuple:
+        """Names of private host buffers filled by ``_store_chunk``
+        (beyond the ``results`` arrays), persisted by store-type
+        checkpointing.  Subclasses with such buffers override."""
+
+        return ()
+
+    def _store_state(self) -> dict:
+        """Host store state for :func:`~mdhelper_tpu.core.checkpoint.
+        save_carry`: the store offset, every numeric array in
+        ``results`` (per-frame buffers restore their filled prefix;
+        static arrays round-trip unchanged), and the buffers named by
+        :meth:`_checkpoint_attrs`."""
+
+        state = {
+            "__store_offset__": np.int64(
+                getattr(self, "_store_offset", 0)
+            ),
+        }
+        for key, value in self.results.items():
+            if (
+                isinstance(value, np.ndarray)
+                and value.dtype != object
+            ):
+                state[f"results::{key}"] = value
+        for attr in self._checkpoint_attrs():
+            value = getattr(self, attr, None)
+            if value is not None:
+                state[f"attr::{attr}"] = np.asarray(value)
+        return state
+
+    def _restore_store_state(self, stores: dict) -> None:
+        """Restore :meth:`_store_state` into this run's (freshly
+        prepared) buffers.  Arrays restore into the leading prefix so
+        a partial run's checkpoint resumes into a longer frame
+        selection (the same-origin contract the carry path has)."""
+
+        offset = stores.pop("__store_offset__", None)
+        if offset is not None:
+            self._store_offset = int(offset)
+
+        def restore(dst, src, name):
+            if (
+                not isinstance(dst, np.ndarray)
+                or dst.shape[1:] != src.shape[1:]
+                or dst.shape[0] < src.shape[0]
+            ):
+                raise ValueError(
+                    f"Checkpointed store {name!r} (shape {src.shape}) "
+                    "is incompatible with this run's frame selection "
+                    f"(buffer shape {getattr(dst, 'shape', None)}); "
+                    "resume with the same analysis configuration and "
+                    "a frame selection extending the original."
+                )
+            dst[: len(src)] = src
+
+        for key, value in stores.items():
+            kind, _, name = key.partition("::")
+            if kind == "results":
+                restore(self.results.get(name), value, name)
+            else:
+                restore(getattr(self, name, None), value, name)
 
     def _conclude(self) -> None:
         pass
@@ -653,18 +747,35 @@ class SerialAnalysisBase:
 
                 from ..core.checkpoint import load_carry, save_carry
 
-                if self._store_chunk is not None:
-                    # A truthiness check on _store_offset (always 0
-                    # here, set in _prepare) would silently checkpoint
-                    # only the carry and corrupt the host store on
-                    # resume.
-                    raise ValueError(
-                        "Checkpointing is only supported for "
-                        "carry-accumulating analyses (this analysis "
-                        "streams per-frame results to host buffers)."
-                    )
+                store_type = self._store_chunk is not None
+                if store_type:
+                    if self._host_pipeline:
+                        raise ValueError(
+                            "Checkpointing is not supported with the "
+                            "host-side pipeline (per-chunk host state "
+                            "is not captured); set "
+                            "MDTPU_HOST_PIPELINE=0 to checkpoint."
+                        )
+                    if not self._checkpointable_stores:
+                        raise ValueError(
+                            "Checkpointing is not supported for this "
+                            "analysis: its per-frame host buffers are "
+                            "not registered for checkpointing (see "
+                            "SerialAnalysisBase._checkpointable_"
+                            "stores)."
+                        )
+                    # Store extras must be absorbed synchronously so
+                    # the host buffers saved after chunk n actually
+                    # contain chunk n (the default queue is one chunk
+                    # late, which would desynchronize the store from
+                    # the saved frame count).
+                    self._checkpoint_sync = True
                 if os.path.exists(checkpoint):
-                    carry, skip_frames = load_carry(checkpoint, carry)
+                    carry, skip_frames, stores = load_carry(
+                        checkpoint, carry, with_stores=True
+                    )
+                    if stores:
+                        self._restore_store_state(stores)
                     logging.info(
                         f"Resuming from {checkpoint} at frame "
                         f"{skip_frames}."
@@ -675,11 +786,38 @@ class SerialAnalysisBase:
                 if processed + n_real <= skip_frames:
                     processed += n_real
                     continue
+                if processed < skip_frames:
+                    # The resume chunk straddles the checkpoint
+                    # boundary (the interrupted run's last chunk was
+                    # truncated at a different edge): zero the mask of
+                    # the already-processed leading frames so the
+                    # carry doesn't double-count them (sequential
+                    # scans freeze on masked frames), and have the
+                    # store path drop those rows (_store_row_skip).
+                    done = skip_frames - processed
+                    mask = jnp.asarray(batch.mask)
+                    mask = mask.at[:done].set(
+                        jnp.zeros((), mask.dtype)
+                    )
+                    batch = _Batch(
+                        batch.positions, batch.dimensions, mask,
+                        batch.indices, n_real=batch.n_real,
+                        host_positions=batch.host_positions,
+                        host_dimensions=batch.host_dimensions,
+                    )
+                    self._store_row_skip = done
                 carry = self._batched_update(carry, batch)
                 carry = self._sync_carry(carry)
                 processed += n_real
                 if checkpoint is not None:
-                    save_carry(checkpoint, carry, processed)
+                    save_carry(
+                        checkpoint, carry, processed,
+                        stores=(
+                            self._store_state()
+                            if self._store_chunk is not None
+                            else None
+                        ),
+                    )
             self._carry = carry
         else:
             # Classic per-frame host loop for user subclasses.

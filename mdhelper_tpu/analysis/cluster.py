@@ -116,6 +116,10 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
         Frame times (ps).
     """
 
+    # store-type checkpointing: per-frame series are results arrays;
+    # the size histogram lives in the carry.
+    _checkpointable_stores = True
+
     def __init__(
         self,
         group,

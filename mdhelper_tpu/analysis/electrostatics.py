@@ -117,6 +117,10 @@ class DipoleMoment(DynamicAnalysisBase):
         when ``unwrap=True``).
     """
 
+    # store-type checkpointing: per-frame dipole/volume buffers live
+    # in results arrays; the unwrap scan state lives in the carry.
+    _checkpointable_stores = True
+
     def __init__(
         self,
         groups,

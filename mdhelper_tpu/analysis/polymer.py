@@ -408,6 +408,11 @@ class Gyradius(_PolymerAnalysisBase):
     symmetric 3x3 tensors (device-friendly; no ``linalg`` lowering).
     """
 
+    # store-type checkpointing: the per-frame stores are results
+    # arrays (time on axis 1 — same-selection resume restores them
+    # whole; a different selection fails the shape check cleanly).
+    _checkpointable_stores = True
+
     def __init__(
         self,
         groups,
@@ -664,6 +669,11 @@ class EndToEndVector(_PolymerAnalysisBase):
     flags are tracked when ``unwrap=True``; the ACF is evaluated with
     the FFT correlator over (blocks, frames, chains).
     """
+
+    _checkpointable_stores = True
+
+    def _checkpoint_attrs(self) -> tuple:
+        return ("_e2e",)
 
     def __init__(
         self,

@@ -1908,6 +1908,9 @@ class IntermediateScatteringFunction(StructureFactor):
             self._rho = np.empty((self.n_frames, n_groups, n_q, 2))
             self._store_offset = 0
             self._store_chunk = self._store_rho
+            # the rho store is the only mid-stream state on this path
+            self._checkpointable_stores = True
+            self._checkpoint_attrs = lambda: ("_rho",)
             self._carry = jnp.zeros(())
 
             def fft_update(carry, positions, dimensions, mask):

@@ -298,6 +298,12 @@ class Onsager(SerialAnalysisBase):
     """
 
     _sequential = True
+    # store-type checkpointing: the carry (unwrap scan state) plus the
+    # entity-position store below fully capture mid-stream state.
+    _checkpointable_stores = True
+
+    def _checkpoint_attrs(self) -> tuple:
+        return ("_positions",)
 
     def __init__(
         self,

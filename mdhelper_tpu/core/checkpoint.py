@@ -18,13 +18,21 @@ import jax
 __all__ = ["save_carry", "load_carry"]
 
 
-def save_carry(path: str, carry, frames_done: int) -> None:
-    """Write a carry pytree and the number of processed frames."""
+def save_carry(path: str, carry, frames_done: int, stores=None) -> None:
+    """Write a carry pytree and the number of processed frames.
+
+    `stores` optionally adds host-side store state (per-frame result
+    buffers + the store offset, from
+    ``SerialAnalysisBase._store_state``) so store-type analyses can
+    checkpoint too; keys are saved under a ``store||`` prefix."""
 
     leaves, treedef = jax.tree.flatten(carry)
     arrays = {
         f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)
     }
+    if stores:
+        for key, value in stores.items():
+            arrays[f"store||{key}"] = np.asarray(value)
     np.savez(
         path,
         __frames_done__=np.int64(frames_done),
@@ -33,9 +41,12 @@ def save_carry(path: str, carry, frames_done: int) -> None:
     )
 
 
-def load_carry(path: str, template):
+def load_carry(path: str, template, with_stores: bool = False):
     """Restore ``(carry, frames_done)`` from `path`, shaping the leaves
-    like `template` (dtypes/devices follow the template's leaves)."""
+    like `template` (dtypes/devices follow the template's leaves).
+    With ``with_stores=True``, returns ``(carry, frames_done,
+    stores)`` where `stores` maps the saved host-store keys back to
+    arrays (empty for carry-only checkpoints)."""
 
     archive = np.load(path)
     frames_done = int(archive["__frames_done__"])
@@ -55,4 +66,12 @@ def load_carry(path: str, template):
 
             value = jnp.asarray(value, dtype=ref.dtype)
         leaves.append(value)
-    return jax.tree.unflatten(treedef, leaves), frames_done
+    carry = jax.tree.unflatten(treedef, leaves)
+    if not with_stores:
+        return carry, frames_done
+    stores = {
+        name[len("store||"):]: archive[name]
+        for name in archive.files
+        if name.startswith("store||")
+    }
+    return carry, frames_done, stores

@@ -645,17 +645,171 @@ def test_trig_sums_exact_matches_float64_oracle():
     assert err_fast.sum() > 5 * err.sum()
 
 
-def test_checkpoint_rejected_for_store_analyses(tmp_path):
-    """Store-type analyses (host per-frame buffers) must refuse
-    checkpointing BEFORE streaming — a carry-only checkpoint would
-    corrupt the host store on resume."""
+def test_checkpoint_resume_misaligned_chunk_boundary(tmp_path):
+    """A resume whose chunking straddles the checkpoint boundary
+    (the interrupted run's last chunk was truncated by `stop`) must
+    not double-count the already-processed frames."""
+
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    u = make_universe(n_frames=10, n_atoms=16)
+    ckpt = str(tmp_path / "rdf_misaligned.npz")
+
+    def make():
+        a = RadialDistributionFunction(
+            u.atoms, n_bins=12, range=(0.0, 4.0), exclusion=(1, 1),
+            verbose=False,
+        )
+        a._chunk_bytes = 3 * 16 * 3 * 8  # 3 frames per chunk
+        return a
+
+    full = make().run()
+    # stop=5 is NOT a multiple of the 3-frame chunk: the resumed
+    # stream's second chunk (frames 3-5) straddles the boundary.
+    make().run(stop=5, checkpoint=ckpt)
+    resumed = make().run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        resumed.results.counts, full.results.counts
+    )
+
+
+def test_checkpoint_rejected_for_unregistered_stores(tmp_path):
+    """Store-type analyses whose host buffers are NOT registered for
+    checkpointing must refuse BEFORE streaming — a carry-only
+    checkpoint would corrupt the host store on resume."""
+
+    from mdhelper_tpu.analysis.polymer import RouseModes
+
+    u = make_universe(n_frames=6, n_atoms=16)
+    rm = RouseModes(
+        u.atoms, n_chains=4, n_monomers=4, n_modes=2, verbose=False
+    )
+    with pytest.raises(ValueError, match="not registered"):
+        rm.run(checkpoint=str(tmp_path / "state.npz"))
+
+
+def test_checkpoint_resume_store_type_onsager(tmp_path):
+    """A killed Onsager run (store-type: per-frame entity positions;
+    sequential unwrap carry) resumes mid-stream bit-exactly."""
 
     from mdhelper_tpu.analysis.transport import Onsager
 
-    u = make_universe()
-    ons = Onsager(u.atoms, temperature=300, verbose=False)
-    with pytest.raises(ValueError, match="carry-accumulating"):
-        ons.run(checkpoint=str(tmp_path / "state.npz"))
+    u = make_universe(n_frames=10, n_atoms=16)
+    ckpt = str(tmp_path / "onsager.npz")
+
+    def make():
+        a = Onsager(u.atoms, temperature=300, unwrap=True,
+                    verbose=False)
+        a._chunk_bytes = 2 * 16 * 3 * 8  # 2 frames per chunk
+        return a
+
+    full = make().run()
+    make().run(stop=4, checkpoint=ckpt)  # "killed" after 4 frames
+    resumed = make().run(checkpoint=ckpt)
+    np.testing.assert_allclose(
+        resumed.results.msd_self, full.results.msd_self, rtol=1e-12
+    )
+
+
+def test_checkpoint_resume_store_type_new_classes(tmp_path):
+    """Cluster (per-frame series) and H-bond (lifetime existence
+    buffer) analyses resume from a mid-stream checkpoint."""
+
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+    from mdhelper_tpu.analysis.hbonds import HydrogenBondAnalysis
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(41)
+    box, n_mol, F = 12.0, 8, 10
+    n = 3 * n_mol
+    pos = np.empty((F, n, 3))
+    names, bonds = [], []
+    for m in range(n_mol):
+        o = 3 * m
+        names += ["O", "H1", "H2"]
+        bonds += [(o, o + 1), (o, o + 2)]
+    for f in range(F):
+        centers = local.random((n_mol, 3)) * box
+        for m in range(n_mol):
+            o = 3 * m
+            pos[f, o] = centers[m]
+            for h in (o + 1, o + 2):
+                d = local.standard_normal(3)
+                d /= np.linalg.norm(d)
+                pos[f, h] = centers[m] + 0.96 * d
+    pos %= box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        names=np.array(names, dtype=object),
+        resindices=np.repeat(np.arange(n_mol), 3),
+        bonds=np.asarray(bonds),
+    )
+
+    ckpt = str(tmp_path / "cluster.npz")
+
+    def cl():
+        a = ClusterSizeDistribution(
+            u.atoms, 3.0, "residues", verbose=False
+        )
+        a._chunk_bytes = 3 * n * 3 * 8  # 3 frames per chunk
+        return a
+
+    full = cl().run()
+    cl().run(stop=5, checkpoint=ckpt)
+    resumed = cl().run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        resumed.results.size_counts, full.results.size_counts
+    )
+    np.testing.assert_array_equal(
+        resumed.results.n_clusters, full.results.n_clusters
+    )
+    np.testing.assert_array_equal(
+        resumed.results.largest, full.results.largest
+    )
+
+    ckpt = str(tmp_path / "hbonds.npz")
+
+    def hb():
+        a = HydrogenBondAnalysis(
+            u, hydrogens_sel="name H*", acceptors_sel="name O*",
+            lifetimes=True, verbose=False,
+        )
+        a._chunk_bytes = 3 * n * 3 * 8
+        return a
+
+    full = hb().run()
+    hb().run(stop=5, checkpoint=ckpt)
+    resumed = hb().run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        resumed.results.counts, full.results.counts
+    )
+    np.testing.assert_allclose(
+        resumed.results.occupancies, full.results.occupancies
+    )
+    np.testing.assert_allclose(
+        resumed.results.lifetime, full.results.lifetime, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        resumed.results.survival, full.results.survival, rtol=1e-12
+    )
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    """Resuming a store-type checkpoint into an incompatible frame
+    selection fails the shape check instead of corrupting buffers."""
+
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+
+    u = make_universe(n_frames=8, n_atoms=12)
+    ckpt = str(tmp_path / "cluster.npz")
+    ClusterSizeDistribution(u.atoms, 2.0, verbose=False).run(
+        stop=6, checkpoint=ckpt
+    )
+    short = ClusterSizeDistribution(u.atoms, 2.0, verbose=False)
+    with pytest.raises(ValueError, match="incompatible"):
+        short.run(stop=3, checkpoint=ckpt)
 
 
 def test_prefetch_preserves_order_and_results(monkeypatch):
