@@ -796,6 +796,87 @@ def test_checkpoint_resume_store_type_new_classes(tmp_path):
     )
 
 
+def test_checkpoint_resume_store_type_more_classes(tmp_path):
+    """DipoleMoment (unwrap scan + results stores), Gyradius
+    (axis-1 stores), and the time-FFT ISF (private rho buffer) all
+    resume from a mid-stream checkpoint."""
+
+    from mdhelper_tpu.analysis.electrostatics import DipoleMoment
+    from mdhelper_tpu.analysis.polymer import Gyradius
+    from mdhelper_tpu.analysis.structure import (
+        IntermediateScatteringFunction,
+    )
+
+    u = make_universe(n_frames=9, n_atoms=16)
+
+    def resume_equal(make, keys, ckpt, stop=5):
+        full = make().run()
+        make().run(stop=stop, checkpoint=ckpt)
+        resumed = make().run(checkpoint=ckpt)
+        for key in keys:
+            np.testing.assert_allclose(
+                np.asarray(resumed.results[key], dtype=float),
+                np.asarray(full.results[key], dtype=float),
+                rtol=1e-10,
+                err_msg=key,
+            )
+
+    def dip():
+        a = DipoleMoment(u.atoms, unwrap=True, verbose=False)
+        a._chunk_bytes = 2 * 16 * 3 * 8
+        return a
+
+    resume_equal(
+        dip, ("dipoles", "volumes"),
+        str(tmp_path / "dip.npz"),
+    )
+
+    def gyr():
+        a = Gyradius(
+            u.atoms, n_chains=4, n_monomers=4, verbose=False
+        )
+        a._chunk_bytes = 2 * 16 * 3 * 8
+        return a
+
+    # Gyradius stores time on axis 1, so extension-resume is
+    # (correctly) rejected; the supported flow is kill -> resume over
+    # the SAME selection.
+    full = gyr().run()
+    ckpt = str(tmp_path / "gyr.npz")
+    killed = gyr()
+    real = type(killed)._batched_update
+    calls = {"n": 0}
+
+    def dying(self, carry, batch):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return real(self, carry, batch)
+
+    type(killed)._batched_update = dying
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            killed.run(checkpoint=ckpt)
+    finally:
+        type(killed)._batched_update = real
+    resumed = gyr().run(checkpoint=ckpt)
+    np.testing.assert_allclose(
+        resumed.results.gyradii, full.results.gyradii, rtol=1e-12
+    )
+
+    def isf():
+        a = IntermediateScatteringFunction(
+            u.atoms, n_points=2, sort=False, unique=False,
+            fft=True, verbose=False,
+        )
+        a._chunk_bytes = 2 * 16 * 3 * 8
+        return a
+
+    resume_equal(
+        isf, ("cisf",), str(tmp_path / "isf.npz")
+    )
+
+
 def test_checkpoint_shape_mismatch_rejected(tmp_path):
     """Resuming a store-type checkpoint into an incompatible frame
     selection fails the shape check instead of corrupting buffers."""
