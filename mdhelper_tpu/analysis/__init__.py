@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     base,
     bonded,
     cluster,
+    dynamics,
     electrostatics,
     hbonds,
     multi,
@@ -33,6 +34,7 @@ __all__ = [
     "base",
     "bonded",
     "cluster",
+    "dynamics",
     "hbonds",
     "multi",
     "orientation",

@@ -495,6 +495,11 @@ class SerialAnalysisBase:
     #: atom indices to read per frame (None = all atoms); subclasses may
     #: set this in __init__/_prepare to slice reader columns on the host.
     _atom_indices: Optional[np.ndarray] = None
+    #: what the stream's coordinate payload is: "positions" (default)
+    #: or "velocities" (for VACF-style analyses; the reader must
+    #: support ``read_velocity_frames``).  The payload rides the same
+    #: chunking/padding/sharding/prefetch machinery either way.
+    _payload: str = "positions"
     #: coordinate axes to stream (None = all three); analyses that only
     #: consume a subset (e.g. a z-axis density profile) set this in
     #: _prepare to cut the host->HBM transfer proportionally.
@@ -607,6 +612,10 @@ class SerialAnalysisBase:
                 )
                 continue
             positions, dimensions = self._trajectory.read_frames(block)
+            if self._payload == "velocities":
+                positions = self._trajectory.read_velocity_frames(
+                    block
+                )
             host_positions, host_dimensions = positions, dimensions
             if self._host_pipeline:
                 # Host-pipeline analyses consume the raw chunk as-is;
@@ -671,6 +680,10 @@ class SerialAnalysisBase:
             positions, dimensions = self._trajectory.read_frames(
                 local_idx
             )
+            if self._payload == "velocities":
+                positions = self._trajectory.read_velocity_frames(
+                    local_idx
+                )
             if atom_indices is not None:
                 positions = positions[:, atom_indices]
             if self._coord_axes is not None:

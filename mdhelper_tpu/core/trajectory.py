@@ -141,6 +141,29 @@ class TrajectoryReader:
             dimensions[out] = self._read_dimensions(int(index))
         return positions, dimensions
 
+    #: formats that store per-frame velocities override
+    has_velocities: bool = False
+
+    def _read_velocities(self, index: int) -> np.ndarray:
+        raise ValueError(
+            f"{type(self).__name__} stores no velocities."
+        )
+
+    def read_velocity_frames(
+        self, indices: Sequence[int]
+    ) -> np.ndarray:
+        """Batched velocity read: ``(F, N, 3)`` (Angstrom/ps) for the
+        requested frame indices.  Raises for formats without
+        velocities."""
+
+        indices = np.asarray(indices, dtype=int)
+        velocities = np.empty(
+            (len(indices), self._n_atoms, 3), dtype=np.float64
+        )
+        for out, index in enumerate(indices):
+            velocities[out] = self._read_velocities(int(index))
+        return velocities
+
     def check_slice_indices(
         self, start: int, stop: int, step: int
     ) -> tuple[int, int, int]:
@@ -201,11 +224,21 @@ class ArrayReader(TrajectoryReader):
         self._times = (
             None if times is None else np.asarray(times, dtype=float)
         )
-        self._velocities = velocities
+        self._velocities = (
+            None
+            if velocities is None
+            else np.asarray(velocities, dtype=np.float64)
+        )
         self._forces = forces
+        self.has_velocities = self._velocities is not None
 
     def _read_positions(self, index: int) -> np.ndarray:
         return self._positions[index]
+
+    def _read_velocities(self, index: int) -> np.ndarray:
+        if self._velocities is None:
+            raise ValueError("This trajectory stores no velocities.")
+        return self._velocities[index]
 
     def _read_dimensions(self, index: int) -> np.ndarray:
         return self._dimensions[index]
@@ -218,6 +251,11 @@ class ArrayReader(TrajectoryReader):
     def read_frames(self, indices):
         indices = np.asarray(indices, dtype=int)
         return self._positions[indices], self._dimensions[indices]
+
+    def read_velocity_frames(self, indices):
+        if self._velocities is None:
+            raise ValueError("This trajectory stores no velocities.")
+        return self._velocities[np.asarray(indices, dtype=int)]
 
 
 class NPZReader(ArrayReader):
@@ -490,6 +528,17 @@ class TRRReader(TrajectoryReader):
         if frame["positions"] is None:
             raise ValueError(f"Frame {index} stores no positions.")
         return frame["positions"] * self._scale
+
+    def _read_velocities(self, index: int) -> np.ndarray:
+        frame = self._frame(index)
+        if frame["velocities"] is None:
+            raise ValueError(f"Frame {index} stores no velocities.")
+        # nm/ps -> Angstrom/ps under convert_units
+        return frame["velocities"] * self._scale
+
+    @property
+    def has_velocities(self) -> bool:
+        return self._frame(0)["velocities"] is not None
 
     def _read_dimensions(self, index: int) -> np.ndarray:
         box = self._frame(index)["box"]

@@ -127,12 +127,17 @@ class Universe:
         *,
         dt: float = 1.0,
         times: np.ndarray = None,
+        velocities: np.ndarray = None,
+        forces: np.ndarray = None,
         **topology_attrs,
     ) -> "Universe":
         positions = np.asarray(positions, dtype=np.float64)
         if positions.ndim == 2:
             positions = positions[None]
-        reader = ArrayReader(positions, dimensions, dt=dt, times=times)
+        reader = ArrayReader(
+            positions, dimensions, dt=dt, times=times,
+            velocities=velocities, forces=forces,
+        )
         topology = Topology(positions.shape[1], **topology_attrs)
         return cls(topology, reader)
 

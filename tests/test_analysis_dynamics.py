@@ -1,0 +1,158 @@
+"""Velocity autocorrelation + vibrational density of states vs NumPy
+oracles and an analytic oscillator — beyond-reference capability
+(velocity payload streaming)."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis.dynamics import VelocityAutocorrelation
+from mdhelper_tpu.core.universe import Universe
+
+rng = np.random.default_rng(37)
+
+
+def _universe(velocities, dt=0.5, masses=None):
+    T, n, _ = velocities.shape
+    pos = rng.random((T, n, 3)) * 10.0
+    kwargs = dict(
+        types=np.array(["A"] * n, dtype=object), dt=dt,
+        velocities=velocities,
+    )
+    if masses is not None:
+        kwargs["masses"] = masses
+    return Universe.from_arrays(pos, np.array([10.0] * 3), **kwargs)
+
+
+def _oracle_per_atom_acf(v):
+    """Triangular-normalized per-atom vector ACF, (T, N)."""
+
+    T, n, _ = v.shape
+    acf = np.zeros((T, n))
+    for t in range(T):
+        acf[t] = (
+            (v[: T - t] * v[t:]).sum(axis=-1).sum(axis=0) / (T - t)
+        )
+    return acf
+
+
+def test_vacf_random_oracle():
+    T, n = 24, 6
+    v = rng.standard_normal((T, n, 3))
+    masses = np.abs(rng.standard_normal(n)) + 0.5
+    u = _universe(v, masses=masses)
+    vacf = VelocityAutocorrelation(u.atoms, verbose=False).run()
+
+    per_atom = _oracle_per_atom_acf(v)
+    np.testing.assert_allclose(
+        vacf.results.vacf, per_atom.mean(axis=1), rtol=1e-10
+    )
+    np.testing.assert_allclose(vacf.results.acf[0], 1.0)
+    np.testing.assert_allclose(
+        vacf.results.times, np.arange(T) * 0.5
+    )
+
+    # vdos oracle: cosine transform of the mass-weighted ACF
+    weighted = per_atom @ masses
+    half = weighted.copy()
+    half[0] *= 0.5
+    np.testing.assert_allclose(
+        vacf.results.vdos, 2 * 0.5 * np.fft.rfft(half).real,
+        rtol=1e-10,
+    )
+
+    # parallel=True bit-equality
+    par = VelocityAutocorrelation(
+        u.atoms, parallel=True, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        par.results.vacf, vacf.results.vacf, rtol=1e-12
+    )
+
+
+def test_vacf_blocks():
+    T, n = 24, 4
+    v = rng.standard_normal((T, n, 3))
+    u = _universe(v)
+    blocked = VelocityAutocorrelation(
+        u.atoms, n_blocks=2, verbose=False
+    ).run()
+    a = _oracle_per_atom_acf(v[:12]).mean(axis=1)
+    b = _oracle_per_atom_acf(v[12:]).mean(axis=1)
+    np.testing.assert_allclose(
+        blocked.results.vacf, (a + b) / 2, rtol=1e-10
+    )
+    assert len(blocked.results.times) == 12
+
+
+def test_vdos_oscillator_peak():
+    """A monochromatic ensemble puts the VDOS maximum at its
+    frequency."""
+
+    T, n, dt = 256, 8, 0.1
+    nu0 = 1.25  # 1/ps, on the rfft grid (1.25 = 32 / (256*0.1))
+    t = np.arange(T) * dt
+    phases = rng.random(n) * 2 * np.pi
+    axes = rng.standard_normal((n, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    v = (
+        np.cos(2 * np.pi * nu0 * t[:, None] + phases[None, :])[
+            ..., None
+        ]
+        * axes[None]
+    )
+    u = _universe(v, dt=dt)
+    vacf = VelocityAutocorrelation(u.atoms, verbose=False).run()
+    peak = vacf.results.frequencies[np.argmax(vacf.results.vdos)]
+    assert abs(peak - nu0) < 1 / (T * dt) + 1e-12
+    # exact vs the brute-force oracle; ~cos(w t) away from the
+    # noisy triangular tail (the finite-window cross term is O(1)
+    # there)
+    oracle = _oracle_per_atom_acf(v).mean(axis=1)
+    np.testing.assert_allclose(
+        vacf.results.vacf, oracle, rtol=1e-9
+    )
+    half = T // 2
+    np.testing.assert_allclose(
+        vacf.results.acf[:half],
+        np.cos(2 * np.pi * nu0 * t[:half]),
+        atol=0.05,
+    )
+
+
+def test_vacf_requires_velocities_and_trr_roundtrip(tmp_path):
+    pos = rng.random((4, 3, 3)) * 10
+    u = Universe.from_arrays(
+        pos, np.array([10.0] * 3),
+        types=np.array(["A"] * 3, dtype=object),
+    )
+    with pytest.raises(ValueError, match="velocities"):
+        VelocityAutocorrelation(u.atoms, verbose=False)
+
+    # TRR velocities stream through the same class
+    from mdhelper_tpu.core.trajectory import TRRReader
+    from mdhelper_tpu.io.trr import write_trr
+
+    T, n = 8, 5
+    v = rng.standard_normal((T, n, 3))
+    positions_nm = rng.random((T, n, 3))
+    path = str(tmp_path / "vel.trr")
+    write_trr(path, positions_nm, np.diag([3.0, 3.0, 3.0]),
+              velocities=v)
+    reader = TRRReader(path)
+    assert reader.has_velocities
+    np.testing.assert_allclose(
+        reader.read_velocity_frames(np.arange(T)), v * 10.0,
+        rtol=1e-6,
+    )
+
+    from mdhelper_tpu.core.universe import Topology
+
+    u2 = Universe(
+        Topology(n, types=np.array(["A"] * n, dtype=object)),
+        reader,
+    )
+    vacf = VelocityAutocorrelation(u2.atoms, verbose=False).run()
+    oracle = _oracle_per_atom_acf(
+        reader.read_velocity_frames(np.arange(T))
+    ).mean(axis=1)
+    np.testing.assert_allclose(vacf.results.vacf, oracle, rtol=1e-5)
