@@ -26,7 +26,10 @@ from .. import Q_, ureg
 from ..algorithm.unit import strip_unit
 from .base import Hash
 
-__all__ = ["ConstantVolumeHeatCapacity"]
+__all__ = [
+    "ConstantVolumeHeatCapacity",
+    "calculate_shear_viscosity",
+]
 
 
 class ConstantVolumeHeatCapacity:
@@ -229,3 +232,123 @@ class ConstantVolumeHeatCapacity:
                 self.results.units["results.heat_capacity"],
             )[0]
         return self
+
+
+def calculate_shear_viscosity(
+    pressures,
+    volume: float,
+    temperature: float,
+    dt: float,
+    *,
+    reduced: bool = False,
+) -> Hash:
+    r"""Green-Kubo shear viscosity from off-diagonal pressure-tensor
+    fluctuations (beyond reference; pairs with the LAMMPS/OpenMM log
+    parsing the heat-capacity class provides):
+
+    .. math::
+
+       \eta = \frac{V}{k_\mathrm{B}T} \int_0^\infty \langle
+       P_{\alpha\beta}(0)\,P_{\alpha\beta}(t)\rangle\,dt
+
+    averaged over the supplied independent components (typically
+    :math:`P_{xy}, P_{xz}, P_{yz}`).  The ACF evaluates with the
+    Wiener-Khinchin engine; the running (cumulative-trapezoid)
+    integral is returned so the plateau can be chosen by eye or fit.
+
+    Parameters
+    ----------
+    pressures : array-like
+        Off-diagonal pressure series, shape ``(N_t,)`` or
+        ``(N_t, C)`` (components averaged), in atmospheres — or a
+        full ``(N_t, 3, 3)`` tensor series, from which the three
+        off-diagonal components are taken.  LJ pressure units when
+        ``reduced=True``.
+    volume : `float`
+        System volume (Angstrom^3; LJ volume when reduced).
+    temperature : `float`
+        Temperature (K), or the LJ energy scale
+        :math:`k_\mathrm{B}T` when reduced.
+    dt : `float`
+        Series time step (ps; LJ time when reduced).
+
+    Returns
+    -------
+    results : `Hash`
+        ``times`` (ps), ``acf`` ((atm)^2, component-averaged),
+        ``running_viscosity`` (mPa s; the cumulative integral),
+        ``viscosity`` (mPa s; the full-window integral), and
+        ``units`` (omitted when reduced).
+    """
+
+    from ..algorithm.correlation import correlation_fft
+
+    pressures, _ = strip_unit(pressures, "atmosphere")
+    pressures = np.asarray(pressures, dtype=np.float64)
+    if pressures.ndim == 3:
+        if pressures.shape[1:] != (3, 3):
+            raise ValueError(
+                "A tensor series must have shape (N_t, 3, 3)."
+            )
+        pressures = np.stack(
+            [
+                pressures[:, 0, 1],
+                pressures[:, 0, 2],
+                pressures[:, 1, 2],
+            ],
+            axis=-1,
+        )
+    elif pressures.ndim == 1:
+        pressures = pressures[:, None]
+    elif pressures.ndim != 2:
+        raise ValueError(
+            "pressures must have shape (N_t,), (N_t, C) or "
+            "(N_t, 3, 3)."
+        )
+    volume, _ = strip_unit(volume, "angstrom**3")
+    temperature, _ = strip_unit(temperature, "kelvin")
+    dt, _ = strip_unit(dt, "picosecond")
+
+    acf = np.asarray(
+        correlation_fft(pressures, axis=0, average=True)
+    )
+    n_t = len(acf)
+    times = np.arange(n_t) * dt
+    # cumulative trapezoid of the ACF
+    integral = np.concatenate(
+        ([0.0], np.cumsum((acf[1:] + acf[:-1]) / 2) * dt)
+    )
+    if reduced:
+        scale = volume / temperature
+        results = Hash(
+            times=times,
+            acf=acf,
+            running_viscosity=scale * integral,
+            viscosity=float(scale * integral[-1]),
+        )
+        return results
+    scale = (
+        (
+            1
+            * ureg.atmosphere**2
+            * ureg.angstrom**3
+            * ureg.picosecond
+            / (ureg.boltzmann_constant * ureg.kelvin)
+        )
+        .to("millipascal * second")
+        .magnitude
+        * volume
+        / temperature
+    )
+    return Hash(
+        times=times,
+        acf=acf,
+        running_viscosity=scale * integral,
+        viscosity=float(scale * integral[-1]),
+        units=Hash(
+            times=ureg.picosecond,
+            acf=ureg.atmosphere**2,
+            running_viscosity=ureg.millipascal * ureg.second,
+            viscosity=ureg.millipascal * ureg.second,
+        ),
+    )

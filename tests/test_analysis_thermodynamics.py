@@ -75,3 +75,58 @@ def test_heat_capacity_validation():
         ConstantVolumeHeatCapacity()
     with pytest.raises(ValueError):
         ConstantVolumeHeatCapacity(energies=np.ones(10))  # no temp
+
+
+def test_green_kubo_shear_viscosity():
+    """OU-process pressure fluctuations: eta = V sigma^2 tau / kT,
+    recovered from the running Green-Kubo integral; reduced units
+    give the bare integral; tensor input takes the off-diagonals."""
+
+    import numpy as np
+
+    from mdhelper_tpu import ureg
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_shear_viscosity,
+    )
+
+    r = np.random.default_rng(13)
+    T_steps, dt, tau, sigma = 60_000, 0.01, 0.4, 12.0
+    theta = dt / tau
+    p = np.empty((T_steps, 3))
+    p[0] = sigma * r.standard_normal(3)
+    drive = sigma * np.sqrt(2 * theta)
+    for t in range(1, T_steps):
+        p[t] = p[t - 1] * (1 - theta) + drive * r.standard_normal(3)
+
+    volume, temperature = 30_000.0, 300.0
+    out = calculate_shear_viscosity(p, volume, temperature, dt)
+    # plateau of the running integral ~ eta
+    window = (out.times > 4 * tau) & (out.times < 20 * tau)
+    eta = out.running_viscosity[window].mean()
+    scale = (
+        (1 * ureg.atmosphere**2 * ureg.angstrom**3 * ureg.picosecond
+         / (ureg.boltzmann_constant * ureg.kelvin))
+        .to("millipascal * second").magnitude
+    )
+    expected = scale * volume / temperature * sigma**2 * tau
+    assert abs(eta - expected) / expected < 0.15, (eta, expected)
+    assert out.units["running_viscosity"] == (
+        ureg.millipascal * ureg.second
+    )
+
+    # reduced: bare V/T * integral, no units entry
+    red = calculate_shear_viscosity(
+        p, volume, temperature, dt, reduced=True
+    )
+    assert "units" not in red
+    np.testing.assert_allclose(
+        red.running_viscosity / (volume / temperature),
+        out.running_viscosity / (scale * volume / temperature),
+        rtol=1e-12,
+    )
+
+    # tensor input equals explicit off-diagonal columns
+    tens = np.zeros((T_steps, 3, 3))
+    tens[:, 0, 1], tens[:, 0, 2], tens[:, 1, 2] = p.T
+    out2 = calculate_shear_viscosity(tens, volume, temperature, dt)
+    np.testing.assert_allclose(out2.acf, out.acf, rtol=1e-12)
