@@ -89,6 +89,17 @@ def run_together(
                 "Sharding knobs are not supported in fused mode."
             )
 
+    # One stream, one coordinate payload: fusing a velocity-payload
+    # analysis (VACF) with position analyses would silently feed the
+    # wrong arrays to one of them.
+    payloads = {getattr(a, "_payload", "positions") for a in analyses}
+    if len(payloads) > 1:
+        raise ValueError(
+            "All fused analyses must stream the same coordinate "
+            f"payload; got {sorted(payloads)}. Run the velocity-"
+            "payload analyses in their own fused pass."
+        )
+
     # Prepare every analysis exactly as run() would.
     for a in analyses:
         a._setup_frames(
@@ -159,6 +170,7 @@ def run_together(
         trajectory, start=start, stop=stop, step=step, frames=frames
     )
     driver._mesh = None
+    driver._payload = payloads.pop()
     driver._chunk_bytes = min(a._chunk_bytes for a in analyses)
 
     carries = tuple(a._carry for a in analyses)

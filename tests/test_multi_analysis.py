@@ -447,3 +447,38 @@ def test_fused_cluster_hbonds_orientation():
     np.testing.assert_allclose(
         fused[2].results.C2, separate[2].results.C2, rtol=1e-12
     )
+
+
+def test_fused_payload_rules(universe):
+    """Mixed position/velocity payloads refuse to fuse; an all-
+    velocity fused pass streams the velocity payload correctly."""
+
+    from mdhelper_tpu.analysis.dynamics import VelocityAutocorrelation
+
+    local = np.random.default_rng(31)
+    v = local.standard_normal((T, N, 3))
+    pos = local.random((T, N, 3)) * BOX
+    u = Universe.from_arrays(
+        pos, np.array([BOX] * 3), dt=1.0,
+        types=np.array(["A"] * N, dtype=object),
+        velocities=v,
+    )
+    vacf = VelocityAutocorrelation(u.atoms, verbose=False)
+    rdf = RadialDistributionFunction(
+        u.atoms, n_bins=16, range=(0.0, 3.5), exclusion=(1, 1),
+        verbose=False,
+    )
+    with pytest.raises(ValueError, match="payload"):
+        run_together([rdf, vacf])
+
+    # all-velocity fused pass == standalone
+    alone = VelocityAutocorrelation(u.atoms, verbose=False).run()
+    half = VelocityAutocorrelation(
+        u.select_atoms("index 0:39"), verbose=False
+    )
+    fused_list = [VelocityAutocorrelation(u.atoms, verbose=False),
+                  half]
+    run_together(fused_list)
+    np.testing.assert_allclose(
+        fused_list[0].results.vacf, alone.results.vacf, rtol=1e-12
+    )
