@@ -303,6 +303,48 @@ class SerialAnalysisBase:
             self._host_future = None
             future.result()
 
+    def _setup_periodic_box(self) -> None:
+        """Set ``self._triclinic`` from the universe's box angles
+        (one shared detection; previously copy-pasted per module)."""
+
+        dims = self.universe.dimensions
+        self._triclinic = bool(
+            dims is not None
+            and len(dims) >= 6
+            and not np.allclose(dims[3:6], 90.0)
+        )
+
+    def _frame_boxes(self, dimensions):
+        """Per-frame box representation for update kernels:
+        ``(B, 3)`` orthorhombic lengths or ``(B, 3, 3)``
+        lower-triangular matrices for triclinic cells (both accepted
+        by the min-image helpers in
+        :mod:`mdhelper_tpu.ops.histogram`).  ``self._triclinic`` is
+        static at trace time, so capturing this bound method in a
+        jitted update is safe."""
+
+        from ..algorithm.topology import triclinic_matrices
+
+        if self._triclinic:
+            return triclinic_matrices(dimensions)
+        return dimensions[:, :3]
+
+    def _uniform_lag_dt(self, what: str) -> float:
+        """Lag-grid spacing (ps) for WK-correlator conclusions:
+        trajectory ``dt`` times the (required-uniform) frame stride.
+        Raises for non-uniform frame selections — the FFT correlator
+        silently assumes an even grid."""
+
+        steps = np.diff(self.frames)
+        if len(steps) and not np.all(steps == steps[0]):
+            raise ValueError(
+                f"{what} needs uniformly spaced frames (the "
+                "Wiener-Khinchin correlator assumes a constant lag "
+                "grid); got a non-uniform frame selection."
+            )
+        stride = int(steps[0]) if len(steps) else 1
+        return self._trajectory.dt * stride
+
     # -- store-type checkpointing -------------------------------------------
     #: Store-type analyses whose host buffers are fully captured by
     #: :meth:`_store_state` (every per-frame buffer is either a
@@ -337,10 +379,15 @@ class SerialAnalysisBase:
                 and value.dtype != object
             ):
                 state[f"results::{key}"] = value
+        offset = int(getattr(self, "_store_offset", 0))
         for attr in self._checkpoint_attrs():
             value = getattr(self, attr, None)
             if value is not None:
-                state[f"attr::{attr}"] = np.asarray(value)
+                # The private store buffers are frame-leading by
+                # construction: persist only the filled prefix so a
+                # per-chunk checkpoint costs O(frames done), not
+                # O(n_frames) (restore prefix-copies anyway).
+                state[f"attr::{attr}"] = np.asarray(value)[:offset]
         return state
 
     def _restore_store_state(self, stores: dict) -> None:
@@ -611,9 +658,17 @@ class SerialAnalysisBase:
                     mask_sharding,
                 )
                 continue
-            positions, dimensions = self._trajectory.read_frames(block)
             if self._payload == "velocities":
+                # box-only + velocity reads: decoding the (discarded)
+                # positions would double the reader work
                 positions = self._trajectory.read_velocity_frames(
+                    block
+                )
+                dimensions = self._trajectory.read_dimension_frames(
+                    block
+                )
+            else:
+                positions, dimensions = self._trajectory.read_frames(
                     block
                 )
             host_positions, host_dimensions = positions, dimensions
@@ -677,11 +732,15 @@ class SerialAnalysisBase:
         )
         per_proc = hi - lo
         if len(local_idx):
-            positions, dimensions = self._trajectory.read_frames(
-                local_idx
-            )
             if self._payload == "velocities":
                 positions = self._trajectory.read_velocity_frames(
+                    local_idx
+                )
+                dimensions = self._trajectory.read_dimension_frames(
+                    local_idx
+                )
+            else:
+                positions, dimensions = self._trajectory.read_frames(
                     local_idx
                 )
             if atom_indices is not None:
@@ -752,6 +811,9 @@ class SerialAnalysisBase:
         self._mesh = None
         self._prepare()
 
+        # per-run flag: a previous checkpointed run() on this instance
+        # must not leave the store queue pinned synchronous
+        self._checkpoint_sync = False
         carry = getattr(self, "_carry", None)
         if carry is not None:
             skip_frames = 0

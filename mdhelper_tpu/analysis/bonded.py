@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ureg
-from ..algorithm.topology import triclinic_matrices
 from ..ops.histogram import (
     _bin_distances,
     _min_image_distance,
@@ -93,22 +92,7 @@ class _BondedBase(DynamicAnalysisBase):
         self._atom_indices = unique
         self._cols = inverse.reshape(terms.shape)
 
-        dims = self.universe.dimensions
-        self._triclinic = bool(
-            dims is not None
-            and len(dims) >= 6
-            and not np.allclose(dims[3:6], 90.0)
-        )
-
-    def _frame_boxes(self, dimensions):
-        """Per-frame box representation for the update kernels:
-        ``(B, 3)`` orthorhombic lengths or ``(B, 3, 3)``
-        lower-triangular matrices for triclinic cells (both accepted
-        by the min-image helpers in :mod:`mdhelper_tpu.ops.histogram`)."""
-
-        if self._triclinic:
-            return triclinic_matrices(dimensions)
-        return dimensions[:, :3]
+        self._setup_periodic_box()
 
     def _prepare(self) -> None:
         self.results.edges = np.linspace(

@@ -108,13 +108,31 @@ class VelocityAutocorrelation(DynamicAnalysisBase):
         n = self.group.n_atoms
         self._store = np.empty((self.n_frames, n, 3))
         self._store_offset = 0
-        self._carry = {"n": jnp.zeros((), jnp.float64)}
+        # conclusion-heavy analysis: the carry is a passthrough
+        # scalar (the streaming driver keys on its presence)
+        self._carry = jnp.zeros(())
+
+        # The per-chunk work is a pure host store: on a
+        # tunnel-attached TPU the device round trip (upload +
+        # passthrough + fetch) is all cost and no compute, so the
+        # stage runs host-side there (like the Onsager pipeline).
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+
+            def host_update(batch) -> None:
+                velocities = self._host_chunk_positions(batch)
+                self._store_chunk(velocities, batch)
+
+            self._host_update_fn = host_update
+            return
 
         def update(carry, positions, dimensions, mask):
             # `positions` IS the velocity payload; the device step is
             # a passthrough (the analysis is conclusion-heavy).
-            del dimensions
-            carry = {"n": carry["n"] + mask.sum()}
+            del dimensions, mask
             return carry, positions
 
         self._update = jax.jit(update)
@@ -152,9 +170,7 @@ class VelocityAutocorrelation(DynamicAnalysisBase):
         ).mean(axis=0)
         self.results.vacf = per_atom.mean(axis=1)
         self.results.acf = self.results.vacf / self.results.vacf[0]
-        dt = self._trajectory.dt * (
-            np.diff(self.frames)[0] if len(self.frames) > 1 else 1
-        )
+        dt = self._uniform_lag_dt("VelocityAutocorrelation")
         self.results.times = np.arange(per_block) * dt
         if not self._reduced:
             self.results.units = {

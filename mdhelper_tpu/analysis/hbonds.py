@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ureg
-from ..algorithm.topology import triclinic_matrices
 from ..algorithm.unit import strip_unit
 from ..ops.histogram import _min_image_vectors
 from .base import DynamicAnalysisBase
@@ -210,12 +209,7 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             dtype=np.int64, count=len(self._acceptor_ix),
         )
 
-        dims = universe.dimensions
-        self._triclinic = bool(
-            dims is not None
-            and len(dims) >= 6
-            and not np.allclose(dims[3:6], 90.0)
-        )
+        self._setup_periodic_box()
 
     def _prepare(self) -> None:
         n_dh = len(self._pairs)
@@ -250,7 +244,7 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         not_self = d_ix[:, None] != a_ix[None, :]
         cutoff = self._d_a_cutoff
         cos_cut = float(np.cos(np.radians(self._angle_cutoff)))
-        triclinic = self._triclinic
+        frame_boxes = self._frame_boxes
         track_pairs = self._pair_counts
         lifetimes = self._lifetimes
         need_hb = track_pairs or lifetimes
@@ -288,10 +282,7 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             return count, bonded, count
 
         def update(carry, positions, dimensions, mask):
-            if triclinic:
-                box = triclinic_matrices(dimensions)
-            else:
-                box = dimensions[:, :3]
+            box = frame_boxes(dimensions)
             counts, bonded, hb = jax.lax.map(
                 hbonds_frame, (positions, box)
             )
@@ -354,9 +345,10 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         T = self.n_frames
         h = self._existence.reshape(T, -1)
         ever = h.any(axis=0)
-        self.results.lifetime_times = (
-            np.arange(T) * self._trajectory.dt
-        )
+        # lag grid: stride-aware and uniformity-checked (the WK
+        # correlator and the run-length survival assume even spacing)
+        lag_dt = self._uniform_lag_dt("Hydrogen-bond lifetimes")
+        self.results.lifetime_times = np.arange(T) * lag_dt
         if not ever.any():
             empty = np.zeros(T)
             if T:

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ureg
-from ..algorithm.topology import triclinic_matrices
 from ..ops.histogram import _min_image_vectors
 from .base import DynamicAnalysisBase
 
@@ -128,12 +127,7 @@ class NematicOrderParameter(DynamicAnalysisBase):
             dtype=np.int64, count=len(self._ends_ix),
         )
 
-        dims = self.universe.dimensions
-        self._triclinic = bool(
-            dims is not None
-            and len(dims) >= 6
-            and not np.allclose(dims[3:6], 90.0)
-        )
+        self._setup_periodic_box()
 
     def _prepare(self) -> None:
         self.results.Q = np.empty((self.n_frames, 3, 3))
@@ -145,13 +139,15 @@ class NematicOrderParameter(DynamicAnalysisBase):
                 (self.n_frames, len(self._begins_ix), 3)
             )
         self._store_offset = 0
-        self._carry = {"n": jnp.zeros((), jnp.float64)}
+        # conclusion-heavy analysis: the carry is a passthrough
+        # scalar (the streaming driver keys on its presence)
+        self._carry = jnp.zeros(())
         self._make_update()
 
     def _make_update(self) -> None:
         b_col = jnp.asarray(self._b_col)
         e_col = jnp.asarray(self._e_col)
-        triclinic = self._triclinic
+        frame_boxes = self._frame_boxes
         store_axes = self._acf
 
         def frame_axes(args):
@@ -167,12 +163,9 @@ class NematicOrderParameter(DynamicAnalysisBase):
             return Q, jnp.zeros((), dtype=u.dtype)
 
         def update(carry, positions, dimensions, mask):
-            if triclinic:
-                box = triclinic_matrices(dimensions)
-            else:
-                box = dimensions[:, :3]
+            del mask
+            box = frame_boxes(dimensions)
             Q, axes = jax.lax.map(frame_axes, (positions, box))
-            carry = {"n": carry["n"] + mask.sum()}
             return carry, (Q, axes)
 
         self._update = jax.jit(update)
@@ -238,7 +231,9 @@ class NematicOrderParameter(DynamicAnalysisBase):
             )
         )
         self.results.C2 = (3.0 * cos2 - 1.0) / 2.0
-        self.results.acf_times = np.arange(T) * self._trajectory.dt
+        self.results.acf_times = np.arange(T) * self._uniform_lag_dt(
+            "Orientational relaxation"
+        )
         if not self._reduced:
             self.results.units[
                 "results.acf_times"

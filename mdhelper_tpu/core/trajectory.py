@@ -164,6 +164,19 @@ class TrajectoryReader:
             velocities[out] = self._read_velocities(int(index))
         return velocities
 
+    def read_dimension_frames(
+        self, indices: Sequence[int]
+    ) -> np.ndarray:
+        """Batched box read only, ``(F, 6)`` — the velocity-payload
+        stream uses this instead of decoding the (discarded)
+        positions."""
+
+        indices = np.asarray(indices, dtype=int)
+        dimensions = np.empty((len(indices), 6), dtype=np.float64)
+        for out, index in enumerate(indices):
+            dimensions[out] = self._read_dimensions(int(index))
+        return dimensions
+
     def check_slice_indices(
         self, start: int, stop: int, step: int
     ) -> tuple[int, int, int]:
@@ -256,6 +269,9 @@ class ArrayReader(TrajectoryReader):
         if self._velocities is None:
             raise ValueError("This trajectory stores no velocities.")
         return self._velocities[np.asarray(indices, dtype=int)]
+
+    def read_dimension_frames(self, indices):
+        return self._dimensions[np.asarray(indices, dtype=int)]
 
 
 class NPZReader(ArrayReader):
@@ -538,7 +554,9 @@ class TRRReader(TrajectoryReader):
 
     @property
     def has_velocities(self) -> bool:
-        return self._frame(0)["velocities"] is not None
+        # header-size check over EVERY frame (GROMACS may write
+        # velocities sparser than positions); empty-file safe
+        return self._trr.has_velocities
 
     def _read_dimensions(self, index: int) -> np.ndarray:
         box = self._frame(index)["box"]

@@ -119,6 +119,18 @@ class TRRFile:
         self.times = np.asarray(self.times, dtype=np.float64)
         self.steps = np.asarray(self.steps, dtype=np.int64)
 
+    @property
+    def has_velocities(self) -> bool:
+        """True only when EVERY frame stores a velocity section
+        (GROMACS commonly writes velocities at a sparser interval
+        than positions — ``nstvout != nstxout`` — so a frame-0 probe
+        would claim velocities and then fail mid-stream).  Header
+        sizes come from the index; nothing decodes."""
+
+        return bool(self._frames) and all(
+            header["v"] > 0 for _, header, _ in self._frames
+        )
+
     def read_frame(self, index: int):
         """Read one frame: dict with ``box (3, 3)``, ``positions``,
         ``velocities``, ``forces`` (each ``(N, 3)`` float64 nm-based

@@ -206,6 +206,71 @@ def test_cluster_chain_topology():
     np.testing.assert_array_equal(cl.results.size_counts, expected)
 
 
+def test_cluster_scrambled_chain_regression():
+    """Chain clusters whose entity indices are scrambled along the
+    chain need label flow across many hops — the fixed-round label
+    propagation this regression guards against reported 2 clusters
+    for a connected 7-atom line (contact path 1-4-3-2-5-6-0)."""
+
+    order = [1, 4, 3, 2, 5, 6, 0]
+    n = len(order)
+    box = np.array([50.0, 50.0, 50.0])
+    pos = np.zeros((1, n, 3))
+    for hop, atom in enumerate(order):
+        pos[0, atom] = [5.0 + hop * 1.0, 25.0, 25.0]
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * n, dtype=object)
+    )
+    cl = ClusterSizeDistribution(u.atoms, 1.05, verbose=False).run()
+    assert cl.results.n_clusters[0] == 1
+    assert cl.results.largest[0] == n
+
+
+def test_cluster_randomized_graphs_vs_union_find():
+    """200 random sparse geometries (chains, rings, blobs, mixed
+    densities) against the union-find oracle — exact cluster counts
+    and size histograms for arbitrary topologies and index orders."""
+
+    r = np.random.default_rng(53)
+    box = np.array([30.0, 30.0, 30.0])
+    sizes = (7, 12, 23, 34)  # few distinct shapes -> jit cache hits
+    for trial in range(200):
+        n = sizes[int(r.integers(len(sizes)))]
+        kind = trial % 4
+        pts = np.empty((n, 3))
+        if kind == 0:  # scrambled chain
+            perm = r.permutation(n)
+            for hop, atom in enumerate(perm):
+                pts[atom] = [2.0 + hop * 1.1, 15.0, 15.0]
+        elif kind == 1:  # ring (wraps the box for n large)
+            theta = 2 * np.pi * np.arange(n) / n
+            perm = r.permutation(n)
+            rad = 1.1 * n / (2 * np.pi)
+            for hop, atom in enumerate(perm):
+                pts[atom] = [
+                    15 + rad * np.cos(theta[hop]),
+                    15 + rad * np.sin(theta[hop]),
+                    15.0,
+                ]
+        else:  # random gas / blobs
+            pts = r.random((n, 3)) * box
+        cutoff = (1.15, 1.8, 2.6)[int(r.integers(3))]
+        u = Universe.from_arrays(
+            pts[None] % box, box,
+            types=np.array(["A"] * n, dtype=object),
+        )
+        cl = ClusterSizeDistribution(
+            u.atoms, cutoff, verbose=False
+        ).run()
+        d2 = _min_image_d2(pts % box, box)
+        hist, n_cl, largest = _oracle_frame(d2 <= cutoff**2)
+        assert cl.results.n_clusters[0] == n_cl, (trial, kind)
+        assert cl.results.largest[0] == largest, (trial, kind)
+        np.testing.assert_array_equal(
+            cl.results.size_counts, hist, err_msg=f"{trial} {kind}"
+        )
+
+
 def test_cluster_validation():
     box = np.array([10.0, 10.0, 10.0])
     pos = rng.random((1, 4, 3)) * box

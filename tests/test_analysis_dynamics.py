@@ -156,3 +156,28 @@ def test_vacf_requires_velocities_and_trr_roundtrip(tmp_path):
         reader.read_velocity_frames(np.arange(T))
     ).mean(axis=1)
     np.testing.assert_allclose(vacf.results.vacf, oracle, rtol=1e-5)
+
+
+def test_vacf_host_pipeline(monkeypatch):
+    """Host-pipeline VACF (forced via MDTPU_HOST_PIPELINE) matches
+    the device passthrough path bit-for-bit."""
+
+    T, n = 12, 5
+    v = rng.standard_normal((T, n, 3))
+    u = _universe(v)
+    results = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        a = VelocityAutocorrelation(u.atoms, verbose=False)
+        a._chunk_bytes = 3 * n * 3 * 8
+        a.run()
+        results.append(a)
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = results
+    assert host._host_pipeline and not device._host_pipeline
+    np.testing.assert_allclose(
+        host.results.vacf, device.results.vacf, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        host.results.vdos, device.results.vdos, rtol=1e-12
+    )
