@@ -85,6 +85,57 @@ def host_unwrap_chunk(positions, box, prev, images):
     return unwrapped, (positions[-1].copy(), new_images[-1].copy())
 
 
+def existence_lifetimes(h: np.ndarray) -> tuple:
+    """Intermittent correlation c(t) and continuous survival S(t)
+    from a boolean existence series ``h`` of shape ``(T, P)`` (P
+    independent bond/membership channels), both normalized to 1 at
+    t = 0.
+
+    c(t) = <h(0)h(t)> / <h> (Luzar & Chandler 1996) — with 0/1 data
+    and the WK engine's triangular normalization, <h(0)h(0)> = <h>,
+    so c is the channel-summed ACF over its t = 0 value.
+
+    S(t) counts only channels set at EVERY sample in [0, t]: a
+    maximal run of L consecutive ones contributes ``max(L - t, 0)``
+    origins at lag t, so with cnt[L] runs of each length,
+    ``num(t) = sum_{L > t} cnt[L] (L - t)`` — two reversed cumulative
+    sums, O(T) after the run-length scan.
+    """
+
+    from ..algorithm.correlation import correlation_fft
+
+    T, P = h.shape
+    ever = h.any(axis=0)
+    if not ever.any():
+        empty = np.zeros(T)
+        if T:
+            empty[0] = 1.0
+        return empty, empty.copy()
+    h = h[:, ever]
+    acf = np.asarray(
+        correlation_fft(h.astype(np.float64), axis=0)
+    ).sum(axis=1)
+    c = acf / acf[0]
+
+    P = h.shape[1]
+    # column-major flatten with a zero separator so every run closes
+    # inside its own channel's series
+    flat = np.concatenate(
+        [h.T, np.zeros((P, 1), dtype=bool)], axis=1
+    ).ravel()
+    d = np.diff(np.concatenate([[0], flat.astype(np.int8)]))
+    lengths = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
+    cnt = np.bincount(lengths, minlength=T + 2).astype(np.float64)
+    rev1 = np.append(np.cumsum(cnt[::-1])[::-1], 0.0)
+    rev2 = np.append(
+        np.cumsum((cnt * np.arange(len(cnt)))[::-1])[::-1], 0.0
+    )
+    t = np.arange(T)
+    num = rev2[t + 1] - t * rev1[t + 1]
+    S = num / (T - t)
+    return c, S / S[0]
+
+
 def jit_update(fn):
     """jit an accumulator-update function, donating the carry where the
     backend supports it.  Donation halves accumulator HBM traffic but

@@ -25,15 +25,18 @@ with the Wiener-Khinchin engine:
 """
 
 import warnings
+from numbers import Real
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import ureg
-from .base import DynamicAnalysisBase
+from ..algorithm.unit import strip_unit
+from ..ops.histogram import _min_image_vectors
+from .base import DynamicAnalysisBase, existence_lifetimes
 
-__all__ = ["VelocityAutocorrelation"]
+__all__ = ["SurvivalProbability", "VelocityAutocorrelation"]
 
 
 class VelocityAutocorrelation(DynamicAnalysisBase):
@@ -196,3 +199,202 @@ class VelocityAutocorrelation(DynamicAnalysisBase):
                 * ureg.angstrom**2
                 / ureg.picosecond
             )
+
+
+class SurvivalProbability(DynamicAnalysisBase):
+    r"""Residence dynamics of a group in a spatial zone: the
+    intermittent correlation :math:`c(t) = \langle h(0)h(t) \rangle /
+    \langle h \rangle` and the continuous survival :math:`S(t)`
+    (atoms counted only while *continuously* inside), the water-shell
+    / slab residence observables (MDAnalysis
+    ``waterdynamics.SurvivalProbability`` territory; beyond
+    reference).
+
+    Per frame the zone membership of each atom is one fused
+    elementwise test; the boolean series streams to the host and both
+    lifetime functions evaluate at conclusion with the shared
+    existence engine (WK ACF + run-length survival,
+    :func:`mdhelper_tpu.analysis.base.existence_lifetimes`).
+
+    Parameters
+    ----------
+    group : `AtomGroup`
+        Atoms whose residence is tracked.
+    zone : `tuple`
+        Zone specification:
+
+        * ``("slab", axis, lo, hi)`` — wrapped coordinate along
+          ``axis`` (``"x"/"y"/"z"``) in ``[lo, hi)`` (orthorhombic
+          cells only);
+        * ``("sphere", center, radius)`` — minimum-image distance to
+          a fixed point;
+        * ``("shell", other_group, radius)`` — minimum-image distance
+          to ANY atom of ``other_group`` (solvation-shell residence).
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units (omits ``results.units``).
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh.
+
+    Results
+    -------
+    ``results.times``
+        Lag times (ps).
+    ``results.intermittent``
+        :math:`c(t)`, normalized to 1.
+    ``results.survival``
+        Continuous :math:`S(t)`, normalized to 1.
+    ``results.n_in_zone``
+        Per-frame member count, shape ``(n_frames,)``.
+    """
+
+    _checkpointable_stores = True
+
+    def _checkpoint_attrs(self) -> tuple:
+        return ("_membership",)
+
+    def __init__(
+        self,
+        group,
+        zone,
+        *,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self.group = group
+        self.universe = group.universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+        self._reduced = reduced
+        self._setup_periodic_box()
+
+        if not isinstance(zone, (tuple, list)) or not zone:
+            raise ValueError(
+                "zone must be ('slab', axis, lo, hi), "
+                "('sphere', center, radius) or "
+                "('shell', group, radius)."
+            )
+        kind = zone[0]
+        self._shell_group = None
+        if kind == "slab":
+            if self._triclinic:
+                raise ValueError(
+                    "Slab zones need an orthorhombic cell."
+                )
+            _, axis, lo, hi = zone
+            if axis not in ("x", "y", "z"):
+                raise ValueError("Slab axis must be 'x', 'y' or 'z'.")
+            self._zone = (
+                "slab", "xyz".index(axis), float(lo), float(hi)
+            )
+        elif kind == "sphere":
+            _, center, radius = zone
+            center = np.asarray(
+                strip_unit(center, "angstrom")[0], dtype=np.float64
+            )
+            if center.shape != (3,):
+                raise ValueError("Sphere center must have shape (3,).")
+            self._zone = ("sphere", center, float(radius))
+        elif kind == "shell":
+            _, other, radius = zone
+            if not hasattr(other, "universe"):
+                raise ValueError(
+                    "'shell' zones take an AtomGroup."
+                )
+            if not isinstance(radius, Real) or radius <= 0:
+                raise ValueError("Shell radius must be positive.")
+            self._shell_group = other
+            self._zone = ("shell", None, float(radius))
+        else:
+            raise ValueError(f"Unknown zone kind: {kind!r}.")
+
+        cols = [group.ix]
+        if self._shell_group is not None:
+            cols.append(self._shell_group.ix)
+        involved = np.unique(np.concatenate(cols))
+        self._atom_indices = involved
+        col_of = {int(g): c for c, g in enumerate(involved)}
+        self._g_col = np.fromiter(
+            (col_of[int(i)] for i in group.ix), dtype=np.int64,
+            count=group.n_atoms,
+        )
+        if self._shell_group is not None:
+            self._s_col = np.fromiter(
+                (col_of[int(i)] for i in self._shell_group.ix),
+                dtype=np.int64, count=self._shell_group.n_atoms,
+            )
+
+    def _prepare(self) -> None:
+        n = self.group.n_atoms
+        self._membership = np.empty((self.n_frames, n), dtype=bool)
+        self.results.n_in_zone = np.empty(self.n_frames, dtype=int)
+        self._store_offset = 0
+        self._carry = jnp.zeros(())
+        self._make_update()
+
+    def _make_update(self) -> None:
+        g_col = jnp.asarray(self._g_col)
+        kind = self._zone[0]
+        frame_boxes = self._frame_boxes
+        if kind == "slab":
+            _, axis, lo, hi = self._zone
+        elif kind == "sphere":
+            _, center_np, radius = self._zone
+        else:
+            s_col = jnp.asarray(self._s_col)
+            radius = self._zone[2]
+
+        def member_frame(args):
+            pos_f, box_f = args
+            b = box_f.astype(pos_f.dtype)
+            pts = pos_f[g_col]
+            if kind == "slab":
+                coord = pts[:, axis] % b[axis]
+                return (coord >= lo) & (coord < hi)
+            if kind == "sphere":
+                center = jnp.asarray(center_np, dtype=pos_f.dtype)
+                d = _min_image_vectors(pts - center, b)
+                return (d * d).sum(axis=-1) <= radius * radius
+            shell = pos_f[s_col]
+            d = _min_image_vectors(
+                pts[:, None, :] - shell[None, :, :], b
+            )
+            d2 = (d * d).sum(axis=-1)
+            return (d2 <= radius * radius).any(axis=1)
+
+        def update(carry, positions, dimensions, mask):
+            del mask
+            box = frame_boxes(dimensions)
+            member = jax.lax.map(
+                member_frame, (positions, box)
+            )
+            counts = member.sum(axis=1, dtype=jnp.int32)
+            return carry, (member, counts)
+
+        self._update = jax.jit(update)
+
+    def _store_chunk(self, extras, batch) -> None:
+        member, counts = extras
+        n_real = batch.n_real
+        lo = self._store_offset
+        self._membership[lo:lo + n_real] = np.asarray(member)[
+            :n_real
+        ]
+        self.results.n_in_zone[lo:lo + n_real] = np.asarray(counts)[
+            :n_real
+        ]
+        self._store_offset += n_real
+
+    def _conclude(self) -> None:
+        T = self.n_frames
+        lag_dt = self._uniform_lag_dt("SurvivalProbability")
+        self.results.times = np.arange(T) * lag_dt
+        self.results.intermittent, self.results.survival = (
+            existence_lifetimes(self._membership)
+        )
+        if not self._reduced:
+            self.results.units = {
+                "results.times": ureg.picosecond,
+            }

@@ -33,7 +33,7 @@ import numpy as np
 from .. import ureg
 from ..algorithm.unit import strip_unit
 from ..ops.histogram import _min_image_vectors
-from .base import DynamicAnalysisBase
+from .base import DynamicAnalysisBase, existence_lifetimes
 
 __all__ = ["HydrogenBondAnalysis"]
 
@@ -334,64 +334,20 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             self._conclude_lifetimes()
 
     def _conclude_lifetimes(self) -> None:
-        """Intermittent bond correlation c(t) = <h(0)h(t)> / <h>
-        (Luzar & Chandler 1996), summed over every (D-H, A) pair
-        ever bonded.  With 0/1 data and the engine's triangular
-        normalization, <h(0)h(0)> = <h>, so c(t) is the pair-summed
-        ACF normalized by its t = 0 value."""
-
-        from ..algorithm.correlation import correlation_fft
+        """Intermittent bond correlation c(t) and continuous survival
+        S(t) over every (D-H, A) pair ever bonded (shared engine:
+        :func:`mdhelper_tpu.analysis.base.existence_lifetimes`)."""
 
         T = self.n_frames
         h = self._existence.reshape(T, -1)
-        ever = h.any(axis=0)
         # lag grid: stride-aware and uniformity-checked (the WK
         # correlator and the run-length survival assume even spacing)
         lag_dt = self._uniform_lag_dt("Hydrogen-bond lifetimes")
         self.results.lifetime_times = np.arange(T) * lag_dt
-        if not ever.any():
-            empty = np.zeros(T)
-            if T:
-                empty[0] = 1.0
-            self.results.lifetime = empty
-            self.results.survival = empty.copy()
-            return
-        series = h[:, ever].astype(np.float64)
-        acf = np.asarray(
-            correlation_fft(series, axis=0)
-        ).sum(axis=1)
-        self.results.lifetime = acf / acf[0]
-        self.results.survival = self._survival(h[:, ever])
+        self.results.lifetime, self.results.survival = (
+            existence_lifetimes(h)
+        )
         if not self._reduced:
             self.results.units[
                 "results.lifetime_times"
             ] = ureg.picosecond
-
-    @staticmethod
-    def _survival(h: np.ndarray) -> np.ndarray:
-        """Continuous survival S(t) from bonded run lengths.
-
-        A maximal run of `L` consecutive bonded samples contributes
-        ``max(L - t, 0)`` origins to the numerator at lag `t`, so with
-        `cnt[L]` runs of each length, ``num(t) = sum_{L > t}
-        cnt[L] (L - t)`` — two reversed cumulative sums, O(T)."""
-
-        T, P = h.shape
-        # column-major flatten with a zero separator so every run
-        # closes inside its own pair's series
-        flat = np.concatenate(
-            [h.T, np.zeros((P, 1), dtype=bool)], axis=1
-        ).ravel()
-        d = np.diff(np.concatenate([[0], flat.astype(np.int8)]))
-        lengths = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
-        cnt = np.bincount(lengths, minlength=T + 2).astype(
-            np.float64
-        )
-        rev1 = np.append(np.cumsum(cnt[::-1])[::-1], 0.0)
-        rev2 = np.append(
-            np.cumsum((cnt * np.arange(len(cnt)))[::-1])[::-1], 0.0
-        )
-        t = np.arange(T)
-        num = rev2[t + 1] - t * rev1[t + 1]
-        S = num / (T - t)
-        return S / S[0]

@@ -181,3 +181,120 @@ def test_vacf_host_pipeline(monkeypatch):
     np.testing.assert_allclose(
         host.results.vdos, device.results.vdos, rtol=1e-12
     )
+
+
+def test_survival_probability_slab_oracle():
+    from mdhelper_tpu.analysis.dynamics import SurvivalProbability
+
+    box = 10.0
+    T, n = 20, 12
+    pos = rng.random((T, n, 3)) * box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A"] * n, dtype=object), dt=2.0,
+    )
+    sp = SurvivalProbability(
+        u.atoms, ("slab", "z", 2.0, 6.0), verbose=False
+    ).run()
+    member = (pos[:, :, 2] >= 2.0) & (pos[:, :, 2] < 6.0)
+    np.testing.assert_array_equal(
+        sp.results.n_in_zone, member.sum(axis=1)
+    )
+
+    # oracle c(t) and S(t) over ever-member columns
+    h = member[:, member.any(axis=0)].astype(float)
+    acf = np.array(
+        [
+            (h[: T - t] * h[t:]).sum() / (T - t)
+            for t in range(T)
+        ]
+    )
+    np.testing.assert_allclose(
+        sp.results.intermittent, acf / acf[0], rtol=1e-10,
+        atol=1e-12,
+    )
+    surv_num = np.array(
+        [
+            sum(
+                h[t0:t0 + t + 1, j].all()
+                for j in range(h.shape[1])
+                for t0 in range(T - t)
+            ) / (T - t)
+            for t in range(T)
+        ]
+    )
+    np.testing.assert_allclose(
+        sp.results.survival, surv_num / surv_num[0], rtol=1e-10,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        sp.results.times, np.arange(T) * 2.0
+    )
+
+    par = SurvivalProbability(
+        u.atoms, ("slab", "z", 2.0, 6.0), parallel=True,
+        verbose=False,
+    ).run()
+    np.testing.assert_allclose(
+        par.results.intermittent, sp.results.intermittent
+    )
+
+
+def test_survival_probability_shell_and_sphere():
+    from mdhelper_tpu.analysis.dynamics import SurvivalProbability
+
+    box = 12.0
+    # one tracer moving in/out of the shell of a fixed central atom,
+    # crossing the periodic boundary
+    T = 8
+    dists = np.array([1.0, 1.5, 4.0, 1.2, 5.0, 1.1, 1.3, 4.5])
+    pos = np.empty((T, 2, 3))
+    pos[:, 0] = [11.8, 6.0, 6.0]  # center near the box face
+    for t in range(T):
+        pos[t, 1] = [(11.8 + dists[t]) % box, 6.0, 6.0]
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        names=np.array(["C", "W"], dtype=object),
+    )
+    tracer = u.select_atoms("name W")
+    center = u.select_atoms("name C")
+    sp = SurvivalProbability(
+        tracer, ("shell", center, 2.0), verbose=False
+    ).run()
+    expected = (dists <= 2.0).astype(int)
+    np.testing.assert_array_equal(sp.results.n_in_zone, expected)
+
+    sph = SurvivalProbability(
+        tracer, ("sphere", np.array([11.8, 6.0, 6.0]), 2.0),
+        verbose=False,
+    ).run()
+    np.testing.assert_array_equal(
+        sph.results.n_in_zone, expected
+    )
+
+
+def test_survival_probability_validation():
+    from mdhelper_tpu.analysis.dynamics import SurvivalProbability
+
+    pos = rng.random((2, 4, 3)) * 10
+    u = Universe.from_arrays(
+        pos, np.array([10.0] * 3),
+        types=np.array(["A"] * 4, dtype=object),
+    )
+    with pytest.raises(ValueError):
+        SurvivalProbability(u.atoms, ("slab", "w", 0, 5),
+                            verbose=False)
+    with pytest.raises(ValueError):
+        SurvivalProbability(u.atoms, ("orbit", 1), verbose=False)
+    with pytest.raises(ValueError):
+        SurvivalProbability(
+            u.atoms, ("shell", u.atoms, -1.0), verbose=False
+        )
+    tric = Universe.from_arrays(
+        pos, np.array([10, 10, 10, 80, 85, 95.0]),
+        types=np.array(["A"] * 4, dtype=object),
+    )
+    with pytest.raises(ValueError, match="orthorhombic"):
+        SurvivalProbability(
+            tric.atoms, ("slab", "z", 0, 5), verbose=False
+        )
