@@ -974,3 +974,49 @@ def test_selection_fuzz_random_expressions():
         np.testing.assert_array_equal(
             got, np.flatnonzero(mask), err_msg=expr
         )
+
+
+def test_checkpoint_resume_parallel(tmp_path):
+    """checkpoint= composes with parallel=True (sharded stream):
+    carry and store analyses both resume bit-exactly."""
+
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    u = make_universe(n_frames=16, n_atoms=12)
+
+    def rdf():
+        a = RadialDistributionFunction(
+            u.atoms, n_bins=10, range=(0.0, 4.0), exclusion=(1, 1),
+            parallel=True, verbose=False,
+        )
+        a._chunk_bytes = 8 * 12 * 3 * 8  # one shard-multiple chunk
+        return a
+
+    ckpt = str(tmp_path / "rdf_par.npz")
+    full = rdf().run()
+    rdf().run(stop=8, checkpoint=ckpt)
+    resumed = rdf().run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        resumed.results.counts, full.results.counts
+    )
+
+    def cl():
+        a = ClusterSizeDistribution(
+            u.atoms, 2.0, parallel=True, verbose=False
+        )
+        a._chunk_bytes = 8 * 12 * 3 * 8
+        return a
+
+    ckpt = str(tmp_path / "cl_par.npz")
+    full = cl().run()
+    cl().run(stop=8, checkpoint=ckpt)
+    resumed = cl().run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        resumed.results.size_counts, full.results.size_counts
+    )
+    np.testing.assert_array_equal(
+        resumed.results.n_clusters, full.results.n_clusters
+    )
