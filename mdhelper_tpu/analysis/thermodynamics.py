@@ -29,6 +29,7 @@ from .base import Hash
 __all__ = [
     "ConstantVolumeHeatCapacity",
     "calculate_shear_viscosity",
+    "calculate_thermal_conductivity",
 ]
 
 
@@ -350,5 +351,113 @@ def calculate_shear_viscosity(
             acf=ureg.atmosphere**2,
             running_viscosity=ureg.millipascal * ureg.second,
             viscosity=ureg.millipascal * ureg.second,
+        ),
+    )
+
+
+def _green_kubo_running(series: np.ndarray, dt: float):
+    """Component-averaged WK ACF of a (N_t,) / (N_t, C) series and
+    its cumulative-trapezoid running integral."""
+
+    from ..algorithm.correlation import correlation_fft
+
+    if series.ndim == 1:
+        series = series[:, None]
+    elif series.ndim != 2:
+        raise ValueError(
+            "The flux series must have shape (N_t,) or (N_t, C)."
+        )
+    acf = np.asarray(correlation_fft(series, axis=0, average=True))
+    times = np.arange(len(acf)) * dt
+    integral = np.concatenate(
+        ([0.0], np.cumsum((acf[1:] + acf[:-1]) / 2) * dt)
+    )
+    return times, acf, integral
+
+
+def calculate_thermal_conductivity(
+    heat_flux,
+    volume: float,
+    temperature: float,
+    dt: float,
+    *,
+    reduced: bool = False,
+) -> Hash:
+    r"""Green-Kubo thermal conductivity from heat-flux fluctuations
+    (beyond reference):
+
+    .. math::
+
+       \lambda = \frac{V}{k_\mathrm{B}T^2} \int_0^\infty \langle
+       J_\alpha(0)\,J_\alpha(t)\rangle\,dt
+
+    averaged over the supplied components (the usual isotropic
+    :math:`1/3\,\langle\mathbf{J}(0)\cdot\mathbf{J}(t)\rangle` when
+    all three are given).  Running integral returned for plateau
+    selection, like :func:`calculate_shear_viscosity`.
+
+    Parameters
+    ----------
+    heat_flux : array-like
+        Heat-flux (per volume) series, shape ``(N_t, 3)`` or
+        ``(N_t,)``, in kcal/(mol Angstrom^2 ps) — LAMMPS real-units
+        ``compute heat/flux`` output divided by the cell volume.  LJ
+        flux units when ``reduced=True``.
+    volume : `float`
+        System volume (Angstrom^3; LJ volume when reduced).
+    temperature : `float`
+        Temperature (K), or the LJ energy scale when reduced.
+    dt : `float`
+        Series time step (ps; LJ time when reduced).
+
+    Returns
+    -------
+    results : `Hash`
+        ``times`` (ps), ``acf`` (component-averaged),
+        ``running_conductivity``/``conductivity`` (W/(m K)), and
+        ``units`` (omitted when reduced).
+    """
+
+    heat_flux = np.asarray(
+        strip_unit(heat_flux, None)[0], dtype=np.float64
+    )
+    volume, _ = strip_unit(volume, "angstrom**3")
+    temperature, _ = strip_unit(temperature, "kelvin")
+    dt, _ = strip_unit(dt, "picosecond")
+    times, acf, integral = _green_kubo_running(heat_flux, dt)
+    if reduced:
+        scale = volume / temperature**2
+        return Hash(
+            times=times,
+            acf=acf,
+            running_conductivity=scale * integral,
+            conductivity=float(scale * integral[-1]),
+        )
+    flux_unit = ureg.kilocalorie / ureg.mole / (
+        ureg.angstrom**2 * ureg.picosecond
+    )
+    scale = (
+        (
+            (1 * flux_unit / ureg.avogadro_constant) ** 2
+            * ureg.angstrom**3
+            * ureg.picosecond
+            / (ureg.boltzmann_constant * ureg.kelvin**2)
+        )
+        .to("watt / (meter * kelvin)")
+        .magnitude
+        * volume
+        / temperature**2
+    )
+    wmk = ureg.watt / (ureg.meter * ureg.kelvin)
+    return Hash(
+        times=times,
+        acf=acf,
+        running_conductivity=scale * integral,
+        conductivity=float(scale * integral[-1]),
+        units=Hash(
+            times=ureg.picosecond,
+            acf=flux_unit**2,
+            running_conductivity=wmk,
+            conductivity=wmk,
         ),
     )

@@ -130,3 +130,52 @@ def test_green_kubo_shear_viscosity():
     tens[:, 0, 1], tens[:, 0, 2], tens[:, 1, 2] = p.T
     out2 = calculate_shear_viscosity(tens, volume, temperature, dt)
     np.testing.assert_allclose(out2.acf, out.acf, rtol=1e-12)
+
+
+def test_green_kubo_thermal_conductivity():
+    """OU-process heat flux: lambda = V sigma^2 tau / (kB T^2) in the
+    chosen units, recovered from the running integral."""
+
+    import numpy as np
+
+    from mdhelper_tpu import ureg
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_thermal_conductivity,
+    )
+
+    r = np.random.default_rng(21)
+    T_steps, dt, tau, sigma = 60_000, 0.01, 0.3, 0.02
+    theta = dt / tau
+    j = np.empty((T_steps, 3))
+    j[0] = sigma * r.standard_normal(3)
+    drive = sigma * np.sqrt(2 * theta)
+    for t in range(1, T_steps):
+        j[t] = j[t - 1] * (1 - theta) + drive * r.standard_normal(3)
+
+    volume, temperature = 25_000.0, 350.0
+    out = calculate_thermal_conductivity(
+        j, volume, temperature, dt
+    )
+    window = (out.times > 4 * tau) & (out.times < 20 * tau)
+    lam = out.running_conductivity[window].mean()
+    flux_unit = ureg.kilocalorie / ureg.mole / (
+        ureg.angstrom**2 * ureg.picosecond
+    )
+    scale = (
+        ((1 * flux_unit / ureg.avogadro_constant) ** 2
+         * ureg.angstrom**3 * ureg.picosecond
+         / (ureg.boltzmann_constant * ureg.kelvin**2))
+        .to("watt / (meter * kelvin)").magnitude
+    )
+    expected = scale * volume / temperature**2 * sigma**2 * tau
+    assert abs(lam - expected) / expected < 0.15, (lam, expected)
+
+    red = calculate_thermal_conductivity(
+        j, volume, temperature, dt, reduced=True
+    )
+    assert "units" not in red
+    np.testing.assert_allclose(
+        red.running_conductivity * scale,
+        out.running_conductivity,
+        rtol=1e-12,
+    )
