@@ -28,13 +28,14 @@ from scipy import integrate, sparse
 from .. import Q_, ureg
 from ..algorithm.unit import strip_unit
 from ..ops.pbc import wrap_positions
-from ..ops.profiles import axis_histogram_batch
+from ..ops.profiles import axis_histogram_batch, plane_histogram_batch
 from .base import DynamicAnalysisBase, host_unwrap_chunk
 from .structure import _com_positions, _group_segment_ids
 
 __all__ = [
     "calculate_potential_profile",
     "DensityProfile",
+    "DensityMap2D",
     "RadialDensityProfile",
 ]
 
@@ -1168,3 +1169,236 @@ class RadialDensityProfile(DynamicAnalysisBase):
                 "g,gb->b", self._charges,
                 self.results.number_densities,
             )
+
+
+class DensityMap2D(DynamicAnalysisBase):
+    r"""Time-averaged number (and charge) density maps over a box
+    plane — interface roughness, channel occupancy, surface adsorption
+    patterns (beyond reference; the reference's profiles,
+    ``analysis/profile.py:287-996``, are one-dimensional).
+
+    TPU formulation: each frame bins as a one-hot outer-product
+    matmul over the two plane axes
+    (:func:`mdhelper_tpu.ops.profiles.plane_histogram_batch`), and
+    only the two profiled coordinate columns stream to the device
+    (``_coord_axes``).  The counts carry is order-independent, so
+    ``parallel=True`` shards frames over the mesh.
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Group(s) to map.
+    groupings : `str` or array-like, default ``"atoms"``
+        ``"atoms"``, ``"residues"`` or ``"segments"`` (centers of
+        mass of wrapped coordinates for molecule groupings).
+    axes : `str`, default ``"xy"``
+        The mapped plane (``"xy"``, ``"xz"`` or ``"yz"``).
+    n_bins : `int` or pair, default 192
+        Bins per plane axis.
+    charges : array-like, keyword-only, optional
+        Per-group entity charges (default: topology charges).
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh.
+
+    Results
+    -------
+    ``results.bins``
+        ``[x_centers, y_centers]`` for the two plane axes (Angstrom).
+    ``results.counts``
+        Raw per-group counts, shape ``(G, n_x, n_y)``.
+    ``results.number_densities``
+        Time-averaged maps (Angstrom^-3; the bin volume includes the
+        full perpendicular box length), shape ``(G, n_x, n_y)``.
+    ``results.charge_densities``
+        Charge-weighted sum over groups (e Angstrom^-3), when
+        charges are known.
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        axes: str = "xy",
+        n_bins: Union[int, tuple] = 192,
+        *,
+        charges=None,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        self.universe = self._groups[0].universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+        self._setup_periodic_box()
+        if self._triclinic:
+            raise ValueError(
+                "DensityMap2D needs an orthorhombic cell."
+            )
+
+        if axes not in ("xy", "xz", "yz"):
+            raise ValueError("axes must be 'xy', 'xz' or 'yz'.")
+        self._axes = tuple("xyz".index(a) for a in axes)
+        self._perp_axis = ({0, 1, 2} - set(self._axes)).pop()
+        if isinstance(n_bins, Real):
+            n_bins = (int(n_bins), int(n_bins))
+        if len(n_bins) != 2 or min(n_bins) < 1:
+            raise ValueError(
+                "n_bins must be a positive int or a pair."
+            )
+        self._n_bins = tuple(int(b) for b in n_bins)
+
+        if isinstance(groupings, str):
+            groupings = [groupings] * len(self._groups)
+        if len(groupings) != len(self._groups):
+            raise ValueError(
+                "The number of groupings is not equal to the number "
+                "of groups."
+            )
+        for g in groupings:
+            if g not in ("atoms", "residues", "segments"):
+                raise ValueError(f"Invalid grouping: '{g}'.")
+        self._groupings = list(groupings)
+        self._reduced = reduced
+
+        if charges is not None:
+            charges = np.asarray(
+                strip_unit(charges, "elementary_charge")[0],
+                dtype=float,
+            )
+            if len(charges) != len(self._groups):
+                raise ValueError(
+                    "The number of group charges is not equal to the "
+                    "number of groups."
+                )
+            self._charges = charges
+        else:
+            entity = [
+                _entity_charges(g, grouping)
+                for g, grouping in zip(self._groups, self._groupings)
+            ]
+            # uniform per-group entity charges collapse to scalars
+            # (the DensityProfile auto-detection contract)
+            if all(
+                len(np.unique(np.round(q, 12))) == 1 for q in entity
+            ):
+                self._charges = np.array(
+                    [float(q[0]) for q in entity]
+                )
+            else:
+                self._charges = None
+
+        self._atom_indices = np.unique(
+            np.concatenate([g.ix for g in self._groups])
+        )
+        col_of = {int(g): c for c, g in enumerate(self._atom_indices)}
+        self._cols = [
+            np.fromiter(
+                (col_of[int(i)] for i in g.ix), dtype=np.int64,
+                count=g.n_atoms,
+            )
+            for g in self._groups
+        ]
+        dims = self.universe.dimensions
+        if dims is None:
+            raise ValueError("No system dimensions found.")
+        self._dimensions = np.asarray(dims[:3], dtype=np.float64)
+
+    # stream only the two mapped coordinate columns
+    @property
+    def _coord_axes(self):
+        return list(self._axes)
+
+    def _prepare(self) -> None:
+        lx = self._dimensions[self._axes[0]]
+        ly = self._dimensions[self._axes[1]]
+        nx, ny = self._n_bins
+        self._edges_x = np.linspace(0.0, lx, nx + 1)
+        self._edges_y = np.linspace(0.0, ly, ny + 1)
+        self.results.bins = [
+            (self._edges_x[:-1] + self._edges_x[1:]) / 2,
+            (self._edges_y[:-1] + self._edges_y[1:]) / 2,
+        ]
+        if not self._reduced:
+            self.results.units = {
+                "results.bins": ureg.angstrom,
+                "results.number_densities": ureg.angstrom**-3,
+            }
+            if self._charges is not None:
+                self.results.units["results.charge_densities"] = (
+                    ureg.elementary_charge * ureg.angstrom**-3
+                )
+        self._carry = {
+            "counts": jnp.zeros(
+                (len(self._groups), nx, ny), dtype=jnp.float64
+            ),
+            "n": jnp.zeros((), dtype=jnp.float64),
+        }
+        self._make_update()
+
+    def _make_update(self) -> None:
+        dtype = self._stream_dtype()
+        edges_x = jnp.asarray(self._edges_x, dtype=dtype)
+        edges_y = jnp.asarray(self._edges_y, dtype=dtype)
+        box_plane = jnp.asarray(
+            self._dimensions[list(self._axes)], dtype=dtype
+        )
+        cols = [jnp.asarray(c) for c in self._cols]
+        seg_info = [
+            _group_segment_ids(g, grouping)
+            for g, grouping in zip(self._groups, self._groupings)
+        ]
+        masses = [
+            None if seg is None else jnp.asarray(g.masses)
+            for g, (seg, _) in zip(self._groups, seg_info)
+        ]
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            counts = carry["counts"]
+            new = []
+            for i, col in enumerate(cols):
+                pts = positions[:, col]  # (B, n_i, 2)
+                seg, n_seg = seg_info[i]
+                if seg is not None:
+                    pts = _com_positions(
+                        pts, masses[i], jnp.asarray(seg), n_seg
+                    )
+                # wrap into [0, L) so the fixed edges cover everything
+                pts = pts - box_plane * jnp.floor(pts / box_plane)
+                new.append(
+                    plane_histogram_batch(
+                        pts, mask, edges_x, edges_y
+                    )
+                )
+            carry = {
+                "counts": counts + jnp.stack(new),
+                "n": carry["n"] + mask.sum(),
+            }
+            return carry
+
+        from .base import jit_update
+
+        self._update = jit_update(update)
+
+    def _conclude(self) -> None:
+        counts = np.asarray(self._carry["counts"])
+        n_frames = float(self._carry["n"])
+        self.results.counts = counts
+        dx = np.diff(self._edges_x)[:, None]
+        dy = np.diff(self._edges_y)[None, :]
+        volume = dx * dy * self._dimensions[self._perp_axis]
+        self.results.number_densities = counts / (n_frames * volume)
+        if self._charges is not None:
+            self.results.charge_densities = np.einsum(
+                "g,gxy->xy", self._charges,
+                self.results.number_densities,
+            )
+        else:
+            self.results.charge_densities = None

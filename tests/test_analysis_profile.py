@@ -426,3 +426,85 @@ def test_radial_density_profile_parallel_and_validation():
             u.atoms, [1.0, 2.0, 3.0], geometry="torus",
             verbose=False,
         )
+
+
+def test_density_map_2d_oracle():
+    """DensityMap2D vs per-frame np.histogram2d; charge map; COM
+    grouping; parallel bit-equality; validation."""
+
+    from mdhelper_tpu.analysis.profile import DensityMap2D
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(61)
+    box = np.array([8.0, 10.0, 12.0])
+    T, n = 6, 60
+    pos = local.random((T, n, 3)) * box
+    charges = np.tile([1.0, -1.0], n // 2)
+    u = Universe.from_arrays(
+        pos, box,
+        types=np.array(["A", "B"] * (n // 2), dtype=object),
+        charges=charges,
+        masses=np.ones(n),
+        resindices=np.repeat(np.arange(n // 2), 2),
+    )
+    cation = u.select_atoms("type A")
+    anion = u.select_atoms("type B")
+    dm = DensityMap2D(
+        [cation, anion], axes="xz", n_bins=(16, 24), verbose=False
+    ).run()
+
+    for gi, ag in enumerate((cation, anion)):
+        ref = np.zeros((16, 24))
+        for f in range(T):
+            p = pos[f, ag.ix][:, [0, 2]]
+            ref += np.histogram2d(
+                p[:, 0], p[:, 1], bins=(16, 24),
+                range=((0, box[0]), (0, box[2])),
+            )[0]
+        np.testing.assert_array_equal(dm.results.counts[gi], ref)
+        # density normalization: sum * bin volume = N_entities
+        volume = (box[0] / 16) * (box[2] / 24) * box[1]
+        np.testing.assert_allclose(
+            dm.results.number_densities[gi].sum() * volume,
+            ag.n_atoms,
+            rtol=1e-12,
+        )
+    # auto-detected uniform group charges -> charge map
+    np.testing.assert_allclose(
+        dm.results.charge_densities,
+        dm.results.number_densities[0]
+        - dm.results.number_densities[1],
+        rtol=1e-12,
+    )
+
+    # residues grouping: COMs of wrapped dimer pairs
+    dr = DensityMap2D(
+        u.atoms, "residues", axes="xy", n_bins=8, verbose=False
+    ).run()
+    ref = np.zeros((8, 8))
+    for f in range(T):
+        com = pos[f].reshape(-1, 2, 3).mean(axis=1) % box
+        ref += np.histogram2d(
+            com[:, 0], com[:, 1], bins=(8, 8),
+            range=((0, box[0]), (0, box[1])),
+        )[0]
+    np.testing.assert_array_equal(dr.results.counts[0], ref)
+
+    par = DensityMap2D(
+        [cation, anion], axes="xz", n_bins=(16, 24),
+        parallel=True, verbose=False,
+    ).run()
+    np.testing.assert_array_equal(
+        par.results.counts, dm.results.counts
+    )
+
+    with pytest.raises(ValueError):
+        DensityMap2D(u.atoms, axes="zz", verbose=False)
+    with pytest.raises(ValueError):
+        DensityMap2D(u.atoms, n_bins=0, verbose=False)
+    tric = Universe.from_arrays(
+        pos, np.array([8, 10, 12, 80, 85, 95.0]),
+        types=np.array(["A"] * n, dtype=object),
+    )
+    with pytest.raises(ValueError, match="orthorhombic"):
+        DensityMap2D(tric.atoms, verbose=False)
