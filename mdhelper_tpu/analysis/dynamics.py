@@ -278,6 +278,13 @@ class SurvivalProbability(DynamicAnalysisBase):
             )
         kind = zone[0]
         self._shell_group = None
+
+        def _length(value, what):
+            value = strip_unit(value, "angstrom")[0]
+            if not isinstance(value, Real):
+                raise ValueError(f"{what} must be a scalar length.")
+            return float(value)
+
         if kind == "slab":
             if self._triclinic:
                 raise ValueError(
@@ -286,9 +293,13 @@ class SurvivalProbability(DynamicAnalysisBase):
             _, axis, lo, hi = zone
             if axis not in ("x", "y", "z"):
                 raise ValueError("Slab axis must be 'x', 'y' or 'z'.")
-            self._zone = (
-                "slab", "xyz".index(axis), float(lo), float(hi)
-            )
+            lo = _length(lo, "Slab lower bound")
+            hi = _length(hi, "Slab upper bound")
+            if not lo < hi:
+                raise ValueError(
+                    "Slab bounds must satisfy lo < hi."
+                )
+            self._zone = ("slab", "xyz".index(axis), lo, hi)
         elif kind == "sphere":
             _, center, radius = zone
             center = np.asarray(
@@ -296,17 +307,21 @@ class SurvivalProbability(DynamicAnalysisBase):
             )
             if center.shape != (3,):
                 raise ValueError("Sphere center must have shape (3,).")
-            self._zone = ("sphere", center, float(radius))
+            radius = _length(radius, "Sphere radius")
+            if radius <= 0:
+                raise ValueError("Sphere radius must be positive.")
+            self._zone = ("sphere", center, radius)
         elif kind == "shell":
             _, other, radius = zone
             if not hasattr(other, "universe"):
                 raise ValueError(
                     "'shell' zones take an AtomGroup."
                 )
-            if not isinstance(radius, Real) or radius <= 0:
+            radius = _length(radius, "Shell radius")
+            if radius <= 0:
                 raise ValueError("Shell radius must be positive.")
             self._shell_group = other
-            self._zone = ("shell", None, float(radius))
+            self._zone = ("shell", None, radius)
         else:
             raise ValueError(f"Unknown zone kind: {kind!r}.")
 
@@ -326,6 +341,14 @@ class SurvivalProbability(DynamicAnalysisBase):
                 dtype=np.int64, count=self._shell_group.n_atoms,
             )
 
+    # slab zones consume ONE coordinate axis: stream only that column
+    # (the CLAUDE.md _coord_axes invariant; sphere/shell need all 3)
+    @property
+    def _coord_axes(self):
+        if self._zone[0] == "slab":
+            return [self._zone[1]]
+        return None
+
     def _prepare(self) -> None:
         n = self.group.n_atoms
         self._membership = np.empty((self.n_frames, n), dtype=bool)
@@ -340,6 +363,8 @@ class SurvivalProbability(DynamicAnalysisBase):
         frame_boxes = self._frame_boxes
         if kind == "slab":
             _, axis, lo, hi = self._zone
+            # the stream delivers only the slab column (_coord_axes)
+            stream_axis = 0
         elif kind == "sphere":
             _, center_np, radius = self._zone
         else:
@@ -351,7 +376,7 @@ class SurvivalProbability(DynamicAnalysisBase):
             b = box_f.astype(pos_f.dtype)
             pts = pos_f[g_col]
             if kind == "slab":
-                coord = pts[:, axis] % b[axis]
+                coord = pts[:, stream_axis] % b[axis]
                 return (coord >= lo) & (coord < hi)
             if kind == "sphere":
                 center = jnp.asarray(center_np, dtype=pos_f.dtype)

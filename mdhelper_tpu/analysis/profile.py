@@ -266,27 +266,9 @@ class DensityProfile(DynamicAnalysisBase):
         )
 
         self._n_groups = len(self._groups)
-        valid = {"atoms", "residues", "segments"}
-        if isinstance(groupings, str):
-            if groupings not in valid:
-                raise ValueError(
-                    f"Invalid grouping '{groupings}'. Valid values: "
-                    f"{', '.join(sorted(valid))}."
-                )
-            self._groupings = self._n_groups * [groupings]
-        else:
-            if self._n_groups != len(groupings):
-                raise ValueError(
-                    "The number of grouping values is not equal to the "
-                    "number of groups."
-                )
-            for g in groupings:
-                if g not in valid:
-                    raise ValueError(
-                        f"Invalid grouping '{g}'. Valid values: "
-                        f"{', '.join(sorted(valid))}."
-                    )
-            self._groupings = list(groupings)
+        self._groupings = _broadcast_groupings(
+            self._groups, groupings
+        )
 
         if isinstance(axes, int):
             self._axes = np.array((axes,), dtype=int)
@@ -313,33 +295,9 @@ class DensityProfile(DynamicAnalysisBase):
                 )
             self._n_bins = n_bins
 
-        if charges is not None:
-            if len(charges) != self._n_groups:
-                raise ValueError(
-                    "The number of group charges is not equal to the "
-                    "number of groups."
-                )
-            charges, unit_ = strip_unit(charges, "elementary_charge")
-            if reduced and not isinstance(unit_, (str, type(None))):
-                raise TypeError(
-                    "'charges' cannot have units when reduced=True."
-                )
-            self._charges = np.asarray(charges)
-        else:
-            self._charges = np.empty(self._n_groups)
-            for i, (group, grouping) in enumerate(
-                zip(self._groups, self._groupings)
-            ):
-                entity = _entity_charges(group, grouping)
-                if not np.allclose(entity[0], entity):
-                    self._charges = None
-                    warnings.warn(
-                        f"Not all {grouping} in group {i} share the "
-                        "same charge. No charge density profile will "
-                        "be calculated."
-                    )
-                    break
-                self._charges[i] = entity[0]
+        self._charges = _resolve_group_charges(
+            self._groups, self._groupings, charges, reduced
+        )
 
         if dimensions is not None:
             if len(dimensions) != 3:
@@ -873,6 +831,64 @@ def _entity_masses(group, grouping: str) -> np.ndarray:
     return out
 
 
+def _broadcast_groupings(groups, groupings) -> list:
+    """Broadcast/validate a groupings spec against a group list (the
+    DensityProfile contract, shared by every profiling class)."""
+
+    valid = {"atoms", "residues", "segments"}
+    if isinstance(groupings, str):
+        if groupings not in valid:
+            raise ValueError(
+                f"Invalid grouping '{groupings}'. Valid values: "
+                f"{', '.join(sorted(valid))}."
+            )
+        return len(groups) * [groupings]
+    if len(groups) != len(groupings):
+        raise ValueError(
+            "The number of grouping values is not equal to the "
+            "number of groups."
+        )
+    for g in groupings:
+        if g not in valid:
+            raise ValueError(
+                f"Invalid grouping '{g}'. Valid values: "
+                f"{', '.join(sorted(valid))}."
+            )
+    return list(groupings)
+
+
+def _resolve_group_charges(groups, groupings, charges, reduced):
+    """Explicit per-group charges (unit-stripped), or auto-detected
+    uniform entity charges (None + warning when any group is
+    non-uniform — the DensityProfile contract, shared by every
+    profiling class)."""
+
+    if charges is not None:
+        if len(charges) != len(groups):
+            raise ValueError(
+                "The number of group charges is not equal to the "
+                "number of groups."
+            )
+        charges, unit_ = strip_unit(charges, "elementary_charge")
+        if reduced and not isinstance(unit_, (str, type(None))):
+            raise TypeError(
+                "'charges' cannot have units when reduced=True."
+            )
+        return np.asarray(charges)
+    out = np.empty(len(groups))
+    for i, (group, grouping) in enumerate(zip(groups, groupings)):
+        entity = _entity_charges(group, grouping)
+        if not np.allclose(entity[0], entity):
+            warnings.warn(
+                f"Not all {grouping} in group {i} share the same "
+                "charge. No charge density profile will be "
+                "calculated."
+            )
+            return None
+        out[i] = entity[0]
+    return out
+
+
 class RadialDensityProfile(DynamicAnalysisBase):
     r"""Number and charge density profiles as a function of distance
     from a fixed point or a group's per-frame center of mass —
@@ -999,33 +1015,9 @@ class RadialDensityProfile(DynamicAnalysisBase):
             self._center_point = point
 
         # Per-group entity charges (DensityProfile convention).
-        if charges is not None:
-            if len(charges) != self._n_groups:
-                raise ValueError(
-                    "The number of group charges is not equal to the "
-                    "number of groups."
-                )
-            charges, unit_ = strip_unit(charges, "elementary_charge")
-            if reduced and not isinstance(unit_, (str, type(None))):
-                raise TypeError(
-                    "'charges' cannot have units when reduced=True."
-                )
-            self._charges = np.asarray(charges)
-        else:
-            self._charges = np.empty(self._n_groups)
-            for i, (group, grouping) in enumerate(
-                zip(self._groups, self._groupings)
-            ):
-                entity = _entity_charges(group, grouping)
-                if not np.allclose(entity[0], entity):
-                    self._charges = None
-                    warnings.warn(
-                        f"Not all {grouping} in group {i} share the "
-                        "same charge. No charge density profile will "
-                        "be calculated."
-                    )
-                    break
-                self._charges[i] = entity[0]
+        self._charges = _resolve_group_charges(
+            self._groups, self._groupings, charges, reduced
+        )
 
         # Streaming columns: profiled groups + the COM center group.
         column_groups = list(self._groups)
@@ -1254,45 +1246,13 @@ class DensityMap2D(DynamicAnalysisBase):
             )
         self._n_bins = tuple(int(b) for b in n_bins)
 
-        if isinstance(groupings, str):
-            groupings = [groupings] * len(self._groups)
-        if len(groupings) != len(self._groups):
-            raise ValueError(
-                "The number of groupings is not equal to the number "
-                "of groups."
-            )
-        for g in groupings:
-            if g not in ("atoms", "residues", "segments"):
-                raise ValueError(f"Invalid grouping: '{g}'.")
-        self._groupings = list(groupings)
+        self._groupings = _broadcast_groupings(
+            self._groups, groupings
+        )
         self._reduced = reduced
-
-        if charges is not None:
-            charges = np.asarray(
-                strip_unit(charges, "elementary_charge")[0],
-                dtype=float,
-            )
-            if len(charges) != len(self._groups):
-                raise ValueError(
-                    "The number of group charges is not equal to the "
-                    "number of groups."
-                )
-            self._charges = charges
-        else:
-            entity = [
-                _entity_charges(g, grouping)
-                for g, grouping in zip(self._groups, self._groupings)
-            ]
-            # uniform per-group entity charges collapse to scalars
-            # (the DensityProfile auto-detection contract)
-            if all(
-                len(np.unique(np.round(q, 12))) == 1 for q in entity
-            ):
-                self._charges = np.array(
-                    [float(q[0]) for q in entity]
-                )
-            else:
-                self._charges = None
+        self._charges = _resolve_group_charges(
+            self._groups, self._groupings, charges, reduced
+        )
 
         self._atom_indices = np.unique(
             np.concatenate([g.ix for g in self._groups])
@@ -1371,7 +1331,7 @@ class DensityMap2D(DynamicAnalysisBase):
                         pts, masses[i], jnp.asarray(seg), n_seg
                     )
                 # wrap into [0, L) so the fixed edges cover everything
-                pts = pts - box_plane * jnp.floor(pts / box_plane)
+                pts = wrap_positions(pts, box_plane)
                 new.append(
                     plane_histogram_batch(
                         pts, mask, edges_x, edges_y

@@ -282,8 +282,6 @@ def calculate_shear_viscosity(
         ``units`` (omitted when reduced).
     """
 
-    from ..algorithm.correlation import correlation_fft
-
     pressures, _ = strip_unit(pressures, "atmosphere")
     pressures = np.asarray(pressures, dtype=np.float64)
     if pressures.ndim == 3:
@@ -310,15 +308,7 @@ def calculate_shear_viscosity(
     temperature, _ = strip_unit(temperature, "kelvin")
     dt, _ = strip_unit(dt, "picosecond")
 
-    acf = np.asarray(
-        correlation_fft(pressures, axis=0, average=True)
-    )
-    n_t = len(acf)
-    times = np.arange(n_t) * dt
-    # cumulative trapezoid of the ACF
-    integral = np.concatenate(
-        ([0.0], np.cumsum((acf[1:] + acf[:-1]) / 2) * dt)
-    )
+    times, acf, integral = _green_kubo_running(pressures, dt)
     if reduced:
         scale = volume / temperature
         results = Hash(
@@ -418,8 +408,14 @@ def calculate_thermal_conductivity(
         ``units`` (omitted when reduced).
     """
 
+    # Quantity inputs convert to the documented working unit (a bare
+    # magnitude would silently mis-scale the result).
     heat_flux = np.asarray(
-        strip_unit(heat_flux, None)[0], dtype=np.float64
+        strip_unit(
+            heat_flux,
+            "kilocalorie / mole / angstrom**2 / picosecond",
+        )[0],
+        dtype=np.float64,
     )
     volume, _ = strip_unit(volume, "angstrom**3")
     temperature, _ = strip_unit(temperature, "kelvin")

@@ -105,11 +105,8 @@ def axis_histogram_batch(coords, mask, edges):
     """
 
     n_bins = edges.shape[0] - 1
-    edges = edges.astype(coords.dtype)
-    idx = jnp.searchsorted(edges, coords, side="right") - 1
-    idx = jnp.where(coords == edges[-1], n_bins - 1, idx)
-    in_range = (coords >= edges[0]) & (coords <= edges[-1])
-    idx = jnp.where(in_range, idx, n_bins).reshape(-1)
+    idx, in_range = _bin_indices(coords, edges, n_bins)
+    idx = idx.reshape(-1)
     weights = (
         in_range.astype(jnp.float32)
         * mask[:, None].astype(jnp.float32)

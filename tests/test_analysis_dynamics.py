@@ -290,6 +290,14 @@ def test_survival_probability_validation():
         SurvivalProbability(
             u.atoms, ("shell", u.atoms, -1.0), verbose=False
         )
+    with pytest.raises(ValueError):
+        SurvivalProbability(
+            u.atoms, ("sphere", np.zeros(3), -2.0), verbose=False
+        )
+    with pytest.raises(ValueError, match="lo < hi"):
+        SurvivalProbability(
+            u.atoms, ("slab", "z", 6.0, 2.0), verbose=False
+        )
     tric = Universe.from_arrays(
         pos, np.array([10, 10, 10, 80, 85, 95.0]),
         types=np.array(["A"] * 4, dtype=object),

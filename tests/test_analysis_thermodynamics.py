@@ -179,3 +179,36 @@ def test_green_kubo_thermal_conductivity():
         out.running_conductivity,
         rtol=1e-12,
     )
+
+
+def test_thermal_conductivity_quantity_input_converts():
+    """A Quantity heat flux converts to the working unit instead of
+    being silently treated as a raw magnitude."""
+
+    import numpy as np
+
+    from mdhelper_tpu import Q_, ureg
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_thermal_conductivity,
+    )
+
+    r = np.random.default_rng(3)
+    j = r.standard_normal((512, 3)) * 0.01
+    raw = calculate_thermal_conductivity(j, 1e4, 300.0, 0.01)
+    flux_unit = ureg.kilocalorie / ureg.mole / (
+        ureg.angstrom**2 * ureg.picosecond
+    )
+    # same data expressed in a scaled compatible unit (cal instead of
+    # kcal -> magnitudes x1000)
+    scaled = Q_(
+        j * 1000.0,
+        ureg.calorie / ureg.mole / (
+            ureg.angstrom**2 * ureg.picosecond
+        ),
+    )
+    quantity = calculate_thermal_conductivity(
+        scaled, 1e4, 300.0, 0.01
+    )
+    np.testing.assert_allclose(
+        quantity.conductivity, raw.conductivity, rtol=1e-12
+    )

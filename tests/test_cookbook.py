@@ -235,3 +235,27 @@ def test_cookbook_cluster_hbonds_orientation():
     assert nop.results.Q.shape == (N_FRAMES, 3, 3)
     assert -0.5 <= nop.results.P2_mean <= 1.0
     assert abs(nop.results.C2[0] - 1.0) < 1e-9
+
+
+def test_cookbook_density_map_and_green_kubo():
+    from mdhelper_tpu.analysis.profile import DensityMap2D
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_shear_viscosity,
+        calculate_thermal_conductivity,
+    )
+
+    u = make_universe()
+    dm = DensityMap2D(
+        [u.select_atoms("type A"), u.select_atoms("type B")],
+        axes="xz", n_bins=12, verbose=False,
+    ).run()
+    assert dm.results.number_densities.shape == (2, 12, 12)
+    assert dm.results.charge_densities is not None
+
+    series = rng.standard_normal((4000, 3))
+    eta = calculate_shear_viscosity(series, 1e4, 300.0, 0.01)
+    assert eta.viscosity >= 0 and len(eta.running_viscosity) == 4000
+    lam = calculate_thermal_conductivity(
+        series * 0.01, 1e4, 300.0, 0.01
+    )
+    assert len(lam.running_conductivity) == 4000
