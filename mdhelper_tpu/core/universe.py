@@ -156,7 +156,8 @@ class Universe:
         ----------
         topology : `str`
             Topology file: ``.psf``, ``.pdb``, ``.gro``, LAMMPS
-            ``.data`` or GROMACS ``.top``/``.itp``
+            ``.data``, GROMACS ``.top``/``.itp`` or AMBER
+            ``.prmtop``/``.parm7``
             (:mod:`mdhelper_tpu.io.topology_files`).  PDB/GRO files
             also carry coordinates, which become a one-frame
             trajectory when `trajectory` is omitted.

@@ -767,7 +767,127 @@ def read_gmx_top(filename: str, *, defines=()) -> dict:
     }
 
 
+def read_prmtop(filename: str) -> dict:
+    """Parse an AMBER topology (``.prmtop``/``.parm7``) — the
+    ``%FLAG``/``%FORMAT`` fixed-width section format.  Completes the
+    AMBER stack with the existing AMBER NetCDF trajectory reader
+    (``Universe.from_files("system.prmtop", "traj.nc")``).
+
+    Charges convert from AMBER internal units to elementary charges
+    (the 18.2223 convention); bond triples (``BONDS_INC_HYDROGEN`` +
+    ``BONDS_WITHOUT_HYDROGEN``) decode via the index*3 convention.
+    """
+
+    import re
+
+    with open(filename) as fh:
+        text = fh.read()
+    if "%FLAG" not in text:
+        raise ValueError(f"'{filename}' is not an AMBER prmtop file.")
+
+    sections = {}
+    current = None
+    fmt = None
+    for line in text.splitlines():
+        if line.startswith("%FLAG"):
+            current = line.split()[1]
+            fmt = None
+            sections[current] = (None, [])
+        elif line.startswith("%FORMAT"):
+            fmt = line[line.index("(") + 1:line.rindex(")")]
+            sections[current] = (fmt, sections[current][1])
+        elif line.startswith("%"):
+            continue  # %VERSION / %COMMENT
+        elif current is not None:
+            sections[current][1].append(line)
+
+    def strings(name):
+        fmt, lines = sections[name]
+        m = re.match(r"(\d+)[aA](\d+)", fmt)
+        width = int(m.group(2))
+        out = []
+        for line in lines:
+            out.extend(
+                line[i:i + width].strip()
+                for i in range(0, len(line.rstrip("\n")), width)
+            )
+        return [s for s in out if s]
+
+    def numbers(name, kind=float):
+        if name not in sections:
+            return []
+        _, lines = sections[name]
+        out = []
+        for line in lines:
+            out.extend(kind(x) for x in line.split())
+        return out
+
+    pointers = numbers("POINTERS", int)
+    if len(pointers) < 12:
+        raise ValueError(
+            f"'{filename}' has a truncated POINTERS section."
+        )
+    n_atoms = pointers[0]
+    n_res = pointers[11]
+
+    names = strings("ATOM_NAME")[:n_atoms]
+    types = (
+        strings("AMBER_ATOM_TYPE")[:n_atoms]
+        if "AMBER_ATOM_TYPE" in sections
+        else list(names)
+    )
+    charges = (
+        np.asarray(numbers("CHARGE")[:n_atoms]) / 18.2223
+        if "CHARGE" in sections
+        else np.zeros(n_atoms)
+    )
+    masses = (
+        np.asarray(numbers("MASS")[:n_atoms])
+        if "MASS" in sections
+        else _guess_masses(names, from_names=True)
+    )
+
+    res_labels = strings("RESIDUE_LABEL")[:n_res]
+    res_ptr = np.asarray(
+        numbers("RESIDUE_POINTER", int)[:n_res], dtype=np.int64
+    )
+    # atom i (0-based) belongs to the residue whose 1-based first
+    # atom pointer is the last one <= i + 1
+    resindices = (
+        np.searchsorted(res_ptr, np.arange(1, n_atoms + 1), "right")
+        - 1
+    ).astype(np.int64)
+
+    bond_idx = numbers("BONDS_INC_HYDROGEN", int) + numbers(
+        "BONDS_WITHOUT_HYDROGEN", int
+    )
+    bonds = []
+    for k in range(0, len(bond_idx), 3):
+        bonds.append(
+            (bond_idx[k] // 3, bond_idx[k + 1] // 3)
+        )
+    bonds = np.asarray(bonds, dtype=np.int64).reshape(-1, 2)
+
+    return {
+        "n_atoms": n_atoms,
+        "names": _object_array(names),
+        "types": _object_array(types),
+        "charges": charges,
+        "masses": masses,
+        "resids": resindices + 1,
+        "resnames": _object_array(
+            [res_labels[r] for r in resindices]
+        ),
+        "resindices": resindices,
+        "segindices": np.zeros(n_atoms, dtype=np.int64),
+        "segids": _object_array(["SYSTEM"] * n_atoms),
+        "bonds": bonds,
+    }
+
+
 _PARSERS = {
+    ".prmtop": read_prmtop,
+    ".parm7": read_prmtop,
     ".psf": read_psf,
     ".pdb": read_pdb,
     ".gro": read_gro,
@@ -779,7 +899,8 @@ _PARSERS = {
 
 def read_topology_file(filename: str) -> dict:
     """Parse a topology file by extension (``.psf``, ``.pdb``,
-    ``.gro``, ``.data``, ``.top``/``.itp``)."""
+    ``.gro``, ``.data``, ``.top``/``.itp``,
+    ``.prmtop``/``.parm7``)."""
 
     import os
 

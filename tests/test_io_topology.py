@@ -608,3 +608,132 @@ def test_write_xtc_box_validation(tmp_path):
     with pytest.raises(ValueError, match=r"got \(2, 3\)"):
         write_xtc(str(tmp_path / "x.xtc"), pos,
                   np.zeros((2, 3)))
+
+
+PRMTOP_TWO_WATERS = """%VERSION  VERSION_STAMP = V0001.000  DATE = 08/18/26
+%FLAG TITLE
+%FORMAT(20a4)
+WAT2
+%FLAG POINTERS
+%FORMAT(10I8)
+       6       2       4       0       0       0       0       0       0       0
+       0       2       0       0       0       0       0       0       0       0
+       0       0       0       0       0       0       0       0       0       0
+       0
+%FLAG ATOM_NAME
+%FORMAT(20a4)
+O   H1  H2  O   H1  H2
+%FLAG CHARGE
+%FORMAT(5E16.8)
+ -1.51973970E+01  7.59869850E+00  7.59869850E+00 -1.51973970E+01  7.59869850E+00
+  7.59869850E+00
+%FLAG MASS
+%FORMAT(5E16.8)
+  1.60000000E+01  1.00800000E+00  1.00800000E+00  1.60000000E+01  1.00800000E+00
+  1.00800000E+00
+%FLAG AMBER_ATOM_TYPE
+%FORMAT(20a4)
+OW  HW  HW  OW  HW  HW
+%FLAG RESIDUE_LABEL
+%FORMAT(20a4)
+WAT WAT
+%FLAG RESIDUE_POINTER
+%FORMAT(10I8)
+       1       4
+%FLAG BONDS_INC_HYDROGEN
+%FORMAT(10I8)
+       0       3       1       0       6       1       9      12       1       9
+      15       1
+"""
+
+
+def test_read_prmtop(tmp_path):
+    from mdhelper_tpu.io.topology_files import read_prmtop
+
+    path = str(tmp_path / "wat2.prmtop")
+    with open(path, "w") as fh:
+        fh.write(PRMTOP_TWO_WATERS)
+    top = read_prmtop(path)
+    assert top["n_atoms"] == 6
+    np.testing.assert_array_equal(
+        top["names"], ["O", "H1", "H2", "O", "H1", "H2"]
+    )
+    np.testing.assert_array_equal(
+        top["types"], ["OW", "HW", "HW", "OW", "HW", "HW"]
+    )
+    # AMBER internal charge / 18.2223 -> elementary charges
+    np.testing.assert_allclose(
+        top["charges"],
+        [-0.834, 0.417, 0.417, -0.834, 0.417, 0.417],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        top["masses"], [16.0, 1.008, 1.008, 16.0, 1.008, 1.008]
+    )
+    np.testing.assert_array_equal(
+        top["resindices"], [0, 0, 0, 1, 1, 1]
+    )
+    np.testing.assert_array_equal(
+        top["resnames"], ["WAT"] * 6
+    )
+    # index*3 bond convention
+    np.testing.assert_array_equal(
+        np.sort(top["bonds"], axis=0),
+        [[0, 1], [0, 2], [3, 4], [3, 5]],
+    )
+
+    # charge neutrality of the fixture
+    assert abs(top["charges"].sum()) < 1e-6
+
+
+def test_prmtop_amber_netcdf_full_stack(tmp_path):
+    """The complete AMBER path: Universe.from_files(prmtop, nc) and a
+    bonded analysis driven off the prmtop's connectivity."""
+
+    from mdhelper_tpu.analysis.bonded import BondLengthDistribution
+    from mdhelper_tpu.core.universe import Universe
+    from mdhelper_tpu.openmm.file import NetCDFFile
+
+    top_path = str(tmp_path / "wat2.prmtop")
+    with open(top_path, "w") as fh:
+        fh.write(PRMTOP_TWO_WATERS)
+
+    local = np.random.default_rng(71)
+    box = 12.0
+    T = 4
+    coords = np.empty((T, 6, 3))
+    for f in range(T):
+        centers = local.random((2, 3)) * box
+        for m in range(2):
+            o = 3 * m
+            coords[f, o] = centers[m]
+            for h in (o + 1, o + 2):
+                d = local.standard_normal(3)
+                d /= np.linalg.norm(d)
+                coords[f, h] = centers[m] + 0.9572 * d
+    coords %= box
+
+    nc_path = str(tmp_path / "traj")
+    out = NetCDFFile(nc_path, "w")
+    out.write_header(N=6, cell=True, velocities=False,
+                     forces=False)
+    for f in range(T):
+        out.write_model(
+            float(f), coords[f],
+            cell_lengths=np.array([box] * 3),
+            cell_angles=np.array([90.0] * 3),
+        )
+    out._nc.close()
+
+    u = Universe.from_files(top_path, nc_path + ".nc")
+    assert u.atoms.n_atoms == 6
+    assert u.trajectory.n_frames == T
+    np.testing.assert_allclose(
+        u.atoms.charges[:3], [-0.834, 0.417, 0.417], atol=1e-6
+    )
+
+    bl = BondLengthDistribution(
+        u.atoms, n_bins=20, range=(0.8, 1.1), verbose=False
+    ).run()
+    assert bl.results.counts.sum() == 4 * T
+    np.testing.assert_allclose(bl.results.mean, 0.9572, atol=1e-4)
