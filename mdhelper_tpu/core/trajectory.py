@@ -775,7 +775,9 @@ _READERS = {
 
 def open_trajectory(filename: str, **kwargs) -> TrajectoryReader:
     """Open a trajectory file with the reader matching its extension
-    (``.npz``, ``.nc``/``.ncdf`` AMBER NetCDF, ``.dcd``, ``.xtc``)."""
+    (``.npz``, ``.nc``/``.ncdf`` AMBER NetCDF, ``.dcd``, ``.xtc``,
+    ``.trr``, ``.lammpstrj``/``.dump`` (+ ``.gz``), multi-MODEL
+    ``.pdb``, ``.gro``, ``.xyz``)."""
 
     import os
 

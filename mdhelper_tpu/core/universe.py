@@ -162,9 +162,11 @@ class Universe:
             also carry coordinates, which become a one-frame
             trajectory when `trajectory` is omitted.
         trajectory : `str`, optional
-            Trajectory file: ``.dcd``, ``.xtc``, ``.nc``/``.ncdf`` or
-            ``.npz`` (:func:`~mdhelper_tpu.core.trajectory.
-            open_trajectory`).
+            Trajectory file: ``.dcd``, ``.xtc``, ``.trr``,
+            ``.nc``/``.ncdf``, ``.npz``, LAMMPS
+            ``.lammpstrj``/``.dump`` (+ ``.gz``), multi-MODEL
+            ``.pdb``, ``.gro`` or ``.xyz``
+            (:func:`~mdhelper_tpu.core.trajectory.open_trajectory`).
         **reader_kwargs
             Forwarded to the trajectory reader (e.g. ``dt=...``).
         """
