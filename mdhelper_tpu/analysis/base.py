@@ -30,7 +30,6 @@ MDAnalysis-style extension contract for user subclasses.
 """
 
 import logging
-import warnings
 from datetime import datetime
 from typing import Iterator, Optional, TextIO, Union
 

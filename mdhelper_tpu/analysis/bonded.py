@@ -19,8 +19,6 @@ same contract as the radial kernels.  The counts carry is
 order-independent, so ``parallel=True`` shards frames over the mesh.
 """
 
-from typing import Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np

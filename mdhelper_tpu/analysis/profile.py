@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import integrate, sparse
 
-from .. import Q_, ureg
+from .. import ureg
 from ..algorithm.unit import strip_unit
 from ..ops.pbc import wrap_positions
 from ..ops.profiles import axis_histogram_batch, plane_histogram_batch
