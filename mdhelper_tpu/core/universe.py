@@ -716,6 +716,24 @@ class AtomGroup:
     def total_mass(self) -> float:
         return float(self.masses.sum())
 
+    def center_of_geometry(self) -> np.ndarray:
+        return self.positions.mean(axis=0)
+
+    def radius_of_gyration(self) -> float:
+        """Mass-weighted radius of gyration of the current frame
+        (raw coordinates; see
+        :func:`mdhelper_tpu.algorithm.molecule.radius_of_gyration`
+        for grouped/unwrapped variants)."""
+
+        masses = self.masses
+        delta = self.positions - self.center_of_mass()
+        return float(
+            np.sqrt(
+                (masses * (delta * delta).sum(axis=1)).sum()
+                / masses.sum()
+            )
+        )
+
     # -- selection -------------------------------------------------------
     def select_atoms(self, selection: str) -> "AtomGroup":
         """Select atoms with an MDAnalysis-style boolean expression.

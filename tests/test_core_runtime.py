@@ -1020,3 +1020,25 @@ def test_checkpoint_resume_parallel(tmp_path):
     np.testing.assert_array_equal(
         resumed.results.n_clusters, full.results.n_clusters
     )
+
+
+def test_atomgroup_reductions():
+    u = make_universe(n_frames=2, n_atoms=8)
+    ag = u.atoms
+    np.testing.assert_allclose(
+        ag.center_of_geometry(), ag.positions.mean(axis=0)
+    )
+    m = ag.masses
+    com = ag.center_of_mass()
+    rg = np.sqrt(
+        (m * ((ag.positions - com) ** 2).sum(axis=1)).sum() / m.sum()
+    )
+    np.testing.assert_allclose(ag.radius_of_gyration(), rg)
+    # consistency with the algorithm-layer function
+    from mdhelper_tpu.algorithm.molecule import radius_of_gyration
+
+    np.testing.assert_allclose(
+        ag.radius_of_gyration(),
+        float(np.asarray(radius_of_gyration(ag))),
+        rtol=1e-10,
+    )
