@@ -177,6 +177,26 @@ class TrajectoryReader:
             dimensions[out] = self._read_dimensions(int(index))
         return dimensions
 
+    #: formats that store per-frame forces override
+    has_forces: bool = False
+
+    def _read_forces(self, index: int) -> np.ndarray:
+        raise ValueError(f"{type(self).__name__} stores no forces.")
+
+    def read_force_frames(
+        self, indices: Sequence[int]
+    ) -> np.ndarray:
+        """Batched force read: ``(F, N, 3)`` for the requested frame
+        indices.  Raises for formats without forces."""
+
+        indices = np.asarray(indices, dtype=int)
+        forces = np.empty(
+            (len(indices), self._n_atoms, 3), dtype=np.float64
+        )
+        for out, index in enumerate(indices):
+            forces[out] = self._read_forces(int(index))
+        return forces
+
     def check_slice_indices(
         self, start: int, stop: int, step: int
     ) -> tuple[int, int, int]:
@@ -242,8 +262,13 @@ class ArrayReader(TrajectoryReader):
             if velocities is None
             else np.asarray(velocities, dtype=np.float64)
         )
-        self._forces = forces
+        self._forces = (
+            None
+            if forces is None
+            else np.asarray(forces, dtype=np.float64)
+        )
         self.has_velocities = self._velocities is not None
+        self.has_forces = self._forces is not None
 
     def _read_positions(self, index: int) -> np.ndarray:
         return self._positions[index]
@@ -272,6 +297,16 @@ class ArrayReader(TrajectoryReader):
 
     def read_dimension_frames(self, indices):
         return self._dimensions[np.asarray(indices, dtype=int)]
+
+    def _read_forces(self, index: int) -> np.ndarray:
+        if self._forces is None:
+            raise ValueError("This trajectory stores no forces.")
+        return self._forces[index]
+
+    def read_force_frames(self, indices):
+        if self._forces is None:
+            raise ValueError("This trajectory stores no forces.")
+        return self._forces[np.asarray(indices, dtype=int)]
 
 
 class NPZReader(ArrayReader):
@@ -557,6 +592,19 @@ class TRRReader(TrajectoryReader):
         # header-size check over EVERY frame (GROMACS may write
         # velocities sparser than positions); empty-file safe
         return self._trr.has_velocities
+
+    def _read_forces(self, index: int) -> np.ndarray:
+        frame = self._frame(index)
+        if frame["forces"] is None:
+            raise ValueError(f"Frame {index} stores no forces.")
+        # kJ/(mol nm) -> kJ/(mol Angstrom) under convert_units
+        return frame["forces"] / self._scale
+
+    @property
+    def has_forces(self) -> bool:
+        return bool(self._trr._frames) and all(
+            header["f"] > 0 for _, header, _ in self._trr._frames
+        )
 
     def _read_dimensions(self, index: int) -> np.ndarray:
         box = self._frame(index)["box"]

@@ -306,3 +306,38 @@ def test_survival_probability_validation():
         SurvivalProbability(
             tric.atoms, ("slab", "z", 0, 5), verbose=False
         )
+
+
+def test_force_frames_readers(tmp_path):
+    """Batched force reads: ArrayReader and TRR (kJ/mol/nm ->
+    kJ/mol/A conversion), with clean errors when absent."""
+
+    from mdhelper_tpu.core.trajectory import TRRReader
+    from mdhelper_tpu.io.trr import write_trr
+
+    T, n = 5, 4
+    f = rng.standard_normal((T, n, 3))
+    u = Universe.from_arrays(
+        rng.random((T, n, 3)) * 10, np.array([10.0] * 3),
+        types=np.array(["A"] * n, dtype=object), forces=f,
+    )
+    assert u.trajectory.has_forces
+    np.testing.assert_allclose(
+        u.trajectory.read_force_frames([1, 3]), f[[1, 3]]
+    )
+    bare = Universe.from_arrays(
+        rng.random((2, n, 3)) * 10, np.array([10.0] * 3),
+        types=np.array(["A"] * n, dtype=object),
+    )
+    assert not bare.trajectory.has_forces
+    with pytest.raises(ValueError, match="forces"):
+        bare.trajectory.read_force_frames([0])
+
+    path = str(tmp_path / "f.trr")
+    write_trr(path, rng.random((T, n, 3)), np.diag([3.0] * 3),
+              forces=f)
+    reader = TRRReader(path)
+    assert reader.has_forces and not reader.has_velocities
+    np.testing.assert_allclose(
+        reader.read_force_frames(np.arange(T)), f / 10.0, rtol=1e-6
+    )
