@@ -1562,6 +1562,75 @@ class StructureFactor(NumbaAnalysisBase):
             ssf = ssf[:, order]
         self.results.ssf = ssf
 
+    def calculate_weighted_sum(
+        self, weights, *, normalization: str = "b2"
+    ) -> np.ndarray:
+        r"""Recombine the partial rows into a scattering-weighted
+        total (beyond reference),
+
+        .. math::
+
+           S_w(q) = \frac{1}{\mathcal{N}} \sum_{\alpha\beta}
+           b_\alpha b_\beta\,\mathrm{Re}\,\langle
+           \rho_\alpha(\mathbf{q})\rho_\beta^*(\mathbf{q})\rangle / N
+
+        — e.g. the neutron-weighted total with coherent scattering
+        lengths, or X-ray weighting with per-species form-factor
+        values at a chosen :math:`q`.  With unit weights and
+        ``normalization="none"`` this reproduces the unweighted total
+        ``results.ssf`` row sum exactly.
+
+        Parameters
+        ----------
+        weights : array-like
+            Per-group scattering weights :math:`b_\alpha`, one per
+            constructor group.
+        normalization : `str`, keyword-only, default ``"b2"``
+            :math:`\mathcal{N}`: ``"b2"`` — the mean squared weight
+            :math:`\langle b^2 \rangle = \sum_\alpha x_\alpha
+            b_\alpha^2`; ``"b_mean_sq"`` — :math:`\langle b
+            \rangle^2`; ``"none"`` — 1.
+
+        Returns
+        -------
+        weighted : `numpy.ndarray`
+            Weighted total, also stored as
+            ``results.weighted_ssf``.
+        """
+
+        if self._mode != "partial":
+            raise ValueError(
+                "Weighted recombination needs mode='partial' (every "
+                "pair row must be available)."
+            )
+        weights = np.asarray(
+            strip_unit(weights, None)[0], dtype=np.float64
+        )
+        if weights.shape != (self._n_groups,):
+            raise ValueError(
+                "One weight per constructor group is required."
+            )
+        rows = np.zeros(self.results.ssf.shape[1])
+        for row, (j, k) in zip(
+            self.results.ssf, self.results.pairs
+        ):
+            rows = rows + weights[j] * weights[k] * row
+        counts = np.array([g.n_atoms for g in self._groups], float)
+        fractions = counts / counts.sum()
+        if normalization == "b2":
+            norm = float((fractions * weights**2).sum())
+        elif normalization == "b_mean_sq":
+            norm = float((fractions * weights).sum()) ** 2
+        elif normalization == "none":
+            norm = 1.0
+        else:
+            raise ValueError(
+                "Invalid normalization. Valid values: 'b2', "
+                "'b_mean_sq', 'none'."
+            )
+        self.results.weighted_ssf = rows / norm
+        return self.results.weighted_ssf
+
 
 def _resolve_lag_values(spec, n_lags, n_frames):
     """Resolve a ``lags=`` specification against the ring length

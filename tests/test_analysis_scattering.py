@@ -437,3 +437,77 @@ def test_isf_lags_out_of_range_rejected(universe):
             universe.atoms, n_points=3, n_lags=8, lags=[0, 2, 100],
             verbose=False,
         ).run()
+
+
+def test_weighted_partial_recombination():
+    """Neutron-style weighting: partial rows recombine to the direct
+    weighted trig-sum oracle; unit weights + normalization='none'
+    reproduce the unweighted total."""
+
+    from mdhelper_tpu.analysis.structure import StructureFactor
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(43)
+    box, T, n = 9.0, 3, 36
+    pos = local.random((T, n, 3)) * box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A", "B"] * (n // 2), dtype=object),
+    )
+    ga, gb = u.select_atoms("type A"), u.select_atoms("type B")
+
+    partial = StructureFactor(
+        [ga, gb], mode="partial", n_points=3, sort=True,
+        unique=True, verbose=False,
+    ).run()
+    total = StructureFactor(
+        [ga, gb], n_points=3, sort=True, unique=True,
+        verbose=False,
+    ).run()
+
+    unit = partial.calculate_weighted_sum(
+        [1.0, 1.0], normalization="none"
+    )
+    np.testing.assert_allclose(
+        unit, total.results.ssf[0], rtol=1e-8
+    )
+
+    # direct oracle with weights b = (2.0, -0.5)
+    b = np.array([2.0, -0.5])
+    qs = (
+        2 * np.pi / box
+        * np.stack(
+            np.meshgrid(*[np.arange(3)] * 3), -1
+        ).reshape(-1, 3)
+    )  # q = 0 kept: the class grid retains it (reference parity)
+    weights_atom = np.where(
+        np.isin(np.arange(n), ga.ix), b[0], b[1]
+    )
+    per_q = np.zeros(len(qs))
+    for f in range(T):
+        phases = qs @ pos[f].T
+        cos = (np.cos(phases) * weights_atom).sum(axis=1)
+        sin = (np.sin(phases) * weights_atom).sum(axis=1)
+        per_q += cos**2 + sin**2
+    per_q /= T * n
+    # canonical |q| grouping (matches unique=True, sort=True)
+    wavenumbers = np.round(np.linalg.norm(qs, axis=1), 9)
+    uniq, inverse = np.unique(wavenumbers, return_inverse=True)
+    oracle = np.zeros(len(uniq))
+    np.add.at(oracle, inverse, per_q)
+    oracle /= np.bincount(inverse)
+    x = np.array([ga.n_atoms, gb.n_atoms]) / n
+    norm = (x * b**2).sum()
+    got = partial.calculate_weighted_sum(b)
+    np.testing.assert_allclose(
+        partial.results.wavenumbers, uniq, rtol=1e-6
+    )
+    np.testing.assert_allclose(got, oracle / norm, rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        total.calculate_weighted_sum([1.0])
+    with pytest.raises(ValueError):
+        partial.calculate_weighted_sum([1.0, 1.0, 1.0])
+    with pytest.raises(ValueError):
+        partial.calculate_weighted_sum([1.0, 1.0],
+                                       normalization="zz")
