@@ -29,6 +29,7 @@ if FOUND_OPENMM:
 
 __all__ = [
     "create_atoms",
+    "guess_bonds",
     "minimize_vectors",
     "triclinic_vectors",
     "unwrap",
@@ -472,3 +473,124 @@ def wrap(positions, dimensions, *, in_place: bool = True):
     out = positions_arr.copy()
     out[outside] -= shift[outside]
     return out
+
+
+#: van der Waals radii (Angstrom; Bondi 1964 + common extensions) for
+#: distance-criterion bond guessing — the MDAnalysis convention.
+VDW_RADII = {
+    "H": 1.10, "D": 1.10, "HE": 1.40, "LI": 1.82, "BE": 1.53,
+    "B": 1.92, "C": 1.70, "N": 1.55, "O": 1.52, "F": 1.47,
+    "NE": 1.54, "NA": 2.27, "MG": 1.73, "AL": 1.84, "SI": 2.10,
+    "P": 1.80, "S": 1.80, "CL": 1.75, "AR": 1.88, "K": 2.75,
+    "CA": 2.31, "FE": 2.05, "NI": 1.63, "CU": 1.40, "ZN": 1.39,
+    "BR": 1.85, "RB": 3.03, "I": 1.98, "CS": 3.43,
+}
+
+
+def guess_bonds(
+    elements,
+    positions: np.ndarray,
+    dimensions: np.ndarray = None,
+    *,
+    fudge_factor: float = 0.55,
+    lower_bound: float = 0.1,
+    vdwradii: dict = None,
+) -> np.ndarray:
+    r"""Guess bonds from interatomic distances (the MDAnalysis
+    ``guess_bonds`` criterion): atoms :math:`i, j` bond when
+
+    .. math::
+
+       d_\mathrm{lower} < |\mathbf{r}_{ij}| <
+       f\,(R_i^\mathrm{vdW} + R_j^\mathrm{vdW})
+
+    with the 0.55 fudge factor and Bondi van der Waals radii.  Lets
+    formats without connectivity (PDB sans CONECT, GRO, XYZ, LAMMPS
+    dumps) drive the bonded/hydrogen-bond analyses.
+
+    Parameters
+    ----------
+    elements : array-like of `str`
+        Element symbols (atom names work too: the leading alphabetic
+        characters are matched against the radii table, longest
+        match first, so "CL1" is chlorine but "CA" in a protein
+        context may need an explicit `vdwradii` override).
+    positions : array-like
+        Coordinates, shape ``(N, 3)`` (one frame).
+    dimensions : array-like, optional
+        Box ``(3,)`` lengths or ``(6,)`` parameters for
+        minimum-image distances (orthorhombic).
+    fudge_factor : `float`, keyword-only, default 0.55
+        Scaling of the summed radii.
+    lower_bound : `float`, keyword-only, default 0.1
+        Minimum bond length (filters overlapping duplicates).
+    vdwradii : `dict`, keyword-only, optional
+        Extra/override radii, keyed by UPPERCASE symbol.
+
+    Returns
+    -------
+    bonds : `numpy.ndarray`
+        Bonded index pairs, shape ``(n_bonds, 2)``, ``i < j``.
+    """
+
+    from scipy.spatial import cKDTree
+
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    if positions.ndim != 2 or positions.shape[1] != 3:
+        raise ValueError("positions must have shape (N, 3).")
+    table = dict(VDW_RADII)
+    if vdwradii:
+        table.update(
+            {str(k).upper(): float(v) for k, v in vdwradii.items()}
+        )
+
+    def radius_of(label):
+        label = "".join(
+            c for c in str(label).upper() if c.isalpha()
+        )
+        for length in (2, 1):
+            if label[:length] in table:
+                return table[label[:length]]
+        raise ValueError(
+            f"No van der Waals radius for element/name {label!r}; "
+            "pass vdwradii={...}."
+        )
+
+    radii = np.fromiter(
+        (radius_of(e) for e in elements), dtype=np.float64,
+        count=len(elements),
+    )
+    if len(radii) != len(positions):
+        raise ValueError(
+            "elements and positions lengths do not match."
+        )
+
+    max_cut = fudge_factor * 2 * radii.max()
+    box = None
+    if dimensions is not None:
+        dims = np.asarray(dimensions, dtype=np.float64)
+        if not (dims[:3] > 0).all():
+            dims = None  # zero/absent box (e.g. XYZ): no images
+    else:
+        dims = None
+    if dims is not None:
+        if len(dims) >= 6 and not np.allclose(dims[3:6], 90.0):
+            raise ValueError(
+                "guess_bonds supports orthorhombic cells only."
+            )
+        box = dims[:3]
+        tree = cKDTree(positions % box, boxsize=box)
+        pairs = tree.query_pairs(max_cut, output_type="ndarray")
+        delta = positions[pairs[:, 0]] - positions[pairs[:, 1]]
+        delta -= box * np.round(delta / box)
+    else:
+        tree = cKDTree(positions)
+        pairs = tree.query_pairs(max_cut, output_type="ndarray")
+        delta = positions[pairs[:, 0]] - positions[pairs[:, 1]]
+    dist = np.sqrt((delta**2).sum(axis=1))
+    allowed = fudge_factor * (
+        radii[pairs[:, 0]] + radii[pairs[:, 1]]
+    )
+    keep = (dist > lower_bound) & (dist < allowed)
+    bonds = np.sort(pairs[keep], axis=1)
+    return bonds[np.lexsort((bonds[:, 1], bonds[:, 0]))]

@@ -355,12 +355,16 @@ class SerialAnalysisBase:
 
     def _setup_periodic_box(self) -> None:
         """Set ``self._triclinic`` from the universe's box angles
-        (one shared detection; previously copy-pasted per module)."""
+        (one shared detection; previously copy-pasted per module).
+        Zero-length boxes (box-less XYZ files) are aperiodic, not
+        triclinic — the orthorhombic min-image helpers treat their
+        zero lengths as infinite periods."""
 
         dims = self.universe.dimensions
         self._triclinic = bool(
             dims is not None
             and len(dims) >= 6
+            and (np.asarray(dims[:3]) > 0).all()
             and not np.allclose(dims[3:6], 90.0)
         )
 

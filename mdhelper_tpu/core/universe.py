@@ -141,6 +141,28 @@ class Universe:
         topology = Topology(positions.shape[1], **topology_attrs)
         return cls(topology, reader)
 
+    def guess_bonds(self, **kwargs) -> np.ndarray:
+        """Fill the topology's bonds by the distance criterion
+        (:func:`mdhelper_tpu.algorithm.topology.guess_bonds`) on the
+        CURRENT frame, using atom names as element labels — for
+        formats without connectivity (PDB sans CONECT, GRO, XYZ,
+        LAMMPS dumps).  Returns the guessed pairs and stores them on
+        the topology so the bonded/hydrogen-bond analyses see them."""
+
+        from ..algorithm.topology import guess_bonds
+
+        labels = self._topology.names
+        if all(str(n) == "X" for n in labels):
+            labels = self._topology.types
+        bonds = guess_bonds(
+            labels,
+            self.trajectory.ts.positions,
+            self.dimensions,
+            **kwargs,
+        )
+        self._topology.bonds = bonds
+        return bonds
+
     @classmethod
     def from_files(
         cls,

@@ -312,6 +312,16 @@ def _inv3(m):
     return adj / det
 
 
+def _image_shift(delta, box):
+    """Integer image multiples for an orthorhombic fold, with
+    non-positive box lengths treated as aperiodic (vacuum systems,
+    e.g. box-less XYZ files, must not fold — a zero length would
+    otherwise produce NaNs)."""
+
+    period = jnp.where(box > 0, box, jnp.inf)
+    return jnp.where(box > 0, jnp.round(delta / period), 0.0)
+
+
 def _min_image_distance(delta, box):
     """Minimum-image distances of displacement block `delta`
     (``(..., 3)``).  `box` is either ``(3,)`` orthorhombic lengths or a
@@ -319,7 +329,7 @@ def _min_image_distance(delta, box):
     triclinic cells."""
 
     if box.ndim == 1:
-        delta = delta - box * jnp.round(delta / box)
+        delta = delta - box * _image_shift(delta, box)
         return jnp.sqrt((delta * delta).sum(axis=-1))
     inv = _inv3(box)
     frac = delta @ inv
@@ -341,7 +351,7 @@ def _min_image_vectors(delta, box):
     lower-triangular box matrix."""
 
     if box.ndim == 1:
-        return delta - box * jnp.round(delta / box)
+        return delta - box * _image_shift(delta, box)
     inv = _inv3(box)
     frac = delta @ inv
     frac = frac - jnp.round(frac)

@@ -176,3 +176,109 @@ def test_unwrap_edge_errors():
         topology.unwrap_edge(
             positions=np.zeros((2, 3)), bonds=np.array([[0, 1]])
         )
+
+
+def test_guess_bonds():
+    """Distance-criterion bond guessing: water finds exactly the O-H
+    pairs (no H-H), PBC folds across the boundary, and unknown
+    labels error unless overridden."""
+
+    from mdhelper_tpu.algorithm.topology import guess_bonds
+
+    # one water: O-H 0.96 < 0.55*(1.10+1.52); H-H ~1.51 > 0.55*2.20
+    pos = np.array(
+        [
+            [5.0, 5.0, 5.0],
+            [5.96, 5.0, 5.0],
+            [4.76, 5.93, 5.0],
+        ]
+    )
+    bonds = guess_bonds(["O", "H1", "H2"], pos)
+    np.testing.assert_array_equal(bonds, [[0, 1], [0, 2]])
+
+    # periodic: the H sits across the face from its O
+    box = np.array([10.0, 10.0, 10.0])
+    pos = np.array([[9.8, 5.0, 5.0], [0.3, 5.0, 5.0]])
+    np.testing.assert_array_equal(
+        guess_bonds(["O", "H"], pos, box), [[0, 1]]
+    )
+    assert len(guess_bonds(["O", "H"], pos)) == 0  # no box, no bond
+
+    # two-letter symbols match longest-first; unknowns raise
+    pos = np.array([[0.0, 0, 0], [1.9, 0, 0]])
+    assert len(guess_bonds(["CL1", "CL2"], pos)) == 1
+    with pytest.raises(ValueError, match="radius"):
+        guess_bonds(["Xx", "O"], pos)
+    assert len(
+        guess_bonds(["Xx", "O"], pos, vdwradii={"XX": 2.2})
+    ) == 1
+
+    # Universe integration: guessed bonds drive the bonded analyses
+    from mdhelper_tpu.analysis.bonded import BondLengthDistribution
+    from mdhelper_tpu.core.universe import Universe
+
+    r = np.random.default_rng(83)
+    n_mol, F, L = 5, 3, 20.0
+    traj = np.empty((F, 3 * n_mol, 3))
+    names = []
+    for m in range(n_mol):
+        names += ["O", "H1", "H2"]
+    for f in range(F):
+        centers = np.array(
+            [[2.0 + 3.8 * m, 6.0, 6.0] for m in range(n_mol)]
+        )
+        for m in range(n_mol):
+            o = 3 * m
+            traj[f, o] = centers[m]
+            d1 = r.standard_normal(3)
+            d1 /= np.linalg.norm(d1)
+            traj[f, o + 1] = centers[m] + 0.96 * d1
+            # keep H2 away from H1 so only O-H pairs qualify
+            d2 = -d1 + 0.3 * r.standard_normal(3)
+            d2 /= np.linalg.norm(d2)
+            traj[f, o + 2] = centers[m] + 0.96 * d2
+    u = Universe.from_arrays(
+        traj % L, np.array([L] * 3),
+        names=np.array(names, dtype=object),
+    )
+    guessed = u.guess_bonds()
+    assert len(guessed) == 2 * n_mol
+    bl = BondLengthDistribution(
+        u.atoms, n_bins=20, range=(0.8, 1.1), verbose=False
+    ).run()
+    assert bl.results.counts.sum() == 2 * n_mol * F
+    np.testing.assert_allclose(bl.results.mean, 0.96, atol=1e-6)
+
+
+def test_guess_bonds_boxless_xyz_pipeline(tmp_path):
+    """Box-less XYZ (zero dimensions) -> guess_bonds ->
+    HydrogenBondAnalysis: aperiodic systems must not fold through a
+    zero-length box (regression: zero boxes were treated as
+    triclinic/periodic and produced NaN memberships)."""
+
+    from mdhelper_tpu.analysis.hbonds import HydrogenBondAnalysis
+    from mdhelper_tpu.core.universe import Universe
+
+    n_mol = 5
+    lines = []
+    for _ in range(2):
+        lines.append(f"{3 * n_mol}")
+        lines.append("water chain")
+        for m in range(n_mol):
+            ox = 5.0 + 2.8 * m
+            lines.append(f"O  {ox:.4f} 10.0 10.0")
+            lines.append(f"H  {ox + 0.96:.4f} 10.0 10.0")
+            lines.append(f"H  {ox - 0.3:.4f} 10.9 10.0")
+    path = str(tmp_path / "chain.xyz")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    u = Universe.from_files(path)
+    assert len(u.guess_bonds()) == 2 * n_mol
+    hba = HydrogenBondAnalysis(
+        u, hydrogens_sel="name H*", acceptors_sel="name O*",
+        verbose=False,
+    ).run()
+    np.testing.assert_array_equal(
+        hba.results.counts, [n_mol - 1] * 2
+    )
