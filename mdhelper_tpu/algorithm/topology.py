@@ -511,10 +511,12 @@ def guess_bonds(
     Parameters
     ----------
     elements : array-like of `str`
-        Element symbols (atom names work too: the leading alphabetic
-        characters are matched against the radii table, longest
-        match first, so "CL1" is chlorine but "CA" in a protein
-        context may need an explicit `vdwradii` override).
+        Element symbols or atom names.  Name resolution follows the
+        package's mass-guessing convention: a leading organic element
+        (H/C/N/O/S/P) wins over two-letter collisions, so "CA" is an
+        alpha-carbon and "HE1" a hydrogen; pass `vdwradii` overrides
+        (matched longest-first, before the organic rule) for true
+        calcium/chlorine/helium labels, e.g. ``{"CL": 1.75}``.
     positions : array-like
         Coordinates, shape ``(N, 3)`` (one frame).
     dimensions : array-like, optional
@@ -539,25 +541,38 @@ def guess_bonds(
     if positions.ndim != 2 or positions.shape[1] != 3:
         raise ValueError("positions must have shape (N, 3).")
     table = dict(VDW_RADII)
-    if vdwradii:
-        table.update(
-            {str(k).upper(): float(v) for k, v in vdwradii.items()}
-        )
+    user = (
+        {str(k).upper(): float(v) for k, v in vdwradii.items()}
+        if vdwradii
+        else {}
+    )
+    organic = frozenset("HCNOSP")
 
-    def radius_of(label):
-        label = "".join(
+    def radius_of(index, label):
+        letters = "".join(
             c for c in str(label).upper() if c.isalpha()
         )
+        # user overrides win outright (longest match), so explicit
+        # {"CL": 1.75} makes chloride labels chlorine again
         for length in (2, 1):
-            if label[:length] in table:
-                return table[label[:length]]
+            if letters[:length] in user:
+                return user[letters[:length]]
+        # then leading-organic-first: "CA" is an alpha-carbon and
+        # "HE1" a hydrogen in name-only formats — the same convention
+        # as the mass guesser (io/topology_files._guess_masses)
+        if letters[:1] in organic:
+            return table[letters[:1]]
+        for length in (2, 1):
+            if letters[:length] in table:
+                return table[letters[:length]]
         raise ValueError(
-            f"No van der Waals radius for element/name {label!r}; "
-            "pass vdwradii={...}."
+            f"No van der Waals radius for atom {index} "
+            f"(label {str(label)!r}); pass vdwradii={{...}}."
         )
 
     radii = np.fromiter(
-        (radius_of(e) for e in elements), dtype=np.float64,
+        (radius_of(i, e) for i, e in enumerate(elements)),
+        dtype=np.float64,
         count=len(elements),
     )
     if len(radii) != len(positions):
@@ -579,7 +594,11 @@ def guess_bonds(
                 "guess_bonds supports orthorhombic cells only."
             )
         box = dims[:3]
-        tree = cKDTree(positions % box, boxsize=box)
+        wrapped = positions % box
+        # x % box lands exactly on box for tiny negatives; scipy's
+        # periodic tree needs the half-open [0, box) domain
+        wrapped[wrapped >= box] = 0.0
+        tree = cKDTree(wrapped, boxsize=box)
         pairs = tree.query_pairs(max_cut, output_type="ndarray")
         delta = positions[pairs[:, 0]] - positions[pairs[:, 1]]
         delta -= box * np.round(delta / box)

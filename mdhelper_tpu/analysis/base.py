@@ -368,6 +368,18 @@ class SerialAnalysisBase:
             and not np.allclose(dims[3:6], 90.0)
         )
 
+    def _require_box(self, what: str) -> None:
+        """Raise cleanly for box-less universes (zero-dimension XYZ
+        files): analyses whose math needs a periodic cell (volume
+        norms, wavevector grids) would otherwise produce NaNs."""
+
+        dims = self.universe.dimensions
+        if dims is None or not (np.asarray(dims[:3]) > 0).all():
+            raise ValueError(
+                f"{what} needs a periodic box with non-zero "
+                "dimensions (this universe has none)."
+            )
+
     def _frame_boxes(self, dimensions):
         """Per-frame box representation for update kernels:
         ``(B, 3)`` orthorhombic lengths or ``(B, 3, 3)``

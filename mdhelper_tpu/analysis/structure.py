@@ -412,12 +412,8 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if self._drop_axis not in {0, 1, 2, None}:
             raise ValueError("Invalid axis to drop.")
 
-        dims = self.universe.dimensions
-        self._triclinic = bool(
-            dims is not None
-            and len(dims) >= 6
-            and not np.allclose(dims[3:6], 90.0)
-        )
+        self._require_box("RadialDistributionFunction")
+        self._setup_periodic_box()
         if self._triclinic:
             if self._drop_axis is not None:
                 raise ValueError(
@@ -1209,6 +1205,14 @@ class StructureFactor(NumbaAnalysisBase):
             self._dimensions = self.universe.dimensions[:3].copy()
         elif wavevectors is None:
             raise ValueError("No system dimensions found or provided.")
+        if wavevectors is None and not (
+            np.asarray(self._dimensions) > 0
+        ).all():
+            raise ValueError(
+                "The wavevector grid needs a periodic box with "
+                "non-zero dimensions (pass explicit wavevectors= "
+                "for box-less systems)."
+            )
 
         if wavevectors is not None:
             self._wavevectors = np.asarray(wavevectors, dtype=float)
@@ -1615,8 +1619,9 @@ class StructureFactor(NumbaAnalysisBase):
             self.results.ssf, self.results.pairs
         ):
             rows = rows + weights[j] * weights[k] * row
-        counts = np.array([g.n_atoms for g in self._groups], float)
-        fractions = counts / counts.sum()
+        # scattering-ENTITY counts (COM groupings scatter per
+        # residue/segment, not per atom)
+        fractions = self._Ns / self._Ns.sum()
         if normalization == "b2":
             norm = float((fractions * weights**2).sum())
         elif normalization == "b_mean_sq":
@@ -2290,12 +2295,8 @@ class VanHoveFunction(SerialAnalysisBase):
         self._lag_spec = lags
         self._dt = strip_unit(dt or self._trajectory.dt, "picosecond")[0]
 
-        dims = self.universe.dimensions
-        self._triclinic = bool(
-            dims is not None
-            and len(dims) >= 6
-            and not np.allclose(dims[3:6], 90.0)
-        )
+        self._require_box(type(self).__name__)
+        self._setup_periodic_box()
 
         self._atom_indices = np.asarray(group.ix)
         self._seg, self._n = _group_segment_ids(group, self._grouping)

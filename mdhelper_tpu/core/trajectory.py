@@ -602,9 +602,7 @@ class TRRReader(TrajectoryReader):
 
     @property
     def has_forces(self) -> bool:
-        return bool(self._trr._frames) and all(
-            header["f"] > 0 for _, header, _ in self._trr._frames
-        )
+        return self._trr.has_forces
 
     def _read_dimensions(self, index: int) -> np.ndarray:
         box = self._frame(index)["box"]

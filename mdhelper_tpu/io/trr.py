@@ -131,6 +131,15 @@ class TRRFile:
             header["v"] > 0 for _, header, _ in self._frames
         )
 
+    @property
+    def has_forces(self) -> bool:
+        """True only when EVERY frame stores a force section (same
+        contract as :attr:`has_velocities`)."""
+
+        return bool(self._frames) and all(
+            header["f"] > 0 for _, header, _ in self._frames
+        )
+
     def read_frame(self, index: int):
         """Read one frame: dict with ``box (3, 3)``, ``positions``,
         ``velocities``, ``forces`` (each ``(N, 3)`` float64 nm-based

@@ -204,14 +204,29 @@ def test_guess_bonds():
     )
     assert len(guess_bonds(["O", "H"], pos)) == 0  # no box, no bond
 
-    # two-letter symbols match longest-first; unknowns raise
+    # name resolution follows the mass-guesser convention:
+    # leading-organic wins ("CL1" resolves to carbon), and user
+    # overrides are matched longest-first BEFORE that rule
     pos = np.array([[0.0, 0, 0], [1.9, 0, 0]])
-    assert len(guess_bonds(["CL1", "CL2"], pos)) == 1
+    assert len(guess_bonds(["CL1", "CL2"], pos)) == 0  # carbon radii
+    assert len(
+        guess_bonds(["CL1", "CL2"], pos, vdwradii={"CL": 1.75})
+    ) == 1
     with pytest.raises(ValueError, match="radius"):
         guess_bonds(["Xx", "O"], pos)
     assert len(
         guess_bonds(["Xx", "O"], pos, vdwradii={"XX": 2.2})
     ) == 1
+    # protein-style names: CA is an alpha-carbon, HE1 a hydrogen
+    ca_h = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    assert len(guess_bonds(["CA", "HE1"], ca_h)) == 1
+
+    # tiny negative coordinates survive the periodic wrap (x % L can
+    # land exactly on L)
+    pos = np.array([[-1e-17, 5.0, 5.0], [0.96, 5.0, 5.0]])
+    np.testing.assert_array_equal(
+        guess_bonds(["O", "H"], pos, np.array([10.0] * 3)), [[0, 1]]
+    )
 
     # Universe integration: guessed bonds drive the bonded analyses
     from mdhelper_tpu.analysis.bonded import BondLengthDistribution

@@ -511,3 +511,39 @@ def test_weighted_partial_recombination():
     with pytest.raises(ValueError):
         partial.calculate_weighted_sum([1.0, 1.0],
                                        normalization="zz")
+
+
+def test_weighted_sum_com_grouping_normalization():
+    """With COM groupings the normalization uses scattering-ENTITY
+    counts, not atom counts (regression: atom counts skewed the
+    fractions)."""
+
+    from mdhelper_tpu.analysis.structure import StructureFactor
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(47)
+    box = 8.0
+    # group A: 4 residues x 3 atoms; group B: 6 single-atom residues
+    nA, nB = 12, 6
+    pos = local.random((2, nA + nB, 3)) * box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A"] * nA + ["B"] * nB, dtype=object),
+        masses=np.ones(nA + nB),
+        resindices=np.concatenate(
+            [np.repeat(np.arange(4), 3), 4 + np.arange(6)]
+        ),
+    )
+    sf = StructureFactor(
+        [u.select_atoms("type A"), u.select_atoms("type B")],
+        groupings=["residues", "atoms"], mode="partial",
+        n_points=2, sort=True, unique=True, verbose=False,
+    ).run()
+    b = np.array([2.0, -0.5])
+    got = sf.calculate_weighted_sum(b)
+    # entity fractions: 4 residue COMs + 6 atoms
+    x = np.array([4, 6]) / 10
+    norm = (x * b**2).sum()
+    raw = sf.calculate_weighted_sum(b, normalization="none")
+    np.testing.assert_allclose(got, raw / norm, rtol=1e-12)
+    assert abs(norm - 1.75) < 1e-12  # NOT the atom-count 2.75

@@ -569,3 +569,32 @@ def test_rdf_class_triclinic_exact_f32():
             dist, bins=np.linspace(0.0, 4.5, 41)
         )[0]
     np.testing.assert_array_equal(rdf.results.counts, ref)
+
+
+def test_boxless_universe_rejected_cleanly():
+    """Box-requiring analyses raise a clear error for zero-dimension
+    universes instead of silently returning NaNs (regression: zero
+    boxes were classified triclinic and inverted singular
+    matrices)."""
+
+    local_rng = np.random.default_rng(59)
+    pos = local_rng.random((2, 8, 3)) * 10
+    u = Universe.from_arrays(
+        pos, None, types=np.array(["A"] * 8, dtype=object)
+    )
+    with pytest.raises(ValueError, match="periodic box"):
+        structure.RadialDistributionFunction(
+            u.atoms, n_bins=8, range=(0.0, 3.0), verbose=False
+        )
+    with pytest.raises(ValueError, match="box"):
+        structure.StructureFactor(u.atoms, n_points=2, verbose=False)
+    with pytest.raises(ValueError, match="periodic box"):
+        structure.VanHoveFunction(
+            u.atoms, n_bins=8, range=(0.0, 3.0), verbose=False
+        )
+    # explicit wavevectors keep box-less S(q) possible
+    sf = structure.StructureFactor(
+        u.atoms, wavevectors=np.array([[0.5, 0.0, 0.0]]),
+        sort=False, unique=False, verbose=False,
+    )
+    assert sf is not None
