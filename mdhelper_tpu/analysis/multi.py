@@ -46,6 +46,7 @@ def run_together(
     frames=None,
     on_chunk=None,
     parallel: bool = False,
+    checkpoint: str = None,
 ):
     """Run several analyses over one shared trajectory stream.
 
@@ -69,6 +70,14 @@ def run_together(
         unwrap, ISF lag rings) cannot shard frames; host-pipeline
         analyses are unaffected (their absorb consumes the raw host
         chunk).
+    checkpoint : str, optional
+        ``.npz`` path: persist every analysis's carry + registered
+        host stores + the stream position after each chunk, and
+        resume an interrupted fused pass from the last completed
+        chunk (same contract as ``run(checkpoint=...)``; every
+        store-type analysis must be checkpoint-registered, and
+        host-pipeline scheduling is rejected — force
+        ``MDTPU_HOST_PIPELINE=0`` to checkpoint on a tunnel TPU).
 
     Returns
     -------
@@ -174,7 +183,67 @@ def run_together(
     driver._chunk_bytes = min(a._chunk_bytes for a in analyses)
 
     carries = tuple(a._carry for a in analyses)
+    skip_frames = 0
+    if checkpoint is not None:
+        import os
+
+        from ..core.checkpoint import load_carry, save_carry
+
+        for i, a in enumerate(analyses):
+            if a._host_pipeline:
+                raise ValueError(
+                    f"{type(a).__name__} resolved to the host-side "
+                    "pipeline, whose per-chunk state is not "
+                    "captured; set MDTPU_HOST_PIPELINE=0 to "
+                    "checkpoint the fused pass."
+                )
+            if (
+                a._store_chunk is not None
+                and not a._checkpointable_stores
+            ):
+                raise ValueError(
+                    f"{type(a).__name__}'s host buffers are not "
+                    "registered for checkpointing."
+                )
+            a._checkpoint_sync = True
+        if os.path.exists(checkpoint):
+            carries, skip_frames, stores = load_carry(
+                checkpoint, carries, with_stores=True
+            )
+            for i, a in enumerate(analyses):
+                prefix = f"{i}::"
+                sub = {
+                    key[len(prefix):]: value
+                    for key, value in stores.items()
+                    if key.startswith(prefix)
+                }
+                if sub:
+                    a._restore_store_state(sub)
+
+    processed = 0
     for batch in driver._stream_batches():
+        n_real = batch.n_real
+        if processed + n_real <= skip_frames:
+            processed += n_real
+            continue
+        if processed < skip_frames:
+            # straddling resume chunk: mask out the frames the
+            # interrupted run already folded (same contract as
+            # SerialAnalysisBase.run)
+            from .base import _Batch
+
+            done = skip_frames - processed
+            mask = jnp.asarray(batch.mask)
+            mask = mask.at[:done].set(jnp.zeros((), mask.dtype))
+            batch = _Batch(
+                batch.positions, batch.dimensions, mask,
+                batch.indices, n_real=batch.n_real,
+                host_positions=batch.host_positions,
+                host_dimensions=batch.host_dimensions,
+            )
+            for a in analyses:
+                if a._store_chunk is not None:
+                    a._store_row_skip = done
         carries, auxes = fused(
             carries, batch.positions, batch.dimensions, batch.mask
         )
@@ -182,8 +251,19 @@ def run_together(
         for (_, absorb), aux in zip(parts, auxes):
             if absorb is not None and aux is not None:
                 absorb(aux, batch)
+        processed += n_real
         if on_chunk is not None:
             on_chunk(batch)
+        if checkpoint is not None:
+            merged = {}
+            for i, a in enumerate(analyses):
+                if a._store_chunk is not None:
+                    for key, value in a._store_state().items():
+                        merged[f"{i}::{key}"] = value
+            save_carry(
+                checkpoint, carries, processed,
+                stores=merged or None,
+            )
 
     for a, carry in zip(analyses, carries):
         a._carry = carry

@@ -482,3 +482,57 @@ def test_fused_payload_rules(universe):
     np.testing.assert_allclose(
         fused_list[0].results.vacf, alone.results.vacf, rtol=1e-12
     )
+
+
+def test_fused_checkpoint_resume(universe, tmp_path):
+    """run_together(checkpoint=) persists every carry + registered
+    store and resumes, including across a straddling chunk
+    boundary."""
+
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+
+    ckpt = str(tmp_path / "fused.npz")
+
+    def make():
+        pair = [
+            RadialDistributionFunction(
+                universe.atoms, n_bins=16, range=(0.0, 3.5),
+                exclusion=(1, 1), verbose=False,
+            ),
+            ClusterSizeDistribution(
+                universe.atoms, 2.0, verbose=False
+            ),
+        ]
+        for a in pair:
+            a._chunk_bytes = 2 * N * 3 * 8  # 2 frames per chunk
+        return pair
+
+    full = make()
+    run_together(full)
+
+    partial = make()
+    # T=9 frames; stop=5 straddles the 2-frame chunking on resume
+    run_together(partial, stop=5, checkpoint=ckpt)
+    resumed = make()
+    run_together(resumed, checkpoint=ckpt)
+
+    np.testing.assert_array_equal(
+        resumed[0].results.counts, full[0].results.counts
+    )
+    np.testing.assert_array_equal(
+        resumed[1].results.size_counts, full[1].results.size_counts
+    )
+    np.testing.assert_array_equal(
+        resumed[1].results.n_clusters, full[1].results.n_clusters
+    )
+
+
+def test_fused_checkpoint_rejects_unregistered(universe, tmp_path):
+    from mdhelper_tpu.analysis.polymer import RouseModes
+
+    rm = RouseModes(
+        universe.atoms, n_chains=8, n_monomers=10, n_modes=2,
+        verbose=False,
+    )
+    with pytest.raises(ValueError, match="not registered"):
+        run_together([rm], checkpoint=str(tmp_path / "x.npz"))
