@@ -173,3 +173,61 @@ def test_dipole_host_pipeline(monkeypatch):
     np.testing.assert_allclose(
         host.results.volumes, device.results.volumes, rtol=1e-12
     )
+
+
+def test_dielectric_spectrum_debye_oracle():
+    """An OU dipole process is a Debye liquid: eps(w) - 1 =
+    d_eps/(1 + i w tau), with the loss peak at w = 1/tau."""
+
+    from mdhelper_tpu.analysis.electrostatics import (
+        calculate_dielectric_spectrum,
+        calculate_relative_permittivity,
+    )
+
+    r = np.random.default_rng(67)
+    T_steps, dt, tau, sigma = 120_000, 0.02, 0.8, 6.0
+    theta = dt / tau
+    M = np.empty((T_steps, 3))
+    M[0] = sigma * r.standard_normal(3)
+    drive = sigma * np.sqrt(2 * theta)
+    for t in range(1, T_steps):
+        M[t] = M[t - 1] * (1 - theta) + drive * r.standard_normal(3)
+
+    volume, temperature = 20_000.0, 300.0
+    out = calculate_dielectric_spectrum(
+        M, temperature, volume, dt, t_max=25 * tau
+    )
+    # static strength matches the fluctuation formula
+    eps_static = calculate_relative_permittivity(
+        M, temperature, volume
+    )
+    np.testing.assert_allclose(
+        out.delta_epsilon, eps_static - 1, rtol=0.02
+    )
+    # Debye form at a few frequencies spanning the relaxation
+    omega = 2 * np.pi * out.frequencies
+    debye = out.delta_epsilon / (1 + 1j * omega * tau)
+    # stay below omega*dt ~ 0.25: beyond that the discrete OU
+    # process's geometric ACF and the midpoint rule both bias
+    # the tiny real tail
+    sel = (omega > 0.2 / tau) & (omega < 10 / tau)
+    # tolerances sized to the correlated ACF sampling noise
+    # (T/tau = 3000 windows; omega * Im L amplifies ACF noise in the
+    # dispersive part)
+    np.testing.assert_allclose(
+        out.epsilon[sel].real, debye[sel].real,
+        rtol=0.12, atol=0.08 * out.delta_epsilon,
+    )
+    np.testing.assert_allclose(
+        -out.epsilon[sel].imag, -debye[sel].imag,
+        rtol=0.12, atol=0.04 * out.delta_epsilon,
+    )
+    # loss peak at omega ~ 1/tau
+    loss = -out.epsilon.imag
+    peak = omega[np.argmax(loss)]
+    assert abs(peak - 1 / tau) / (1 / tau) < 0.25
+
+    with pytest.raises(ValueError):
+        calculate_dielectric_spectrum(
+            M[:, :2], temperature, volume, dt
+        )
