@@ -1587,8 +1587,11 @@ class StructureFactor(NumbaAnalysisBase):
         Parameters
         ----------
         weights : array-like
-            Per-group scattering weights :math:`b_\alpha`, one per
-            constructor group.
+            Per-group scattering weights :math:`b_\alpha` — shape
+            ``(n_groups,)`` for constants (neutron coherent
+            lengths), or ``(n_groups, n_wavenumbers)`` for
+            q-dependent X-ray form factors :math:`f_\alpha(q)`
+            evaluated on ``results.wavenumbers``.
         normalization : `str`, keyword-only, default ``"b2"``
             :math:`\mathcal{N}`: ``"b2"`` — the mean squared weight
             :math:`\langle b^2 \rangle = \sum_\alpha x_\alpha
@@ -1610,11 +1613,19 @@ class StructureFactor(NumbaAnalysisBase):
         weights = np.asarray(
             strip_unit(weights, None)[0], dtype=np.float64
         )
-        if weights.shape != (self._n_groups,):
+        n_q = self.results.ssf.shape[1]
+        if weights.shape not in ((self._n_groups,),
+                                 (self._n_groups, n_q)):
             raise ValueError(
-                "One weight per constructor group is required."
+                "weights must have shape (n_groups,) or "
+                "(n_groups, n_wavenumbers) — the latter for "
+                "q-dependent X-ray form factors f(q)."
             )
-        rows = np.zeros(self.results.ssf.shape[1])
+        if weights.ndim == 1:
+            weights = np.broadcast_to(
+                weights[:, None], (self._n_groups, n_q)
+            )
+        rows = np.zeros(n_q)
         for row, (j, k) in zip(
             self.results.ssf, self.results.pairs
         ):
@@ -1623,9 +1634,9 @@ class StructureFactor(NumbaAnalysisBase):
         # residue/segment, not per atom)
         fractions = self._Ns / self._Ns.sum()
         if normalization == "b2":
-            norm = float((fractions * weights**2).sum())
+            norm = (fractions[:, None] * weights**2).sum(axis=0)
         elif normalization == "b_mean_sq":
-            norm = float((fractions * weights).sum()) ** 2
+            norm = (fractions[:, None] * weights).sum(axis=0) ** 2
         elif normalization == "none":
             norm = 1.0
         else:

@@ -547,3 +547,41 @@ def test_weighted_sum_com_grouping_normalization():
     raw = sf.calculate_weighted_sum(b, normalization="none")
     np.testing.assert_allclose(got, raw / norm, rtol=1e-12)
     assert abs(norm - 1.75) < 1e-12  # NOT the atom-count 2.75
+
+
+def test_weighted_sum_q_dependent_form_factors():
+    """(G, n_q) weights: a q-dependent f(q) equals per-q scalar
+    recombination."""
+
+    from mdhelper_tpu.analysis.structure import StructureFactor
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(51)
+    box, n = 8.0, 20
+    pos = local.random((2, n, 3)) * box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A", "B"] * (n // 2), dtype=object),
+    )
+    sf = StructureFactor(
+        [u.select_atoms("type A"), u.select_atoms("type B")],
+        mode="partial", n_points=2, sort=True, unique=True,
+        verbose=False,
+    ).run()
+    q = sf.results.wavenumbers
+    fq = np.stack(
+        [2.0 * np.exp(-0.1 * q**2), 1.0 + 0.2 * q]
+    )  # (2, n_q)
+    got = sf.calculate_weighted_sum(fq)
+    # oracle: per-q scalar recombination
+    for i in (0, len(q) // 2, len(q) - 1):
+        single = StructureFactor(
+            [u.select_atoms("type A"), u.select_atoms("type B")],
+            mode="partial", n_points=2, sort=True, unique=True,
+            verbose=False,
+        )
+        single.results = sf.results
+        per_q = single.calculate_weighted_sum(fq[:, i])
+        np.testing.assert_allclose(got[i], per_q[i], rtol=1e-12)
+    with pytest.raises(ValueError, match="shape"):
+        sf.calculate_weighted_sum(np.ones((2, 3)))
