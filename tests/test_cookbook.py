@@ -259,3 +259,27 @@ def test_cookbook_density_map_and_green_kubo():
         series * 0.01, 1e4, 300.0, 0.01
     )
     assert len(lam.running_conductivity) == 4000
+
+
+def test_cookbook_weighted_sq_and_dielectric():
+    from mdhelper_tpu.analysis.electrostatics import (
+        DipoleMoment,
+        calculate_dielectric_spectrum,
+    )
+    from mdhelper_tpu.analysis.structure import StructureFactor
+
+    u = make_universe()
+    partial = StructureFactor(
+        [u.select_atoms("type A"), u.select_atoms("type B")],
+        mode="partial", n_points=2, verbose=False,
+    ).run()
+    w = partial.calculate_weighted_sum([5.803, -3.739])
+    assert w.shape == partial.results.wavenumbers.shape
+
+    dm = DipoleMoment(u.atoms, verbose=False).run()
+    spec = calculate_dielectric_spectrum(
+        dm.results.dipoles[:, 0], 300.0,
+        float(dm.results.volumes.mean()), dt=0.5,
+    )
+    assert spec.epsilon.shape == spec.frequencies.shape
+    assert np.isfinite(spec.epsilon).all()
