@@ -40,6 +40,33 @@ from .structure import _com_positions, _group_segment_ids
 __all__ = ["ClusterSizeDistribution"]
 
 
+def _union_find_sizes(rows, cols, n):
+    """Cluster size histogram + (count, largest) from a sparse edge
+    list via union-find with path halving — the host/large-N
+    counterpart of :func:`_label_components`."""
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(rows, cols):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    roots = np.fromiter(
+        (find(i) for i in range(n)), dtype=np.int64, count=n
+    )
+    _, sizes = np.unique(roots, return_counts=True)
+    hist = np.bincount(sizes - 1, minlength=n)[:n]
+    return hist, len(sizes), int(sizes.max()) if n else 0
+
+
 def _label_components(adj, n):
     """Connected-component root labels from a boolean adjacency.
 
@@ -200,10 +227,102 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
                 "results.times": ureg.picosecond,
             }
         self._store_offset = 0
+        # On tunnel-attached TPUs (or forced via MDTPU_HOST_PIPELINE)
+        # the per-chunk update runs host-side with a KD-tree +
+        # union-find — which is also the O(N log N) LARGE-N path
+        # (the device formulation is a dense O(N^2) sweep sized for
+        # <~1e4 entities).
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._prepare_host()
+            self._carry = np.zeros(())
+            return
         self._carry = {
             "size_counts": jnp.zeros(n, dtype=jnp.float64),
         }
         self._make_update()
+
+    def _prepare_host(self) -> None:
+        from scipy.spatial import cKDTree
+
+        from ..algorithm.topology import triclinic_matrices
+
+        n = self._n_entities
+        seg = self._seg
+        criterion = self._criterion if seg is not None else "atoms"
+        masses = None if seg is None else np.asarray(
+            self.group.masses, dtype=np.float64
+        )
+        cutoff = self._cutoff
+        triclinic = self._triclinic
+        self._host_counts = np.zeros(n)
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            dims = np.asarray(
+                batch.host_dimensions[: batch.n_real],
+                dtype=np.float64,
+            )
+            n_real = batch.n_real
+            n_clusters = np.empty(n_real, dtype=np.int64)
+            largest = np.empty(n_real, dtype=np.int64)
+            for f in range(n_real):
+                pos = positions[f]
+                if criterion == "com":
+                    weighted = np.zeros((n, 3))
+                    np.add.at(weighted, seg, pos * masses[:, None])
+                    total = np.zeros(n)
+                    np.add.at(total, seg, masses)
+                    pts = weighted / total[:, None]
+                else:
+                    pts = pos
+                if triclinic:
+                    h = np.asarray(triclinic_matrices(dims[f]))
+                    frac = (
+                        pts[:, None, :] - pts[None, :, :]
+                    ) @ np.linalg.inv(h)
+                    frac -= np.round(frac)
+                    base = frac @ h
+                    d2 = np.full(base.shape[:2], np.inf)
+                    for sx in (-1, 0, 1):
+                        for sy in (-1, 0, 1):
+                            for sz in (-1, 0, 1):
+                                cand = base + (
+                                    np.array([sx, sy, sz], float) @ h
+                                )
+                                d2 = np.minimum(
+                                    d2, (cand**2).sum(-1)
+                                )
+                    rows, cols = np.nonzero(
+                        np.triu(d2 <= cutoff**2, 1)
+                    )
+                else:
+                    box = dims[f][:3]
+                    if (box > 0).all():
+                        wrapped = pts % box
+                        wrapped[wrapped >= box] = 0.0
+                        tree = cKDTree(wrapped, boxsize=box)
+                    else:
+                        tree = cKDTree(pts)
+                    pairs = tree.query_pairs(
+                        cutoff, output_type="ndarray"
+                    )
+                    rows, cols = pairs[:, 0], pairs[:, 1]
+                if criterion == "closest":
+                    rows = seg[rows]
+                    cols = seg[cols]
+                hist, n_cl, big = _union_find_sizes(
+                    rows, cols, n
+                )
+                self._host_counts += hist
+                n_clusters[f] = n_cl
+                largest[f] = big
+            self._store_chunk((n_clusters, largest), batch)
+
+        self._host_update_fn = host_update
 
     def _make_update(self) -> None:
         n = self._n_entities
@@ -293,7 +412,10 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
         self._store_offset += n_real
 
     def _conclude(self) -> None:
-        counts = np.asarray(self._carry["size_counts"])
+        if self._host_pipeline:
+            counts = self._host_counts
+        else:
+            counts = np.asarray(self._carry["size_counts"])
         self.results.size_counts = counts.astype(np.int64)
         total = counts.sum()
         dist = counts / total if total else counts

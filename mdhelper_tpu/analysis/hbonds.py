@@ -221,6 +221,22 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         if not self._reduced:
             self.results.units = {"results.times": ureg.picosecond}
         self._store_offset = 0
+        if self._lifetimes:
+            self._existence = np.zeros(
+                (self.n_frames, n_dh, n_a), dtype=bool
+            )
+        # On tunnel-attached TPUs (or forced via MDTPU_HOST_PIPELINE)
+        # the per-chunk detection runs host-side with a KD-tree
+        # candidate search — also the large-N path (the device
+        # formulation is a dense (n_DH, n_A) sweep).
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._prepare_host()
+            self._carry = np.zeros(())
+            return
         self._carry = {
             "bonded_frames": jnp.zeros(n_dh, dtype=jnp.float64),
         }
@@ -228,11 +244,127 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             self._carry["pair_counts"] = jnp.zeros(
                 (n_dh, n_a), dtype=jnp.float64
             )
-        if self._lifetimes:
-            self._existence = np.empty(
-                (self.n_frames, n_dh, n_a), dtype=bool
-            )
         self._make_update()
+
+    def _prepare_host(self) -> None:
+        from scipy.spatial import cKDTree
+
+        from ..algorithm.topology import triclinic_matrices
+
+        n_dh = len(self._pairs)
+        n_a = len(self._acceptor_ix)
+        d_col, h_col, a_col = self._d_col, self._h_col, self._a_col
+        # donor == acceptor exclusion on absolute indices
+        excluded = self._pairs[:, 0][:, None] == self._acceptor_ix[
+            None, :
+        ]
+        cutoff = self._d_a_cutoff
+        cos_cut = float(np.cos(np.radians(self._angle_cutoff)))
+        triclinic = self._triclinic
+        track_pairs = self._pair_counts
+        lifetimes = self._lifetimes
+        self._host_bonded = np.zeros(n_dh)
+        if track_pairs:
+            self._host_pair_counts = np.zeros((n_dh, n_a))
+
+        def min_image(v, dims):
+            if triclinic:
+                h = np.asarray(triclinic_matrices(dims))
+                frac = v @ np.linalg.inv(h)
+                frac -= np.round(frac)
+                base = frac @ h
+                best = base
+                best_d2 = (base**2).sum(-1)
+                for sx in (-1, 0, 1):
+                    for sy in (-1, 0, 1):
+                        for sz in (-1, 0, 1):
+                            if sx == sy == sz == 0:
+                                continue
+                            cand = base + (
+                                np.array([sx, sy, sz], float) @ h
+                            )
+                            d2 = (cand**2).sum(-1)
+                            take = d2 < best_d2
+                            best = np.where(
+                                take[..., None], cand, best
+                            )
+                            best_d2 = np.minimum(best_d2, d2)
+                return best
+            box = dims[:3]
+            if (box > 0).all():
+                return v - box * np.round(v / box)
+            return v
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            dims_all = np.asarray(
+                batch.host_dimensions[: batch.n_real],
+                dtype=np.float64,
+            )
+            n_real = batch.n_real
+            counts = np.empty(n_real, dtype=np.int64)
+            lo = self._store_offset
+            for f in range(n_real):
+                pos = positions[f]
+                dims = dims_all[f]
+                D, H, A = pos[d_col], pos[h_col], pos[a_col]
+                box = dims[:3]
+                if not triclinic and (box > 0).all():
+                    wrapped = A % box
+                    wrapped[wrapped >= box] = 0.0
+                    tree = cKDTree(wrapped, boxsize=box)
+                    dq = D % box
+                    dq[dq >= box] = 0.0
+                    cand = tree.query_ball_point(dq, cutoff)
+                    rows = np.repeat(
+                        np.arange(n_dh),
+                        [len(c) for c in cand],
+                    )
+                    cols = (
+                        np.concatenate(
+                            [np.asarray(c, dtype=np.int64)
+                             for c in cand if c]
+                        )
+                        if rows.size
+                        else np.empty(0, dtype=np.int64)
+                    )
+                else:
+                    # dense fallback (triclinic / box-less)
+                    vDA = min_image(
+                        A[None, :, :] - D[:, None, :], dims
+                    )
+                    within = (vDA**2).sum(-1) <= cutoff**2
+                    rows, cols = np.nonzero(within)
+                if rows.size:
+                    keep = ~excluded[rows, cols]
+                    rows, cols = rows[keep], cols[keep]
+                if rows.size:
+                    vhd = min_image(D[rows] - H[rows], dims)
+                    vha = min_image(A[cols] - H[rows], dims)
+                    den2 = (vhd**2).sum(-1) * (vha**2).sum(-1)
+                    num = (vhd * vha).sum(-1)
+                    ok = (den2 > 0) & (
+                        num <= cos_cut * np.sqrt(den2)
+                    )
+                    # the KD-tree candidates still need the distance
+                    # test in min-image space (ball query used the
+                    # wrapped points; equivalent for orthorhombic)
+                    rows, cols = rows[ok], cols[ok]
+                counts[f] = rows.size
+                if rows.size:
+                    self._host_bonded[
+                        np.unique(rows)
+                    ] += 1
+                    if track_pairs:
+                        np.add.at(
+                            self._host_pair_counts, (rows, cols), 1
+                        )
+                    if lifetimes:
+                        self._existence[lo + f, rows, cols] = True
+            self.results.counts[lo:lo + n_real] = counts
+            self._store_offset += n_real
+
+        self._host_update_fn = host_update
 
     def _make_update(self) -> None:
         d_col = jnp.asarray(self._d_col)
@@ -323,13 +455,19 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         self.results.mean_count = float(
             self.results.counts.mean()
         )
-        self.results.occupancies = (
-            np.asarray(self._carry["bonded_frames"]) / self.n_frames
+        bonded = (
+            self._host_bonded
+            if self._host_pipeline
+            else np.asarray(self._carry["bonded_frames"])
         )
+        self.results.occupancies = bonded / self.n_frames
         if self._pair_counts:
-            self.results.pair_counts = np.asarray(
-                self._carry["pair_counts"]
-            ).astype(np.int64)
+            pair = (
+                self._host_pair_counts
+                if self._host_pipeline
+                else np.asarray(self._carry["pair_counts"])
+            )
+            self.results.pair_counts = pair.astype(np.int64)
         if self._lifetimes:
             self._conclude_lifetimes()
 

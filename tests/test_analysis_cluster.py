@@ -287,3 +287,60 @@ def test_cluster_validation():
         ClusterSizeDistribution(
             u.atoms, 1.0, criterion="nearest", verbose=False
         )
+
+
+def test_cluster_host_pipeline_equals_device(monkeypatch):
+    """Host-pipeline clustering (KD-tree + union-find; the large-N
+    path) matches the device label-propagation path bit-for-bit —
+    atoms and molecule criteria, orthorhombic and triclinic."""
+
+    local = np.random.default_rng(71)
+
+    def run_both(u, *args, **kwargs):
+        out = []
+        for knob in ("0", "1"):
+            monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+            a = ClusterSizeDistribution(
+                u.atoms, *args, verbose=False, **kwargs
+            )
+            a._chunk_bytes = 3 * u.atoms.n_atoms * 3 * 8
+            out.append(a.run())
+        monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+        device, host = out
+        assert host._host_pipeline and not device._host_pipeline
+        np.testing.assert_array_equal(
+            host.results.size_counts, device.results.size_counts
+        )
+        np.testing.assert_array_equal(
+            host.results.n_clusters, device.results.n_clusters
+        )
+        np.testing.assert_array_equal(
+            host.results.largest, device.results.largest
+        )
+
+    box = np.array([12.0, 12.0, 12.0])
+    pos = local.random((5, 30, 3)) * box
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * 30, dtype=object)
+    )
+    run_both(u, 2.4)
+
+    # molecules: closest + com criteria
+    n_mol = 8
+    u_mol = Universe.from_arrays(
+        pos[:, : 3 * n_mol], box,
+        types=np.array(["A"] * (3 * n_mol), dtype=object),
+        masses=np.ones(3 * n_mol),
+        resindices=np.repeat(np.arange(n_mol), 3),
+    )
+    run_both(u_mol, 3.0, "residues")
+    run_both(u_mol, 3.0, "residues", criterion="com")
+
+    # triclinic
+    dims = np.array([9.0, 10.0, 11.0, 75.0, 85.0, 100.0])
+    h = _box_matrix(dims)
+    tric = Universe.from_arrays(
+        (local.random((4 * 24, 3)) @ h).reshape(4, 24, 3), dims,
+        types=np.array(["A"] * 24, dtype=object),
+    )
+    run_both(tric, 2.2)

@@ -298,3 +298,79 @@ def test_hbonds_validation():
     )
     with pytest.raises(ValueError):
         HydrogenBondAnalysis(no_bonds, verbose=False)
+
+
+def test_hbonds_host_pipeline_equals_device(monkeypatch):
+    """Host-pipeline H-bond detection (KD-tree candidates; the
+    large-N path) matches the dense device sweep bit-for-bit —
+    counts, occupancies, pair counts, lifetimes; orthorhombic and
+    triclinic cells."""
+
+    def run_both(u, **kwargs):
+        out = []
+        for knob in ("0", "1"):
+            monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+            a = HydrogenBondAnalysis(
+                u, hydrogens_sel="name H*", acceptors_sel="name O*",
+                verbose=False, **kwargs,
+            )
+            a._chunk_bytes = 3 * u.atoms.n_atoms * 3 * 8
+            out.append(a.run())
+        monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+        device, host = out
+        assert host._host_pipeline and not device._host_pipeline
+        np.testing.assert_array_equal(
+            host.results.counts, device.results.counts
+        )
+        np.testing.assert_allclose(
+            host.results.occupancies, device.results.occupancies
+        )
+        if "pair_counts" in kwargs:
+            np.testing.assert_array_equal(
+                host.results.pair_counts, device.results.pair_counts
+            )
+        if "lifetimes" in kwargs:
+            np.testing.assert_allclose(
+                host.results.lifetime, device.results.lifetime,
+                rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                host.results.survival, device.results.survival,
+                rtol=1e-12,
+            )
+
+    u, pos, bonds, box = _water_box(n_mol=16, n_frames=5)
+    run_both(u)
+    run_both(u, pair_counts=True, lifetimes=True)
+
+    # triclinic
+    dims = np.array([10.0, 11.0, 12.0, 75.0, 85.0, 100.0])
+    from mdhelper_tpu.algorithm.topology import triclinic_vectors
+
+    h = np.asarray(triclinic_vectors(dims))
+    local = np.random.default_rng(77)
+    n_mol = 10
+    names, bonds2 = [], []
+    posn = np.empty((3, 3 * n_mol, 3))
+    for m in range(n_mol):
+        o = 3 * m
+        names += ["O", "H1", "H2"]
+        bonds2 += [(o, o + 1), (o, o + 2)]
+    for f in range(3):
+        centers = local.random((n_mol, 3)) @ h
+        for m in range(n_mol):
+            o = 3 * m
+            posn[f, o] = centers[m]
+            for hh in (o + 1, o + 2):
+                d = local.standard_normal(3)
+                d /= np.linalg.norm(d)
+                posn[f, hh] = centers[m] + 0.96 * d
+    frac = posn.reshape(-1, 3) @ np.linalg.inv(h)
+    posn = ((frac % 1.0) @ h).reshape(3, 3 * n_mol, 3)
+    tric = Universe.from_arrays(
+        posn, dims,
+        names=np.array(names, dtype=object),
+        bonds=np.asarray(bonds2),
+    )
+    run_both(tric)
+    run_both(tric, lifetimes=True)
