@@ -102,10 +102,21 @@ def minimize_vectors(
     single = np.ndim(vectors) == 1
     vecs = xp.atleast_2d(vectors)
 
-    ortho = dimensions.shape[-1] == 3 or np.allclose(dimensions[3:6], 90.0)
+    ortho = (
+        dimensions.shape[-1] == 3
+        or np.allclose(dimensions[3:6], 90.0)
+        # zero-length boxes (angles often 0 in box-less files) are
+        # aperiodic, not triclinic
+        or not (dimensions[:3] > 0).all()
+    )
     if ortho:
         box = dimensions[:3]
-        out = vecs - box * xp.round(vecs / box)
+        # per-axis contract: a zero-length axis is aperiodic (slab /
+        # box-less systems) — matches ops/histogram._image_shift
+        period = np.where(box > 0, box, np.inf)
+        shift = xp.round(vecs / period)
+        shift = xp.where(box > 0, shift, xp.zeros_like(shift))
+        out = vecs - box * shift
     else:
         box_mat = triclinic_vectors(dimensions)
         # Reduce in fractional coordinates, then take the shortest

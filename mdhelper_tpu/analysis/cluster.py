@@ -40,6 +40,41 @@ from .structure import _com_positions, _group_segment_ids
 __all__ = ["ClusterSizeDistribution"]
 
 
+def _wrap_periodic_axes(pts, box):
+    """Wrap coordinates into [0, L) on the PERIODIC axes only (the
+    per-axis contract: zero-length axes are aperiodic — slab and
+    box-less systems), leaving aperiodic axes untouched.  Returns
+    the wrapped points and the per-axis scipy ``boxsize`` (0 =
+    aperiodic), or ``None`` boxsize when nothing is periodic."""
+
+    periodic = box > 0
+    if not periodic.any():
+        return pts, None
+    wrapped = np.array(pts, dtype=np.float64, copy=True)
+    for axis in np.flatnonzero(periodic):
+        wrapped[:, axis] %= box[axis]
+        # x % L lands exactly on L for tiny negatives; scipy needs
+        # the half-open [0, L) domain
+        wrapped[wrapped[:, axis] >= box[axis], axis] = 0.0
+    return wrapped, np.where(periodic, box, 0.0)
+
+
+def _periodic_contact_pairs(pts, box, cutoff):
+    """Unique contact pairs within `cutoff` under per-axis
+    periodicity (KD-tree; the host/large-N neighbor search)."""
+
+    from scipy.spatial import cKDTree
+
+    wrapped, boxsize = _wrap_periodic_axes(pts, box)
+    tree = (
+        cKDTree(wrapped)
+        if boxsize is None
+        else cKDTree(wrapped, boxsize=boxsize)
+    )
+    pairs = tree.query_pairs(cutoff, output_type="ndarray")
+    return pairs[:, 0], pairs[:, 1]
+
+
 def _union_find_sizes(rows, cols, n):
     """Cluster size histogram + (count, largest) from a sparse edge
     list via union-find with path halving — the host/large-N
@@ -246,9 +281,7 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
         self._make_update()
 
     def _prepare_host(self) -> None:
-        from scipy.spatial import cKDTree
-
-        from ..algorithm.topology import triclinic_matrices
+        from ..algorithm.topology import minimize_vectors
 
         n = self._n_entities
         seg = self._seg
@@ -256,6 +289,11 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
         masses = None if seg is None else np.asarray(
             self.group.masses, dtype=np.float64
         )
+        if masses is not None:
+            # frame-invariant per-entity mass totals, hoisted out of
+            # the per-frame loop
+            mass_totals = np.zeros(n)
+            np.add.at(mass_totals, seg, masses)
         cutoff = self._cutoff
         triclinic = self._triclinic
         self._host_counts = np.zeros(n)
@@ -274,43 +312,23 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
                 if criterion == "com":
                     weighted = np.zeros((n, 3))
                     np.add.at(weighted, seg, pos * masses[:, None])
-                    total = np.zeros(n)
-                    np.add.at(total, seg, masses)
-                    pts = weighted / total[:, None]
+                    pts = weighted / mass_totals[:, None]
                 else:
                     pts = pos
                 if triclinic:
-                    h = np.asarray(triclinic_matrices(dims[f]))
-                    frac = (
+                    m = len(pts)
+                    delta = (
                         pts[:, None, :] - pts[None, :, :]
-                    ) @ np.linalg.inv(h)
-                    frac -= np.round(frac)
-                    base = frac @ h
-                    d2 = np.full(base.shape[:2], np.inf)
-                    for sx in (-1, 0, 1):
-                        for sy in (-1, 0, 1):
-                            for sz in (-1, 0, 1):
-                                cand = base + (
-                                    np.array([sx, sy, sz], float) @ h
-                                )
-                                d2 = np.minimum(
-                                    d2, (cand**2).sum(-1)
-                                )
+                    ).reshape(-1, 3)
+                    mv = minimize_vectors(delta, dims[f])
+                    d2 = (mv**2).sum(-1).reshape(m, m)
                     rows, cols = np.nonzero(
                         np.triu(d2 <= cutoff**2, 1)
                     )
                 else:
-                    box = dims[f][:3]
-                    if (box > 0).all():
-                        wrapped = pts % box
-                        wrapped[wrapped >= box] = 0.0
-                        tree = cKDTree(wrapped, boxsize=box)
-                    else:
-                        tree = cKDTree(pts)
-                    pairs = tree.query_pairs(
-                        cutoff, output_type="ndarray"
+                    rows, cols = _periodic_contact_pairs(
+                        pts, dims[f][:3], cutoff
                     )
-                    rows, cols = pairs[:, 0], pairs[:, 1]
                 if criterion == "closest":
                     rows = seg[rows]
                     cols = seg[cols]

@@ -507,6 +507,11 @@ def calculate_dielectric_spectrum(
     acf = np.asarray(
         correlation_fft(fluct, axis=0, vector=True)
     )
+    if not acf[0] > 0:
+        raise ValueError(
+            "The dipole series has zero variance (rigid/frozen "
+            "system); the dielectric spectrum is undefined."
+        )
     phi = acf / acf[0]
     if t_max is not None:
         t_max, _ = strip_unit(t_max, "picosecond")

@@ -249,7 +249,8 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
     def _prepare_host(self) -> None:
         from scipy.spatial import cKDTree
 
-        from ..algorithm.topology import triclinic_matrices
+        from ..algorithm.topology import minimize_vectors
+        from .cluster import _wrap_periodic_axes
 
         n_dh = len(self._pairs)
         n_a = len(self._acceptor_ix)
@@ -268,32 +269,12 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
             self._host_pair_counts = np.zeros((n_dh, n_a))
 
         def min_image(v, dims):
-            if triclinic:
-                h = np.asarray(triclinic_matrices(dims))
-                frac = v @ np.linalg.inv(h)
-                frac -= np.round(frac)
-                base = frac @ h
-                best = base
-                best_d2 = (base**2).sum(-1)
-                for sx in (-1, 0, 1):
-                    for sy in (-1, 0, 1):
-                        for sz in (-1, 0, 1):
-                            if sx == sy == sz == 0:
-                                continue
-                            cand = base + (
-                                np.array([sx, sy, sz], float) @ h
-                            )
-                            d2 = (cand**2).sum(-1)
-                            take = d2 < best_d2
-                            best = np.where(
-                                take[..., None], cand, best
-                            )
-                            best_d2 = np.minimum(best_d2, d2)
-                return best
-            box = dims[:3]
-            if (box > 0).all():
-                return v - box * np.round(v / box)
-            return v
+            # shared per-axis min-image (zero-length axes aperiodic;
+            # triclinic 27-shift): algorithm.topology.minimize_vectors
+            shape = v.shape
+            return np.asarray(
+                minimize_vectors(v.reshape(-1, 3), dims)
+            ).reshape(shape)
 
         def host_update(batch) -> None:
             positions = self._host_chunk_positions(batch)
@@ -309,13 +290,15 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
                 dims = dims_all[f]
                 D, H, A = pos[d_col], pos[h_col], pos[a_col]
                 box = dims[:3]
-                if not triclinic and (box > 0).all():
-                    wrapped = A % box
-                    wrapped[wrapped >= box] = 0.0
-                    tree = cKDTree(wrapped, boxsize=box)
-                    dq = D % box
-                    dq[dq >= box] = 0.0
-                    cand = tree.query_ball_point(dq, cutoff)
+                if not triclinic and (box > 0).any():
+                    wrapped_a, boxsize = _wrap_periodic_axes(A, box)
+                    wrapped_d, _ = _wrap_periodic_axes(D, box)
+                    tree = (
+                        cKDTree(wrapped_a)
+                        if boxsize is None
+                        else cKDTree(wrapped_a, boxsize=boxsize)
+                    )
+                    cand = tree.query_ball_point(wrapped_d, cutoff)
                     rows = np.repeat(
                         np.arange(n_dh),
                         [len(c) for c in cand],
@@ -329,7 +312,7 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
                         else np.empty(0, dtype=np.int64)
                     )
                 else:
-                    # dense fallback (triclinic / box-less)
+                    # dense fallback (triclinic / fully box-less)
                     vDA = min_image(
                         A[None, :, :] - D[:, None, :], dims
                     )

@@ -184,6 +184,10 @@ def run_together(
 
     carries = tuple(a._carry for a in analyses)
     skip_frames = 0
+    for a in analyses:
+        # a previous checkpointed pass must not leave the store queue
+        # pinned synchronous (mirrors SerialAnalysisBase.run)
+        a._checkpoint_sync = False
     if checkpoint is not None:
         import os
 

@@ -344,3 +344,39 @@ def test_cluster_host_pipeline_equals_device(monkeypatch):
         types=np.array(["A"] * 24, dtype=object),
     )
     run_both(tric, 2.2)
+
+
+def test_cluster_slab_box_host_equals_device(monkeypatch):
+    """Mixed-periodicity (slab) boxes: zero-length axes are
+    aperiodic on BOTH paths (regression: the host KD-tree dropped
+    periodicity entirely when any axis was zero)."""
+
+    local = np.random.default_rng(79)
+    box = np.array([12.0, 12.0, 0.0])  # 2D-periodic slab
+    pos = local.random((4, 24, 3)) * np.array([12.0, 12.0, 8.0])
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A"] * 24, dtype=object)
+    )
+    out = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        a = ClusterSizeDistribution(u.atoms, 2.4, verbose=False)
+        out.append(a.run())
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = out
+    np.testing.assert_array_equal(
+        host.results.n_clusters, device.results.n_clusters
+    )
+    np.testing.assert_array_equal(
+        host.results.size_counts, device.results.size_counts
+    )
+    # and against the brute-force oracle with per-axis folding
+    total = np.zeros(24, dtype=np.int64)
+    for f in range(4):
+        delta = pos[f][:, None, :] - pos[f][None, :, :]
+        delta[..., :2] -= 12.0 * np.round(delta[..., :2] / 12.0)
+        d2 = (delta**2).sum(-1)
+        hist, n_cl, largest = _oracle_frame(d2 <= 2.4**2)
+        total += hist
+        assert device.results.n_clusters[f] == n_cl
+    np.testing.assert_array_equal(device.results.size_counts, total)

@@ -374,3 +374,39 @@ def test_hbonds_host_pipeline_equals_device(monkeypatch):
     )
     run_both(tric)
     run_both(tric, lifetimes=True)
+
+
+def test_hbonds_slab_box_host_equals_device(monkeypatch):
+    """Slab boxes: a donor-acceptor pair across a periodic axis
+    bonds on both paths; the aperiodic axis does not fold."""
+
+    box = np.array([9.0, 9.0, 0.0])
+    pos = np.array(
+        [
+            [
+                [0.4, 4.0, 4.0],
+                [0.4 - 0.96, 4.0, 4.0],  # H toward -x face
+                [1.1, 4.8, 4.0],
+                [9.0 - 2.4 + 0.4, 4.0, 4.0],  # acceptor across x
+            ]
+        ]
+    )
+    u = Universe.from_arrays(
+        pos, box,
+        names=np.array(["O", "H1", "H2", "O"], dtype=object),
+        bonds=np.array([(0, 1), (0, 2)]),
+    )
+    out = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        a = HydrogenBondAnalysis(
+            u, hydrogens_sel="name H*", acceptors_sel="name O*",
+            verbose=False,
+        )
+        out.append(a.run())
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = out
+    np.testing.assert_array_equal(device.results.counts, [1])
+    np.testing.assert_array_equal(
+        host.results.counts, device.results.counts
+    )
