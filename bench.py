@@ -1001,7 +1001,48 @@ def _measure_tpu_subprocess() -> float:
     return 1.0 / seconds_per_frame
 
 
+def _tunnel_health_gate() -> None:
+    """Fail fast (minutes, with a clear message) when the axon tunnel
+    is in a total outage — observed 13+-hour spans where every
+    execution hangs (BASELINE.md); without this gate the per-phase
+    retries would grind for hours before failing."""
+
+    import subprocess
+    import sys
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "[np.asarray(jnp.sin(jnp.arange(8.) + i).sum())"
+        " for i in range(3)]\n"
+        "print('TUNNEL_OK')\n"
+    )
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=150,
+                env=os.environ.copy(),
+            )
+            if "TUNNEL_OK" in out.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"[bench] tunnel health probe {attempt + 1}/3 failed",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+    raise SystemExit(
+        "axon tunnel outage: a 3-op health probe hung 3x150 s; "
+        "benchmarking is impossible in this window (see BASELINE.md "
+        "outage notes and scripts/tunnel_recovery_bench.sh)."
+    )
+
+
 def main() -> None:
+    _tunnel_health_gate()
     qs = wavevectors()
     if LEVEL in (
         "config4", "config5", "isf", "vanhove", "aggregates"
