@@ -142,7 +142,52 @@ class NematicOrderParameter(DynamicAnalysisBase):
         # conclusion-heavy analysis: the carry is a passthrough
         # scalar (the streaming driver keys on its presence)
         self._carry = jnp.zeros(())
+        # O(N) per-frame einsum + host-side eigendecomposition: on a
+        # tunnel-attached TPU the device round trip is all cost, so
+        # the stage runs host-side there (like DipoleMoment)
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._prepare_host()
+            return
         self._make_update()
+
+    def _prepare_host(self) -> None:
+        from ..algorithm.topology import minimize_vectors
+
+        b_col, e_col = self._b_col, self._e_col
+        store_axes = self._acf
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            dims_all = np.asarray(
+                batch.host_dimensions[: batch.n_real],
+                dtype=np.float64,
+            )
+            n_real = batch.n_real
+            Q = np.empty((n_real, 3, 3))
+            axes = (
+                np.empty((n_real, len(b_col), 3))
+                if store_axes
+                else np.zeros((n_real,))
+            )
+            for f in range(n_real):
+                pos = positions[f]
+                v = np.asarray(
+                    minimize_vectors(
+                        pos[e_col] - pos[b_col], dims_all[f]
+                    )
+                )
+                u = v / np.linalg.norm(v, axis=-1, keepdims=True)
+                outer = np.einsum("ia,ib->ab", u, u) / len(u)
+                Q[f] = (3.0 * outer - np.eye(3)) / 2.0
+                if store_axes:
+                    axes[f] = u
+            self._store_chunk((Q, axes), batch)
+
+        self._host_update_fn = host_update
 
     def _make_update(self) -> None:
         b_col = jnp.asarray(self._b_col)

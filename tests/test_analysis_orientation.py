@@ -153,3 +153,57 @@ def test_nematic_validation():
             u.select_atoms("name X"), u.select_atoms("name X"),
             verbose=False,
         )
+
+
+def test_nematic_host_pipeline_equals_device(monkeypatch):
+    """Host-pipeline Q-tensor stage matches the device path —
+    including the ACF axes store and triclinic folds."""
+
+    local = np.random.default_rng(83)
+
+    def run_both(u, **kwargs):
+        out = []
+        for knob in ("0", "1"):
+            monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+            a = NematicOrderParameter(
+                u.select_atoms("name B"), u.select_atoms("name E"),
+                verbose=False, **kwargs,
+            )
+            a._chunk_bytes = 2 * u.atoms.n_atoms * 3 * 8
+            out.append(a.run())
+        monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+        device, host = out
+        assert host._host_pipeline and not device._host_pipeline
+        np.testing.assert_allclose(
+            host.results.Q, device.results.Q, atol=1e-12
+        )
+        if "acf" in kwargs:
+            np.testing.assert_allclose(
+                host.results.C2, device.results.C2, rtol=1e-10
+            )
+
+    axes = local.standard_normal((6, 40, 3))
+    u = _rod_universe(axes)
+    run_both(u)
+    run_both(u, acf=True)
+
+    # triclinic rods
+    dims = np.array([14.0, 15.0, 16.0, 75.0, 85.0, 100.0])
+    from mdhelper_tpu.algorithm.topology import triclinic_vectors
+
+    h = np.asarray(triclinic_vectors(dims))
+    F, n = 3, 20
+    pos = np.empty((F, 2 * n, 3))
+    centers = local.random((n, 3)) @ h
+    for f in range(F):
+        d = local.standard_normal((n, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pos[f, 0::2] = centers
+        pos[f, 1::2] = centers + 2.0 * d
+    frac = pos.reshape(-1, 3) @ np.linalg.inv(h)
+    pos = ((frac % 1.0) @ h).reshape(F, 2 * n, 3)
+    tric = Universe.from_arrays(
+        pos, dims,
+        names=np.array(["B", "E"] * n, dtype=object),
+    )
+    run_both(tric)
