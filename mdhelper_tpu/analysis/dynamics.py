@@ -355,7 +355,94 @@ class SurvivalProbability(DynamicAnalysisBase):
         self.results.n_in_zone = np.empty(self.n_frames, dtype=int)
         self._store_offset = 0
         self._carry = jnp.zeros(())
+        # O(N) membership tests (KD candidates for shells): host-side
+        # on tunnel-attached TPUs like the other cheap-per-frame
+        # stages
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._prepare_host()
+            return
         self._make_update()
+
+    def _prepare_host(self) -> None:
+        from scipy.spatial import cKDTree
+
+        from ..algorithm.topology import minimize_vectors
+        from .cluster import _wrap_periodic_axes
+
+        g_col = self._g_col
+        kind = self._zone[0]
+        triclinic = self._triclinic
+        if kind == "slab":
+            _, axis, lo_b, hi_b = self._zone
+        elif kind == "sphere":
+            _, center, radius = self._zone
+        else:
+            s_col = self._s_col
+            radius = self._zone[2]
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            dims_all = np.asarray(
+                batch.host_dimensions[: batch.n_real],
+                dtype=np.float64,
+            )
+            n_real = batch.n_real
+            lo = self._store_offset
+            for f in range(n_real):
+                pos = positions[f]
+                dims = dims_all[f]
+                pts = pos[g_col]
+                if kind == "slab":
+                    # host chunks carry all three coordinate columns
+                    # (the _coord_axes slice applies to the device
+                    # stream only)
+                    coord = pts[:, axis] % dims[axis]
+                    member = (coord >= lo_b) & (coord < hi_b)
+                elif kind == "sphere":
+                    d = np.asarray(
+                        minimize_vectors(pts - center, dims)
+                    )
+                    member = (d**2).sum(-1) <= radius * radius
+                else:
+                    shell = pos[s_col]
+                    box = dims[:3]
+                    if not triclinic and (box > 0).any():
+                        wrapped_s, boxsize = _wrap_periodic_axes(
+                            shell, box
+                        )
+                        wrapped_g, _ = _wrap_periodic_axes(pts, box)
+                        tree = (
+                            cKDTree(wrapped_s)
+                            if boxsize is None
+                            else cKDTree(wrapped_s, boxsize=boxsize)
+                        )
+                        member = np.zeros(len(pts), dtype=bool)
+                        hits = tree.query_ball_point(
+                            wrapped_g, radius
+                        )
+                        member[:] = [len(h) > 0 for h in hits]
+                    else:
+                        d = np.asarray(
+                            minimize_vectors(
+                                (
+                                    pts[:, None, :]
+                                    - shell[None, :, :]
+                                ).reshape(-1, 3),
+                                dims,
+                            )
+                        ).reshape(len(pts), len(shell), 3)
+                        member = (
+                            (d**2).sum(-1) <= radius * radius
+                        ).any(axis=1)
+                self._membership[lo + f] = member
+                self.results.n_in_zone[lo + f] = int(member.sum())
+            self._store_offset += n_real
+
+        self._host_update_fn = host_update
 
     def _make_update(self) -> None:
         g_col = jnp.asarray(self._g_col)

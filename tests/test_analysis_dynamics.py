@@ -341,3 +341,48 @@ def test_force_frames_readers(tmp_path):
     np.testing.assert_allclose(
         reader.read_force_frames(np.arange(T)), f / 10.0, rtol=1e-6
     )
+
+
+def test_survival_host_pipeline_equals_device(monkeypatch):
+    """Host-pipeline zone membership matches the device path for
+    slab, sphere, and shell zones."""
+
+    from mdhelper_tpu.analysis.dynamics import SurvivalProbability
+
+    local = np.random.default_rng(89)
+    box = 11.0
+    T, n = 8, 20
+    pos = local.random((T, n + 1, 3)) * box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        names=np.array(["C"] + ["W"] * n, dtype=object),
+    )
+    tracer = u.select_atoms("name W")
+    center = u.select_atoms("name C")
+
+    for zone in (
+        ("slab", "y", 2.0, 7.0),
+        ("sphere", np.array([5.0, 5.0, 5.0]), 3.0),
+        ("shell", center, 3.5),
+    ):
+        out = []
+        for knob in ("0", "1"):
+            monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+            a = SurvivalProbability(tracer, zone, verbose=False)
+            a._chunk_bytes = 3 * (n + 1) * 3 * 8
+            out.append(a.run())
+        monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+        device, host = out
+        assert host._host_pipeline and not device._host_pipeline
+        np.testing.assert_array_equal(
+            host.results.n_in_zone, device.results.n_in_zone,
+            err_msg=str(zone[0]),
+        )
+        np.testing.assert_allclose(
+            host.results.intermittent, device.results.intermittent,
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            host.results.survival, device.results.survival,
+            rtol=1e-12, atol=1e-12,
+        )
