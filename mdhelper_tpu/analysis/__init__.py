@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     orientation,
     polymer,
     profile,
+    steinhardt,
     structure,
     thermodynamics,
     transport,
@@ -42,6 +43,7 @@ __all__ = [
     "electrostatics",
     "polymer",
     "profile",
+    "steinhardt",
     "structure",
     "thermodynamics",
     "transport",

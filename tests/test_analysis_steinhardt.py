@@ -1,0 +1,310 @@
+"""Steinhardt / tetrahedral order parameters vs f64 NumPy-scipy
+oracles and crystal-lattice literature values — beyond-reference
+capability (pyscal/freud family)."""
+
+import numpy as np
+import pytest
+from scipy.special import sph_harm_y
+
+from mdhelper_tpu.analysis.steinhardt import (
+    SteinhardtOrderParameter,
+    TetrahedralOrderParameter,
+)
+from mdhelper_tpu.core.universe import Universe
+
+rng = np.random.default_rng(23)
+
+
+def _universe(pos, box, **kw):
+    n = pos.shape[-2]
+    return Universe.from_arrays(
+        pos, box, types=np.array(["A"] * n, dtype=object), **kw
+    )
+
+
+def _fcc(nc=3, a=1.0):
+    basis = np.array(
+        [[0, 0, 0], [0, 0.5, 0.5], [0.5, 0, 0.5], [0.5, 0.5, 0]]
+    ) * a
+    cells = np.array(
+        [
+            [i, j, k]
+            for i in range(nc)
+            for j in range(nc)
+            for k in range(nc)
+        ],
+        dtype=float,
+    ) * a
+    pos = (cells[:, None, :] + basis[None, :, :]).reshape(-1, 3)
+    return pos, np.array([nc * a] * 3)
+
+
+def _oracle_steinhardt(pos, box, cutoff, degrees, dims6=None):
+    """Brute-force f64 oracle with scipy's complex harmonics."""
+    n = len(pos)
+    delta = pos[:, None, :] - pos[None, :, :]
+    delta -= box * np.round(delta / box)
+    d2 = (delta**2).sum(-1)
+    mask = (d2 <= cutoff**2) & ~np.eye(n, dtype=bool)
+    cnt = mask.sum(axis=1)
+    out_ql, out_wl, out_qbar = [], [], []
+    qlm_by_l = {}
+    for l in degrees:
+        qlm = np.zeros((n, 2 * l + 1), dtype=np.complex128)
+        for i in range(n):
+            js = np.nonzero(mask[i])[0]
+            if len(js) == 0:
+                continue
+            u = delta[i, js] / np.sqrt(d2[i, js])[:, None]
+            theta = np.arccos(np.clip(u[:, 2], -1, 1))
+            phi = np.arctan2(u[:, 1], u[:, 0])
+            for mi, m in enumerate(range(-l, l + 1)):
+                qlm[i, mi] = sph_harm_y(l, m, theta, phi).mean()
+        qlm_by_l[l] = qlm
+        out_ql.append(
+            np.sqrt(
+                4 * np.pi / (2 * l + 1)
+                * (np.abs(qlm) ** 2).sum(axis=1)
+            )
+        )
+    return np.array(out_ql), cnt, qlm_by_l, mask
+
+
+def test_fcc_literature_values():
+    pos, box = _fcc()
+    u = _universe(pos, box)
+    sop = SteinhardtOrderParameter(
+        u.atoms, 0.85, (4, 6), wl=True, averaged=True,
+        verbose=False,
+    ).run()
+    ql = sop.results.ql[0]
+    # every FCC site is equivalent: 12 neighbors, uniform values
+    assert (sop.results.n_neighbors == 12).all()
+    np.testing.assert_allclose(ql[0], 0.190941, atol=2e-5)
+    np.testing.assert_allclose(ql[1], 0.574524, atol=2e-5)
+    np.testing.assert_allclose(
+        sop.results.wl[0, 0], -0.159317, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        sop.results.wl[0, 1], -0.013161, atol=2e-5
+    )
+    # perfect crystal: neighbor averaging changes nothing, and the
+    # global (phase-coherent) order equals the local order
+    np.testing.assert_allclose(
+        sop.results.ql_avg[0], ql, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        sop.results.wl_avg[0], sop.results.wl[0], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        sop.results.Ql[0], ql.mean(axis=-1), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        sop.results.ql_mean[0], ql.mean(axis=-1), atol=1e-10
+    )
+
+
+def test_random_fluid_vs_oracle():
+    box = np.array([8.0, 9.0, 10.0])
+    F, n = 3, 48
+    pos = rng.random((F, n, 3)) * box
+    cutoff = 2.5
+    degrees = (4, 6)
+    u = _universe(pos, box)
+    sop = SteinhardtOrderParameter(
+        u.atoms, cutoff, degrees, wl=True, averaged=True,
+        verbose=False,
+    ).run()
+    for f in range(F):
+        ql_o, cnt_o, qlm_o, mask = _oracle_steinhardt(
+            pos[f], box, cutoff, degrees
+        )
+        np.testing.assert_allclose(
+            sop.results.ql[f], ql_o, atol=1e-9
+        )
+        np.testing.assert_array_equal(
+            sop.results.n_neighbors[f], cnt_o
+        )
+        for k, l in enumerate(degrees):
+            qlm = qlm_o[l]
+            # global invariant from the particle-averaged qlm
+            gm = qlm.mean(axis=0)
+            Ql = np.sqrt(
+                4 * np.pi / (2 * l + 1)
+                * (np.abs(gm) ** 2).sum()
+            )
+            np.testing.assert_allclose(
+                sop.results.Ql[f, k], Ql, atol=1e-9
+            )
+            # wl oracle via sympy-free 3j (already validated) is
+            # exercised in test_algorithm_spherical; here check the
+            # Lechner-Dellago average against a direct recompute
+            nbr = (
+                mask.astype(float) @ qlm + qlm
+            ) / (cnt_o + 1)[:, None]
+            qbar_l = np.sqrt(
+                4 * np.pi / (2 * l + 1)
+                * (np.abs(nbr) ** 2).sum(axis=1)
+            )
+            np.testing.assert_allclose(
+                sop.results.ql_avg[f, k], qbar_l, atol=1e-9
+            )
+
+
+def test_zero_neighbor_particles():
+    box = np.array([20.0, 20.0, 20.0])
+    pos = np.array(
+        [[[1.0, 1.0, 1.0], [2.0, 1.0, 1.0], [10.0, 10.0, 10.0]]]
+    )
+    u = _universe(pos, box)
+    sop = SteinhardtOrderParameter(
+        u.atoms, 1.5, (6,), wl=True, verbose=False
+    ).run()
+    assert sop.results.n_neighbors[0, 2] == 0
+    assert sop.results.ql[0, 0, 2] == 0.0
+    assert sop.results.wl[0, 0, 2] == 0.0
+    assert sop.results.ql[0, 0, 0] > 0
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_host_pipeline_matches_device(monkeypatch, triclinic):
+    if triclinic:
+        dims = np.array([9.0, 9.0, 9.0, 80.0, 95.0, 100.0])
+    else:
+        dims = np.array([9.0, 9.0, 9.0])
+    F, n = 2, 40
+    pos = rng.random((F, n, 3)) * 8.0
+    results = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        u = _universe(pos, dims)
+        sop = SteinhardtOrderParameter(
+            u.atoms, 2.6, (4, 6), wl=True, averaged=True,
+            verbose=False,
+        ).run()
+        assert sop._host_pipeline is (knob == "1")
+        results[knob] = sop.results
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    for key in ("ql", "wl", "ql_avg", "wl_avg", "Ql"):
+        np.testing.assert_allclose(
+            getattr(results["0"], key),
+            getattr(results["1"], key),
+            atol=1e-9,
+            err_msg=key,
+        )
+    np.testing.assert_array_equal(
+        results["0"].n_neighbors, results["1"].n_neighbors
+    )
+
+
+def test_parallel_matches_serial():
+    box = np.array([8.0, 8.0, 8.0])
+    F, n = 8, 32
+    pos = rng.random((F, n, 3)) * box
+    u = _universe(pos, box)
+    serial = SteinhardtOrderParameter(
+        u.atoms, 2.4, (6,), verbose=False
+    ).run()
+    u2 = _universe(pos, box)
+    par = SteinhardtOrderParameter(
+        u2.atoms, 2.4, (6,), parallel=True, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        par.results.ql, serial.results.ql, atol=1e-9
+    )
+
+
+def test_validation_errors():
+    u = _universe(rng.random((1, 8, 3)) * 5, np.array([5.0] * 3))
+    with pytest.raises(ValueError, match="cutoff"):
+        SteinhardtOrderParameter(u.atoms, -1.0, verbose=False)
+    with pytest.raises(ValueError, match="degrees"):
+        SteinhardtOrderParameter(u.atoms, 2.0, (), verbose=False)
+    with pytest.raises(ValueError, match="degrees"):
+        SteinhardtOrderParameter(
+            u.atoms, 2.0, (0, 6), verbose=False
+        )
+
+
+# -- tetrahedral order -------------------------------------------
+
+
+def _tet_oracle(pos, box, k=4):
+    n = len(pos)
+    delta = pos[:, None, :] - pos[None, :, :]
+    delta -= box * np.round(delta / box)
+    d2 = (delta**2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    q = np.empty(n)
+    pref = 3.0 / (2.0 * k * (k - 1))
+    for i in range(n):
+        js = np.argsort(d2[i])[:k]
+        u = delta[i, js] / np.sqrt(d2[i, js])[:, None]
+        s = 0.0
+        for a in range(k):
+            for b in range(a + 1, k):
+                s += (u[a] @ u[b] + 1.0 / 3.0) ** 2
+        q[i] = 1.0 - pref * s
+    return q
+
+
+def test_perfect_tetrahedron():
+    # a central atom with 4 perfectly tetrahedral neighbors
+    verts = np.array(
+        [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+        dtype=float,
+    ) / np.sqrt(3.0)
+    center = np.array([10.0, 10.0, 10.0])
+    pos = np.vstack([center[None], center + 1.5 * verts])[None]
+    u = _universe(pos, np.array([20.0] * 3))
+    top = TetrahedralOrderParameter(u.atoms, verbose=False).run()
+    np.testing.assert_allclose(top.results.q_tet[0, 0], 1.0,
+                               atol=1e-12)
+
+
+def test_tetrahedral_random_vs_oracle():
+    box = np.array([7.0, 8.0, 9.0])
+    F, n = 3, 40
+    pos = rng.random((F, n, 3)) * box
+    u = _universe(pos, box)
+    top = TetrahedralOrderParameter(u.atoms, verbose=False).run()
+    for f in range(F):
+        np.testing.assert_allclose(
+            top.results.q_tet[f], _tet_oracle(pos[f], box),
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            top.results.q_tet_mean[f],
+            top.results.q_tet[f].mean(),
+            atol=1e-12,
+        )
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_tetrahedral_host_pipeline(monkeypatch, triclinic):
+    dims = (
+        np.array([9.0, 9.0, 9.0, 82.0, 94.0, 101.0])
+        if triclinic
+        else np.array([9.0, 9.0, 9.0])
+    )
+    F, n = 2, 36
+    pos = rng.random((F, n, 3)) * 8.0
+    results = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        u = _universe(pos, dims)
+        top = TetrahedralOrderParameter(
+            u.atoms, verbose=False
+        ).run()
+        assert top._host_pipeline is (knob == "1")
+        results[knob] = top.results.q_tet
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    np.testing.assert_allclose(
+        results["0"], results["1"], atol=1e-9
+    )
+
+
+def test_tetrahedral_validation():
+    u = _universe(rng.random((1, 4, 3)) * 5, np.array([5.0] * 3))
+    with pytest.raises(ValueError, match="more atoms"):
+        TetrahedralOrderParameter(u.atoms, verbose=False)
