@@ -70,7 +70,10 @@ def delta_fourier_transform_sum_2d_2d(qs, rs):
     reductions.
     """
 
-    phases = jnp.asarray(qs) @ jnp.asarray(rs).T
+    phases = jnp.matmul(
+        jnp.asarray(qs), jnp.asarray(rs).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return (
         jnp.cos(phases).sum(axis=1) + 1j * jnp.sin(phases).sum(axis=1)
     )
@@ -86,7 +89,10 @@ def inner_2d_2d(qs, rs):
     r"""All pairwise inner products: ``(N_q, 3) x (N_r, 3) ->
     (N_q, N_r)``.  Parity: ``accelerated.py:167-247``."""
 
-    return jnp.asarray(qs) @ jnp.asarray(rs).T
+    return jnp.matmul(
+        jnp.asarray(qs), jnp.asarray(rs).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 inner_parallel_2d_2d = inner_2d_2d

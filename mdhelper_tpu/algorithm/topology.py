@@ -122,9 +122,20 @@ def minimize_vectors(
         # Reduce in fractional coordinates, then take the shortest
         # candidate among neighboring images (fractional rounding alone
         # is not guaranteed minimal for strongly tilted cells).
-        frac = vecs @ np.linalg.inv(box_mat)
+        if xp is jnp:
+            # full-f32 on TPU: the default bf16 MXU pass would smear
+            # the folded vectors by ~2e-3 of the box
+            def _mm(a, b):
+                return jnp.matmul(
+                    a, jnp.asarray(b),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+        else:
+            def _mm(a, b):
+                return a @ b
+        frac = _mm(vecs, np.linalg.inv(box_mat))
         frac = frac - xp.round(frac)
-        base = frac @ box_mat
+        base = _mm(frac, box_mat)
         out = base
         best = (out**2).sum(axis=-1)
         for sx in (-1, 0, 1):

@@ -378,6 +378,8 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
                 onehot = (
                     seg_j[None, :] == entity_range[:, None]
                 ).astype(pos_f.dtype)  # (G, N)
+                # 0/1 operands are exact under the MXU's default
+                # bf16 pass (f32 accumulation), so no HIGHEST needed.
                 adj = (
                     onehot @ contact.astype(pos_f.dtype) @ onehot.T
                 ) > 0

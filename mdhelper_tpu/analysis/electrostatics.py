@@ -306,7 +306,10 @@ class DipoleMoment(DynamicAnalysisBase):
 
             return jnp.stack(
                 [
-                    jnp.einsum("a,bad->bd", q, positions[:, sel])
+                    jnp.einsum(
+                        "a,bad->bd", q, positions[:, sel],
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     for sel, q in zip(sels, charges)
                 ],
                 axis=1,

@@ -200,7 +200,10 @@ class NematicOrderParameter(DynamicAnalysisBase):
             b = box_f.astype(pos_f.dtype)
             v = _min_image_vectors(pos_f[e_col] - pos_f[b_col], b)
             u = v / jnp.sqrt((v * v).sum(axis=-1))[:, None]
-            outer = jnp.einsum("ia,ib->ab", u, u) / u.shape[0]
+            outer = jnp.einsum(
+                "ia,ib->ab", u, u,
+                precision=jax.lax.Precision.HIGHEST,
+            ) / u.shape[0]
             eye = jnp.eye(3, dtype=u.dtype)
             Q = (3.0 * outer - eye) / 2.0
             if store_axes:

@@ -507,7 +507,8 @@ class Gyradius(_PolymerAnalysisBase):
 
             total = masses.sum(axis=-1)  # (M,)
             com = jnp.einsum(
-                "mp,bmpd->bmd", masses, monomers
+                "mp,bmpd->bmd", masses, monomers,
+                precision=jax.lax.Precision.HIGHEST,
             ) / total[None, :, None]
             dr = monomers - com[:, :, None, :]
             sq = dr**2
@@ -515,16 +516,23 @@ class Gyradius(_PolymerAnalysisBase):
                 all_sq = sq.sum(axis=-1, keepdims=True)
                 ortho = all_sq - sq
                 rg = jnp.sqrt(
-                    jnp.einsum("mp,bmpd->bmd", masses, ortho)
+                    jnp.einsum(
+                        "mp,bmpd->bmd", masses, ortho,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     / total[None, :, None]
                 )
                 return rg.mean(axis=1)
             rg = jnp.sqrt(
-                jnp.einsum("mp,bmpd->bm", masses, sq) / total[None, :]
+                jnp.einsum(
+                    "mp,bmpd->bm", masses, sq,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) / total[None, :]
             )
             if shape_descriptors:
                 tensor = jnp.einsum(
-                    "mp,bmpd,bmpe->bmde", masses, dr, dr
+                    "mp,bmpd,bmpe->bmde", masses, dr, dr,
+                    precision=jax.lax.Precision.HIGHEST,
                 ) / total[None, :, None, None]
                 b, c, kappa2 = _shape_descriptors(tensor)
                 return jnp.stack(
@@ -1204,7 +1212,10 @@ class RouseModes(_PolymerAnalysisBase):
                     new_prevs.append(prev)
                     new_imagess.append(images)
                     amps.append(
-                        jnp.einsum("pn,bmnd->bmpd", mat, unwrapped)
+                        jnp.einsum(
+                            "pn,bmnd->bmpd", mat, unwrapped,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
                     )
                 return (tuple(new_prevs), tuple(new_imagess)), amps
 
@@ -1214,7 +1225,10 @@ class RouseModes(_PolymerAnalysisBase):
             def update(carry, positions, dimensions, mask):
                 del dimensions, mask
                 amps = [
-                    jnp.einsum("pn,bmnd->bmpd", mat, extract(positions))
+                    jnp.einsum(
+                        "pn,bmnd->bmpd", mat, extract(positions),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     for extract, mat in zip(extractors, mode_mats)
                 ]
                 return carry, amps

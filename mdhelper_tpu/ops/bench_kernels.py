@@ -144,7 +144,9 @@ def fused_analysis_step(carry, positions, box, qs, edges_sq):
         # Exclusion (1, 1): remove the N self-pairs from bin 0.
         counts = counts.at[0].add(-jnp.float32(n))
 
-        phases = qs @ pos.T  # (N_q, N) MXU
+        phases = jnp.matmul(
+            qs, pos.T, precision=jax.lax.Precision.HIGHEST
+        )  # (N_q, N) MXU — full f32: bf16 phases are unusable
         cos = jnp.cos(phases).sum(axis=1)
         sin = jnp.sin(phases).sum(axis=1)
 

@@ -163,7 +163,13 @@ def _exact_d2_triclinic(p1, p2, box):
         s, e = two_diff(p1[..., k], p2[..., k])
         s_hi.append(s)
         s_lo.append(e)
-    frac = jnp.stack(s_hi, axis=-1) @ inv
+    # HIGHEST: TPU f32 matmuls default to one bf16 pass (~2e-3
+    # relative); the 27-image search absorbs +-1 base-multiple
+    # errors, but full f32 keeps n0 deterministic vs the oracle.
+    frac = jnp.matmul(
+        jnp.stack(s_hi, axis=-1), inv,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     n0 = jnp.round(frac)  # (N1, N2, 3), integer-valued f32
 
     best = None
@@ -332,11 +338,18 @@ def _min_image_distance(delta, box):
         delta = delta - box * _image_shift(delta, box)
         return jnp.sqrt((delta * delta).sum(axis=-1))
     inv = _inv3(box)
-    frac = delta @ inv
+    # HIGHEST: the default bf16 MXU pass would smear the folded
+    # vector by ~2e-3 of the box (not absorbed by the image search —
+    # every candidate inherits base's error).
+    hi = jax.lax.Precision.HIGHEST
+    frac = jnp.matmul(delta, inv, precision=hi)
     frac = frac - jnp.round(frac)
-    base = frac @ box
+    base = jnp.matmul(frac, box, precision=hi)
     d2 = (base * base).sum(axis=-1)
-    shift_vecs = jnp.asarray(_IMAGE_SHIFTS, dtype=delta.dtype) @ box
+    shift_vecs = jnp.matmul(
+        jnp.asarray(_IMAGE_SHIFTS, dtype=delta.dtype), box,
+        precision=hi,
+    )
     for k in range(shift_vecs.shape[0]):  # static: 26 fused min steps
         cand = base + shift_vecs[k]
         d2 = jnp.minimum(d2, (cand * cand).sum(axis=-1))
@@ -353,12 +366,18 @@ def _min_image_vectors(delta, box):
     if box.ndim == 1:
         return delta - box * _image_shift(delta, box)
     inv = _inv3(box)
-    frac = delta @ inv
+    # HIGHEST: see _min_image_distance — bf16 folding error is not
+    # absorbed by the image search.
+    hi = jax.lax.Precision.HIGHEST
+    frac = jnp.matmul(delta, inv, precision=hi)
     frac = frac - jnp.round(frac)
-    base = frac @ box
+    base = jnp.matmul(frac, box, precision=hi)
     best = base
     best_d2 = (base * base).sum(axis=-1)
-    shift_vecs = jnp.asarray(_IMAGE_SHIFTS, dtype=delta.dtype) @ box
+    shift_vecs = jnp.matmul(
+        jnp.asarray(_IMAGE_SHIFTS, dtype=delta.dtype), box,
+        precision=hi,
+    )
     for k in range(shift_vecs.shape[0]):  # static: 26 fused steps
         cand = base + shift_vecs[k]
         d2 = (cand * cand).sum(axis=-1)

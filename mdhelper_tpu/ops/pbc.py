@@ -95,6 +95,7 @@ def com_shift_scan(unwrapped, masses):
     already referenced consistently)."""
 
     com = jnp.einsum(
-        "a,tad->td", masses, unwrapped
+        "a,tad->td", masses, unwrapped,
+        precision=jax.lax.Precision.HIGHEST,
     ) / masses.sum()
     return unwrapped - com[:, None, :]

@@ -75,9 +75,12 @@ def plane_histogram_batch(
                 jnp.int32, (iy.shape[0], n_y), 1
             )
         ).astype(dtype) * w[:, None]
+        # HIGHEST: onehot_y carries real-valued weights (charges);
+        # the default bf16 pass would round them (~4e-3 relative).
         return jax.lax.dot_general(
             onehot_x, onehot_y,
             dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
 

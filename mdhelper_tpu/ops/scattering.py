@@ -144,7 +144,12 @@ def trig_sums_frame(
             )
         return cos_t.reshape(-1)[:n_q], sin_t.reshape(-1)[:n_q]
 
-    phases = qs.astype(pos.dtype) @ pos.T  # (N_q, N) — MXU
+    # HIGHEST: the default bf16 MXU pass loses ~2e-3 of phase —
+    # useless for trig arguments; full-f32 6-pass is still MXU-bound.
+    phases = jnp.matmul(
+        qs.astype(pos.dtype), pos.T,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N_q, N) — MXU
     cos = jnp.cos(phases)
     sin = jnp.sin(phases)
     if weights is not None:
