@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     orientation,
     polymer,
     profile,
+    rmsd,
     steinhardt,
     structure,
     thermodynamics,
@@ -43,6 +44,7 @@ __all__ = [
     "electrostatics",
     "polymer",
     "profile",
+    "rmsd",
     "steinhardt",
     "structure",
     "thermodynamics",

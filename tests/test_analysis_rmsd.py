@@ -1,0 +1,181 @@
+"""RMSD / RMSF superposition vs scipy Rotation.align_vectors and
+direct f64 oracles — beyond-reference capability (MDAnalysis rms
+family)."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from mdhelper_tpu.analysis.rmsd import RMSD, RMSF
+from mdhelper_tpu.core.universe import Universe
+
+rng = np.random.default_rng(31)
+
+
+def _universe(pos, **kw):
+    n = pos.shape[-2]
+    return Universe.from_arrays(
+        pos, np.array([50.0, 50.0, 50.0]),
+        types=np.array(["A"] * n, dtype=object), **kw
+    )
+
+
+def _make_traj(F=6, n=25, noise=0.3):
+    base = rng.normal(size=(n, 3)) * 3.0
+    pos = np.empty((F, n, 3))
+    rots = []
+    for f in range(F):
+        R = Rotation.random(rng=rng).as_matrix()
+        shift = rng.normal(size=3) * 5.0
+        pos[f] = (
+            (base + rng.normal(size=(n, 3)) * noise) @ R.T + shift
+        )
+        rots.append(R)
+    return pos, base, rots
+
+
+def _oracle_rmsd(pos, ref, w, align=True):
+    W = w.sum()
+    ref_c = ref - (w[:, None] * ref).sum(0) / W
+    out_r, out_R = [], []
+    for p in pos:
+        pc = p - (w[:, None] * p).sum(0) / W
+        if align:
+            R, _ = Rotation.align_vectors(ref_c, pc, weights=w)
+            Rm = R.as_matrix()
+            a = pc @ Rm.T
+        else:
+            Rm = np.eye(3)
+            a = pc
+        out_r.append(
+            np.sqrt((w * ((a - ref_c) ** 2).sum(1)).sum() / W)
+        )
+        out_R.append(Rm)
+    return np.array(out_r), np.array(out_R)
+
+
+def test_rmsd_vs_scipy_oracle():
+    pos, _, _ = _make_traj()
+    w = rng.random(pos.shape[1]) + 0.5
+    u = _universe(pos)
+    r = RMSD(u.atoms, reference=0, weights=w, verbose=False).run()
+    r_o, R_o = _oracle_rmsd(pos, pos[0], w)
+    np.testing.assert_allclose(r.results.rmsd, r_o, atol=1e-9)
+    np.testing.assert_allclose(
+        r.results.rotations, R_o, atol=1e-7
+    )
+
+
+def test_rmsd_pure_rotation_is_zero():
+    """A rigid rotation + translation of the reference has RMSD 0."""
+    pos, base, _ = _make_traj(noise=0.0)
+    u = _universe(pos)
+    r = RMSD(u.atoms, reference=base, verbose=False).run()
+    # noise floor: rmsd = sqrt(Gp + Gq - 2*lam) amplifies f64
+    # cancellation to ~sqrt(eps * G) near zero
+    np.testing.assert_allclose(r.results.rmsd, 0.0, atol=1e-6)
+
+
+def test_rmsd_no_align():
+    pos, _, _ = _make_traj()
+    u = _universe(pos)
+    r = RMSD(u.atoms, align=False, verbose=False).run()
+    w = np.ones(pos.shape[1])
+    r_o, _ = _oracle_rmsd(pos, pos[0], w, align=False)
+    np.testing.assert_allclose(r.results.rmsd, r_o, atol=1e-9)
+    np.testing.assert_allclose(
+        r.results.rotations,
+        np.broadcast_to(np.eye(3), r.results.rotations.shape),
+        atol=0,
+    )
+
+
+def test_rmsd_mass_weights_and_explicit_reference():
+    pos, base, _ = _make_traj()
+    n = pos.shape[1]
+    masses = rng.random(n) * 10 + 1
+    u = Universe.from_arrays(
+        pos, np.array([50.0] * 3),
+        types=np.array(["A"] * n, dtype=object),
+        masses=masses,
+    )
+    r = RMSD(
+        u.atoms, reference=base, weights="mass", verbose=False
+    ).run()
+    r_o, _ = _oracle_rmsd(pos, base, masses)
+    np.testing.assert_allclose(r.results.rmsd, r_o, atol=1e-9)
+
+
+def test_rmsf_oracle():
+    pos, base, _ = _make_traj(F=10)
+    u = _universe(pos)
+    out = RMSF(u.atoms, reference=base, verbose=False).run()
+    # oracle: align every frame, then per-atom std
+    w = np.ones(pos.shape[1])
+    ref_c = base - base.mean(0)
+    aligned = []
+    for p in pos:
+        pc = p - p.mean(0)
+        R, _ = Rotation.align_vectors(ref_c, pc, weights=w)
+        aligned.append(pc @ R.as_matrix().T)
+    aligned = np.array(aligned)
+    mean = aligned.mean(axis=0)
+    rmsf_o = np.sqrt(
+        ((aligned - mean) ** 2).sum(axis=2).mean(axis=0)
+    )
+    np.testing.assert_allclose(out.results.rmsf, rmsf_o, atol=1e-8)
+    np.testing.assert_allclose(
+        out.results.mean_positions, mean, atol=1e-8
+    )
+
+
+def test_rmsf_rigid_motion_is_zero():
+    pos, _, _ = _make_traj(noise=0.0)
+    u = _universe(pos)
+    out = RMSF(u.atoms, verbose=False).run()
+    np.testing.assert_allclose(out.results.rmsf, 0.0, atol=1e-6)
+
+
+def test_host_pipeline_matches_device(monkeypatch):
+    pos, _, _ = _make_traj(F=5)
+    results = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        u = _universe(pos)
+        r = RMSD(u.atoms, verbose=False).run()
+        f = RMSF(u.atoms, verbose=False).run()
+        assert r._host_pipeline is (knob == "1")
+        results[knob] = (
+            r.results.rmsd, r.results.rotations, f.results.rmsf
+        )
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    for a, b in zip(results["0"], results["1"]):
+        np.testing.assert_allclose(a, b, atol=1e-8)
+
+
+def test_parallel_matches_serial():
+    pos, _, _ = _make_traj(F=8)
+    u = _universe(pos)
+    serial = RMSD(u.atoms, verbose=False).run()
+    u2 = _universe(pos)
+    par = RMSD(u2.atoms, parallel=True, verbose=False).run()
+    # atol covers the sqrt-cancellation noise floor at the
+    # reference frame (rmsd ~ 0)
+    np.testing.assert_allclose(
+        par.results.rmsd, serial.results.rmsd, atol=1e-6
+    )
+
+
+def test_validation():
+    pos, _, _ = _make_traj()
+    u = _universe(pos)
+    with pytest.raises(ValueError, match="weights"):
+        RMSD(u.atoms, weights="charge", verbose=False)
+    with pytest.raises(ValueError, match="one value per"):
+        RMSD(u.atoms, weights=np.ones(3), verbose=False)
+    with pytest.raises(ValueError, match="reference"):
+        RMSD(u.atoms, reference=np.zeros((4, 3)), verbose=False
+             ).run()
+    u_small = _universe(pos[:, :2])
+    with pytest.raises(ValueError, match="at least 3"):
+        RMSD(u_small.atoms, verbose=False)
