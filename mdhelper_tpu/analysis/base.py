@@ -889,14 +889,19 @@ class SerialAnalysisBase:
                 from ..core.checkpoint import load_carry, save_carry
 
                 store_type = self._store_chunk is not None
+                # Host pipelines accumulate in private numpy buffers
+                # the checkpoint cannot capture — store-type AND
+                # carry-only alike (a carry-only host pipeline would
+                # otherwise resume from zeroed accumulators and
+                # silently drop every pre-checkpoint frame).
+                if self._host_pipeline:
+                    raise ValueError(
+                        "Checkpointing is not supported with the "
+                        "host-side pipeline (per-chunk host state "
+                        "is not captured); set "
+                        "MDTPU_HOST_PIPELINE=0 to checkpoint."
+                    )
                 if store_type:
-                    if self._host_pipeline:
-                        raise ValueError(
-                            "Checkpointing is not supported with the "
-                            "host-side pipeline (per-chunk host state "
-                            "is not captured); set "
-                            "MDTPU_HOST_PIPELINE=0 to checkpoint."
-                        )
                     if not self._checkpointable_stores:
                         raise ValueError(
                             "Checkpointing is not supported for this "

@@ -75,6 +75,37 @@ def _periodic_contact_pairs(pts, box, cutoff):
     return pairs[:, 0], pairs[:, 1]
 
 
+def _triclinic_contact_pairs(pts, dims, cutoff, block=1024):
+    """Unique contact pairs (``i < j``) under a triclinic cell via a
+    row-blocked 27-image minimum-image sweep — O(N^2) compute but
+    O(block x N) memory, so large-N triclinic frames don't
+    materialize an (N^2, 3) array (the KD-tree path covers
+    orthorhombic cells)."""
+
+    from ..algorithm.topology import minimize_vectors
+
+    n = len(pts)
+    cut2 = cutoff * cutoff
+    rows_out, cols_out = [], []
+    jj = np.arange(n)[None, :]
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        delta = (
+            pts[lo:hi, None, :] - pts[None, :, :]
+        ).reshape(-1, 3)
+        mv = np.asarray(minimize_vectors(delta, dims))
+        d2 = (mv**2).sum(-1).reshape(hi - lo, n)
+        r, c = np.nonzero(
+            (d2 <= cut2) & (jj > np.arange(lo, hi)[:, None])
+        )
+        rows_out.append(r + lo)
+        cols_out.append(c)
+    if not rows_out:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    return np.concatenate(rows_out), np.concatenate(cols_out)
+
+
 def _union_find_sizes(rows, cols, n):
     """Cluster size histogram + (count, largest) from a sparse edge
     list via union-find with path halving — the host/large-N
@@ -281,8 +312,6 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
         self._make_update()
 
     def _prepare_host(self) -> None:
-        from ..algorithm.topology import minimize_vectors
-
         n = self._n_entities
         seg = self._seg
         criterion = self._criterion if seg is not None else "atoms"
@@ -316,14 +345,8 @@ class ClusterSizeDistribution(DynamicAnalysisBase):
                 else:
                     pts = pos
                 if triclinic:
-                    m = len(pts)
-                    delta = (
-                        pts[:, None, :] - pts[None, :, :]
-                    ).reshape(-1, 3)
-                    mv = minimize_vectors(delta, dims[f])
-                    d2 = (mv**2).sum(-1).reshape(m, m)
-                    rows, cols = np.nonzero(
-                        np.triu(d2 <= cutoff**2, 1)
+                    rows, cols = _triclinic_contact_pairs(
+                        pts, dims[f], cutoff
                     )
                 else:
                     rows, cols = _periodic_contact_pairs(

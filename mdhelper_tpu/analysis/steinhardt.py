@@ -41,7 +41,10 @@ from ..algorithm.spherical import (
 from ..algorithm.unit import strip_unit
 from ..ops.histogram import _min_image_vectors
 from .base import DynamicAnalysisBase
-from .cluster import _periodic_contact_pairs
+from .cluster import (
+    _periodic_contact_pairs,
+    _triclinic_contact_pairs,
+)
 
 __all__ = ["SteinhardtOrderParameter", "TetrahedralOrderParameter"]
 
@@ -229,24 +232,17 @@ class SteinhardtOrderParameter(DynamicAnalysisBase):
                 pos = positions[f]
                 dims = dims_all[f]
                 if triclinic:
-                    delta = (
-                        pos[:, None, :] - pos[None, :, :]
-                    ).reshape(-1, 3)
-                    mv = np.asarray(minimize_vectors(delta, dims))
-                    d2 = (mv**2).sum(-1).reshape(n, n)
-                    rows, cols = np.nonzero(
-                        np.triu(d2 <= cutoff**2, 1)
+                    # row-blocked sweep: O(block x N) memory
+                    rows, cols = _triclinic_contact_pairs(
+                        pos, dims, cutoff
                     )
-                    vec = mv.reshape(n, n, 3)[rows, cols]
                 else:
                     rows, cols = _periodic_contact_pairs(
                         pos, dims[:3], cutoff
                     )
-                    vec = np.asarray(
-                        minimize_vectors(
-                            pos[cols] - pos[rows], dims
-                        )
-                    )
+                vec = np.asarray(
+                    minimize_vectors(pos[cols] - pos[rows], dims)
+                )
                 d = np.linalg.norm(vec, axis=-1)
                 u = vec / np.where(d > 0, d, 1.0)[:, None]
                 y = real_sph_harm(degrees, u)
@@ -414,9 +410,9 @@ class TetrahedralOrderParameter(DynamicAnalysisBase):
         Particles to analyze (e.g. water oxygens).
     n_neighbors : `int`, keyword-only, default 4
         Neighbors defining the local cage; the prefactor
-        :math:`3/8` and offset generalize as :math:`q = 1 -
-        \frac{3}{2 k (k - 1)} \sum (\cos\psi + 1/3)^2` for
-        :math:`k` neighbors (reduces to 3/8 at :math:`k = 4`).
+        generalizes as :math:`q = 1 - \frac{9}{2 k (k - 1)}
+        \sum_{j<k} (\cos\psi + 1/3)^2` for :math:`k` neighbors
+        (reduces to the standard :math:`3/8` at :math:`k = 4`).
     reduced : `bool`, keyword-only, default False
         Reduced (LJ) units (omits ``results.units``).
     parallel : `bool`, keyword-only, default False
@@ -483,7 +479,10 @@ class TetrahedralOrderParameter(DynamicAnalysisBase):
 
     @staticmethod
     def _angle_sum_prefactor(k: int) -> float:
-        return 3.0 / (2.0 * k * (k - 1))
+        # Errington-Debenedetti normalization: 3/8 at k = 4 (k(k-1)/2
+        # angle pairs, each worth up to (1 + 1/3)^2 = 16/9; the
+        # prefactor makes an ideal gas average to ~0).
+        return 9.0 / (2.0 * k * (k - 1))
 
     # -- host pipeline (KD-tree k-NN; float64) ----------------------
 
@@ -498,13 +497,23 @@ class TetrahedralOrderParameter(DynamicAnalysisBase):
 
         def knn_indices(pos, dims):
             if triclinic:
-                delta = (
-                    pos[:, None, :] - pos[None, :, :]
-                ).reshape(-1, 3)
-                mv = np.asarray(minimize_vectors(delta, dims))
-                d2 = (mv**2).sum(-1).reshape(n, n)
-                np.fill_diagonal(d2, np.inf)
-                return np.argpartition(d2, k - 1, axis=1)[:, :k]
+                # row-blocked sweep: O(block x N) memory
+                out = np.empty((n, k), dtype=np.int64)
+                block = 1024
+                for lo in range(0, n, block):
+                    hi = min(lo + block, n)
+                    delta = (
+                        pos[lo:hi, None, :] - pos[None, :, :]
+                    ).reshape(-1, 3)
+                    mv = np.asarray(minimize_vectors(delta, dims))
+                    d2 = (mv**2).sum(-1).reshape(hi - lo, n)
+                    d2[
+                        np.arange(hi - lo), np.arange(lo, hi)
+                    ] = np.inf
+                    out[lo:hi] = np.argpartition(
+                        d2, k - 1, axis=1
+                    )[:, :k]
+                return out
             from scipy.spatial import cKDTree
 
             wrapped, boxsize = _wrap_periodic_axes(pos, dims[:3])

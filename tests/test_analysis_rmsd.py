@@ -166,6 +166,19 @@ def test_parallel_matches_serial():
     )
 
 
+def test_rmsf_host_pipeline_refuses_checkpoint(monkeypatch, tmp_path):
+    """Carry-only host pipelines accumulate in numpy buffers the
+    checkpoint cannot capture — resume would silently drop frames."""
+    pos, _, _ = _make_traj(F=4)
+    monkeypatch.setenv("MDTPU_HOST_PIPELINE", "1")
+    u = _universe(pos)
+    with pytest.raises(ValueError, match="host-side pipeline"):
+        RMSF(u.atoms, verbose=False).run(
+            checkpoint=str(tmp_path / "c.npz")
+        )
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+
+
 def test_validation():
     pos, _, _ = _make_traj()
     u = _universe(pos)

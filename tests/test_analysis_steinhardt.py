@@ -236,7 +236,7 @@ def _tet_oracle(pos, box, k=4):
     d2 = (delta**2).sum(-1)
     np.fill_diagonal(d2, np.inf)
     q = np.empty(n)
-    pref = 3.0 / (2.0 * k * (k - 1))
+    pref = 9.0 / (2.0 * k * (k - 1))  # Errington-Debenedetti: 3/8 at k=4
     for i in range(n):
         js = np.argsort(d2[i])[:k]
         u = delta[i, js] / np.sqrt(d2[i, js])[:, None]
@@ -260,6 +260,17 @@ def test_perfect_tetrahedron():
     top = TetrahedralOrderParameter(u.atoms, verbose=False).run()
     np.testing.assert_allclose(top.results.q_tet[0, 0], 1.0,
                                atol=1e-12)
+
+
+def test_tetrahedral_ideal_gas_mean_is_zero():
+    """The Errington-Debenedetti normalization makes an ideal gas
+    average to ~0 — sensitive to the 3/8 prefactor (a 3x-wrong
+    prefactor yields ~0.67)."""
+    box = np.array([12.0, 12.0, 12.0])
+    pos = rng.random((6, 400, 3)) * box
+    u = _universe(pos, box)
+    top = TetrahedralOrderParameter(u.atoms, verbose=False).run()
+    assert abs(top.results.q_tet.mean()) < 0.05
 
 
 def test_tetrahedral_random_vs_oracle():
