@@ -255,10 +255,11 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
         n_dh = len(self._pairs)
         n_a = len(self._acceptor_ix)
         d_col, h_col, a_col = self._d_col, self._h_col, self._a_col
-        # donor == acceptor exclusion on absolute indices
-        excluded = self._pairs[:, 0][:, None] == self._acceptor_ix[
-            None, :
-        ]
+        # donor == acceptor exclusion on absolute indices (per
+        # sparse candidate pair — a dense (n_dh, n_a) mask would
+        # cost gigabytes at 100k-atom water scale)
+        d_atoms = np.asarray(self._pairs[:, 0])
+        a_atoms = np.asarray(self._acceptor_ix)
         cutoff = self._d_a_cutoff
         cos_cut = float(np.cos(np.radians(self._angle_cutoff)))
         triclinic = self._triclinic
@@ -312,14 +313,32 @@ class HydrogenBondAnalysis(DynamicAnalysisBase):
                         else np.empty(0, dtype=np.int64)
                     )
                 else:
-                    # dense fallback (triclinic / fully box-less)
-                    vDA = min_image(
-                        A[None, :, :] - D[:, None, :], dims
+                    # blocked dense fallback (triclinic / fully
+                    # box-less): O(block x n_a) memory per slab
+                    block = 1024
+                    r_parts, c_parts = [], []
+                    for lo in range(0, n_dh, block):
+                        hi = min(lo + block, n_dh)
+                        vDA = min_image(
+                            A[None, :, :] - D[lo:hi, None, :],
+                            dims,
+                        )
+                        within = (vDA**2).sum(-1) <= cutoff**2
+                        r, c = np.nonzero(within)
+                        r_parts.append(r + lo)
+                        c_parts.append(c)
+                    rows = (
+                        np.concatenate(r_parts)
+                        if r_parts
+                        else np.empty(0, dtype=np.int64)
                     )
-                    within = (vDA**2).sum(-1) <= cutoff**2
-                    rows, cols = np.nonzero(within)
+                    cols = (
+                        np.concatenate(c_parts)
+                        if c_parts
+                        else np.empty(0, dtype=np.int64)
+                    )
                 if rows.size:
-                    keep = ~excluded[rows, cols]
+                    keep = d_atoms[rows] != a_atoms[cols]
                     rows, cols = rows[keep], cols[keep]
                 if rows.size:
                     vhd = min_image(D[rows] - H[rows], dims)
