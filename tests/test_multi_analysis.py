@@ -336,6 +336,49 @@ def test_fused_vanhove_rides_the_stream(universe):
     )
 
 
+def test_fused_order_rmsd_overlap_ride_the_stream(universe):
+    """The round-3 additions (Steinhardt order, RMSD superposition,
+    overlap/chi4 ring) fold into one fused pass bit-identically."""
+    from mdhelper_tpu.analysis.dynamics import OverlapFunction
+    from mdhelper_tpu.analysis.rmsd import RMSD
+    from mdhelper_tpu.analysis.steinhardt import (
+        SteinhardtOrderParameter,
+    )
+
+    def make():
+        return [
+            SteinhardtOrderParameter(
+                universe.atoms, 2.2, (4, 6), wl=True,
+                verbose=False,
+            ),
+            RMSD(universe.atoms, verbose=False),
+            OverlapFunction(universe.atoms, 0.8, verbose=False),
+        ]
+
+    separate = make()
+    for a in separate:
+        a.run()
+    fused = make()
+    run_together(fused)
+    np.testing.assert_allclose(
+        fused[0].results.ql, separate[0].results.ql, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        fused[0].results.wl, separate[0].results.wl, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        fused[1].results.rmsd, separate[1].results.rmsd,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        fused[2].results.Q, separate[2].results.Q, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        fused[2].results.chi4, separate[2].results.chi4,
+        atol=1e-12,
+    )
+
+
 def test_fused_radial_profile_rides_the_stream(universe):
     from mdhelper_tpu.analysis.profile import RadialDensityProfile
 
