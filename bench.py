@@ -37,7 +37,10 @@ Configuration via env vars:
                         BASELINE.md config phases; "aggregates": the
                         beyond-reference clustering + hydrogen-bond
                         + nematic-order trio fused into one pass
-                        (MDTPU_BENCH_AGG_ATOMS, default 9000)
+                        (MDTPU_BENCH_AGG_ATOMS, default 9000);
+                        "order": the Steinhardt q4/q6 + tetrahedral
+                        order pair fused into one pass (same atom
+                        count knob)
 """
 
 import json
@@ -315,6 +318,60 @@ def baseline_config_frame_seconds(level: str, qs: np.ndarray) -> float:
             ) / 2
             np.linalg.eigvalsh(Q)
             frame_seconds = time.perf_counter() - t0
+        elif level == "order":
+            # Steinhardt q4/q6 (+ Lechner-Dellago averages) and the
+            # tetrahedral order parameter the way a reference user
+            # codes them single-core: KD-tree neighbor pairs + scipy
+            # complex spherical harmonics; k-NN query for q_tet.
+            # (The class additionally computes the Wigner-3j w_l —
+            # omitted here, making the baseline generous.)
+            from scipy.spatial import cKDTree
+            from scipy.special import sph_harm_y
+
+            box = agg_box()
+            pos = make_water_frame(i)[0]
+            n = len(pos)
+            t0 = time.perf_counter()
+            wrapped = pos % box
+            tree = cKDTree(wrapped, boxsize=box)
+            pairs = tree.query_pairs(3.5, output_type="ndarray")
+            rows, cols = pairs[:, 0], pairs[:, 1]
+            d = pos[cols] - pos[rows]
+            d -= box * np.round(d / box)
+            r = np.linalg.norm(d, axis=1)
+            uvec = d / r[:, None]
+            theta = np.arccos(np.clip(uvec[:, 2], -1, 1))
+            phi = np.arctan2(uvec[:, 1], uvec[:, 0])
+            cnt = np.bincount(rows, minlength=n) + np.bincount(
+                cols, minlength=n
+            )
+            for l in (4, 6):
+                qlm = np.zeros((n, 2 * l + 1), dtype=np.complex128)
+                for mi, m in enumerate(range(-l, l + 1)):
+                    y = sph_harm_y(l, m, theta, phi)
+                    col = qlm[:, mi]
+                    np.add.at(col, rows, y)
+                    np.add.at(col, cols, ((-1) ** l) * y)
+                qlm /= np.maximum(cnt, 1)[:, None]
+                np.sqrt(
+                    4 * np.pi / (2 * l + 1)
+                    * (np.abs(qlm) ** 2).sum(axis=1)
+                )
+                nbr = np.zeros_like(qlm)
+                np.add.at(nbr, rows, qlm[cols])
+                np.add.at(nbr, cols, qlm[rows])
+                (qlm + nbr) / (cnt + 1)[:, None]
+            _, ii = tree.query(wrapped, k=5)
+            idx = ii[:, 1:5]
+            v = pos[idx] - pos[:, None, :]
+            v -= box * np.round(v / box)
+            uu = v / np.linalg.norm(v, axis=-1, keepdims=True)
+            g = np.einsum("ika,ila->ikl", uu, uu)
+            iu2, ju2 = np.triu_indices(4, 1)
+            1.0 - (3.0 / 8.0) * (
+                (g[:, iu2, ju2] + 1.0 / 3.0) ** 2
+            ).sum(axis=1)
+            frame_seconds = time.perf_counter() - t0
         else:  # pragma: no cover - defensive
             raise ValueError(f"unknown baseline level {level!r}")
         times.append(frame_seconds)
@@ -566,7 +623,10 @@ def tpu_class_fps(which: str) -> float:
 
     from mdhelper_tpu.core.universe import Universe
 
-    chunk = 8
+    # frames per streamed chunk (per-chunk scaffolding — carry sync,
+    # store absorption, dispatch — amortizes with larger chunks;
+    # MDTPU_BENCH_CHUNK A/Bs it)
+    chunk = int(os.environ.get("MDTPU_BENCH_CHUNK", 8))
     total = chunk + N_FRAMES
     rng = np.random.default_rng(2026)
     traj = (
@@ -707,6 +767,49 @@ def tpu_aggregates_fps() -> float:
             u.select_atoms("name H1"), u.select_atoms("name H2"),
             verbose=False,
         ),
+    ]
+    for f in fused:
+        f._chunk_bytes = chunk * AGG_ATOMS * 3 * 4
+
+    marks = []
+
+    def on_chunk(batch):
+        marks.append(time.perf_counter())
+
+    run_together(fused, on_chunk=on_chunk)
+    t_end = time.perf_counter()
+    return (total - chunk) / (t_end - marks[0])
+
+
+def tpu_order_fps() -> float:
+    """Steady-state frames/sec of the beyond-reference local-order
+    pair fused into ONE trajectory pass: Steinhardt q4/q6 with
+    Lechner-Dellago averages + Wigner-3j w_l
+    (``SteinhardtOrderParameter``) and the tetrahedral order
+    parameter (``TetrahedralOrderParameter``) on ``AGG_ATOMS``
+    water-like atoms.  Timing matches :func:`tpu_class_fps`."""
+
+    from mdhelper_tpu.analysis.multi import run_together
+    from mdhelper_tpu.analysis.steinhardt import (
+        SteinhardtOrderParameter,
+        TetrahedralOrderParameter,
+    )
+    from mdhelper_tpu.core.universe import Universe
+
+    chunk = 4
+    total = chunk + N_FRAMES
+    box = agg_box()
+    traj = make_water_frame(2029, total)
+    u = Universe.from_arrays(
+        traj, np.array([box] * 3), dt=1.0,
+        types=np.array(["A"] * AGG_ATOMS, dtype=object),
+    )
+    fused = [
+        SteinhardtOrderParameter(
+            u.atoms, 3.5, (4, 6), averaged=True, wl=True,
+            verbose=False,
+        ),
+        TetrahedralOrderParameter(u.atoms, verbose=False),
     ]
     for f in fused:
         f._chunk_bytes = chunk * AGG_ATOMS * 3 * 4
@@ -931,6 +1034,13 @@ def _measure_tpu_subprocess() -> float:
             "import bench\n"
             "print('MDTPU_FPS', bench.tpu_aggregates_fps())\n"
         )
+    elif LEVEL == "order":
+        phases = ("order",)
+        template = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "print('MDTPU_FPS', bench.tpu_order_fps())\n"
+        )
     elif LEVEL in ("config4", "config5", "isf", "vanhove"):
         phases = {
             "config4": ("profile",),
@@ -1045,7 +1155,8 @@ def main() -> None:
     _tunnel_health_gate()
     qs = wavevectors()
     if LEVEL in (
-        "config4", "config5", "isf", "vanhove", "aggregates"
+        "config4", "config5", "isf", "vanhove", "aggregates",
+        "order",
     ):
         ref_seconds = baseline_config_frame_seconds(LEVEL, qs)
     else:
@@ -1077,6 +1188,10 @@ def main() -> None:
         "aggregates": (
             "fused clustering + hydrogen bonds + nematic order "
             f"throughput ({AGG_ATOMS} water-like atoms)"
+        ),
+        "order": (
+            "fused Steinhardt q4/q6 (averaged + w_l) + tetrahedral "
+            f"order throughput ({AGG_ATOMS} water-like atoms)"
         ),
     }.get(LEVEL, "fused RDF+S(q)+MSD kernel throughput")
     print(
