@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     base,
     bonded,
     cluster,
+    contacts,
     dynamics,
     electrostatics,
     hbonds,
@@ -36,6 +37,7 @@ __all__ = [
     "base",
     "bonded",
     "cluster",
+    "contacts",
     "dynamics",
     "hbonds",
     "multi",

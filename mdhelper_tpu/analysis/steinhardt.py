@@ -62,6 +62,25 @@ def _pad_blocks(n: int, bk: int) -> int:
     return int(-(-n // bk) * bk)
 
 
+def _order_host_pipeline(self, n: int) -> bool:
+    """Host-pipeline routing for the order-parameter classes: unlike
+    the O(N) bookkeeping analyses, their per-frame device work is a
+    dense O(N^2) sweep — big enough that the device wins even through
+    the tunnel (same-window A/B at 9k atoms: device 5.4/5.5 vs host
+    2.0/3.1 frames/s, BASELINE.md round 3).  The KD-tree host path
+    remains the large-N O(N log N) route and the explicit-knob
+    escape (``MDTPU_HOST_PIPELINE=1``)."""
+
+    import os
+
+    if getattr(self, "_parallel", False):
+        return False
+    knob = os.environ.get("MDTPU_HOST_PIPELINE")
+    if knob not in (None, ""):
+        return knob != "0"
+    return self._resolve_host_pipeline() and n > 20_000
+
+
 class SteinhardtOrderParameter(DynamicAnalysisBase):
     r"""Per-particle Steinhardt bond-orientational order parameters.
 
@@ -186,14 +205,27 @@ class SteinhardtOrderParameter(DynamicAnalysisBase):
             self.results.units = {"results.times": ureg.picosecond}
         self._store_offset = 0
         self._carry = jnp.zeros(())
-        self._host_pipeline = (
-            not getattr(self, "_parallel", False)
-            and self._resolve_host_pipeline()
-        )
+        self._host_pipeline = _order_host_pipeline(self, n)
         if self._host_pipeline:
             self._prepare_host()
             return
+        self._cap_chunk_for_budget(
+            n, n * n * self._n_cols * (1.5 if self._averaged else 1.0)
+        )
         self._make_update()
+
+    def _cap_chunk_for_budget(self, n, work_per_frame) -> None:
+        """Cap the chunk so one device execution stays ~20 s: the
+        dense sweep runs ~1e10 pair-harmonic ops/s on the chip, and
+        tunnel runtimes kill executions past ~60-90 s (BASELINE.md
+        round-3 watchdog bisection)."""
+
+        est = work_per_frame / 1.0e10
+        max_frames = max(1, int(20.0 / max(est, 1e-9)))
+        frame_bytes = n * 3 * np.dtype(self._stream_dtype()).itemsize
+        self._chunk_bytes = min(
+            self._chunk_bytes, max_frames * frame_bytes
+        )
 
     # -- host pipeline (KD-tree; float64; the large-N path) --------
 
@@ -246,9 +278,20 @@ class SteinhardtOrderParameter(DynamicAnalysisBase):
                 d = np.linalg.norm(vec, axis=-1)
                 u = vec / np.where(d > 0, d, 1.0)[:, None]
                 y = real_sph_harm(degrees, u)
-                sums = np.zeros((n, n_cols))
-                np.add.at(sums, rows, y)
-                np.add.at(sums, cols, y * parity)
+                # per-column bincount: ~2x np.add.at for this shape
+                sums = np.stack(
+                    [
+                        np.bincount(
+                            rows, weights=y[:, c], minlength=n
+                        )
+                        + parity[c]
+                        * np.bincount(
+                            cols, weights=y[:, c], minlength=n
+                        )
+                        for c in range(n_cols)
+                    ],
+                    axis=1,
+                )
                 cnt = np.bincount(rows, minlength=n) + np.bincount(
                     cols, minlength=n
                 )
@@ -256,9 +299,20 @@ class SteinhardtOrderParameter(DynamicAnalysisBase):
                 qlm_b[f] = qlm
                 cnt_b[f] = cnt
                 if averaged:
-                    nbr = np.zeros((n, n_cols))
-                    np.add.at(nbr, rows, qlm[cols])
-                    np.add.at(nbr, cols, qlm[rows])
+                    nbr = np.stack(
+                        [
+                            np.bincount(
+                                rows, weights=qlm[cols, c],
+                                minlength=n,
+                            )
+                            + np.bincount(
+                                cols, weights=qlm[rows, c],
+                                minlength=n,
+                            )
+                            for c in range(n_cols)
+                        ],
+                        axis=1,
+                    )
                     qbar_b[f] = (qlm + nbr) / (cnt + 1)[:, None]
             self._store_chunk((qlm_b, cnt_b, qbar_b), batch)
 
@@ -468,13 +522,13 @@ class TetrahedralOrderParameter(DynamicAnalysisBase):
             self.results.units = {"results.times": ureg.picosecond}
         self._store_offset = 0
         self._carry = jnp.zeros(())
-        self._host_pipeline = (
-            not getattr(self, "_parallel", False)
-            and self._resolve_host_pipeline()
-        )
+        self._host_pipeline = _order_host_pipeline(self, n)
         if self._host_pipeline:
             self._prepare_host()
             return
+        SteinhardtOrderParameter._cap_chunk_for_budget(
+            self, n, n * n * 10.0
+        )
         self._make_update()
 
     @staticmethod
