@@ -33,7 +33,7 @@ import numpy as np
 from .. import ureg
 from .base import DynamicAnalysisBase
 
-__all__ = ["RMSD", "RMSF"]
+__all__ = ["PrincipalComponentAnalysis", "RMSD", "RMSF"]
 
 
 def _davenport_k(c):
@@ -451,3 +451,174 @@ class RMSF(_SuperpositionBase):
         var = sumsq / count - (mean * mean).sum(axis=1)
         self.results.rmsf = np.sqrt(np.maximum(var, 0.0))
         self.results.mean_positions = mean
+
+
+class PrincipalComponentAnalysis(_SuperpositionBase):
+    r"""Principal component analysis of the (aligned) coordinate
+    covariance — collective-motion decomposition (the
+    ``MDAnalysis.analysis.pca`` analogue; beyond reference).
+
+    Every frame is optimally superposed onto the reference
+    (``align=True``), flattened to a ``3N`` vector, and accumulated
+    into single-pass first/second moments; the covariance
+
+    .. math::
+
+       C = \langle (\mathbf{x} - \langle\mathbf{x}\rangle)
+       (\mathbf{x} - \langle\mathbf{x}\rangle)^T \rangle
+
+    is eigendecomposed at conclusion.  The per-chunk device work is
+    one HIGHEST-precision ``(B, 3N) x (B, 3N)`` MXU matmul
+    (accumulated in float64 on the host side of the carry), so the
+    pass rides the same stream as any other analysis.
+
+    Parameters are those of :class:`RMSD` (``weights`` affect the
+    superposition only; the covariance is unweighted, MDAnalysis
+    semantics).
+
+    Results
+    -------
+    ``results.variance``
+        Eigenvalues (Å²), descending, shape ``(3N,)``.
+    ``results.cumulated_variance``
+        Normalized cumulative variance (what fraction the first
+        ``k`` components explain).
+    ``results.p_components``
+        Eigenvectors as columns, shape ``(3N, 3N)``; sign convention:
+        the largest-magnitude entry of each component is positive.
+    ``results.mean_positions``
+        The aligned average structure, shape ``(N, 3)``.
+
+    Use :meth:`transform` to project a trajectory onto the leading
+    components after :meth:`run`.
+    """
+
+    def _prepare(self) -> None:
+        self._resolve_reference()
+        n = len(self._atom_indices)
+        self.results.units = (
+            {}
+            if self._reduced
+            else {"results.variance": ureg.angstrom**2}
+        )
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._sum = np.zeros(3 * n)
+            self._m2 = np.zeros((3 * n, 3 * n))
+            self._count = 0
+            self._carry = np.zeros(())
+            self._prepare_host()
+            return
+        self._carry = {
+            "sum": jnp.zeros(3 * n, jnp.float64),
+            "m2": jnp.zeros((3 * n, 3 * n), jnp.float64),
+            "count": jnp.zeros((), jnp.float64),
+        }
+        fit = self._frame_fit_fn()
+        hi = jax.lax.Precision.HIGHEST
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            _, rot, pc = fit(positions)
+            aligned = jnp.einsum(
+                "bnd,bed->bne", pc, rot, precision=hi
+            ).reshape(positions.shape[0], -1)  # (B, 3N)
+            m = mask.astype(aligned.dtype)
+            x = aligned * m[:, None]
+            carry = {
+                "sum": carry["sum"]
+                + x.sum(axis=0).astype(jnp.float64),
+                "m2": carry["m2"]
+                + jnp.einsum(
+                    "bi,bj->ij", x, aligned, precision=hi
+                ).astype(jnp.float64),
+                "count": carry["count"] + m.sum(),
+            }
+            return carry
+
+        self._update = jax.jit(update)
+        self._store_chunk = None
+
+    def _prepare_host(self) -> None:
+        w = self._weights
+        w_total = self._w_total
+        ref = self._ref_centered
+        align = self._align
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            for f in range(batch.n_real):
+                pos = positions[f]
+                com = (w[:, None] * pos).sum(axis=0) / w_total
+                pc = pos - com
+                if align:
+                    c = (pc * w[:, None]).T @ ref
+                    _, vecs = np.linalg.eigh(_davenport_k(c))
+                    rot = _rotation_from_quaternion(vecs[:, -1])
+                    pc = pc @ rot.T
+                x = pc.reshape(-1)
+                self._sum += x
+                self._m2 += np.outer(x, x)
+                self._count += 1
+
+        self._host_update_fn = host_update
+
+    def _conclude(self) -> None:
+        if self._host_pipeline:
+            total, m2, count = self._sum, self._m2, self._count
+        else:
+            total = np.asarray(self._carry["sum"])
+            m2 = np.asarray(self._carry["m2"])
+            count = float(self._carry["count"])
+        mean = total / count
+        cov = m2 / count - np.outer(mean, mean)
+        vals, vecs = np.linalg.eigh(cov)
+        vals, vecs = vals[::-1], vecs[:, ::-1]
+        # deterministic sign: largest-|entry| positive per component
+        peaks = np.argmax(np.abs(vecs), axis=0)
+        signs = np.sign(vecs[peaks, np.arange(vecs.shape[1])])
+        signs[signs == 0] = 1.0
+        self.results.variance = np.maximum(vals, 0.0)
+        total_var = self.results.variance.sum()
+        self.results.cumulated_variance = (
+            np.cumsum(self.results.variance) / total_var
+            if total_var
+            else np.zeros_like(vals)
+        )
+        self.results.p_components = vecs * signs
+        self.results.mean_positions = mean.reshape(-1, 3)
+
+    def transform(self, n_components: int = None) -> np.ndarray:
+        """Project the analyzed trajectory onto the leading
+        `n_components` (default: all) principal components:
+        re-streams the same frames host-side, aligns each to the
+        reference, and returns ``(n_frames, n_components)``."""
+
+        if "p_components" not in self.results:
+            raise RuntimeError("Call run() before transform().")
+        k = (
+            self.results.p_components.shape[1]
+            if n_components is None
+            else int(n_components)
+        )
+        comps = self.results.p_components[:, :k]
+        mean_x = self.results.mean_positions.reshape(-1)
+        w = self._weights
+        w_total = self._w_total
+        ref = self._ref_centered
+        positions, _ = self._trajectory.read_frames(self.frames)
+        out = np.empty((len(self.frames), k))
+        for f in range(len(self.frames)):
+            pos = positions[f][self._atom_indices]
+            com = (w[:, None] * pos).sum(axis=0) / w_total
+            pc = pos - com
+            if self._align:
+                c = (pc * w[:, None]).T @ ref
+                _, vecs = np.linalg.eigh(_davenport_k(c))
+                rot = _rotation_from_quaternion(vecs[:, -1])
+                pc = pc @ rot.T
+            out[f] = (pc.reshape(-1) - mean_x) @ comps
+        return out

@@ -192,3 +192,101 @@ def test_validation():
     u_small = _universe(pos[:, :2])
     with pytest.raises(ValueError, match="at least 3"):
         RMSD(u_small.atoms, verbose=False)
+
+
+# -- PCA ------------------------------------------------------------
+
+
+def _pca_oracle(pos, ref, w):
+    from scipy.spatial.transform import Rotation
+
+    W = w.sum()
+    ref_c = ref - (w[:, None] * ref).sum(0) / W
+    X = []
+    for p in pos:
+        pc = p - (w[:, None] * p).sum(0) / W
+        R, _ = Rotation.align_vectors(ref_c, pc, weights=w)
+        X.append((pc @ R.as_matrix().T).reshape(-1))
+    X = np.array(X)
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    return X, mean, vals[::-1], vecs[:, ::-1]
+
+
+def test_pca_matches_oracle():
+    from mdhelper_tpu.analysis.rmsd import (
+        PrincipalComponentAnalysis,
+    )
+
+    pos, base, _ = _make_traj(F=15, n=12, noise=0.4)
+    u = _universe(pos)
+    p = PrincipalComponentAnalysis(
+        u.atoms, reference=base, verbose=False
+    ).run()
+    w = np.ones(pos.shape[1])
+    X, mean, vals, vecs = _pca_oracle(pos, base, w)
+    np.testing.assert_allclose(
+        p.results.variance, np.maximum(vals, 0), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        p.results.mean_positions.reshape(-1), mean, atol=1e-9
+    )
+    # eigenvectors up to sign; the class fixes largest-|entry|>0
+    for k in range(5):
+        v = p.results.p_components[:, k]
+        o = vecs[:, k]
+        assert min(
+            np.abs(v - o).max(), np.abs(v + o).max()
+        ) < 1e-7
+    np.testing.assert_allclose(
+        p.results.cumulated_variance[-1], 1.0, atol=1e-12
+    )
+    # transform: projections match the oracle's centered X @ vecs
+    proj = p.transform(n_components=3)
+    oracle_proj = (X - mean) @ p.results.p_components[:, :3]
+    np.testing.assert_allclose(proj, oracle_proj, atol=1e-8)
+    # variance of the projections equals the eigenvalues
+    np.testing.assert_allclose(
+        proj.var(axis=0), p.results.variance[:3], atol=1e-9
+    )
+
+
+def test_pca_rigid_motion_zero_variance():
+    from mdhelper_tpu.analysis.rmsd import (
+        PrincipalComponentAnalysis,
+    )
+
+    pos, _, _ = _make_traj(F=8, noise=0.0)
+    u = _universe(pos)
+    p = PrincipalComponentAnalysis(u.atoms, verbose=False).run()
+    assert p.results.variance.max() < 1e-10
+
+
+def test_pca_host_pipeline(monkeypatch):
+    from mdhelper_tpu.analysis.rmsd import (
+        PrincipalComponentAnalysis,
+    )
+
+    pos, _, _ = _make_traj(F=12, n=10)
+    results = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        u = _universe(pos)
+        p = PrincipalComponentAnalysis(
+            u.atoms, verbose=False
+        ).run()
+        assert p._host_pipeline is (knob == "1")
+        results[knob] = (
+            p.results.variance, p.results.p_components
+        )
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    np.testing.assert_allclose(
+        results["0"][0], results["1"][0], atol=1e-9
+    )
+    # compare only the leading (well-separated) components — the
+    # trailing eigenvectors span a near-null space whose basis is
+    # arbitrary between solvers
+    np.testing.assert_allclose(
+        results["0"][1][:, :2], results["1"][1][:, :2], atol=1e-6
+    )
