@@ -37,6 +37,7 @@ from ..ops.histogram import _min_image_vectors
 from .base import DynamicAnalysisBase, existence_lifetimes
 
 __all__ = [
+    "ElectricCurrentAutocorrelation",
     "OverlapFunction",
     "SurvivalProbability",
     "VelocityAutocorrelation",
@@ -203,6 +204,213 @@ class VelocityAutocorrelation(DynamicAnalysisBase):
                 * ureg.angstrom**2
                 / ureg.picosecond
             )
+
+
+class ElectricCurrentAutocorrelation(DynamicAnalysisBase):
+    r"""Charge-current autocorrelation and the Green-Kubo ionic
+    conductivity (beyond reference; the time-domain complement of the
+    Einstein-route
+    :meth:`~mdhelper_tpu.analysis.transport.Onsager.calculate_conductivity`):
+
+    .. math::
+
+       \mathbf{J}(t) = \sum_i q_i\,\mathbf{v}_i(t), \qquad
+       \sigma = \frac{1}{3 V k_\mathrm{B}T} \int_0^\infty \langle
+       \mathbf{J}(0)\cdot\mathbf{J}(t)\rangle\,dt .
+
+    The per-frame reduction is one :math:`O(N)` charge-weighted sum
+    streamed to a tiny ``(n_frames, 3)`` host store; all lags evaluate
+    at conclusion with the Wiener-Khinchin engine through
+    :func:`~mdhelper_tpu.analysis.thermodynamics.calculate_ionic_conductivity`.
+
+    Parameters
+    ----------
+    group : `AtomGroup`
+        Charged atoms; the trajectory must store velocities
+        (in-memory arrays with ``velocities=``, TRR).
+    temperature : `float` or `pint.Quantity`
+        System temperature (K), or the LJ energy scale
+        :math:`k_\mathrm{B}T` when ``reduced=True``.
+    charges : array-like, keyword-only, optional
+        Per-atom charges (e); defaults to the topology's.
+    n_blocks : `int`, keyword-only, default 1
+        Statistical blocks (block-averaged ACF).
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units (omits ``results.units``).
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh.
+
+    Results
+    -------
+    ``results.times``
+        Lag times (ps), length ``n_frames // n_blocks``.
+    ``results.current``
+        Charge-current series :math:`\mathbf{J}(t)`, shape
+        ``(n_frames, 3)`` (e Angstrom/ps).
+    ``results.acf``
+        Component-averaged current ACF ((e Angstrom/ps)^2).
+    ``results.running_conductivity``, ``results.conductivity``
+        Cumulative Green-Kubo integral and its full-window value
+        (S/m).
+    """
+
+    _checkpointable_stores = True
+    _payload = "velocities"
+
+    def _checkpoint_attrs(self) -> tuple:
+        return ("_current",)
+
+    def __init__(
+        self,
+        group,
+        temperature,
+        *,
+        charges=None,
+        n_blocks: int = 1,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self.group = group
+        self.universe = group.universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+        if not getattr(self._trajectory, "has_velocities", False):
+            raise ValueError(
+                "The trajectory stores no velocities; "
+                "ElectricCurrentAutocorrelation needs a "
+                "velocity-carrying format (in-memory arrays with "
+                "velocities=, TRR)."
+            )
+        if n_blocks < 1:
+            raise ValueError("'n_blocks' must be positive.")
+        self._require_box("ElectricCurrentAutocorrelation")
+        self._n_blocks = int(n_blocks)
+        self._temperature, _ = strip_unit(
+            temperature, None if reduced else "kelvin"
+        )
+        if charges is None:
+            charges = group.charges
+        else:
+            charges, _ = strip_unit(
+                charges, None if reduced else "elementary_charge"
+            )
+        charges = np.asarray(charges, dtype=np.float64)
+        if charges.shape != (group.n_atoms,):
+            raise ValueError(
+                "'charges' must have one value per atom in 'group'."
+            )
+        if not charges.any():
+            warnings.warn(
+                "All charges are zero; the current (and "
+                "conductivity) will vanish."
+            )
+        self._charges = charges
+        self._reduced = reduced
+        self._atom_indices = group.ix
+
+    def _prepare(self) -> None:
+        self._current = np.empty((self.n_frames, 3))
+        self._store_offset = 0
+        self._carry = jnp.zeros(())
+
+        # O(N) per-frame reduction: host-side on tunnel-attached TPUs
+        # (like VelocityAutocorrelation).
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            charges = self._charges
+
+            def host_update(batch) -> None:
+                velocities = self._host_chunk_positions(batch)
+                self._store_chunk(
+                    np.einsum("n,bnd->bd", charges, velocities),
+                    batch,
+                )
+
+            self._host_update_fn = host_update
+            return
+
+        charges = jnp.asarray(self._charges)
+
+        def update(carry, positions, dimensions, mask):
+            # `positions` IS the velocity payload.
+            del dimensions, mask
+            current = jnp.einsum(
+                "n,bnd->bd",
+                charges.astype(positions.dtype),
+                positions,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return carry, current
+
+        self._update = jax.jit(update)
+
+    def _store_chunk(self, current, batch) -> None:
+        n_real = batch.n_real
+        lo = self._store_offset
+        self._current[lo:lo + n_real] = np.asarray(current)[:n_real]
+        self._store_offset += n_real
+
+    def _conclude(self) -> None:
+        from .thermodynamics import calculate_ionic_conductivity
+
+        n_blocks = self._n_blocks
+        per_block = self.n_frames // n_blocks
+        if per_block < 2:
+            raise ValueError(
+                "Too few frames per block for a correlation."
+            )
+        extra = self.n_frames - n_blocks * per_block
+        if extra:
+            warnings.warn(
+                f"The trajectory is not divisible into {n_blocks:,} "
+                f"blocks, so the last {extra:,} frame(s) will be "
+                "discarded."
+            )
+        dims = np.asarray(
+            self.universe.dimensions[:3], dtype=np.float64
+        )
+        volume = float(dims.prod())
+        dt = self._uniform_lag_dt("ElectricCurrentAutocorrelation")
+        self.results.current = self._current
+        blocks = [
+            calculate_ionic_conductivity(
+                self._current[b * per_block:(b + 1) * per_block],
+                volume,
+                self._temperature,
+                dt,
+                reduced=self._reduced,
+            )
+            for b in range(n_blocks)
+        ]
+        self.results.times = blocks[0].times
+        self.results.acf = np.mean([b.acf for b in blocks], axis=0)
+        self.results.running_conductivity = np.mean(
+            [b.running_conductivity for b in blocks], axis=0
+        )
+        self.results.conductivity = float(
+            np.mean([b.conductivity for b in blocks])
+        )
+        if not self._reduced:
+            units = blocks[0].units
+            self.results.units = {
+                "results.times": units.times,
+                "results.current": (
+                    ureg.elementary_charge
+                    * ureg.angstrom
+                    / ureg.picosecond
+                ),
+                "results.acf": units.acf,
+                "results.running_conductivity": (
+                    units.running_conductivity
+                ),
+                "results.conductivity": units.conductivity,
+            }
 
 
 class SurvivalProbability(DynamicAnalysisBase):

@@ -44,6 +44,7 @@ __all__ = [
     "calculate_relaxation_time",
     "Gyradius",
     "EndToEndVector",
+    "PersistenceLength",
     "SingleChainStructureFactor",
     "RouseModes",
 ]
@@ -1319,3 +1320,249 @@ class RouseModes(_PolymerAnalysisBase):
                             self.results.times[valid], acf[valid]
                         )
                     )
+
+
+class PersistenceLength(_PolymerAnalysisBase):
+    r"""Bond-vector orientational correlation along chain contour and
+    the persistence length (beyond reference; parity target:
+    ``MDAnalysis.analysis.polymer.PersistenceLength``).
+
+    For each chain the normalized bond vectors :math:`\hat{u}_i
+    \propto \mathbf{r}_{i+1} - \mathbf{r}_i` (minimum image — bonds
+    never span more than half a box, so no trajectory unwrap is
+    needed) form the contour correlation
+
+    .. math::
+
+       C(s) = \langle \hat{u}_i \cdot \hat{u}_{i+s}
+       \rangle_{i,\,\mathrm{chains},\,t},
+
+    from which the persistence length follows by the exponential-decay
+    fit :math:`C(s) = e^{-s\,\bar{l}_b / l_p}` with :math:`\bar{l}_b`
+    the mean bond length.
+
+    TPU formulation: the per-frame work is one Gram-matrix einsum
+    ``(M, N_b, 3) x (M, N_b, 3) -> (N_b, N_b)`` per group on the MXU;
+    the contour average over the :math:`i` diagonal offsets happens at
+    conclusion on the host.  The accumulation is order-independent, so
+    ``parallel=True`` frame sharding is supported.
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Polymer groups, one per chain type.
+    groupings : `str` or array-like, keyword-only, default "atoms"
+        ``"atoms"`` or ``"residues"`` (monomers = residue COMs).
+    n_chains, n_monomers : `int` or array-like, optional
+        Explicit chain/monomer counts when the universe carries no
+        segment information.
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh.
+
+    Results
+    -------
+    ``results.bond_acf``
+        List (per group) of contour correlations :math:`C(s)`,
+        each of length ``n_monomers - 1`` with :math:`C(0) = 1`.
+    ``results.bond_lengths``
+        Mean bond length :math:`\bar{l}_b` per group (Angstrom).
+    ``results.persistence_lengths``, ``results.fit``
+        (after :meth:`calculate_persistence_length`) fitted
+        :math:`l_p` per group and the fitted curves.
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        n_chains=None,
+        n_monomers=None,
+        *,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        kwargs.pop("unwrap", None)  # min-image bonds need no unwrap
+        super().__init__(
+            groups,
+            groupings,
+            n_chains,
+            n_monomers,
+            unwrap=False,
+            parallel=parallel,
+            verbose=verbose,
+            **kwargs,
+        )
+        if (self._n_monomers < 3).any():
+            raise ValueError(
+                "PersistenceLength needs chains of at least 3 "
+                "monomers (2 bonds)."
+            )
+        self._setup_periodic_box()
+
+    def _prepare(self) -> None:
+        self.results.units = {
+            "results.bond_lengths": ureg.angstrom,
+        }
+        self._carry = {
+            "frames": jnp.zeros((), dtype=jnp.float64),
+            "gram": tuple(
+                jnp.zeros(
+                    (int(n_p) - 1, int(n_p) - 1), dtype=jnp.float64
+                )
+                for n_p in self._n_monomers
+            ),
+            "blen": tuple(
+                jnp.zeros((), dtype=jnp.float64)
+                for _ in range(self._n_groups)
+            ),
+        }
+
+        self._host_pipeline = self._resolve_polymer_host()
+        if self._host_pipeline:
+            # The streaming driver threads (and re-assigns) the carry
+            # itself, so host-pipeline accumulation lives in a
+            # dedicated attribute and the carry is a passthrough.
+            self._host_state = {
+                "frames": 0.0,
+                "gram": [
+                    np.zeros((int(n_p) - 1, int(n_p) - 1))
+                    for n_p in self._n_monomers
+                ],
+                "blen": [0.0] * self._n_groups,
+            }
+            self._carry = np.zeros(())
+            self._prepare_host()
+            return
+
+        from ..ops.histogram import _min_image_vectors
+
+        extractors = [
+            self._monomer_positions_fn(i) for i in range(self._n_groups)
+        ]
+        frame_boxes = self._frame_boxes
+        hi = jax.lax.Precision.HIGHEST
+
+        def update(carry, positions, dimensions, mask):
+            boxes = frame_boxes(dimensions)
+            grams, blens = [], []
+            for extract, gram0, blen0 in zip(
+                extractors, carry["gram"], carry["blen"]
+            ):
+                monomers = extract(positions)  # (B, M, N_p, 3)
+                bonds = monomers[:, :, 1:] - monomers[:, :, :-1]
+                vectors = jax.vmap(_min_image_vectors)(
+                    bonds, boxes.astype(bonds.dtype)
+                )
+                norms = jnp.sqrt(
+                    jnp.maximum(
+                        (vectors * vectors).sum(axis=-1),
+                        jnp.finfo(vectors.dtype).tiny,
+                    )
+                )  # (B, M, N_b)
+                unit = vectors / norms[..., None]
+                w = mask.astype(vectors.dtype)
+                gram = jnp.einsum(
+                    "b,bmia,bmja->ij", w, unit, unit, precision=hi
+                )
+                grams.append(gram0 + gram.astype(jnp.float64))
+                blen = (norms * w[:, None, None]).sum()
+                blens.append(blen0 + blen.astype(jnp.float64))
+            frames = carry["frames"] + mask.sum().astype(jnp.float64)
+            return {
+                "frames": frames,
+                "gram": tuple(grams),
+                "blen": tuple(blens),
+            }
+
+        self._update = jit_update(update)
+
+    def _prepare_host(self) -> None:
+        from ..algorithm.topology import minimize_vectors
+
+        extractors = [
+            self._host_monomer_extractor(i)
+            for i in range(self._n_groups)
+        ]
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            dims_all = np.asarray(
+                batch.host_dimensions[: batch.n_real],
+                dtype=np.float64,
+            )
+            state = self._host_state
+            for i, extract in enumerate(extractors):
+                monomers = extract(positions)  # (B, M, N_p, 3)
+                bonds = monomers[:, :, 1:] - monomers[:, :, :-1]
+                for f in range(batch.n_real):
+                    v = np.asarray(
+                        minimize_vectors(bonds[f], dims_all[f])
+                    )
+                    norms = np.linalg.norm(v, axis=-1)
+                    unit = v / norms[..., None]
+                    state["gram"][i] += np.einsum(
+                        "mia,mja->ij", unit, unit
+                    )
+                    state["blen"][i] += norms.sum()
+            state["frames"] += float(batch.n_real)
+
+        self._host_update_fn = host_update
+
+    def _conclude(self) -> None:
+        carry = (
+            self._host_state if self._host_pipeline else self._carry
+        )
+        frames = float(np.asarray(carry["frames"]))
+        self.results.bond_acf = []
+        self.results.bond_lengths = np.empty(self._n_groups)
+        for i in range(self._n_groups):
+            gram = np.asarray(carry["gram"][i], dtype=np.float64)
+            m = float(self._n_chains[i])
+            n_b = gram.shape[0]
+            samples = frames * m
+            acf = np.array(
+                [
+                    np.trace(gram, offset=s) / ((n_b - s) * samples)
+                    for s in range(n_b)
+                ]
+            )
+            self.results.bond_acf.append(acf)
+            self.results.bond_lengths[i] = (
+                float(np.asarray(carry["blen"][i]))
+                / (samples * n_b)
+            )
+
+    def calculate_persistence_length(self) -> None:
+        r"""Fit :math:`C(s) = e^{-s\,\bar{l}_b / l_p}` per group,
+        storing ``results.persistence_lengths`` (Angstrom) and the
+        fitted curves in ``results.fit``."""
+
+        if getattr(self.results, "bond_acf", None) is None:
+            raise RuntimeError(
+                "Call PersistenceLength.run() before "
+                "PersistenceLength.calculate_persistence_length()."
+            )
+        self.results.persistence_lengths = np.empty(self._n_groups)
+        self.results.fit = []
+        self.results.units["results.persistence_lengths"] = (
+            ureg.angstrom
+        )
+        for i, acf in enumerate(self.results.bond_acf):
+            lb = self.results.bond_lengths[i]
+            x = lb * np.arange(len(acf))
+            # fit only the leading positive run: the noisy,
+            # sign-flipping tail of short/flexible chains otherwise
+            # dominates the least squares
+            negative = np.where(acf <= 0)[0]
+            stop = int(negative[0]) if len(negative) else len(acf)
+            stop = max(stop, 2)
+            (lp,), _ = optimize.curve_fit(
+                lambda s, lp: np.exp(-s / lp),
+                x[:stop],
+                acf[:stop],
+                p0=max(lb, 1e-3),
+                bounds=(1e-12, np.inf),
+            )
+            self.results.persistence_lengths[i] = lp
+            self.results.fit.append(np.exp(-x / lp))

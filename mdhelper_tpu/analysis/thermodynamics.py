@@ -28,6 +28,7 @@ from .base import Hash
 
 __all__ = [
     "ConstantVolumeHeatCapacity",
+    "calculate_ionic_conductivity",
     "calculate_shear_viscosity",
     "calculate_thermal_conductivity",
 ]
@@ -455,5 +456,108 @@ def calculate_thermal_conductivity(
             acf=flux_unit**2,
             running_conductivity=wmk,
             conductivity=wmk,
+        ),
+    )
+
+
+def calculate_ionic_conductivity(
+    current,
+    volume: float,
+    temperature: float,
+    dt: float,
+    *,
+    reduced: bool = False,
+) -> Hash:
+    r"""Green-Kubo ionic conductivity from charge-current fluctuations
+    (beyond reference; the time-domain complement of the Einstein-route
+    :func:`mdhelper_tpu.analysis.transport.calculate_conductivity`):
+
+    .. math::
+
+       \sigma = \frac{1}{3 V k_\mathrm{B}T} \int_0^\infty \langle
+       \mathbf{J}(0)\cdot\mathbf{J}(t)\rangle\,dt,
+       \qquad \mathbf{J}(t) = \sum_i q_i\,\mathbf{v}_i(t),
+
+    evaluated as the component-averaged ACF (the usual isotropic
+    :math:`1/3\,\langle\mathbf{J}\cdot\mathbf{J}\rangle` when all
+    three components are given) with the Wiener-Khinchin engine; the
+    running (cumulative-trapezoid) integral is returned so the plateau
+    can be chosen by eye or fit, like
+    :func:`calculate_shear_viscosity`.
+
+    Parameters
+    ----------
+    current : array-like
+        Total charge-current series :math:`\sum_i q_i \mathbf{v}_i`,
+        shape ``(N_t, 3)`` or ``(N_t,)`` (a single component), in
+        elementary charge x Angstrom/picosecond.  LJ charge-velocity
+        units when ``reduced=True``.
+    volume : `float`
+        System volume (Angstrom^3; LJ volume when reduced).
+    temperature : `float`
+        Temperature (K), or the LJ energy scale
+        :math:`k_\mathrm{B}T` when reduced.
+    dt : `float`
+        Series time step (ps; LJ time when reduced).
+
+    Returns
+    -------
+    results : `Hash`
+        ``times`` (ps), ``acf`` ((e Angstrom/ps)^2,
+        component-averaged), ``running_conductivity`` /
+        ``conductivity`` (S/m), and ``units`` (omitted when reduced).
+    """
+
+    current = np.asarray(
+        strip_unit(
+            current, "elementary_charge * angstrom / picosecond"
+        )[0],
+        dtype=np.float64,
+    )
+    if current.ndim == 2 and current.shape[1] not in (1, 3):
+        raise ValueError(
+            "current must have shape (N_t,), (N_t, 1) or (N_t, 3)."
+        )
+    volume, _ = strip_unit(volume, "angstrom**3")
+    temperature, _ = strip_unit(temperature, "kelvin")
+    dt, _ = strip_unit(dt, "picosecond")
+    times, acf, integral = _green_kubo_running(current, dt)
+    if reduced:
+        scale = 1.0 / (volume * temperature)
+        return Hash(
+            times=times,
+            acf=acf,
+            running_conductivity=scale * integral,
+            conductivity=float(scale * integral[-1]),
+        )
+    current_unit = (
+        ureg.elementary_charge * ureg.angstrom / ureg.picosecond
+    )
+    scale = (
+        (
+            1
+            * current_unit**2
+            * ureg.picosecond
+            / (
+                ureg.angstrom**3
+                * ureg.boltzmann_constant
+                * ureg.kelvin
+            )
+        )
+        .to("siemens / meter")
+        .magnitude
+        / (volume * temperature)
+    )
+    sm = ureg.siemens / ureg.meter
+    return Hash(
+        times=times,
+        acf=acf,
+        running_conductivity=scale * integral,
+        conductivity=float(scale * integral[-1]),
+        units=Hash(
+            times=ureg.picosecond,
+            acf=current_unit**2,
+            running_conductivity=sm,
+            conductivity=sm,
         ),
     )

@@ -386,3 +386,172 @@ def test_survival_host_pipeline_equals_device(monkeypatch):
             host.results.survival, device.results.survival,
             rtol=1e-12, atol=1e-12,
         )
+
+
+# -- electric current ACF / Green-Kubo conductivity --------------------------
+
+
+def _charged_universe(velocities, charges, dt=0.5, box=10.0):
+    T, n, _ = velocities.shape
+    pos = rng.random((T, n, 3)) * box
+    return Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A"] * n, dtype=object),
+        charges=charges, velocities=velocities, dt=dt,
+    )
+
+
+def test_electric_current_acf_oracle():
+    from mdhelper_tpu.analysis.dynamics import (
+        ElectricCurrentAutocorrelation,
+    )
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_ionic_conductivity,
+    )
+
+    T, n, dt, temp = 20, 8, 0.5, 300.0
+    v = rng.standard_normal((T, n, 3))
+    q = rng.standard_normal(n)
+    u = _charged_universe(v, q, dt=dt)
+    eca = ElectricCurrentAutocorrelation(
+        u.atoms, temp, verbose=False
+    ).run()
+
+    J = np.einsum("n,tnd->td", q, v)
+    np.testing.assert_allclose(
+        eca.results.current, J, rtol=1e-6, atol=1e-9
+    )
+    ref = calculate_ionic_conductivity(J, 1000.0, temp, dt)
+    np.testing.assert_allclose(
+        eca.results.acf, ref.acf, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        eca.results.running_conductivity, ref.running_conductivity,
+        rtol=1e-6,
+    )
+    assert np.isclose(eca.results.conductivity, ref.conductivity,
+                      rtol=1e-6)
+    assert str(eca.results.units["results.conductivity"]) in (
+        "siemens / meter", "S / m",
+    )
+
+    # direct ACF oracle (component-averaged, triangular norm)
+    acf = np.array(
+        [(J[: T - t] * J[t:]).mean(axis=0).mean() for t in range(T)]
+    )
+    np.testing.assert_allclose(eca.results.acf, acf, rtol=1e-8)
+
+    # parallel=True equality
+    par = ElectricCurrentAutocorrelation(
+        u.atoms, temp, parallel=True, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        par.results.acf, eca.results.acf, rtol=1e-10
+    )
+
+
+def test_ionic_conductivity_scale():
+    """Constant current: the running integral is exactly
+    c^2 * t * scale with the e^2/(Angstrom ps kB K) -> S/m factor."""
+
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_ionic_conductivity,
+    )
+
+    T, dt, vol, temp = 16, 0.25, 500.0, 350.0
+    c = 2.5
+    J = np.full((T, 3), c)
+    res = calculate_ionic_conductivity(J, vol, temp, dt)
+    np.testing.assert_allclose(res.acf, c * c, rtol=1e-12)
+    factor = 18592487.783177108  # (e A/ps)^2 ps / (A^3 kB K) in S/m
+    expected = factor * c * c * res.times / (vol * temp)
+    np.testing.assert_allclose(
+        res.running_conductivity, expected, rtol=1e-9
+    )
+    assert np.isclose(res.conductivity, expected[-1], rtol=1e-12)
+
+    reduced = calculate_ionic_conductivity(
+        J, vol, temp, dt, reduced=True
+    )
+    np.testing.assert_allclose(
+        reduced.running_conductivity,
+        c * c * reduced.times / (vol * temp),
+        rtol=1e-12,
+    )
+    assert "units" not in reduced
+
+
+def test_electric_current_blocks_and_validation():
+    from mdhelper_tpu.analysis.dynamics import (
+        ElectricCurrentAutocorrelation,
+    )
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_ionic_conductivity,
+    )
+
+    T, n, dt, temp = 24, 5, 1.0, 250.0
+    v = rng.standard_normal((T, n, 3))
+    q = np.linspace(-1, 1, n)
+    u = _charged_universe(v, q, dt=dt)
+    eca = ElectricCurrentAutocorrelation(
+        u.atoms, temp, n_blocks=2, verbose=False
+    ).run()
+    J = np.einsum("n,tnd->td", q, v)
+    blocks = [
+        calculate_ionic_conductivity(
+            J[i * 12:(i + 1) * 12], 1000.0, temp, dt
+        )
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(
+        eca.results.acf,
+        np.mean([b.acf for b in blocks], axis=0),
+        rtol=1e-8,
+    )
+    assert len(eca.results.times) == 12
+
+    # velocity-less trajectory rejected
+    pos_only = Universe.from_arrays(
+        rng.random((4, n, 3)) * 10.0, np.array([10.0] * 3),
+        charges=q, dt=1.0,
+    )
+    with pytest.raises(ValueError, match="velocities"):
+        ElectricCurrentAutocorrelation(
+            pos_only.atoms, temp, verbose=False
+        )
+    # mismatched charge override rejected
+    with pytest.raises(ValueError, match="one value per atom"):
+        ElectricCurrentAutocorrelation(
+            u.atoms, temp, charges=np.ones(3), verbose=False
+        )
+
+
+def test_electric_current_host_pipeline(monkeypatch):
+    from mdhelper_tpu.analysis.dynamics import (
+        ElectricCurrentAutocorrelation,
+    )
+
+    T, n, temp = 12, 4, 300.0
+    v = rng.standard_normal((T, n, 3))
+    q = rng.standard_normal(n)
+    u = _charged_universe(v, q)
+    results = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        eca = ElectricCurrentAutocorrelation(
+            u.atoms, temp, verbose=False
+        )
+        eca._chunk_bytes = 5 * n * 3 * 8
+        eca.run()
+        results.append(eca)
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    device, host = results
+    assert not device._host_pipeline
+    assert host._host_pipeline
+    np.testing.assert_allclose(
+        host.results.acf, device.results.acf, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        host.results.conductivity, device.results.conductivity,
+        rtol=1e-6,
+    )

@@ -454,3 +454,193 @@ def test_gyradius_shape_host_pipeline(universe, monkeypatch):
         np.testing.assert_allclose(
             host.results[name], device.results[name], rtol=1e-10
         )
+
+
+# -- persistence length ------------------------------------------------------
+
+
+def oracle_bond_acf(traj_arr, m, n_p, box=None):
+    """Direct f64 contour correlation C(s) and mean bond length."""
+
+    chains = traj_arr.reshape(len(traj_arr), m, n_p, 3)
+    bonds = np.diff(chains, axis=2)  # (T, M, N_b, 3)
+    if box is not None:
+        bonds -= box * np.round(bonds / box)
+    norms = np.linalg.norm(bonds, axis=-1)
+    unit = bonds / norms[..., None]
+    gram = np.einsum("tmia,tmja->ij", unit, unit)
+    n_b = n_p - 1
+    samples = len(traj_arr) * m
+    acf = np.array(
+        [
+            np.trace(gram, offset=s) / ((n_b - s) * samples)
+            for s in range(n_b)
+        ]
+    )
+    return acf, norms.mean()
+
+
+def test_persistence_length_oracle(universe, traj):
+    pl = polymer.PersistenceLength(universe.atoms, verbose=False).run()
+    ref_acf, ref_lb = oracle_bond_acf(traj, M, N_P)
+    assert len(pl.results.bond_acf) == 1
+    np.testing.assert_allclose(
+        pl.results.bond_acf[0], ref_acf, rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        pl.results.bond_lengths[0], ref_lb, rtol=1e-6
+    )
+    assert np.isclose(pl.results.bond_acf[0][0], 1.0)
+
+
+def test_persistence_length_helix_closed_form():
+    """A rigid helix has the exact contour correlation
+    C(s) = r^2 cos(s*phi) + c^2 (unit bond tangents with a constant
+    in-plane rotation per bond)."""
+
+    n_p, phi = 12, 0.4
+    r, c = 0.8, 0.6  # r^2 + c^2 = 1
+    i = np.arange(n_p - 1)
+    tangents = np.stack(
+        [r * np.cos(i * phi), r * np.sin(i * phi), c * np.ones_like(i)],
+        axis=-1,
+    )
+    chain = np.concatenate(
+        [np.zeros((1, 3)), np.cumsum(tangents, axis=0)]
+    ) + 50.0
+    u = Universe.from_arrays(
+        chain[None], np.array([100.0] * 3),
+        segindices=np.zeros(n_p, dtype=int), dt=1.0,
+    )
+    pl = polymer.PersistenceLength(u.atoms, verbose=False).run()
+    s = np.arange(n_p - 1)
+    expected = r**2 * np.cos(s * phi) + c**2
+    np.testing.assert_allclose(
+        pl.results.bond_acf[0], expected, rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(pl.results.bond_lengths[0], 1.0,
+                               rtol=1e-6)
+
+
+def test_persistence_length_freely_rotating_fit():
+    """Freely-rotating chains decay as cos(theta)^s; the fitted l_p
+    matches -l_b / ln cos(theta)."""
+
+    theta, lb = np.radians(30.0), 1.5
+    m, n_p, t_frames = 60, 16, 12
+    rng_fr = np.random.default_rng(11)
+    frames = np.empty((t_frames, m * n_p, 3))
+    for t in range(t_frames):
+        chains = []
+        for _ in range(m):
+            u_vec = rng_fr.normal(size=3)
+            u_vec /= np.linalg.norm(u_vec)
+            tangents = [u_vec]
+            for _ in range(n_p - 2):
+                prev = tangents[-1]
+                # random unit vector perpendicular to prev
+                perp = np.cross(prev, rng_fr.normal(size=3))
+                perp /= np.linalg.norm(perp)
+                tangents.append(
+                    np.cos(theta) * prev + np.sin(theta) * perp
+                )
+            pos = np.concatenate(
+                [np.zeros((1, 3)),
+                 np.cumsum(lb * np.asarray(tangents), axis=0)]
+            )
+            chains.append(pos + 500.0)
+        frames[t] = np.concatenate(chains)
+    u = Universe.from_arrays(
+        frames, np.array([1000.0] * 3),
+        segindices=np.repeat(np.arange(m), n_p), dt=1.0,
+    )
+    pl = polymer.PersistenceLength(u.atoms, verbose=False).run()
+    s = np.arange(n_p - 1)
+    np.testing.assert_allclose(
+        pl.results.bond_acf[0], np.cos(theta) ** s, atol=0.04
+    )
+    pl.calculate_persistence_length()
+    expected_lp = -lb / np.log(np.cos(theta))
+    assert np.isclose(
+        pl.results.persistence_lengths[0], expected_lp, rtol=0.12
+    )
+    np.testing.assert_allclose(pl.results.bond_lengths[0], lb,
+                               rtol=1e-6)
+
+
+def test_persistence_length_min_image(universe, traj):
+    """Wrapped coordinates reproduce the unwrapped correlation (bond
+    vectors are restored by the minimum image)."""
+
+    wrapped = traj - BOX * np.floor(traj / BOX)
+    u = Universe.from_arrays(
+        wrapped, np.array([BOX] * 3),
+        masses=universe.atoms.masses,
+        segindices=np.repeat(np.arange(M), N_P),
+        dt=1.0,
+    )
+    pl = polymer.PersistenceLength(u.atoms, verbose=False).run()
+    ref = polymer.PersistenceLength(
+        universe.atoms, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        pl.results.bond_acf[0], ref.results.bond_acf[0],
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_persistence_length_parallel(universe):
+    serial = polymer.PersistenceLength(
+        universe.atoms, verbose=False
+    ).run()
+    par = polymer.PersistenceLength(
+        universe.atoms, parallel=True, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        par.results.bond_acf[0], serial.results.bond_acf[0],
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        par.results.bond_lengths, serial.results.bond_lengths,
+        rtol=1e-9,
+    )
+
+
+def test_persistence_length_residues(universe, traj):
+    """Residue grouping: monomers are residue COMs (here 1-atom
+    residues, so identical to atoms)."""
+
+    pl = polymer.PersistenceLength(
+        universe.atoms, "residues", verbose=False
+    ).run()
+    ref_acf, _ = oracle_bond_acf(traj, M, N_P)
+    np.testing.assert_allclose(
+        pl.results.bond_acf[0], ref_acf, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_persistence_length_host_pipeline(universe, monkeypatch):
+    device, host = _host_device_pair(
+        lambda: polymer.PersistenceLength(
+            universe.atoms, verbose=False
+        ),
+        monkeypatch,
+        universe,
+    )
+    np.testing.assert_allclose(
+        host.results.bond_acf[0], device.results.bond_acf[0],
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        host.results.bond_lengths, device.results.bond_lengths,
+        rtol=1e-10,
+    )
+
+
+def test_persistence_length_too_short():
+    u = Universe.from_arrays(
+        np.zeros((2, 4, 3)), np.array([10.0] * 3),
+        segindices=np.repeat(np.arange(2), 2), dt=1.0,
+    )
+    with pytest.raises(ValueError, match="at least 3"):
+        polymer.PersistenceLength(u.atoms, verbose=False)
