@@ -28,6 +28,7 @@ if FOUND_OPENMM:
     from openmm import app
 
 __all__ = [
+    "box_volume",
     "create_atoms",
     "guess_bonds",
     "minimize_vectors",
@@ -36,6 +37,21 @@ __all__ = [
     "unwrap_edge",
     "wrap",
 ]
+
+
+def box_volume(dimensions) -> float:
+    r"""Cell volume from box parameters.
+
+    Accepts ``(3,)`` edge lengths (orthorhombic product) or ``(6,)``
+    lengths + angles; non-90-degree angles use the determinant of the
+    triclinic box matrix, :math:`abc\sqrt{1 - \cos^2\alpha -
+    \cos^2\beta - \cos^2\gamma + 2\cos\alpha\cos\beta\cos\gamma}`.
+    """
+
+    d = np.asarray(dimensions, dtype=np.float64)
+    if d.shape[-1] >= 6 and not np.allclose(d[3:6], 90.0):
+        return float(abs(np.linalg.det(triclinic_vectors(d[:6]))))
+    return float(d[:3].prod())
 
 
 def triclinic_vectors(dimensions: np.ndarray) -> np.ndarray:

@@ -372,10 +372,9 @@ class ElectricCurrentAutocorrelation(DynamicAnalysisBase):
                 f"blocks, so the last {extra:,} frame(s) will be "
                 "discarded."
             )
-        dims = np.asarray(
-            self.universe.dimensions[:3], dtype=np.float64
-        )
-        volume = float(dims.prod())
+        from ..algorithm.topology import box_volume
+
+        volume = box_volume(self.universe.dimensions)
         dt = self._uniform_lag_dt("ElectricCurrentAutocorrelation")
         self.results.current = self._current
         blocks = [

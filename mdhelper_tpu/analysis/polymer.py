@@ -1328,9 +1328,15 @@ class PersistenceLength(_PolymerAnalysisBase):
     ``MDAnalysis.analysis.polymer.PersistenceLength``).
 
     For each chain the normalized bond vectors :math:`\hat{u}_i
-    \propto \mathbf{r}_{i+1} - \mathbf{r}_i` (minimum image — bonds
-    never span more than half a box, so no trajectory unwrap is
-    needed) form the contour correlation
+    \propto \mathbf{r}_{i+1} - \mathbf{r}_i` form the contour
+    correlation.  With ``unwrap=False`` (default) bonds are folded by
+    the minimum image — exact for ``groupings="atoms"`` where a bond
+    never spans more than half a box.  With ``groupings="residues"``
+    on a wrapped trajectory a boundary-straddling residue's COM lands
+    mid-box and no per-bond fold can repair it — pass ``unwrap=True``
+    to unwrap monomer positions (image-flag scan seeded by an
+    edge-unwrap of the first frame, as in :class:`Gyradius`) before
+    the bonds are formed.
 
     .. math::
 
@@ -1356,6 +1362,10 @@ class PersistenceLength(_PolymerAnalysisBase):
     n_chains, n_monomers : `int` or array-like, optional
         Explicit chain/monomer counts when the universe carries no
         segment information.
+    unwrap : `bool`, keyword-only, default False
+        Unwrap monomer positions before forming bonds (required for
+        ``groupings="residues"`` on wrapped trajectories; forces
+        sequential streaming).
     parallel : `bool`, keyword-only, default False
         Shard frame batches over the device mesh.
 
@@ -1378,17 +1388,17 @@ class PersistenceLength(_PolymerAnalysisBase):
         n_chains=None,
         n_monomers=None,
         *,
+        unwrap: bool = False,
         parallel: bool = False,
         verbose: bool = True,
         **kwargs,
     ) -> None:
-        kwargs.pop("unwrap", None)  # min-image bonds need no unwrap
         super().__init__(
             groups,
             groupings,
             n_chains,
             n_monomers,
-            unwrap=False,
+            unwrap=unwrap,
             parallel=parallel,
             verbose=verbose,
             **kwargs,
@@ -1397,6 +1407,13 @@ class PersistenceLength(_PolymerAnalysisBase):
             raise ValueError(
                 "PersistenceLength needs chains of at least 3 "
                 "monomers (2 bonds)."
+            )
+        if unwrap and (
+            self._dimensions is None
+            or not (np.asarray(self._dimensions) > 0).all()
+        ):
+            raise ValueError(
+                "unwrap=True requires a universe with box dimensions."
             )
         self._setup_periodic_box()
 
@@ -1440,40 +1457,105 @@ class PersistenceLength(_PolymerAnalysisBase):
         extractors = [
             self._monomer_positions_fn(i) for i in range(self._n_groups)
         ]
-        frame_boxes = self._frame_boxes
         hi = jax.lax.Precision.HIGHEST
 
-        def update(carry, positions, dimensions, mask):
-            boxes = frame_boxes(dimensions)
-            grams, blens = [], []
-            for extract, gram0, blen0 in zip(
-                extractors, carry["gram"], carry["blen"]
-            ):
-                monomers = extract(positions)  # (B, M, N_p, 3)
-                bonds = monomers[:, :, 1:] - monomers[:, :, :-1]
-                vectors = jax.vmap(_min_image_vectors)(
-                    bonds, boxes.astype(bonds.dtype)
+        def gram_blen(vectors, mask, gram0, blen0):
+            """(B, M, N_b, 3) bond vectors -> accumulated Gram matrix
+            and summed bond length."""
+            norms = jnp.sqrt(
+                jnp.maximum(
+                    (vectors * vectors).sum(axis=-1),
+                    jnp.finfo(vectors.dtype).tiny,
                 )
-                norms = jnp.sqrt(
-                    jnp.maximum(
-                        (vectors * vectors).sum(axis=-1),
-                        jnp.finfo(vectors.dtype).tiny,
+            )  # (B, M, N_b)
+            unit = vectors / norms[..., None]
+            w = mask.astype(vectors.dtype)
+            gram = jnp.einsum(
+                "b,bmia,bmja->ij", w, unit, unit, precision=hi
+            )
+            blen = (norms * w[:, None, None]).sum()
+            return (
+                gram0 + gram.astype(jnp.float64),
+                blen0 + blen.astype(jnp.float64),
+            )
+
+        if self._unwrap:
+            dtype = self._stream_dtype()
+            box = jnp.asarray(self._dimensions, dtype=dtype)
+            self.universe.trajectory[int(self.frames[0])]
+            prev0 = tuple(
+                jnp.asarray(
+                    self._initial_unwrapped_monomers(i), dtype=dtype
+                )
+                for i in range(self._n_groups)
+            )
+            images0 = tuple(
+                jnp.zeros(p.shape, dtype=jnp.int32) for p in prev0
+            )
+            self._carry["unwrap"] = (prev0, images0)
+            step = _unwrap_step(box)
+
+            def update(carry, positions, dimensions, mask):
+                del dimensions
+                prevs, imagess = carry["unwrap"]
+                grams, blens = [], []
+                new_prevs, new_imagess = [], []
+                for extract, gram0, blen0, prev, images in zip(
+                    extractors,
+                    carry["gram"],
+                    carry["blen"],
+                    prevs,
+                    imagess,
+                ):
+                    monomers = extract(positions)  # (B, M, N_p, 3)
+                    (prev, images), unwrapped = jax.lax.scan(
+                        step, (prev, images), (monomers, mask)
                     )
-                )  # (B, M, N_b)
-                unit = vectors / norms[..., None]
-                w = mask.astype(vectors.dtype)
-                gram = jnp.einsum(
-                    "b,bmia,bmja->ij", w, unit, unit, precision=hi
+                    new_prevs.append(prev)
+                    new_imagess.append(images)
+                    bonds = (
+                        unwrapped[:, :, 1:] - unwrapped[:, :, :-1]
+                    )
+                    gram, blen = gram_blen(bonds, mask, gram0, blen0)
+                    grams.append(gram)
+                    blens.append(blen)
+                frames = carry["frames"] + mask.sum().astype(
+                    jnp.float64
                 )
-                grams.append(gram0 + gram.astype(jnp.float64))
-                blen = (norms * w[:, None, None]).sum()
-                blens.append(blen0 + blen.astype(jnp.float64))
-            frames = carry["frames"] + mask.sum().astype(jnp.float64)
-            return {
-                "frames": frames,
-                "gram": tuple(grams),
-                "blen": tuple(blens),
-            }
+                return {
+                    "frames": frames,
+                    "gram": tuple(grams),
+                    "blen": tuple(blens),
+                    "unwrap": (tuple(new_prevs), tuple(new_imagess)),
+                }
+
+        else:
+            frame_boxes = self._frame_boxes
+
+            def update(carry, positions, dimensions, mask):
+                boxes = frame_boxes(dimensions)
+                grams, blens = [], []
+                for extract, gram0, blen0 in zip(
+                    extractors, carry["gram"], carry["blen"]
+                ):
+                    monomers = extract(positions)  # (B, M, N_p, 3)
+                    bonds = monomers[:, :, 1:] - monomers[:, :, :-1]
+                    vectors = jax.vmap(_min_image_vectors)(
+                        bonds, boxes.astype(bonds.dtype)
+                    )
+                    gram, blen = gram_blen(
+                        vectors, mask, gram0, blen0
+                    )
+                    grams.append(gram)
+                    blens.append(blen)
+                frames = carry["frames"] + mask.sum().astype(
+                    jnp.float64
+                )
+                return {
+                    "frames": frames,
+                    "gram": tuple(grams),
+                    "blen": tuple(blens),
+                }
 
         self._update = jit_update(update)
 
@@ -1484,6 +1566,17 @@ class PersistenceLength(_PolymerAnalysisBase):
             self._host_monomer_extractor(i)
             for i in range(self._n_groups)
         ]
+        if self._unwrap:
+            self._init_host_unwrap()
+
+        def accumulate(state, i, v) -> None:
+            norms = np.maximum(
+                np.linalg.norm(v, axis=-1),
+                np.finfo(v.dtype).tiny,
+            )
+            unit = v / norms[..., None]
+            state["gram"][i] += np.einsum("mia,mja->ij", unit, unit)
+            state["blen"][i] += norms.sum()
 
         def host_update(batch) -> None:
             positions = self._host_chunk_positions(batch)
@@ -1494,17 +1587,23 @@ class PersistenceLength(_PolymerAnalysisBase):
             state = self._host_state
             for i, extract in enumerate(extractors):
                 monomers = extract(positions)  # (B, M, N_p, 3)
-                bonds = monomers[:, :, 1:] - monomers[:, :, :-1]
-                for f in range(batch.n_real):
-                    v = np.asarray(
-                        minimize_vectors(bonds[f], dims_all[f])
-                    )
-                    norms = np.linalg.norm(v, axis=-1)
-                    unit = v / norms[..., None]
-                    state["gram"][i] += np.einsum(
-                        "mia,mja->ij", unit, unit
-                    )
-                    state["blen"][i] += norms.sum()
+                if self._unwrap:
+                    monomers = self._host_unwrap(i, monomers)
+                    bonds = monomers[:, :, 1:] - monomers[:, :, :-1]
+                    for f in range(batch.n_real):
+                        accumulate(state, i, bonds[f])
+                else:
+                    bonds = monomers[:, :, 1:] - monomers[:, :, :-1]
+                    for f in range(batch.n_real):
+                        accumulate(
+                            state,
+                            i,
+                            np.asarray(
+                                minimize_vectors(
+                                    bonds[f], dims_all[f]
+                                )
+                            ),
+                        )
             state["frames"] += float(batch.n_real)
 
         self._host_update_fn = host_update

@@ -33,6 +33,9 @@ import numpy as np
 from .. import ureg
 from .base import DynamicAnalysisBase
 
+# cap on one PCA.transform() host read (full universe atom width)
+_TRANSFORM_BLOCK_BYTES = 2**28
+
 __all__ = ["PrincipalComponentAnalysis", "RMSD", "RMSF"]
 
 
@@ -609,16 +612,28 @@ class PrincipalComponentAnalysis(_SuperpositionBase):
         w = self._weights
         w_total = self._w_total
         ref = self._ref_centered
-        positions, _ = self._trajectory.read_frames(self.frames)
-        out = np.empty((len(self.frames), k))
-        for f in range(len(self.frames)):
-            pos = positions[f][self._atom_indices]
-            com = (w[:, None] * pos).sum(axis=0) / w_total
-            pc = pos - com
-            if self._align:
-                c = (pc * w[:, None]).T @ ref
-                _, vecs = np.linalg.eigh(_davenport_k(c))
-                rot = _rotation_from_quaternion(vecs[:, -1])
-                pc = pc @ rot.T
-            out[f] = (pc.reshape(-1) - mean_x) @ comps
+        frames = np.asarray(self.frames)
+        out = np.empty((len(frames), k))
+        # bounded blocks: read_frames materializes frames at full
+        # universe atom width, so cap each read at ~256 MB and subset
+        # the analyzed columns immediately (a single bulk read of a
+        # long large-N trajectory would exhaust host memory)
+        n_universe = self.universe.atoms.n_atoms
+        block = max(
+            1, int(_TRANSFORM_BLOCK_BYTES // max(n_universe * 24, 1))
+        )
+        for lo in range(0, len(frames), block):
+            chunk = frames[lo:lo + block]
+            positions, _ = self._trajectory.read_frames(chunk)
+            positions = np.asarray(positions)[:, self._atom_indices]
+            for j in range(len(chunk)):
+                pos = positions[j]
+                com = (w[:, None] * pos).sum(axis=0) / w_total
+                pc = pos - com
+                if self._align:
+                    c = (pc * w[:, None]).T @ ref
+                    _, vecs = np.linalg.eigh(_davenport_k(c))
+                    rot = _rotation_from_quaternion(vecs[:, -1])
+                    pc = pc @ rot.T
+                out[lo + j] = (pc.reshape(-1) - mean_x) @ comps
         return out

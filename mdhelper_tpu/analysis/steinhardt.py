@@ -81,6 +81,20 @@ def _order_host_pipeline(self, n: int) -> bool:
     return self._resolve_host_pipeline() and n > 20_000
 
 
+def _cap_chunk_for_budget(self, n: int, work_per_frame: float) -> None:
+    """Cap the chunk so one device execution stays ~20 s: the dense
+    sweep runs ~1e10 pair-harmonic ops/s on the chip, and tunnel
+    runtimes kill executions past ~60-90 s (BASELINE.md round-3
+    watchdog bisection).  Shared by the order-parameter classes."""
+
+    est = work_per_frame / 1.0e10
+    max_frames = max(1, int(20.0 / max(est, 1e-9)))
+    frame_bytes = n * 3 * np.dtype(self._stream_dtype()).itemsize
+    self._chunk_bytes = min(
+        self._chunk_bytes, max_frames * frame_bytes
+    )
+
+
 class SteinhardtOrderParameter(DynamicAnalysisBase):
     r"""Per-particle Steinhardt bond-orientational order parameters.
 
@@ -209,23 +223,12 @@ class SteinhardtOrderParameter(DynamicAnalysisBase):
         if self._host_pipeline:
             self._prepare_host()
             return
-        self._cap_chunk_for_budget(
-            n, n * n * self._n_cols * (1.5 if self._averaged else 1.0)
+        _cap_chunk_for_budget(
+            self,
+            n,
+            n * n * self._n_cols * (1.5 if self._averaged else 1.0),
         )
         self._make_update()
-
-    def _cap_chunk_for_budget(self, n, work_per_frame) -> None:
-        """Cap the chunk so one device execution stays ~20 s: the
-        dense sweep runs ~1e10 pair-harmonic ops/s on the chip, and
-        tunnel runtimes kill executions past ~60-90 s (BASELINE.md
-        round-3 watchdog bisection)."""
-
-        est = work_per_frame / 1.0e10
-        max_frames = max(1, int(20.0 / max(est, 1e-9)))
-        frame_bytes = n * 3 * np.dtype(self._stream_dtype()).itemsize
-        self._chunk_bytes = min(
-            self._chunk_bytes, max_frames * frame_bytes
-        )
 
     # -- host pipeline (KD-tree; float64; the large-N path) --------
 
@@ -526,9 +529,7 @@ class TetrahedralOrderParameter(DynamicAnalysisBase):
         if self._host_pipeline:
             self._prepare_host()
             return
-        SteinhardtOrderParameter._cap_chunk_for_budget(
-            self, n, n * n * 10.0
-        )
+        _cap_chunk_for_budget(self, n, n * n * 10.0)
         self._make_update()
 
     @staticmethod

@@ -644,3 +644,129 @@ def test_persistence_length_too_short():
     )
     with pytest.raises(ValueError, match="at least 3"):
         polymer.PersistenceLength(u.atoms, verbose=False)
+
+
+def test_persistence_length_unwrap_long_bonds():
+    """Bonds stretched beyond half the box: the min-image fold
+    corrupts them, while ``unwrap=True`` (image-flag tracking seeded
+    by the compact first frame) recovers the true correlation."""
+
+    box = 5.0
+    m2, n_p2, t2 = 2, 6, 12
+    local = np.random.default_rng(11)
+    # chains start compact (bond 1.0 < box/2, exact edge-unwrap seed)
+    # and stretch to bond 3.5 > box/2; per-frame monomer displacement
+    # stays below box/2 so image-flag tracking is well-posed
+    dirs = local.normal(size=(m2, n_p2 - 1, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs[:, 0] = (1.0, 0.0, 0.0)  # guaranteed folded at full stretch
+    starts = local.random((m2, 1, 3)) * box
+    lengths = np.linspace(1.0, 3.5, t2)
+    walks = np.concatenate(
+        [np.zeros((m2, 1, 3)), np.cumsum(dirs, axis=1)], axis=1
+    )  # (M, N_p, 3) unit-bond contours, fixed shape over time
+    frames = np.stack([starts + lb * walks for lb in lengths])
+    traj_u = frames.reshape(t2, m2 * n_p2, 3)
+    wrapped = traj_u - box * np.floor(traj_u / box)
+    u = Universe.from_arrays(
+        wrapped, np.array([box] * 3),
+        segindices=np.repeat(np.arange(m2), n_p2), dt=1.0,
+    )
+
+    pl = polymer.PersistenceLength(
+        u.atoms, unwrap=True, verbose=False
+    ).run()
+    ref_acf, ref_lb = oracle_bond_acf(traj_u, m2, n_p2)
+    np.testing.assert_allclose(
+        pl.results.bond_acf[0], ref_acf, rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        pl.results.bond_lengths[0], ref_lb, rtol=1e-6
+    )
+    # the min-image path cannot represent bonds > box/2
+    folded = polymer.PersistenceLength(u.atoms, verbose=False).run()
+    assert np.abs(folded.results.bond_acf[0] - ref_acf).max() > 0.05
+
+
+def test_persistence_length_unwrap_matches_min_image(universe, traj):
+    """On a drifting small-bond trajectory the unwrap and min-image
+    routes agree (and both match the oracle)."""
+
+    wrapped = traj - BOX * np.floor(traj / BOX)
+    u = Universe.from_arrays(
+        wrapped, np.array([BOX] * 3),
+        masses=universe.atoms.masses,
+        segindices=np.repeat(np.arange(M), N_P),
+        dt=1.0,
+    )
+    pl = polymer.PersistenceLength(
+        u.atoms, unwrap=True, verbose=False
+    ).run()
+    ref_acf, _ = oracle_bond_acf(traj, M, N_P)
+    np.testing.assert_allclose(
+        pl.results.bond_acf[0], ref_acf, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_persistence_length_host_pipeline_unwrap(traj, monkeypatch):
+    """Host pipeline honors unwrap=True (residue-COM monomers)."""
+
+    wrapped = traj - BOX * np.floor(traj / BOX)
+    u = Universe.from_arrays(
+        wrapped, np.array([BOX] * 3),
+        masses=np.tile(np.linspace(1, 2, N_P), M),
+        segindices=np.repeat(np.arange(M), N_P),
+        resindices=np.arange(N),
+        dt=1.0,
+    )
+    device, host = _host_device_pair(
+        lambda: polymer.PersistenceLength(
+            u.atoms, "residues", unwrap=True, verbose=False
+        ),
+        monkeypatch,
+        u,
+        chunk_frames=3,
+    )
+    np.testing.assert_allclose(
+        host.results.bond_acf[0], device.results.bond_acf[0],
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        host.results.bond_lengths, device.results.bond_lengths,
+        rtol=1e-9,
+    )
+
+
+def test_persistence_length_degenerate_bond(monkeypatch):
+    """Coincident consecutive monomers: both routes stay finite (the
+    host path guards the norm like the device path)."""
+
+    local = np.random.default_rng(5)
+    t2, n_p2 = 4, 4
+    pos = local.random((t2, n_p2, 3)) * BOX
+    pos[:, 2] = pos[:, 1]  # zero-length middle bond, every frame
+    u = Universe.from_arrays(
+        pos, np.array([BOX] * 3),
+        segindices=np.zeros(n_p2, dtype=int), dt=1.0,
+    )
+    device, host = _host_device_pair(
+        lambda: polymer.PersistenceLength(u.atoms, verbose=False),
+        monkeypatch,
+        u,
+        chunk_frames=2,
+    )
+    assert np.isfinite(host.results.bond_acf[0]).all()
+    assert np.isfinite(device.results.bond_acf[0]).all()
+    np.testing.assert_allclose(
+        host.results.bond_acf[0], device.results.bond_acf[0],
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_persistence_length_unwrap_requires_box():
+    u = Universe.from_arrays(
+        np.zeros((2, 6, 3)),
+        segindices=np.zeros(6, dtype=int), dt=1.0,
+    )
+    with pytest.raises(ValueError, match="box dimensions"):
+        polymer.PersistenceLength(u.atoms, unwrap=True, verbose=False)
