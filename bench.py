@@ -40,7 +40,11 @@ Configuration via env vars:
                         (MDTPU_BENCH_AGG_ATOMS, default 9000);
                         "order": the Steinhardt q4/q6 + tetrahedral
                         order pair fused into one pass (same atom
-                        count knob)
+                        count knob); "cross": cross-RDF between the
+                        two species of a 50/50 binary mixture (the
+                        Pallas (e0, e1) cross cell kernel under the
+                        cost-searched grid; MDTPU_CELL_SEARCH=0 A/Bs
+                        the naive finest grid)
 """
 
 import json
@@ -252,6 +256,32 @@ def baseline_config_frame_seconds(level: str, qs: np.ndarray) -> float:
                 bins=N_BINS, range=(0.0, R_MAX),
             )
             frame_seconds = (time.perf_counter() - t0) * n_sel
+        elif level == "cross":
+            # Cross-RDF between the two species of a 50/50 mixture,
+            # the reference's per-frame idiom: KD-tree candidate
+            # search (capped_distance) between the groups + histogram.
+            from scipy.spatial import cKDTree
+
+            p_a, p_b = pos[0::2], pos[1::2]
+            t0 = time.perf_counter()
+            tree_b = cKDTree(p_b % BOX, boxsize=BOX)
+            neighbors = cKDTree(p_a % BOX, boxsize=BOX).query_ball_tree(
+                tree_b, R_MAX
+            )
+            counts = [len(nb) for nb in neighbors]
+            rows = np.repeat(np.arange(len(p_a)), counts)
+            cols = (
+                np.concatenate([nb for nb in neighbors if nb])
+                if any(counts)
+                else np.empty(0, dtype=int)
+            )
+            delta = p_a[rows] - p_b[cols]
+            delta -= BOX * np.round(delta / BOX)
+            np.histogram(
+                np.sqrt((delta**2).sum(axis=1)),
+                bins=N_BINS, range=(0.0, R_MAX),
+            )
+            frame_seconds = time.perf_counter() - t0
         elif level == "aggregates":
             # Clustering + hydrogen bonds + Q-tensor per frame, the
             # way a reference user codes them single-core: KD-tree
@@ -647,6 +677,20 @@ def tpu_class_fps(which: str) -> float:
                 u.atoms, n_bins=N_BINS, range=(0.0, R_MAX),
                 exclusion=(1, 1), verbose=False,
             )
+        if which == "cross":
+            # Cross-RDF between the two species of a 50/50 binary
+            # mixture (even/odd atom split): the Pallas (e0, e1)
+            # cross cell kernel under the cost-searched grid
+            # (ops/pallas_cell_histogram.pallas_cell_plan_search;
+            # MDTPU_CELL_SEARCH=0 A/Bs the naive finest grid).
+            from mdhelper_tpu.analysis.structure import (
+                RadialDistributionFunction,
+            )
+
+            return RadialDistributionFunction(
+                u.atoms[0::2], u.atoms[1::2], n_bins=N_BINS,
+                range=(0.0, R_MAX), verbose=False,
+            )
         if which == "sq":
             from mdhelper_tpu.analysis.structure import StructureFactor
 
@@ -1041,6 +1085,13 @@ def _measure_tpu_subprocess() -> float:
             "import bench\n"
             "print('MDTPU_FPS', bench.tpu_order_fps())\n"
         )
+    elif LEVEL == "cross":
+        phases = ("cross",)
+        template = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "print('MDTPU_FPS', bench.tpu_class_fps({phase!r}))\n"
+        )
     elif LEVEL in ("config4", "config5", "isf", "vanhove"):
         phases = {
             "config4": ("profile",),
@@ -1156,7 +1207,7 @@ def main() -> None:
     qs = wavevectors()
     if LEVEL in (
         "config4", "config5", "isf", "vanhove", "aggregates",
-        "order",
+        "order", "cross",
     ):
         ref_seconds = baseline_config_frame_seconds(LEVEL, qs)
     else:
@@ -1188,6 +1239,10 @@ def main() -> None:
         "aggregates": (
             "fused clustering + hydrogen bonds + nematic order "
             f"throughput ({AGG_ATOMS} water-like atoms)"
+        ),
+        "cross": (
+            "cross-RDF (50/50 binary mixture, Pallas cross cell "
+            "kernel) throughput"
         ),
         "order": (
             "fused Steinhardt q4/q6 (averaged + w_l) + tetrahedral "

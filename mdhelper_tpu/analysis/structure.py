@@ -685,7 +685,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         from ..ops.pallas_cell_histogram import (
             cell_pair_histogram_pallas,
             cross_pair_histogram_pallas,
-            pallas_cell_plan,
+            pallas_cell_plan_search,
         )
 
         box_np = np.asarray(self.universe.dimensions[:3], np.float64)
@@ -694,8 +694,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             self.ag2 is self.ag1
             and self._groupings[0] == self._groupings[1]
         )
-        plan = pallas_cell_plan(
+        # Cost-searched grid (coarser cells when the lane-snapped
+        # capacity would mostly pad); cross groups share one grid.
+        plan = pallas_cell_plan_search(
             self._n1, box_np, r_max,
+            n_atoms2=self._n2 if cross else None,
             capacity_sigmas=self._capacity_sigmas,
         )
         exclusion = self._exclusion
@@ -715,10 +718,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         n_bins = self._n_bins
 
         if cross:
-            plan2 = pallas_cell_plan(
-                self._n2, box_np, r_max,
-                capacity_sigmas=self._capacity_sigmas,
-            )
             take2 = _column_selector(self._sel2, n_cols)
             seg2 = (
                 None if self._seg2 is None else jnp.asarray(self._seg2)
@@ -748,13 +747,13 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                         r_max=r_max,
                         n_cells_dim=plan["n_cells_dim"],
                         capacity1=plan["capacity"],
-                        capacity2=plan2["capacity"],
+                        capacity2=plan["capacity2"],
                         n_bins=n_bins, precision="exact",
                         exclusion=exclusion,
                     )
                     occ = jnp.maximum(
                         occ1 - np.int32(plan["capacity"]),
-                        occ2 - np.int32(plan2["capacity"]),
+                        occ2 - np.int32(plan["capacity2"]),
                     )
                 else:
                     pos, dims, valid = inputs
@@ -2415,13 +2414,16 @@ class VanHoveFunction(SerialAnalysisBase):
         if distinct_part:
             if use_cell:
                 from ..ops.pallas_cell_histogram import (
-                    pallas_cell_plan,
+                    pallas_cell_plan_search,
                 )
 
-                plan = pallas_cell_plan(
+                # Cross kernel over the same group at two times: a
+                # joint (equal-count) grid search.
+                plan = pallas_cell_plan_search(
                     n_entities,
                     np.asarray(self.universe.dimensions[:3], float),
                     float(self._range[1]),
+                    n_atoms2=n_entities,
                 )
                 self._cell_plan = plan
                 self._carry["max_occ"] = jnp.full(

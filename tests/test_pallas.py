@@ -291,3 +291,74 @@ def test_pallas_cell_histogram_three_cell_grid():
     dist[np.arange(n), np.arange(n)] = np.inf
     oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
     np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
+
+
+def test_pallas_plan_search_prefers_coarse_grid(monkeypatch):
+    """At low per-cell occupancy the lane-snapped capacity is mostly
+    padding on the finest grid; the cost search must pick a coarser
+    (still legal) grid, and MDTPU_CELL_SEARCH=0 must restore the naive
+    finest-grid plan."""
+
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        pallas_cell_plan,
+        pallas_cell_plan_search,
+    )
+
+    n, box, r_max = 600, 16.0, 2.0  # finest grid: 8^3 cells, occ ~1.2
+    naive = pallas_cell_plan(n, [box] * 3, r_max)
+    plan = pallas_cell_plan_search(n, [box] * 3, r_max)
+    assert plan["capacity"] % 128 == 0
+    assert all(
+        3 <= d <= m
+        for d, m in zip(plan["n_cells_dim"], naive["n_cells_dim"])
+    )
+    assert plan["n_cells"] < naive["n_cells"]
+    assert plan["_cost"] <= 14 * naive["n_cells"] * naive["capacity"] ** 2
+
+    # Cross: one shared grid, both capacities planned jointly.
+    joint = pallas_cell_plan_search(
+        n, [box] * 3, r_max, n_atoms2=3 * n
+    )
+    assert joint["capacity"] % 128 == 0
+    assert joint["capacity2"] % 128 == 0
+    assert joint["capacity2"] >= joint["capacity"]
+
+    monkeypatch.setenv("MDTPU_CELL_SEARCH", "0")
+    disabled = pallas_cell_plan_search(n, [box] * 3, r_max)
+    assert disabled["n_cells_dim"] == naive["n_cells_dim"]
+
+
+def test_pallas_cross_histogram_searched_plan_matches_oracle():
+    """The cross kernel under a cost-searched (coarse) joint plan —
+    the 50/50 binary-mixture configuration — stays bit-exact against
+    the float64 oracle."""
+
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cross_pair_histogram_pallas,
+        pallas_cell_plan,
+        pallas_cell_plan_search,
+    )
+
+    box, r_max, n_bins = 16.0, 2.0, 64
+    n1 = n2 = 700
+    p1 = (rng.random((n1, 3)) * box).astype(np.float32)
+    p2 = (rng.random((n2, 3)) * box).astype(np.float32)
+    plan = pallas_cell_plan_search(
+        n1, [box] * 3, r_max, n_atoms2=n2
+    )
+    naive = pallas_cell_plan(n1, [box] * 3, r_max)
+    assert plan["n_cells"] < naive["n_cells"]  # searched, not finest
+    counts, m1, m2 = cross_pair_histogram_pallas(
+        jnp.asarray(p1), jnp.asarray(p2),
+        box=(box,) * 3, r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity1=plan["capacity"], capacity2=plan["capacity2"],
+        n_bins=n_bins, precision="exact",
+    )
+    assert int(m1) <= plan["capacity"]
+    assert int(m2) <= plan["capacity2"]
+    d = p1.astype(np.float64)[:, None] - p2.astype(np.float64)[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
