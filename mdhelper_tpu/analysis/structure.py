@@ -679,16 +679,37 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if dims is None:
             return False
         r_max = self._range[1]
-        return bool(np.all(np.floor(dims[:3] / r_max) >= 3))
+        if not np.all(np.floor(dims[:3] / r_max) >= 3):
+            return False
+        # The kernel's slot tables are VMEM-resident; when no legal
+        # grid fits the table budget (very large N x box/r_max), the
+        # searched plan falls back over budget — use the XLA sweep.
+        plan = self._searched_cell_plan()
+        return plan["_tables_bytes"] <= 9 << 20
+
+    def _searched_cell_plan(self):
+        from ..ops.pallas_cell_histogram import pallas_cell_plan_search
+
+        if getattr(self, "_cell_plan_cache", None) is None:
+            cross = not (
+                self.ag2 is self.ag1
+                and self._groupings[0] == self._groupings[1]
+            )
+            self._cell_plan_cache = pallas_cell_plan_search(
+                self._n1,
+                np.asarray(self.universe.dimensions[:3], np.float64),
+                float(self._range[1]),
+                n_atoms2=self._n2 if cross else None,
+                capacity_sigmas=self._capacity_sigmas,
+            )
+        return self._cell_plan_cache
 
     def _prepare_pallas_cell(self) -> None:
         from ..ops.pallas_cell_histogram import (
             cell_pair_histogram_pallas,
             cross_pair_histogram_pallas,
-            pallas_cell_plan_search,
         )
 
-        box_np = np.asarray(self.universe.dimensions[:3], np.float64)
         r_max = float(self._range[1])
         cross = not (
             self.ag2 is self.ag1
@@ -696,11 +717,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         )
         # Cost-searched grid (coarser cells when the lane-snapped
         # capacity would mostly pad); cross groups share one grid.
-        plan = pallas_cell_plan_search(
-            self._n1, box_np, r_max,
-            n_atoms2=self._n2 if cross else None,
-            capacity_sigmas=self._capacity_sigmas,
-        )
+        plan = self._searched_cell_plan()
         exclusion = self._exclusion
         # Self-RDF with no exclusion (reference default): the kernel
         # always drops identical-atom pairs, whose distance is exactly
@@ -2425,6 +2442,13 @@ class VanHoveFunction(SerialAnalysisBase):
                     float(self._range[1]),
                     n_atoms2=n_entities,
                 )
+                # No legal grid fits the VMEM table budget (very
+                # large N x box/r_max): the brute sweep is the only
+                # device path.
+                if plan["_tables_bytes"] > 9 << 20:
+                    use_cell = False
+                    self._use_cell = False
+            if use_cell:
                 self._cell_plan = plan
                 self._carry["max_occ"] = jnp.full(
                     (), -(2**30), jnp.int32

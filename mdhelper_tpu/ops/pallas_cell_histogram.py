@@ -85,20 +85,25 @@ def pallas_cell_plan(n_atoms, box, r_max, *, capacity_sigmas=4.0):
     box = np.asarray(box, dtype=float)
     n_cells_dim = np.maximum(3, np.floor(box / r_max).astype(int))
     n_cells = int(np.prod(n_cells_dim))
-    mean_occupancy = n_atoms / n_cells
-    capacity = int(
-        np.ceil(
-            mean_occupancy
-            + capacity_sigmas * np.sqrt(mean_occupancy)
-            + 4
-        )
-    )
-    capacity = _cdiv(capacity, 128) * 128  # lane-aligned slots
     return {
         "n_cells_dim": tuple(int(n) for n in n_cells_dim),
         "n_cells": n_cells,
-        "capacity": capacity,
+        "capacity": _aligned_capacity(
+            n_atoms, n_cells, capacity_sigmas
+        ),
     }
+
+
+def _aligned_capacity(n_atoms, n_cells, capacity_sigmas):
+    """Lane-aligned per-cell slot capacity (shared by the naive plan
+    and the grid search): ``mean + sigmas * sqrt(mean) + 4`` snapped
+    up to a multiple of 128, bounded below by one lane tile and above
+    by the whole group (a cell can never hold more than every atom)."""
+
+    mean = n_atoms / n_cells
+    cap = int(np.ceil(mean + capacity_sigmas * np.sqrt(mean) + 4))
+    cap = _cdiv(cap, 128) * 128
+    return max(128, min(cap, _cdiv(max(n_atoms, 1), 128) * 128))
 
 
 def pallas_cell_plan_search(
@@ -144,19 +149,10 @@ def pallas_cell_plan_search(
     cross = n_atoms2 is not None
     n_nbr = 27 if cross else 14
 
-    def capacity_for(na, n_cells):
-        mean = na / n_cells
-        cap = int(
-            np.ceil(mean + capacity_sigmas * np.sqrt(mean) + 4)
-        )
-        cap = _cdiv(cap, 128) * 128
-        # A cell can never hold more than every atom.
-        return min(cap, _cdiv(na, 128) * 128)
-
     def plan_for(dims):
         nx, ny, nz = (int(d) for d in dims)
         n_cells = nx * ny * nz
-        c1 = capacity_for(n_atoms, n_cells)
+        c1 = _aligned_capacity(n_atoms, n_cells, capacity_sigmas)
         plan = {
             "n_cells_dim": (nx, ny, nz),
             "n_cells": n_cells,
@@ -164,7 +160,9 @@ def pallas_cell_plan_search(
         }
         c2 = c1
         if cross:
-            c2 = capacity_for(n_atoms2, n_cells)
+            c2 = _aligned_capacity(
+                n_atoms2, n_cells, capacity_sigmas
+            )
             plan["capacity2"] = c2
         plan["_tables_bytes"] = (
             4 * _ROWS * n_cells * (c1 + (c2 if cross else 0))
@@ -176,18 +174,37 @@ def pallas_cell_plan_search(
     if os.environ.get("MDTPU_CELL_SEARCH", "1") == "0":
         return fallback
 
+    def axis_candidates(m):
+        # Cost and table bytes depend on the axes only through the
+        # cell-count PRODUCT, and capacity is 128-stepped — the cost
+        # landscape is coarse, so a geometric subset (~8% spacing,
+        # max end always included) finds the same optimum as the full
+        # O(max_dims^3) enumeration without stalling _prepare on
+        # large-box/small-cutoff systems (a 1000 A box at r_max 3
+        # would otherwise visit ~37M triples).
+        m = int(m)
+        if m <= 16:
+            return list(range(3, m + 1))
+        vals = {3, m}
+        v = 3.0
+        while v < m:
+            vals.add(int(round(v)))
+            v *= 1.08
+        return sorted(vals)
+
     best = None
-    for nx in range(3, int(max_dims[0]) + 1):
-        for ny in range(3, int(max_dims[1]) + 1):
-            for nz in range(3, int(max_dims[2]) + 1):
+    for nx in axis_candidates(max_dims[0]):
+        for ny in axis_candidates(max_dims[1]):
+            for nz in axis_candidates(max_dims[2]):
                 plan = plan_for((nx, ny, nz))
                 if plan["_tables_bytes"] > table_budget_bytes:
                     continue
                 key = (plan["_cost"], plan["n_cells"])
                 if best is None or key < best[0]:
                     best = (key, plan)
-    # Nothing under budget (huge dense systems): the finest grid has
-    # the smallest tables — behave like the naive plan.
+    # Nothing under budget (dense systems where even the finest
+    # grid's tables overflow): fall back to the naive finest-grid
+    # plan — identical to MDTPU_CELL_SEARCH=0 / pallas_cell_plan.
     return fallback if best is None else best[1]
 
 

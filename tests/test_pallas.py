@@ -304,6 +304,7 @@ def test_pallas_plan_search_prefers_coarse_grid(monkeypatch):
         pallas_cell_plan_search,
     )
 
+    monkeypatch.delenv("MDTPU_CELL_SEARCH", raising=False)
     n, box, r_max = 600, 16.0, 2.0  # finest grid: 8^3 cells, occ ~1.2
     naive = pallas_cell_plan(n, [box] * 3, r_max)
     plan = pallas_cell_plan_search(n, [box] * 3, r_max)
@@ -323,12 +324,30 @@ def test_pallas_plan_search_prefers_coarse_grid(monkeypatch):
     assert joint["capacity2"] % 128 == 0
     assert joint["capacity2"] >= joint["capacity"]
 
+    # Empty groups never plan a zero capacity (the kernel wrapper
+    # divides by it); one lane tile is the floor.
+    tiny = pallas_cell_plan_search(0, [box] * 3, r_max, n_atoms2=5)
+    assert tiny["capacity"] == 128 and tiny["capacity2"] == 128
+    assert pallas_cell_plan(0, [box] * 3, r_max)["capacity"] == 128
+
+    # Large-box/small-cutoff systems must not stall _prepare: the
+    # axis candidates are geometrically thinned.
+    import time as _time
+
+    t0 = _time.perf_counter()
+    big = pallas_cell_plan_search(1_000_000, [1000.0] * 3, 3.0)
+    assert _time.perf_counter() - t0 < 5.0
+    assert big["capacity"] % 128 == 0
+
     monkeypatch.setenv("MDTPU_CELL_SEARCH", "0")
     disabled = pallas_cell_plan_search(n, [box] * 3, r_max)
     assert disabled["n_cells_dim"] == naive["n_cells_dim"]
+    assert disabled["capacity"] == naive["capacity"]
 
 
-def test_pallas_cross_histogram_searched_plan_matches_oracle():
+def test_pallas_cross_histogram_searched_plan_matches_oracle(
+    monkeypatch,
+):
     """The cross kernel under a cost-searched (coarse) joint plan —
     the 50/50 binary-mixture configuration — stays bit-exact against
     the float64 oracle."""
@@ -339,6 +358,7 @@ def test_pallas_cross_histogram_searched_plan_matches_oracle():
         pallas_cell_plan_search,
     )
 
+    monkeypatch.delenv("MDTPU_CELL_SEARCH", raising=False)
     box, r_max, n_bins = 16.0, 2.0, 64
     n1 = n2 = 700
     p1 = (rng.random((n1, 3)) * box).astype(np.float32)
