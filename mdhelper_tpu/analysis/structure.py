@@ -652,8 +652,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
         if _jax.default_backend() != "tpu":
             return False
-        if self._triclinic:
-            return False
         if self._drop_axis is not None:
             return False
         if self._range[0] != 0.0:
@@ -679,13 +677,36 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if dims is None:
             return False
         r_max = self._range[1]
-        if not np.all(np.floor(dims[:3] / r_max) >= 3):
+        # Orthorhombic: box lengths; triclinic: the perpendicular
+        # widths of the first-frame cell (the triclinic kernel's
+        # per-block image shifts need >= 3 cells of >= r_max along
+        # every lattice direction, strictly).
+        if not np.all(np.floor(self._cell_plan_box() / r_max) >= 3):
             return False
         # The kernel's slot tables are VMEM-resident; when no legal
         # grid fits the table budget (very large N x box/r_max), the
         # searched plan falls back over budget — use the XLA sweep.
         plan = self._searched_cell_plan()
         return plan["_tables_bytes"] <= 9 << 20
+
+    def _cell_plan_box(self):
+        """The per-axis extents the cell plan sees: orthorhombic box
+        lengths, or the perpendicular widths of a triclinic cell."""
+
+        dims = np.asarray(self.universe.dimensions, np.float64)
+        if not self._triclinic:
+            return dims[:3]
+        from ..algorithm.topology import triclinic_matrices
+        from ..ops.pallas_cell_histogram import (
+            triclinic_perpendicular_widths,
+        )
+
+        h32 = np.asarray(triclinic_matrices(dims), np.float64).astype(
+            np.float32
+        )
+        return np.asarray(
+            triclinic_perpendicular_widths(h32), np.float64
+        )
 
     def _searched_cell_plan(self):
         from ..ops.pallas_cell_histogram import pallas_cell_plan_search
@@ -697,7 +718,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             )
             self._cell_plan_cache = pallas_cell_plan_search(
                 self._n1,
-                np.asarray(self.universe.dimensions[:3], np.float64),
+                self._cell_plan_box(),
                 float(self._range[1]),
                 n_atoms2=self._n2 if cross else None,
                 capacity_sigmas=self._capacity_sigmas,
@@ -742,6 +763,22 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             m2 = jnp.asarray(self.ag2.masses)
             n2 = self._n2
 
+        triclinic = self._triclinic
+
+        def kernel_box(dims):
+            # Orthorhombic: the (3,) lengths; triclinic: the (3, 3)
+            # lower-triangular box matrix (the kernel's triclinic
+            # mode: per-neighbor-block lattice image shifts).
+            if triclinic:
+                return triclinic_matrices(dims).astype(jnp.float32)
+            return dims[:3].astype(jnp.float32)
+
+        def frame_volume(dims):
+            if triclinic:
+                h = triclinic_matrices(dims)
+                return h[0, 0] * h[1, 1] * h[2, 2]
+            return dims[:3].prod()
+
         def update(carry, positions, dimensions, mask):
             pos1 = take1(positions)
             if seg1 is not None:
@@ -760,7 +797,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     counts, occ1, occ2 = cross_pair_histogram_pallas(
                         pos.astype(jnp.float32),
                         pos_b.astype(jnp.float32),
-                        box=dims[:3].astype(jnp.float32),
+                        box=kernel_box(dims),
                         r_max=r_max,
                         n_cells_dim=plan["n_cells_dim"],
                         capacity1=plan["capacity"],
@@ -776,7 +813,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     pos, dims, valid = inputs
                     counts, occ = cell_pair_histogram_pallas(
                         pos.astype(jnp.float32),
-                        box=dims[:3].astype(jnp.float32),
+                        box=kernel_box(dims),
                         r_max=r_max,
                         n_cells_dim=plan["n_cells_dim"],
                         capacity=plan["capacity"],
@@ -803,7 +840,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 return {
                     "counts": c["counts"] + counts,
                     "volume": c["volume"]
-                    + dims[:3].prod() * valid,
+                    + frame_volume(dims) * valid,
                     "max_occ": jnp.maximum(c["max_occ"], occ),
                 }, None
 
@@ -831,9 +868,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if np.isnan(np.asarray(self._carry["counts"])).any():
             raise RuntimeError(
                 "A frame's box shrank below the planned cell grid "
-                "(n_cells_dim * r_max); the 27-cell sweep would miss "
-                "pairs. Re-plan against the smallest box along the "
-                "trajectory or use a non-TPU backend."
+                "(n_cells_dim * r_max over the box lengths — "
+                "perpendicular widths for triclinic cells); the "
+                "27-cell sweep would miss pairs. Re-plan against the "
+                "smallest box along the trajectory or use a non-TPU "
+                "backend."
             )
 
     def _conclude(self) -> None:

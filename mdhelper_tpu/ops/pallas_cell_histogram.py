@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .doublefloat import (
+    df_add,
     df_ge,
     df_lt,
     df_sub,
@@ -58,6 +59,7 @@ __all__ = [
     "pallas_cell_plan_search",
     "cell_pair_histogram_pallas",
     "cross_pair_histogram_pallas",
+    "triclinic_perpendicular_widths",
 ]
 
 
@@ -232,6 +234,36 @@ def _bin_fast(ip, jp, box, inv_dr):
     return jax.lax.convert_element_type(dist * inv_dr, jnp.int32)
 
 
+def _exact_index_from_d2(d2, inv_dr, dr2_hi, dr2_lo, n_bins):
+    """Float32-estimated bin index with a +-1 correction against the
+    exact ``(k * dr)^2`` boundaries (shared exact-binning tail)."""
+
+    idx = jax.lax.convert_element_type(
+        jnp.sqrt(jnp.maximum(d2[0], np.float32(0.0))) * inv_dr,
+        jnp.int32,
+    )
+    idx = jnp.minimum(idx, np.int32(n_bins))
+
+    def boundary(k):
+        k2 = jax.lax.convert_element_type(k * k, jnp.float32)
+        bh, bl = two_prod(k2, dr2_hi)
+        # The trailing df_add normalizes the (hi, lo) split exactly
+        # like the XLA path's boundary accumulation
+        # (ops/histogram._exact_bin_indices) — double-float compares
+        # are split-sensitive on bin-edge tie pairs.
+        return df_add(
+            (np.float32(0.0), np.float32(0.0)),
+            (bh, bl + k2 * dr2_lo),
+        )
+
+    one = np.int32(1)
+    return (
+        idx
+        + jnp.where(df_ge(d2, boundary(idx + one)), one, np.int32(0))
+        - jnp.where(df_lt(d2, boundary(idx)), one, np.int32(0))
+    )
+
+
 def _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins):
     """Exact double-float bin assignment: float32-estimated index with
     a +-1 correction against the exact (k*dr)^2 boundaries."""
@@ -245,25 +277,37 @@ def _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins):
         d = df_sub((s, e), (m * box[k], np.float32(0.0)))
         components.append(df_square(d))
     d2 = df_sum3(*components)
+    return _exact_index_from_d2(d2, inv_dr, dr2_hi, dr2_lo, n_bins)
 
-    idx = jax.lax.convert_element_type(
-        jnp.sqrt(jnp.maximum(d2[0], np.float32(0.0))) * inv_dr,
-        jnp.int32,
-    )
-    idx = jnp.minimum(idx, np.int32(n_bins))
 
-    def boundary(k):
-        k2 = jax.lax.convert_element_type(k * k, jnp.float32)
-        bh, bl = two_prod(k2, dr2_hi)
-        return bh, bl + k2 * dr2_lo
+def _bin_fast_shift(ip, jp, shift, inv_dr):
+    """Fast-path bin assignment under a per-BLOCK image shift (the
+    triclinic kernels): ``d = (i - shift) - j`` — no per-pair
+    minimum-image math at all.  ``shift`` is three (hi, lo) scalar
+    pairs; the fast path uses the hi parts."""
 
-    one = np.int32(1)
-    idx = (
-        idx
-        + jnp.where(df_ge(d2, boundary(idx + one)), one, np.int32(0))
-        - jnp.where(df_lt(d2, boundary(idx)), one, np.int32(0))
-    )
-    return idx
+    d2 = None
+    for k in range(3):
+        delta = (ip[k, :] - shift[k][0])[:, None] - jp[k, :][None, :]
+        d2 = delta * delta if d2 is None else d2 + delta * delta
+    dist = jnp.sqrt(d2)
+    return jax.lax.convert_element_type(dist * inv_dr, jnp.int32)
+
+
+def _bin_exact_shift(ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins):
+    """Exact double-float bin assignment under a per-block image
+    shift: the pair difference is error-free (two_diff) and the shift
+    arrives as an exact double-float lattice translation
+    (:func:`_image_shift_table`), so binning matches a float64 oracle
+    over the same float32 coordinates and box."""
+
+    components = []
+    for k in range(3):
+        s, e = two_diff(ip[k, :][:, None], jp[k, :][None, :])
+        d = df_sub((s, e), (shift[k][0], shift[k][1]))
+        components.append(df_square(d))
+    d2 = df_sum3(*components)
+    return _exact_index_from_d2(d2, inv_dr, dr2_hi, dr2_lo, n_bins)
 
 
 def _digit_contract(idx, acc, *, chunk_rows, cap_j, n_coarse, n_fine):
@@ -332,7 +376,14 @@ def _neighbor_tables(n_cells_dim):
     lexicographic offsets (self kernel; Newton's third law).  With
     >= 3 cells per axis and offsets in {-1, 0, 1}, wrapped targets
     collide only for equal offsets, so every unordered cell pair
-    appears exactly once in the half shell."""
+    appears exactly once in the half shell.
+
+    Alongside each id table, an IMAGE-INDEX table of the same shape:
+    ``k = (wx+1)*9 + (wy+1)*3 + (wz+1)`` where ``w`` is the per-axis
+    wrap count ``floor((cell + offset) / n)`` in {-1, 0, 1} — the
+    row of :func:`_image_shift_table` holding the lattice translation
+    that moves the neighbor's atoms next to the home cell (the
+    triclinic kernels' per-BLOCK minimum image; no per-pair search)."""
 
     nx, ny, nz = n_cells_dim
     cx, cy, cz = np.meshgrid(
@@ -344,25 +395,146 @@ def _neighbor_tables(n_cells_dim):
             ((cx + dx) % nx) * ny + (cy + dy) % ny
         ) * nz + (cz + dz) % nz
 
+    def img(dx, dy, dz):
+        wx = (cx + dx) // nx
+        wy = (cy + dy) // ny
+        wz = (cz + dz) // nz
+        return ((wx + 1) * 9 + (wy + 1) * 3 + (wz + 1)).astype(
+            np.int32
+        )
+
     offsets = [
         (dx, dy, dz)
         for dx in (-1, 0, 1)
         for dy in (-1, 0, 1)
         for dz in (-1, 0, 1)
     ]
+    half_offsets = [(0, 0, 0)] + [d for d in offsets if d > (0, 0, 0)]
     full = np.stack(
         [cid(*d) for d in offsets], axis=-1
     ).reshape(-1, 27).astype(np.int32)
+    full_img = np.stack(
+        [img(*d) for d in offsets], axis=-1
+    ).reshape(-1, 27)
     half = np.stack(
-        [cid(0, 0, 0)]
-        + [cid(*d) for d in offsets if d > (0, 0, 0)],
-        axis=-1,
+        [cid(*d) for d in half_offsets], axis=-1
     ).reshape(-1, 14).astype(np.int32)
-    return full, half
+    half_img = np.stack(
+        [img(*d) for d in half_offsets], axis=-1
+    ).reshape(-1, 14)
+    return full, full_img, half, half_img
+
+
+#: the 27 per-axis wrap-count combinations indexed by
+#: ``k = (wx+1)*9 + (wy+1)*3 + (wz+1)`` (k == 13 is the zero image).
+_IMAGE_COMBOS = np.array(
+    [
+        (wx, wy, wz)
+        for wx in (-1, 0, 1)
+        for wy in (-1, 0, 1)
+        for wz in (-1, 0, 1)
+    ],
+    dtype=np.float32,
+)
+
+
+def _image_shift_table(box_matrix):
+    """The 27 lattice translations ``w @ H`` for wrap counts ``w`` in
+    {-1, 0, 1}^3, as DOUBLE-FLOAT ``(27, 3)`` hi/lo pairs — each
+    translation is an exact two-float32 sum of up to three float32
+    box-matrix rows.
+
+    The per-column accumulation order (diagonal term first, then rows
+    below, zero upper-triangle terms skipped) REPLICATES
+    ``ops/histogram._exact_d2_triclinic`` operation-for-operation:
+    double-float splits are order-sensitive at the ulp^2 level, and an
+    identical split is what makes the Pallas route bin bin-edge tie
+    pairs exactly like the XLA 27-image sweep (caught on-chip: a
+    zero-seeded accumulation flipped ~7 straddle pairs out of 35M)."""
+
+    from .doublefloat import df_add, two_prod
+
+    h = box_matrix.astype(jnp.float32)
+    hi = []
+    lo = []
+    for col in range(3):
+        # Lower-triangular: rows >= col contribute; row col first.
+        t = two_prod(
+            jnp.asarray(_IMAGE_COMBOS[:, col]), h[col, col]
+        )
+        for row in range(col + 1, 3):
+            t = df_add(
+                t,
+                two_prod(jnp.asarray(_IMAGE_COMBOS[:, row]), h[row, col]),
+            )
+        hi.append(t[0])
+        lo.append(t[1])
+    return jnp.stack(hi, axis=-1), jnp.stack(lo, axis=-1)
+
+
+def triclinic_perpendicular_widths(box_matrix):
+    """Perpendicular widths of a (lower-triangular) triclinic cell:
+    ``w_i = V / |row_j x row_k|`` — the distance between periodic
+    faces along lattice direction ``i``.  Cell-list legality for a
+    triclinic grid is ``n_i <= floor(w_i / r_max)`` (host side;
+    NumPy or JAX)."""
+
+    h = box_matrix
+    xp = jnp if isinstance(h, jax.Array) else np
+    volume = xp.abs(h[0, 0] * h[1, 1] * h[2, 2])
+    cross01 = xp.cross(h[0], h[1])
+    cross02 = xp.cross(h[0], h[2])
+    cross12 = xp.cross(h[1], h[2])
+    norms = xp.stack(
+        [
+            xp.sqrt((cross12 * cross12).sum()),
+            xp.sqrt((cross02 * cross02).sum()),
+            xp.sqrt((cross01 * cross01).sum()),
+        ]
+    )
+    return volume / norms
+
+
+def _triclinic_sweep_ok(box_matrix, dims, r_max):
+    """Per-block image shifts require every cell to be >= ``r_max``
+    wide on every axis — STRICTLY (no 3-cell whole-axis exception:
+    the shift table pins one image per neighbor block, which is only
+    the minimum image when cells are no narrower than the cutoff)."""
+
+    widths = triclinic_perpendicular_widths(box_matrix)
+    return (
+        widths * np.float32(1 + 1e-6) >= dims * np.float32(r_max)
+    ).all()
+
+
+def _triclinic_wrap_cells(positions, box_matrix, n_cells_dim):
+    """Fold positions into the primary triclinic cell and assign cell
+    ids (device XLA ops, pre-kernel).  The fold subtracts the integer
+    lattice combination ``floor(frac) @ H`` — identity (bit-exact)
+    for already-wrapped inputs away from cell faces; unwrapped inputs
+    move by float32-rounded row sums (~1 ulp of the box)."""
+
+    from .histogram import _inv3
+
+    h = box_matrix.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    frac = jnp.matmul(positions, _inv3(h), precision=hp)
+    m = jnp.floor(frac)
+    wrapped = positions - jnp.matmul(m, h, precision=hp)
+    dims = jnp.asarray(n_cells_dim, jnp.int32)
+    cell_xyz = jnp.clip(
+        jax.lax.convert_element_type(
+            (frac - m) * dims.astype(jnp.float32), jnp.int32
+        ),
+        0,
+        dims - 1,
+    )
+    return wrapped, cell_xyz
 
 
 def _slot_table(
-    positions, n_cells_dim, capacity, cell_size, *, ex_i=None, ex_j=None
+    positions, n_cells_dim, capacity, cell_size, *,
+    ex_i=None, ex_j=None, cell_xyz=None,
 ):
     """Device cell build: returns the ``(8, n_cells * capacity)`` slot
     table (xyz + id rows), the ``(n_cells,)`` occupancy, and the max
@@ -370,17 +542,22 @@ def _slot_table(
 
     ``ex_i`` / ``ex_j`` are per-atom tile-exclusion ids (``index //
     e``) stored as float32 — exact below 2^24 atoms — so the kernel
-    masks excluded pairs with one VPU compare per side.
+    masks excluded pairs with one VPU compare per side.  ``cell_xyz``
+    overrides the orthorhombic ``positions / cell_size`` assignment
+    (the triclinic fractional build).
     """
 
     nx, ny, nz = n_cells_dim
     n = positions.shape[0]
     n_cells = nx * ny * nz
-    cell_xyz = jnp.clip(
-        jax.lax.convert_element_type(positions / cell_size, jnp.int32),
-        0,
-        jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32),
-    )
+    if cell_xyz is None:
+        cell_xyz = jnp.clip(
+            jax.lax.convert_element_type(
+                positions / cell_size, jnp.int32
+            ),
+            0,
+            jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32),
+        )
     cid = (
         cell_xyz[:, 0] * np.int32(ny * nz)
         + cell_xyz[:, 1] * np.int32(nz)
@@ -487,6 +664,147 @@ def _kernel(
         out_ref[:] = out_ref[:] + acc
 
 
+def _kernel_tri(
+    nbr_ref, img_ref, occ_ref, shhi_ref, shlo_ref, pos_ref, out_ref,
+    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+):
+    """Triclinic half-shell sweep: identical structure to
+    :func:`_kernel`, but the minimum image is a per-BLOCK lattice
+    translation (``img_ref`` holds each neighbor's row into the
+    runtime double-float shift table ``shhi_ref``/``shlo_ref``) —
+    no per-pair image math at all.  Valid when every cell is at least
+    ``r_max`` wide along every lattice direction (enforced by the
+    wrapper's NaN poison)."""
+
+    c = pl.program_id(0)
+    cap = capacity
+    bins_i32 = np.int32(n_bins)
+
+    i_start = c * np.int32(cap)
+    ip = pos_ref[:, pl.ds(pl.multiple_of(i_start, 128), cap)]
+    i_occ = occ_ref[c]
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    i_valid = slot_col < i_occ
+    ei = ip[_ROW_EX_I, :][:, None]
+    upper = slot_col < lane
+
+    def block_acc(acc, j_cell, img_k, self_cell):
+        j_start = j_cell * np.int32(cap)
+        jp = pos_ref[:, pl.ds(pl.multiple_of(j_start, 128), cap)]
+        j_valid = lane < occ_ref[j_cell]
+        shift = tuple(
+            (
+                shhi_ref[img_k, np.int32(k)],
+                shlo_ref[img_k, np.int32(k)],
+            )
+            for k in range(3)
+        )
+
+        if exact:
+            idx = _bin_exact_shift(
+                ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
+            )
+        else:
+            idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+
+        valid = i_valid & j_valid & (idx < bins_i32)
+        if self_cell:
+            valid = valid & upper
+        if exclude:
+            valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
+        idx = jnp.where(valid, idx, bins_i32)
+
+        return _digit_contract(
+            idx, acc, chunk_rows=chunk_rows, cap_j=cap,
+            n_coarse=n_coarse, n_fine=n_fine,
+        )
+
+    acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
+    acc = block_acc(acc, c, np.int32(13), True)  # zero image
+    acc = jax.lax.fori_loop(
+        1,
+        14,
+        lambda nb, a: block_acc(
+            a, nbr_ref[c, nb], img_ref[c, nb], False
+        ),
+        acc,
+    )
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _cross_kernel_tri(
+    nbr_ref, img_ref, occ1_ref, occ2_ref, shhi_ref, shlo_ref,
+    pos1_ref, pos2_ref, out_ref,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+):
+    """Triclinic cross-group variant of :func:`_cross_kernel` with
+    per-block image shifts (see :func:`_kernel_tri`)."""
+
+    c = pl.program_id(0)
+    bins_i32 = np.int32(n_bins)
+
+    ip = pos1_ref[:, pl.ds(pl.multiple_of(c * np.int32(cap1), 128), cap1)]
+    i_occ = occ1_ref[c]
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap1, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
+    i_valid = slot_col < i_occ
+    ei = ip[_ROW_EX_I, :][:, None]
+
+    acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
+
+    def nb_body(nb, acc):
+        j_cell = nbr_ref[c, nb]
+        img_k = img_ref[c, nb]
+        jp = pos2_ref[
+            :, pl.ds(pl.multiple_of(j_cell * np.int32(cap2), 128), cap2)
+        ]
+        j_valid = lane < occ2_ref[j_cell]
+        shift = tuple(
+            (
+                shhi_ref[img_k, np.int32(k)],
+                shlo_ref[img_k, np.int32(k)],
+            )
+            for k in range(3)
+        )
+
+        if exact:
+            idx = _bin_exact_shift(
+                ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
+            )
+        else:
+            idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+
+        valid = i_valid & j_valid & (idx < bins_i32)
+        if exclude:
+            valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
+        idx = jnp.where(valid, idx, bins_i32)
+
+        return _digit_contract(
+            idx, acc, chunk_rows=chunk_rows, cap_j=cap2,
+            n_coarse=n_coarse, n_fine=n_fine,
+        )
+
+    acc = jax.lax.fori_loop(0, 27, nb_body, acc)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
 def _exclusion_ids(n, exclusion):
     """Per-atom ``(index // e0, index // e1)`` tile-exclusion ids as
     float32, or ``(None, None)`` when the identical-atom mask already
@@ -538,6 +856,17 @@ def cell_pair_histogram_pallas(
     dropped.  Asymmetric ``(e0, e1)`` tiles are incompatible with the
     half-shell sweep — use the XLA kernel for those.
 
+    TRICLINIC cells: pass the ``(3, 3)`` lower-triangular box matrix
+    as ``box`` (rows are the box vectors,
+    ``algorithm.topology.triclinic_matrices``).  The sweep then uses
+    per-neighbor-block lattice shifts (:func:`_image_shift_table`) —
+    no per-pair image search — and expects inputs wrapped into the
+    primary cell (a fractional-coordinate fold is applied, exact for
+    wrapped inputs; plan against the PERPENDICULAR widths,
+    :func:`triclinic_perpendicular_widths`).  Legality is strict
+    (``widths >= n_cells_dim * r_max``, NaN-poisoned otherwise — no
+    3-cell whole-axis exception).
+
     The cell build (ids, argsort, searchsorted, padded slot-table
     gather) runs as regular XLA ops; only the pair sweep is the Pallas
     kernel.
@@ -550,25 +879,42 @@ def cell_pair_histogram_pallas(
     n_coarse = _cdiv(n_bins + 1, n_fine)
     # bf16 one-hot rows must fill whole (16, 128) sublane tiles.
     n_rows = _cdiv(n_coarse, 16) * 16
-    box = jnp.asarray(box, dtype=jnp.float32).reshape(3)
+    box = jnp.asarray(box, dtype=jnp.float32)
+    triclinic = box.ndim == 2
     positions = positions.astype(jnp.float32)
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
-    cell_size = box / dims
 
     if exclusion is not None and exclusion[0] != exclusion[1]:
         raise NotImplementedError(
             "the half-shell self kernel requires symmetric (e, e) "
             "exclusion tiles; use the XLA kernel for (e0, e1)."
         )
-    _, half_shell = _neighbor_tables(n_cells_dim)
+    _, _, half_shell, half_img = _neighbor_tables(n_cells_dim)
     ex_i, ex_j, exclude = _exclusion_ids(n, exclusion)
-    pos_table, occupancy, max_occupancy = _slot_table(
-        positions, n_cells_dim, capacity, cell_size,
-        ex_i=ex_i, ex_j=ex_j,
-    )
+    if triclinic:
+        positions, cell_xyz = _triclinic_wrap_cells(
+            positions, box, n_cells_dim
+        )
+        pos_table, occupancy, max_occupancy = _slot_table(
+            positions, n_cells_dim, capacity, None,
+            ex_i=ex_i, ex_j=ex_j, cell_xyz=cell_xyz,
+        )
+        sh_hi, sh_lo = _image_shift_table(box)
+        sweep_ok = _triclinic_sweep_ok(box, dims, r_max)
+    else:
+        box = box.reshape(3)
+        pos_table, occupancy, max_occupancy = _slot_table(
+            positions, n_cells_dim, capacity, box / dims,
+            ex_i=ex_i, ex_j=ex_j,
+        )
+        sweep_ok = _cell_sweep_ok(box, dims, n_cells_dim, r_max)
 
     inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
-    dr2_wide = np.float64(r_max) ** 2 / np.float64(n_bins) ** 2
+    # (r_max / n_bins) rounded in f64 FIRST, then squared — the
+    # same boundary convention as the XLA path's uniform-edge
+    # width h = (edges[-1] - edges[0]) / n_bins, so the two
+    # routes resolve bin-edge tie pairs identically.
+    dr2_wide = (np.float64(r_max) / np.float64(n_bins)) ** 2
     dr2_hi = np.float32(dr2_wide)
     dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
 
@@ -579,27 +925,37 @@ def cell_pair_histogram_pallas(
     while capacity % chunk_rows:
         chunk_rows //= 2
 
-    kernel = functools.partial(
-        _kernel,
+    common = dict(
         capacity=capacity, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
         inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
         exact=(precision == "exact"), exclude=exclude,
         chunk_rows=chunk_rows,
     )
+    if triclinic:
+        kernel = functools.partial(_kernel_tri, **common)
+        n_prefetch = 5
+        args = (
+            jnp.asarray(half_shell), jnp.asarray(half_img),
+            occupancy, sh_hi, sh_lo, pos_table,
+        )
+    else:
+        kernel = functools.partial(_kernel, **common)
+        n_prefetch = 3
+        args = (jnp.asarray(half_shell), occupancy, box, pos_table)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec(
                 (_ROWS, n_cells * capacity),
-                lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+                lambda c, *s: (jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (n_rows, n_fine),
-            lambda c, s1, s2, s3: (jnp.int32(0), jnp.int32(0)),
+            lambda c, *s: (jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -608,15 +964,11 @@ def cell_pair_histogram_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(half_shell), occupancy, box, pos_table)
+    )(*args)
     # Each unordered pair was counted once; restore the ordered-pair
     # convention of the XLA kernel / np.histogram oracle.
     counts = counts2d[:n_coarse].reshape(-1)[:n_bins] * np.float32(2)
-    counts = jnp.where(
-        _cell_sweep_ok(box, dims, n_cells_dim, r_max),
-        counts,
-        jnp.float32(np.nan),
-    )
+    counts = jnp.where(sweep_ok, counts, jnp.float32(np.nan))
     return counts, max_occupancy
 
 
@@ -709,6 +1061,9 @@ def cross_pair_histogram_pallas(
     the reference's molecule-block exclusion for, e.g., intra-molecular
     cation-anion pairs.  Plan each capacity with
     :func:`pallas_cell_plan` on the respective group size.
+
+    TRICLINIC cells: pass the ``(3, 3)`` lower-triangular box matrix
+    as ``box`` (see :func:`cell_pair_histogram_pallas`).
     """
 
     nx, ny, nz = n_cells_dim
@@ -716,9 +1071,9 @@ def cross_pair_histogram_pallas(
     n_fine = 16
     n_coarse = _cdiv(n_bins + 1, n_fine)
     n_rows = _cdiv(n_coarse, 16) * 16
-    box = jnp.asarray(box, dtype=jnp.float32).reshape(3)
+    box = jnp.asarray(box, dtype=jnp.float32)
+    triclinic = box.ndim == 2
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
-    cell_size = box / dims
 
     exclude = exclusion is not None
     ex1 = ex2 = None
@@ -733,18 +1088,39 @@ def cross_pair_histogram_pallas(
             // np.int32(e1)
         ).astype(jnp.float32)
 
-    full_shell, _ = _neighbor_tables(n_cells_dim)
+    full_shell, full_img, _, _ = _neighbor_tables(n_cells_dim)
+    positions1 = positions1.astype(jnp.float32)
+    positions2 = positions2.astype(jnp.float32)
+    if triclinic:
+        positions1, cells1 = _triclinic_wrap_cells(
+            positions1, box, n_cells_dim
+        )
+        positions2, cells2 = _triclinic_wrap_cells(
+            positions2, box, n_cells_dim
+        )
+        cell_size = None
+        sh_hi, sh_lo = _image_shift_table(box)
+        sweep_ok = _triclinic_sweep_ok(box, dims, r_max)
+    else:
+        box = box.reshape(3)
+        cell_size = box / dims
+        cells1 = cells2 = None
+        sweep_ok = _cell_sweep_ok(box, dims, n_cells_dim, r_max)
     t1, occ1, max1 = _slot_table(
-        positions1.astype(jnp.float32), n_cells_dim, capacity1,
-        cell_size, ex_i=ex1, ex_j=ex1,
+        positions1, n_cells_dim, capacity1,
+        cell_size, ex_i=ex1, ex_j=ex1, cell_xyz=cells1,
     )
     t2, occ2, max2 = _slot_table(
-        positions2.astype(jnp.float32), n_cells_dim, capacity2,
-        cell_size, ex_i=ex2, ex_j=ex2,
+        positions2, n_cells_dim, capacity2,
+        cell_size, ex_i=ex2, ex_j=ex2, cell_xyz=cells2,
     )
 
     inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
-    dr2_wide = np.float64(r_max) ** 2 / np.float64(n_bins) ** 2
+    # (r_max / n_bins) rounded in f64 FIRST, then squared — the
+    # same boundary convention as the XLA path's uniform-edge
+    # width h = (edges[-1] - edges[0]) / n_bins, so the two
+    # routes resolve bin-edge tie pairs identically.
+    dr2_wide = (np.float64(r_max) / np.float64(n_bins)) ** 2
     dr2_hi = np.float32(dr2_wide)
     dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
     chunk_rows = max(
@@ -754,32 +1130,42 @@ def cross_pair_histogram_pallas(
     while capacity1 % chunk_rows:
         chunk_rows //= 2
 
-    kernel = functools.partial(
-        _cross_kernel,
+    common = dict(
         cap1=capacity1, cap2=capacity2, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
         inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
         exact=(precision == "exact"), exclude=exclude,
         chunk_rows=chunk_rows,
     )
+    if triclinic:
+        kernel = functools.partial(_cross_kernel_tri, **common)
+        n_prefetch = 6
+        args = (
+            jnp.asarray(full_shell), jnp.asarray(full_img),
+            occ1, occ2, sh_hi, sh_lo, t1, t2,
+        )
+    else:
+        kernel = functools.partial(_cross_kernel, **common)
+        n_prefetch = 4
+        args = (jnp.asarray(full_shell), occ1, occ2, box, t1, t2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec(
                 (_ROWS, n_cells * capacity1),
-                lambda c, s1, s2, s3, s4: (jnp.int32(0), jnp.int32(0)),
+                lambda c, *s: (jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (_ROWS, n_cells * capacity2),
-                lambda c, s1, s2, s3, s4: (jnp.int32(0), jnp.int32(0)),
+                lambda c, *s: (jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (n_rows, n_fine),
-            lambda c, s1, s2, s3, s4: (jnp.int32(0), jnp.int32(0)),
+            lambda c, *s: (jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -788,11 +1174,7 @@ def cross_pair_histogram_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(full_shell), occ1, occ2, box, t1, t2)
+    )(*args)
     counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
-    counts = jnp.where(
-        _cell_sweep_ok(box, dims, n_cells_dim, r_max),
-        counts,
-        jnp.float32(np.nan),
-    )
+    counts = jnp.where(sweep_ok, counts, jnp.float32(np.nan))
     return counts, max1, max2

@@ -382,3 +382,149 @@ def test_pallas_cross_histogram_searched_plan_matches_oracle(
     dist = np.sqrt((d**2).sum(-1))
     oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
     np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
+
+
+def _triclinic_fixture(seed, n, dims6):
+    """Interior-wrapped positions in a tilted cell + the f32 box
+    matrix (interior margins keep the fractional fold an exact no-op,
+    so kernel inputs match the oracle's coordinates bit-for-bit)."""
+
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+
+    r = np.random.default_rng(seed)
+    h64 = np.asarray(triclinic_matrices(dims6), np.float64)
+    h32 = h64.astype(np.float32)
+    frac = 0.02 + 0.96 * r.random((n, 3))
+    pos = (frac @ h64).astype(np.float32)
+    return pos, h32
+
+
+def _triclinic_oracle_dist(p1, p2, h32):
+    """f64 minimum distance over the 27 images of the f32 box."""
+
+    d = p1.astype(np.float64)[:, None] - p2.astype(np.float64)[None]
+    best = None
+    rows = h32.astype(np.float64)
+    for wx in (-1, 0, 1):
+        for wy in (-1, 0, 1):
+            for wz in (-1, 0, 1):
+                sh = wx * rows[0] + wy * rows[1] + wz * rows[2]
+                d2 = ((d - sh) ** 2).sum(-1)
+                best = d2 if best is None else np.minimum(best, d2)
+    return np.sqrt(best)
+
+
+def test_pallas_triclinic_self_matches_oracle():
+    """Triclinic self kernel (per-neighbor-block lattice shifts, no
+    per-pair image search) is bit-exact against the 27-image f64
+    oracle on a tilted cell."""
+
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cell_pair_histogram_pallas,
+        pallas_cell_plan_search,
+        triclinic_perpendicular_widths,
+    )
+
+    dims6 = np.array([16.0, 15.0, 14.0, 80.0, 95.0, 100.0])
+    n, r_max, n_bins = 700, 3.0, 64
+    pos, h32 = _triclinic_fixture(21, n, dims6)
+    perps = np.asarray(triclinic_perpendicular_widths(h32), float)
+    plan = pallas_cell_plan_search(n, perps, r_max)
+    counts, occ = cell_pair_histogram_pallas(
+        jnp.asarray(pos), box=jnp.asarray(h32), r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"], capacity=plan["capacity"],
+        n_bins=n_bins, precision="exact",
+    )
+    assert int(occ) <= plan["capacity"]
+    dist = _triclinic_oracle_dist(pos, pos, h32)
+    np.fill_diagonal(dist, np.inf)
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    np.testing.assert_array_equal(
+        np.asarray(counts).astype(int), oracle
+    )
+
+
+def test_pallas_triclinic_cross_exclusion_and_poison():
+    """Triclinic cross kernel: (2, 1) molecule exclusion bit-exact vs
+    the f64 oracle; a shrunk c-vector (perpendicular width below the
+    planned grid) NaN-poisons instead of missing pairs."""
+
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cross_pair_histogram_pallas,
+        pallas_cell_plan_search,
+        triclinic_perpendicular_widths,
+    )
+
+    dims6 = np.array([16.0, 15.0, 14.0, 80.0, 95.0, 100.0])
+    n1, n2, r_max, n_bins = 600, 400, 3.0, 64
+    p1, h32 = _triclinic_fixture(22, n1, dims6)
+    p2, _ = _triclinic_fixture(23, n2, dims6)
+    perps = np.asarray(triclinic_perpendicular_widths(h32), float)
+    plan = pallas_cell_plan_search(n1, perps, r_max, n_atoms2=n2)
+    counts, m1, m2 = cross_pair_histogram_pallas(
+        jnp.asarray(p1), jnp.asarray(p2),
+        box=jnp.asarray(h32), r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity1=plan["capacity"], capacity2=plan["capacity2"],
+        n_bins=n_bins, precision="exact", exclusion=(2, 1),
+    )
+    dist = _triclinic_oracle_dist(p1, p2, h32)
+    mol1 = np.arange(n1) // 2
+    mol2 = np.arange(n2) // 1
+    dist[mol1[:, None] == mol2[None, :]] = np.inf
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    np.testing.assert_array_equal(
+        np.asarray(counts).astype(int), oracle
+    )
+
+    h_bad = h32.copy()
+    h_bad[2] *= 0.5  # perpendicular width 2 below 3 * r_max
+    bad, _, _ = cross_pair_histogram_pallas(
+        jnp.asarray(p1), jnp.asarray(p2),
+        box=jnp.asarray(h_bad), r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity1=plan["capacity"], capacity2=plan["capacity2"],
+        n_bins=n_bins,
+    )
+    assert np.isnan(np.asarray(bad)).all()
+
+
+def test_triclinic_class_route_matches_xla_sweep():
+    """RadialDistributionFunction on a tilted cell: the Pallas
+    per-block-shift route (forced; off-TPU it would pick XLA) is
+    bit-equal to the XLA 27-image brute sweep — including the
+    double-float SPLIT alignment of shift table and bin boundaries
+    (real-chip A/B in BASELINE.md caught split-sensitive tie pairs)."""
+
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+    from mdhelper_tpu.analysis import structure as S
+    from mdhelper_tpu.core.universe import Universe
+
+    r = np.random.default_rng(29)
+    dims6 = np.array([16.0, 15.0, 14.0, 80.0, 95.0, 100.0])
+    h64 = np.asarray(triclinic_matrices(dims6), np.float64)
+    traj = (0.02 + 0.96 * r.random((2, 600, 3))) @ h64
+
+    def run(force):
+        u = Universe.from_arrays(traj, dims6, dt=1.0)
+        if force:
+            orig = S.RadialDistributionFunction._use_pallas_cell_kernel
+            S.RadialDistributionFunction._use_pallas_cell_kernel = (
+                lambda self: True
+            )
+        try:
+            a = S.RadialDistributionFunction(
+                u.atoms, n_bins=48, range=(0.0, 3.0), verbose=False
+            )
+            a.run()
+        finally:
+            if force:
+                S.RadialDistributionFunction._use_pallas_cell_kernel = (
+                    orig
+                )
+        return a.results.counts, a.results.rdf
+
+    cx, rx = run(False)
+    cp, rp = run(True)
+    np.testing.assert_array_equal(cx, cp)
+    np.testing.assert_allclose(rx, rp, rtol=1e-12)
