@@ -31,12 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ureg
-from .base import DynamicAnalysisBase
+from .base import DynamicAnalysisBase, jit_update
 
 # cap on one PCA.transform() host read (full universe atom width)
 _TRANSFORM_BLOCK_BYTES = 2**28
 
-__all__ = ["PrincipalComponentAnalysis", "RMSD", "RMSF"]
+__all__ = ["PrincipalComponentAnalysis", "RMSD", "RMSF", "TICA"]
 
 
 def _davenport_k(c):
@@ -211,6 +211,44 @@ class _SuperpositionBase(DynamicAnalysisBase):
             return rmsd, rot, pc
 
         return fit
+
+    # -- shared host-side projection (PCA/TICA transform) ------------
+
+    def _project_aligned(
+        self, comps: np.ndarray, mean_x: np.ndarray
+    ) -> np.ndarray:
+        """Re-stream the analyzed frames host-side, align each to the
+        reference, and project the mean-centered flattened
+        coordinates onto the ``(3N, k)`` component columns."""
+
+        w = self._weights
+        w_total = self._w_total
+        ref = self._ref_centered
+        frames = np.asarray(self.frames)
+        out = np.empty((len(frames), comps.shape[1]))
+        # bounded blocks: read_frames materializes frames at full
+        # universe atom width, so cap each read at ~256 MB and subset
+        # the analyzed columns immediately (a single bulk read of a
+        # long large-N trajectory would exhaust host memory)
+        n_universe = self.universe.atoms.n_atoms
+        block = max(
+            1, int(_TRANSFORM_BLOCK_BYTES // max(n_universe * 24, 1))
+        )
+        for lo in range(0, len(frames), block):
+            chunk = frames[lo:lo + block]
+            positions, _ = self._trajectory.read_frames(chunk)
+            positions = np.asarray(positions)[:, self._atom_indices]
+            for j in range(len(chunk)):
+                pos = positions[j]
+                com = (w[:, None] * pos).sum(axis=0) / w_total
+                pc = pos - com
+                if self._align:
+                    c = (pc * w[:, None]).T @ ref
+                    _, vecs = np.linalg.eigh(_davenport_k(c))
+                    rot = _rotation_from_quaternion(vecs[:, -1])
+                    pc = pc @ rot.T
+                out[lo + j] = (pc.reshape(-1) - mean_x) @ comps
+        return out
 
 
 class RMSD(_SuperpositionBase):
@@ -607,33 +645,290 @@ class PrincipalComponentAnalysis(_SuperpositionBase):
             if n_components is None
             else int(n_components)
         )
-        comps = self.results.p_components[:, :k]
-        mean_x = self.results.mean_positions.reshape(-1)
+        return self._project_aligned(
+            self.results.p_components[:, :k],
+            self.results.mean_positions.reshape(-1),
+        )
+
+
+class TICA(_SuperpositionBase):
+    r"""Time-lagged independent component analysis of the (aligned)
+    coordinates — the slow-collective-motion decomposition
+    (Molgedey–Schuster / the pyEMMA ``tica`` analogue; beyond
+    reference, like :class:`PrincipalComponentAnalysis` whose
+    streaming it extends with a device-resident lag ring).
+
+    With :math:`\mathbf{x}_t` the aligned, flattened ``3N``
+    coordinates, TICA solves the symmetrized generalized eigenproblem
+
+    .. math::
+
+       \tfrac{1}{2}\bigl(C_\tau + C_\tau^T\bigr)\,\mathbf{u}
+       = \lambda\, C_0\, \mathbf{u},
+       \qquad
+       C_\tau = \bigl\langle (\mathbf{x}_t - \boldsymbol{\mu})
+       (\mathbf{x}_{t+\tau} - \boldsymbol{\mu})^T
+       \bigr\rangle_t
+
+    (:math:`\boldsymbol{\mu}` and :math:`C_0` over all analyzed
+    frames; :math:`C_\tau` over the :math:`T - \tau` lagged pairs).
+    Eigenvalues are autocorrelations of the component projections at
+    lag :math:`\tau`, so implied timescales follow as
+    :math:`t_i = -\tau\,\Delta t / \ln\lambda_i`.
+
+    TPU-first design: like the
+    :class:`~mdhelper_tpu.analysis.structure.IntermediateScatteringFunction`
+    ring buffer, the lagged pairs accumulate inside a
+    :func:`jax.lax.scan` over the frame axis whose carry holds the
+    last ``lag`` aligned frames — the trajectory streams ONCE in
+    time order (``_sequential``), with the instantaneous and lagged
+    second moments as HIGHEST-precision MXU outer products
+    accumulated in float64.  On tunnel-attached TPUs a float64 numpy
+    host pipeline computes the identical statistics.
+
+    Parameters are those of :class:`RMSD`, plus:
+
+    lag : `int`, keyword-only, default 1
+        Lag :math:`\tau` in analyzed-frame steps.
+    rcond : `float`, keyword-only, default 1e-8
+        Whitening cutoff: :math:`C_0` eigenvalues below ``rcond``
+        times the largest are dropped (rigid-body alignment leaves
+        ~6 near-null modes that would otherwise amplify noise).
+
+    Results
+    -------
+    ``results.eigenvalues``
+        Lag-:math:`\tau` autocorrelations :math:`\lambda_i`,
+        descending, shape ``(k,)`` (``k`` = retained whitened rank).
+    ``results.timescales``
+        Implied timescales :math:`-\tau\,\Delta t/\ln\lambda_i` (ps;
+        ``inf`` where :math:`\lambda_i \ge 1`, ``nan`` where
+        :math:`\lambda_i \le 0`).
+    ``results.tica_components``
+        Component columns in coordinate space, shape ``(3N, k)``,
+        normalized to unit instantaneous variance
+        (:math:`\mathbf{u}^T C_0 \mathbf{u} = 1`); sign convention:
+        the largest-magnitude entry of each column is positive.
+    ``results.mean_positions``
+        The aligned average structure, shape ``(N, 3)``.
+    ``results.rank``
+        Retained whitened rank ``k``.
+
+    Use :meth:`transform` to project a trajectory onto the leading
+    components after :meth:`run`.
+    """
+
+    _sequential = True
+
+    def __init__(self, group, reference=None, *, lag: int = 1,
+                 rcond: float = 1e-8, **kwargs) -> None:
+        super().__init__(group, reference, **kwargs)
+        if int(lag) < 1:
+            raise ValueError("'lag' must be a positive frame count.")
+        self._lag = int(lag)
+        self._rcond = float(rcond)
+
+    def _prepare(self) -> None:
+        from .structure import _check_even_frame_spacing
+
+        self._resolve_reference()
+        if self._lag >= self.n_frames:
+            raise ValueError(
+                f"lag ({self._lag}) must be below the analyzed "
+                f"frame count ({self.n_frames})."
+            )
+        # the lag ring correlates pairs a fixed number of STEPS apart,
+        # so the selection must be uniform in time (same guard as the
+        # ISF / van Hove rings)
+        self._frame_step = _check_even_frame_spacing(self.frames)
+        n3 = 3 * len(self._atom_indices)
+        self.results.units = (
+            {}
+            if self._reduced
+            else {"results.timescales": ureg.picosecond}
+        )
+        self._host_pipeline = (
+            not getattr(self, "_parallel", False)
+            and self._resolve_host_pipeline()
+        )
+        if self._host_pipeline:
+            self._h_ring = np.zeros((self._lag, n3))
+            self._h_frame = 0
+            self._h_sum = np.zeros(n3)
+            self._h_m2 = np.zeros((n3, n3))
+            self._h_sum_a = np.zeros(n3)
+            self._h_sum_b = np.zeros(n3)
+            self._h_mab = np.zeros((n3, n3))
+            self._h_pairs = 0
+            self._carry = np.zeros(())
+            self._prepare_host()
+            return
+
+        dtype = jnp.dtype(self._stream_dtype())
+        lag = self._lag
+        self._carry = {
+            "ring": jnp.zeros((lag, n3), dtype),
+            "frame": jnp.zeros((), jnp.int64),
+            "sum": jnp.zeros(n3, jnp.float64),
+            "m2": jnp.zeros((n3, n3), jnp.float64),
+            "sum_a": jnp.zeros(n3, jnp.float64),
+            "sum_b": jnp.zeros(n3, jnp.float64),
+            "mab": jnp.zeros((n3, n3), jnp.float64),
+        }
+        fit = self._frame_fit_fn()
+        hi = jax.lax.Precision.HIGHEST
+
+        def scan_step(carry, inputs):
+            x, valid = inputs  # (3N,), scalar mask
+            fi = carry["frame"]
+            ridx = (fi % lag).astype(jnp.int32)
+            a = carry["ring"][ridx]
+            ok = ((fi >= lag) & (valid > 0)).astype(jnp.float64)
+            v = (valid > 0).astype(jnp.float64)
+            xa = x * ok.astype(x.dtype)
+            xv = x * v.astype(x.dtype)
+            carry = {
+                "ring": jnp.where(
+                    valid > 0, carry["ring"].at[ridx].set(x),
+                    carry["ring"],
+                ),
+                "frame": fi + (valid > 0),
+                "sum": carry["sum"] + xv.astype(jnp.float64),
+                "m2": carry["m2"] + jnp.einsum(
+                    "i,j->ij", xv, x, precision=hi
+                ).astype(jnp.float64),
+                "sum_a": carry["sum_a"]
+                + (a * ok.astype(a.dtype)).astype(jnp.float64),
+                "sum_b": carry["sum_b"] + xa.astype(jnp.float64),
+                "mab": carry["mab"] + jnp.einsum(
+                    "i,j->ij", a * ok.astype(a.dtype), x,
+                    precision=hi,
+                ).astype(jnp.float64),
+            }
+            return carry, None
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            _, rot, pc = fit(positions)
+            aligned = jnp.einsum(
+                "bnd,bed->bne", pc, rot, precision=hi
+            ).reshape(positions.shape[0], -1)  # (B, 3N)
+            carry, _ = jax.lax.scan(scan_step, carry, (aligned, mask))
+            return carry
+
+        self._update = jit_update(update)
+        self._store_chunk = None
+
+    def _prepare_host(self) -> None:
         w = self._weights
         w_total = self._w_total
         ref = self._ref_centered
-        frames = np.asarray(self.frames)
-        out = np.empty((len(frames), k))
-        # bounded blocks: read_frames materializes frames at full
-        # universe atom width, so cap each read at ~256 MB and subset
-        # the analyzed columns immediately (a single bulk read of a
-        # long large-N trajectory would exhaust host memory)
-        n_universe = self.universe.atoms.n_atoms
-        block = max(
-            1, int(_TRANSFORM_BLOCK_BYTES // max(n_universe * 24, 1))
-        )
-        for lo in range(0, len(frames), block):
-            chunk = frames[lo:lo + block]
-            positions, _ = self._trajectory.read_frames(chunk)
-            positions = np.asarray(positions)[:, self._atom_indices]
-            for j in range(len(chunk)):
-                pos = positions[j]
+        align = self._align
+        lag = self._lag
+
+        def host_update(batch) -> None:
+            positions = self._host_chunk_positions(batch)
+            for f in range(batch.n_real):
+                pos = positions[f]
                 com = (w[:, None] * pos).sum(axis=0) / w_total
                 pc = pos - com
-                if self._align:
+                if align:
                     c = (pc * w[:, None]).T @ ref
                     _, vecs = np.linalg.eigh(_davenport_k(c))
                     rot = _rotation_from_quaternion(vecs[:, -1])
                     pc = pc @ rot.T
-                out[lo + j] = (pc.reshape(-1) - mean_x) @ comps
-        return out
+                x = pc.reshape(-1)
+                fi = self._h_frame
+                if fi >= lag:
+                    a = self._h_ring[fi % lag]
+                    self._h_sum_a += a
+                    self._h_sum_b += x
+                    self._h_mab += np.outer(a, x)
+                    self._h_pairs += 1
+                self._h_ring[fi % lag] = x
+                self._h_sum += x
+                self._h_m2 += np.outer(x, x)
+                self._h_frame = fi + 1
+
+        self._host_update_fn = host_update
+
+    def _conclude(self) -> None:
+        if self._host_pipeline:
+            count = float(self._h_frame)
+            pairs = float(self._h_pairs)
+            total, m2 = self._h_sum, self._h_m2
+            sum_a, sum_b = self._h_sum_a, self._h_sum_b
+            mab = self._h_mab
+        else:
+            count = float(self._carry["frame"])
+            pairs = max(count - self._lag, 0.0)
+            total = np.asarray(self._carry["sum"])
+            m2 = np.asarray(self._carry["m2"])
+            sum_a = np.asarray(self._carry["sum_a"])
+            sum_b = np.asarray(self._carry["sum_b"])
+            mab = np.asarray(self._carry["mab"])
+        if pairs < 1:
+            raise RuntimeError(
+                "No lagged pairs were accumulated (lag >= analyzed "
+                "frames)."
+            )
+        mean = total / count
+        c0 = m2 / count - np.outer(mean, mean)
+        # C_tau = <(a - mu)(b - mu)^T> over the pair events
+        ctau = (
+            mab / pairs
+            - np.outer(mean, sum_b / pairs)
+            - np.outer(sum_a / pairs, mean)
+            + np.outer(mean, mean)
+        )
+        ctau = (ctau + ctau.T) / 2
+
+        # whiten C0 (truncated: alignment leaves near-null modes)
+        vals0, vecs0 = np.linalg.eigh(c0)
+        keep = vals0 > self._rcond * max(vals0[-1], 0.0)
+        if not keep.any():
+            raise RuntimeError(
+                "The instantaneous covariance has no retained modes "
+                "(frozen coordinates?)."
+            )
+        whiten = vecs0[:, keep] / np.sqrt(vals0[keep])
+        m = whiten.T @ ctau @ whiten
+        lam, y = np.linalg.eigh((m + m.T) / 2)
+        lam, y = lam[::-1], y[:, ::-1]
+        comps = whiten @ y  # u^T C0 u = 1 by construction
+        peaks = np.argmax(np.abs(comps), axis=0)
+        signs = np.sign(comps[peaks, np.arange(comps.shape[1])])
+        signs[signs == 0] = 1.0
+        comps = comps * signs
+
+        lag_time = self._lag * self._frame_step * self._trajectory.dt
+        with np.errstate(divide="ignore", invalid="ignore"):
+            timescales = np.where(
+                lam >= 1.0,
+                np.inf,
+                -lag_time / np.log(np.where(lam > 0, lam, np.nan)),
+            )
+        self.results.eigenvalues = lam
+        self.results.timescales = timescales
+        self.results.tica_components = comps
+        self.results.mean_positions = mean.reshape(-1, 3)
+        self.results.rank = comps.shape[1]
+
+    def transform(self, n_components: int = None) -> np.ndarray:
+        """Project the analyzed trajectory onto the leading
+        `n_components` (default: all retained) independent
+        components: re-streams the same frames host-side, aligns
+        each to the reference, and returns
+        ``(n_frames, n_components)``."""
+
+        if "tica_components" not in self.results:
+            raise RuntimeError("Call run() before transform().")
+        k = (
+            self.results.tica_components.shape[1]
+            if n_components is None
+            else int(n_components)
+        )
+        return self._project_aligned(
+            self.results.tica_components[:, :k],
+            self.results.mean_positions.reshape(-1),
+        )

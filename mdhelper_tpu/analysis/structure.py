@@ -640,13 +640,15 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
     def _use_pallas_cell_kernel(self) -> bool:
         """Route the hot RDF cases through the hand-tiled Pallas
-        cell-list kernel: uniform bins from 0, orthorhombic box >= 3
-        cutoffs per axis on the first frame (per-frame NPT boxes are
-        fine — the kernel takes the box at runtime and NaN-poisons if
-        a frame's box invalidates the planned cell grid), self- or
+        cell-list kernel: uniform bins from 0, box at least 3 cutoffs
+        per (perpendicular-width) axis on the first frame — both
+        orthorhombic and triclinic cells, the latter via per-(cell,
+        neighbor) lattice-image shifts (per-frame NPT boxes are fine:
+        the kernel takes the box at runtime and NaN-poisons if a
+        frame's box invalidates the planned cell grid), self- or
         molecule-block exclusion, running on a real TPU.  Everything
-        else uses the general XLA tiled sweep (triclinic boxes, 2-D
-        drop_axis, range[0] > 0)."""
+        else uses the general XLA tiled sweep (2-D drop_axis,
+        range[0] > 0, too-small boxes)."""
 
         import jax as _jax
 
@@ -696,7 +698,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         dims = np.asarray(self.universe.dimensions, np.float64)
         if not self._triclinic:
             return dims[:3]
-        from ..algorithm.topology import triclinic_matrices
         from ..ops.pallas_cell_histogram import (
             triclinic_perpendicular_widths,
         )
@@ -2245,6 +2246,116 @@ class IntermediateScatteringFunction(StructureFactor):
         self.results.cisf = cisf
         if iisf is not None:
             self.results.iisf = iisf
+
+    def calculate_dynamic_structure_factor(
+        self,
+        *,
+        t_max: Union[float, "Q_"] = None,
+        window: str = None,
+    ) -> None:
+        r"""Dynamic structure factor :math:`S(q, \omega)` — the time
+        Fourier transform of the computed :math:`F(q, t)` (beyond
+        reference; the reference stops at :math:`F(q, t)`,
+        ``analysis/structure.py:1552-2127``):
+
+        .. math::
+
+           S(q, \omega) = \frac{1}{2\pi} \int_{-\infty}^{\infty}
+           F(q, t)\, e^{-i\omega t}\, dt
+           = \frac{1}{\pi} \int_0^{\infty} F(q, t) \cos(\omega t)\,dt
+
+        using the classical even extension :math:`F(q, -t) = F(q, t)`
+        (the streamed estimator is real).  The one-sided cosine
+        transform evaluates as a trapezoid-weighted real FFT on the
+        ``rfftfreq`` angular grid, so :math:`\sum_j S(q, \omega_j)
+        \Delta\omega \approx F(q, 0)` (the sum rule) holds to
+        quadrature accuracy.
+
+        Requires a DENSE, evenly spaced lag grid (the default
+        ``lags=None``); a ``lags="log"`` run cannot be transformed
+        (the FFT needs uniform sampling).
+
+        Parameters
+        ----------
+        t_max : `float` or `pint.Quantity`, keyword-only, optional
+            Truncate :math:`F(q, t)` at this lag time (ps) before the
+            transform.  The triangular-normalized estimator is
+            noise-dominated at lags approaching the window length;
+            a few relaxation times is the usual choice.  Default:
+            the full lag window.
+        window : `str`, keyword-only, optional
+            Apodization applied to the positive-lag data before the
+            transform: ``None`` (default, plain trapezoid) or
+            ``"hann"`` (half-Hann taper, suppressing truncation
+            ringing when :math:`F` has not fully decayed at the last
+            kept lag).
+
+        Returns
+        -------
+        Populates ``results.angular_frequencies`` (rad/ps, the
+        non-negative half), ``results.dsf`` with shape
+        ``(N_freq, N_pairs, N_q)`` aligned with ``results.cisf``'s
+        trailing axes, and — for ``incoherent=True`` runs —
+        ``results.idsf`` from ``results.iisf``.
+        """
+
+        if "cisf" not in self.results:
+            raise RuntimeError(
+                "Call run() before "
+                "calculate_dynamic_structure_factor()."
+            )
+        times = np.asarray(self.results.times, dtype=np.float64)
+        if len(times) < 2:
+            raise ValueError(
+                "The dynamic structure factor needs at least two "
+                "time lags."
+            )
+        dt_lag = np.diff(times)
+        if not np.allclose(dt_lag, dt_lag[0]):
+            raise ValueError(
+                "calculate_dynamic_structure_factor() requires a "
+                "dense, evenly spaced lag grid — rerun with the "
+                "default lags=None (a 'log' or index-subset lag grid "
+                "cannot be Fourier transformed)."
+            )
+        dt_lag = float(dt_lag[0])
+
+        def transform(f):
+            f = np.asarray(f, dtype=np.float64)
+            if t_max is not None:
+                keep_t, _ = strip_unit(t_max, "picosecond")
+                keep = max(2, min(len(f), int(round(keep_t / dt_lag)) + 1))
+                f = f[:keep]
+            n_t = f.shape[0]
+            # Trapezoid end-point halving; optional half-Hann taper.
+            weights = np.ones(n_t)
+            if window is not None:
+                if window != "hann":
+                    raise ValueError(
+                        f"Invalid window: {window!r}. Valid values: "
+                        "None, 'hann'."
+                    )
+                k = np.arange(n_t)
+                weights = 0.5 * (1.0 + np.cos(np.pi * k / (n_t - 1)))
+            weights[0] *= 0.5
+            weights[-1] *= 0.5
+            spec = np.fft.rfft(
+                weights[:, None, None] * f, axis=0
+            ).real
+            return (dt_lag / np.pi) * spec, n_t
+
+        dsf, n_t = transform(self.results.cisf)
+        self.results.angular_frequencies = (
+            2.0 * np.pi * np.fft.rfftfreq(n_t, dt_lag)
+        )
+        self.results.dsf = dsf
+        self.results.units["results.angular_frequencies"] = (
+            ureg.picosecond**-1
+        )
+        self.results.units["results.dsf"] = ureg.picosecond
+        if "iisf" in self.results:
+            self.results.idsf, _ = transform(self.results.iisf)
+            self.results.units["results.idsf"] = ureg.picosecond
 
 
 class VanHoveFunction(SerialAnalysisBase):

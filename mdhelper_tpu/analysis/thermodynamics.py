@@ -242,11 +242,15 @@ def calculate_shear_viscosity(
     temperature: float,
     dt: float,
     *,
+    method: str = "green-kubo",
+    fit_interval: tuple = (0.01, 0.1),
     reduced: bool = False,
 ) -> Hash:
-    r"""Green-Kubo shear viscosity from off-diagonal pressure-tensor
+    r"""Shear viscosity from off-diagonal pressure-tensor
     fluctuations (beyond reference; pairs with the LAMMPS/OpenMM log
-    parsing the heat-capacity class provides):
+    parsing the heat-capacity class provides).
+
+    ``method="green-kubo"`` (default) integrates the stress ACF:
 
     .. math::
 
@@ -257,6 +261,23 @@ def calculate_shear_viscosity(
     :math:`P_{xy}, P_{xz}, P_{yz}`).  The ACF evaluates with the
     Wiener-Khinchin engine; the running (cumulative-trapezoid)
     integral is returned so the plateau can be chosen by eye or fit.
+
+    ``method="einstein"`` uses the equivalent Einstein–Helfand form —
+    the slope of the "mean-squared displacement" of the Helfand
+    moment :math:`G_{\alpha\beta}(t) = \int_0^t
+    P_{\alpha\beta}(t')\,dt'`:
+
+    .. math::
+
+       \eta = \frac{V}{2 k_\mathrm{B}T} \lim_{t\to\infty}
+       \frac{d}{dt} \bigl\langle [G_{\alpha\beta}(t_0 + t) -
+       G_{\alpha\beta}(t_0)]^2 \bigr\rangle_{t_0}
+
+    evaluated with the same :math:`O(N\log N)` FCA engine as the
+    particle MSDs (``algorithm/correlation.py``).  The two estimators
+    agree in the long-series limit; Einstein–Helfand avoids choosing
+    an ACF integration plateau (a linear fit over ``fit_interval``
+    replaces it) and is often better behaved on noisy stress data.
 
     Parameters
     ----------
@@ -273,15 +294,41 @@ def calculate_shear_viscosity(
         :math:`k_\mathrm{B}T` when reduced.
     dt : `float`
         Series time step (ps; LJ time when reduced).
+    method : `str`, keyword-only, default ``"green-kubo"``
+        ``"green-kubo"`` or ``"einstein"`` (Einstein–Helfand).
+    fit_interval : `tuple`, keyword-only, default ``(0.01, 0.1)``
+        Einstein–Helfand only: fractional ``(start, stop)`` of the
+        lag window over which the Helfand MSD slope is fit.  Lags
+        below the stress relaxation time are ballistic/correlated;
+        the time-averaged MSD's relative statistical error grows as
+        :math:`\sqrt{t/T}`, so lags approaching the window length
+        are noise-dominated — pick the interval a few relaxation
+        times above zero and well below the series length.
 
     Returns
     -------
     results : `Hash`
-        ``times`` (ps), ``acf`` ((atm)^2, component-averaged),
-        ``running_viscosity`` (mPa s; the cumulative integral),
-        ``viscosity`` (mPa s; the full-window integral), and
-        ``units`` (omitted when reduced).
+        For ``"green-kubo"``: ``times`` (ps), ``acf`` ((atm)^2,
+        component-averaged), ``running_viscosity`` (mPa s; the
+        cumulative integral), ``viscosity`` (mPa s; the full-window
+        integral), and ``units`` (omitted when reduced).  For
+        ``"einstein"``: ``times``, ``helfand_msd`` ((atm ps)^2,
+        component-averaged), ``running_viscosity`` (mPa s; the
+        half-derivative of the Helfand MSD), ``viscosity`` (mPa s;
+        the ``fit_interval`` slope), and ``units``.
     """
+
+    if method not in ("green-kubo", "einstein"):
+        raise ValueError(
+            f"Invalid method: {method!r}. Valid values: "
+            "'green-kubo', 'einstein'."
+        )
+    lo_frac, hi_frac = fit_interval
+    if not (0.0 <= lo_frac < hi_frac <= 1.0):
+        raise ValueError(
+            "fit_interval must be an increasing (start, stop) "
+            f"fraction pair within [0, 1]; got {fit_interval!r}."
+        )
 
     pressures, _ = strip_unit(pressures, "atmosphere")
     pressures = np.asarray(pressures, dtype=np.float64)
@@ -309,41 +356,86 @@ def calculate_shear_viscosity(
     temperature, _ = strip_unit(temperature, "kelvin")
     dt, _ = strip_unit(dt, "picosecond")
 
-    times, acf, integral = _green_kubo_running(pressures, dt)
     if reduced:
         scale = volume / temperature
+    else:
+        scale = (
+            (
+                1
+                * ureg.atmosphere**2
+                * ureg.angstrom**3
+                * ureg.picosecond
+                / (ureg.boltzmann_constant * ureg.kelvin)
+            )
+            .to("millipascal * second")
+            .magnitude
+            * volume
+            / temperature
+        )
+
+    if method == "einstein":
+        # Helfand moment G(t) = int_0^t P dt' (trapezoid cumulative),
+        # one column per stress component; its component-averaged MSD
+        # evaluates with the FCA engine.
+        helfand = np.concatenate(
+            (
+                np.zeros((1, pressures.shape[1])),
+                np.cumsum(
+                    dt * (pressures[1:] + pressures[:-1]) / 2, axis=0
+                ),
+            )
+        )
+        msd = _scalar_msd_fft(helfand)
+        times = np.arange(len(msd)) * dt
+        running = scale * 0.5 * np.gradient(msd, dt)
+        lo = int(round(fit_interval[0] * len(msd)))
+        hi = int(round(fit_interval[1] * len(msd)))
+        lo = max(1, lo)
+        hi = max(lo + 2, hi)
+        slope = np.polyfit(times[lo:hi], msd[lo:hi], 1)[0]
         results = Hash(
             times=times,
-            acf=acf,
-            running_viscosity=scale * integral,
-            viscosity=float(scale * integral[-1]),
+            helfand_msd=msd,
+            running_viscosity=running,
+            viscosity=float(scale * 0.5 * slope),
         )
+        if not reduced:
+            results.units = Hash(
+                times=ureg.picosecond,
+                helfand_msd=(ureg.atmosphere * ureg.picosecond) ** 2,
+                running_viscosity=ureg.millipascal * ureg.second,
+                viscosity=ureg.millipascal * ureg.second,
+            )
         return results
-    scale = (
-        (
-            1
-            * ureg.atmosphere**2
-            * ureg.angstrom**3
-            * ureg.picosecond
-            / (ureg.boltzmann_constant * ureg.kelvin)
-        )
-        .to("millipascal * second")
-        .magnitude
-        * volume
-        / temperature
-    )
-    return Hash(
+
+    times, acf, integral = _green_kubo_running(pressures, dt)
+    results = Hash(
         times=times,
         acf=acf,
         running_viscosity=scale * integral,
         viscosity=float(scale * integral[-1]),
-        units=Hash(
+    )
+    if not reduced:
+        results.units = Hash(
             times=ureg.picosecond,
             acf=ureg.atmosphere**2,
             running_viscosity=ureg.millipascal * ureg.second,
             viscosity=ureg.millipascal * ureg.second,
-        ),
-    )
+        )
+    return results
+
+
+def _scalar_msd_fft(series: np.ndarray) -> np.ndarray:
+    """Component-averaged mean-squared displacement of a scalar
+    ``(N_t, C)`` series via :func:`~mdhelper_tpu.algorithm.\
+correlation.msd_fft` (each column is a one-component "particle";
+    the entity average recovers the component mean)."""
+
+    from ..algorithm.correlation import msd_fft
+
+    # one scalar "component" per column: feed (N_t, C, 1) positions
+    # and average over the C entity axis
+    return np.asarray(msd_fft(series[:, :, None], axis=0))
 
 
 def _green_kubo_running(series: np.ndarray, dt: float):

@@ -223,6 +223,21 @@ def _cell_sweep_ok(box, dims, n_cells_dim, r_max):
     return (wide_enough | whole_axis).all()
 
 
+def _bin_boundary_constants(r_max, n_bins):
+    """``(inv_dr, dr2_hi, dr2_lo)`` for the exact binning tail:
+    ``r_max / n_bins`` is rounded in f64 FIRST, then squared — the
+    same boundary convention as the XLA path's uniform-edge width
+    ``h = (edges[-1] - edges[0]) / n_bins``, so the two routes
+    resolve bin-edge tie pairs identically (split-sensitive; see
+    BASELINE.md "triclinic Pallas cell kernels")."""
+
+    inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
+    dr2_wide = (np.float64(r_max) / np.float64(n_bins)) ** 2
+    dr2_hi = np.float32(dr2_wide)
+    dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
+    return inv_dr, dr2_hi, dr2_lo
+
+
 def _bin_fast(ip, jp, box, inv_dr):
     d2 = None
     for k in range(3):
@@ -451,8 +466,6 @@ def _image_shift_table(box_matrix):
     identical split is what makes the Pallas route bin bin-edge tie
     pairs exactly like the XLA 27-image sweep (caught on-chip: a
     zero-seeded accumulation flipped ~7 straddle pairs out of 35M)."""
-
-    from .doublefloat import df_add, two_prod
 
     h = box_matrix.astype(jnp.float32)
     hi = []
@@ -909,14 +922,7 @@ def cell_pair_histogram_pallas(
         )
         sweep_ok = _cell_sweep_ok(box, dims, n_cells_dim, r_max)
 
-    inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
-    # (r_max / n_bins) rounded in f64 FIRST, then squared — the
-    # same boundary convention as the XLA path's uniform-edge
-    # width h = (edges[-1] - edges[0]) / n_bins, so the two
-    # routes resolve bin-edge tie pairs identically.
-    dr2_wide = (np.float64(r_max) / np.float64(n_bins)) ** 2
-    dr2_hi = np.float32(dr2_wide)
-    dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
+    inv_dr, dr2_hi, dr2_lo = _bin_boundary_constants(r_max, n_bins)
 
     # One-hot chunking: cap the live one-hot pair to ~8 MB.
     chunk_rows = max(
@@ -1115,14 +1121,7 @@ def cross_pair_histogram_pallas(
         cell_size, ex_i=ex2, ex_j=ex2, cell_xyz=cells2,
     )
 
-    inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
-    # (r_max / n_bins) rounded in f64 FIRST, then squared — the
-    # same boundary convention as the XLA path's uniform-edge
-    # width h = (edges[-1] - edges[0]) / n_bins, so the two
-    # routes resolve bin-edge tie pairs identically.
-    dr2_wide = (np.float64(r_max) / np.float64(n_bins)) ** 2
-    dr2_hi = np.float32(dr2_wide)
-    dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
+    inv_dr, dr2_hi, dr2_lo = _bin_boundary_constants(r_max, n_bins)
     chunk_rows = max(
         8,
         min(capacity1, (4 * 1024 * 1024) // (4 * n_fine * capacity2)),

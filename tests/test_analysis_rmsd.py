@@ -290,3 +290,177 @@ def test_pca_host_pipeline(monkeypatch):
     np.testing.assert_allclose(
         results["0"][1][:, :2], results["1"][1][:, :2], atol=1e-6
     )
+
+
+def _tica_oracle(pos, ref, w, lag, align=True, rcond=1e-8):
+    """Direct f64 tICA: align, flatten, global mean/C0, pair-event
+    C_tau (symmetrized), truncated-whitening generalized eigh."""
+
+    from mdhelper_tpu.analysis.rmsd import (
+        _davenport_k,
+        _rotation_from_quaternion,
+    )
+
+    W = w.sum()
+    ref_c = ref - (w[:, None] * ref).sum(0) / W
+    X = []
+    for p in pos:
+        pc = p - (w[:, None] * p).sum(0) / W
+        if align:
+            c = (pc * w[:, None]).T @ ref_c
+            _, vecs = np.linalg.eigh(_davenport_k(c))
+            pc = pc @ _rotation_from_quaternion(vecs[:, -1]).T
+        X.append(pc.reshape(-1))
+    X = np.array(X)
+    mean = X.mean(0)
+    c0 = (X - mean).T @ (X - mean) / len(X)
+    a, b = X[:-lag] - mean, X[lag:] - mean
+    ctau = a.T @ b / len(a)
+    ctau = (ctau + ctau.T) / 2
+    vals0, vecs0 = np.linalg.eigh(c0)
+    keep = vals0 > rcond * vals0[-1]
+    whiten = vecs0[:, keep] / np.sqrt(vals0[keep])
+    m = whiten.T @ ctau @ whiten
+    lam, y = np.linalg.eigh((m + m.T) / 2)
+    return X, mean, lam[::-1], whiten @ y[:, ::-1]
+
+
+def test_tica_matches_oracle():
+    from mdhelper_tpu.analysis.rmsd import TICA
+
+    pos, base, _ = _make_traj(F=20, n=10, noise=0.5)
+    u = _universe(pos, dt=2.0)
+    t = TICA(u.atoms, reference=base, lag=3, verbose=False).run()
+    w = np.ones(pos.shape[1])
+    X, mean, lam, comps = _tica_oracle(pos, base, w, lag=3)
+    assert t.results.rank == comps.shape[1]
+    np.testing.assert_allclose(
+        t.results.eigenvalues, lam, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        t.results.mean_positions.reshape(-1), mean, atol=1e-9
+    )
+    # Components against the oracle STATISTICS (vector comparison is
+    # ill-posed where the eigenvalue spectrum is close): each class
+    # component must be C0-normalized and reproduce its eigenvalue
+    # through the oracle's symmetrized C_tau.
+    Xc = X - mean
+    c0_o = Xc.T @ Xc / len(X)
+    a_o, b_o = Xc[:-3], Xc[3:]
+    ctau_o = a_o.T @ b_o / len(a_o)
+    ctau_o = (ctau_o + ctau_o.T) / 2
+    U = t.results.tica_components
+    np.testing.assert_allclose(
+        np.einsum("ik,ij,jk->k", U, c0_o, U), 1.0, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.einsum("ik,ij,jk->k", U, ctau_o, U),
+        t.results.eigenvalues, atol=1e-8,
+    )
+    # leading component vector where the eigengap is clear
+    gaps = lam[0] - lam[1]
+    if gaps > 1e-3:
+        v, o = U[:, 0], comps[:, 0]
+        assert min(np.abs(v - o).max(), np.abs(v + o).max()) < 1e-6
+    # projections: unit variance in C0 metric, autocorrelation at
+    # the lag equals the eigenvalue (the defining property)
+    proj = t.transform()
+    centered = proj - ((X - mean) @ t.results.tica_components).mean(0)
+    np.testing.assert_allclose(
+        proj, (X - mean) @ t.results.tica_components, atol=1e-8
+    )
+    c0_proj = proj.T @ proj / len(proj) - np.outer(
+        proj.mean(0), proj.mean(0)
+    )
+    np.testing.assert_allclose(
+        np.diag(c0_proj), 1.0, atol=1e-8
+    )
+    # timescales: -lag * dt / ln(lambda) where 0 < lambda < 1
+    lag_time = 3 * 2.0
+    lam_c = t.results.eigenvalues
+    ok = (lam_c > 1e-3) & (lam_c < 1)  # noise-floor lam flips sign
+    np.testing.assert_allclose(
+        t.results.timescales[ok], -lag_time / np.log(lam_c[ok]),
+        rtol=1e-10,
+    )
+    assert t.results.units["results.timescales"] is not None
+
+
+def test_tica_slow_mode_identified():
+    """A single slow OU coordinate among fast-noise coordinates is
+    the leading component with the right implied timescale."""
+
+    from mdhelper_tpu.analysis.rmsd import TICA
+
+    local = np.random.default_rng(77)
+    T, n = 4000, 4
+    tau, dt_frame = 25.0, 1.0
+    theta = dt_frame / tau
+    slow = np.empty(T)
+    slow[0] = 0.0
+    for t in range(1, T):
+        slow[t] = slow[t - 1] * (1 - theta) + np.sqrt(
+            2 * theta
+        ) * local.standard_normal()
+    pos = local.standard_normal((T, n, 3)) * 0.05
+    base = np.array(
+        [[4.0, 0, 0], [-4.0, 0, 0], [0, 4.0, 0], [0, 0, 4.0]]
+    )
+    pos += base  # rigid scaffold so no alignment degeneracy
+    pos[:, 0, 0] += 2.0 * slow  # slow collective coordinate
+    u = _universe(pos, dt=dt_frame)
+    t_ = TICA(
+        u.atoms, reference=base, lag=5, align=False, verbose=False
+    ).run()
+    lam = t_.results.eigenvalues
+    # leading eigenvalue ~ exp(-lag/tau), far above the noise modes
+    assert abs(lam[0] - np.exp(-5 / tau)) < 0.1
+    assert lam[0] > 3 * abs(lam[1])
+    ts = t_.results.timescales[0]
+    assert abs(ts - tau) / tau < 0.35, ts
+
+
+def test_tica_chunked_ring_and_host_pipeline(monkeypatch):
+    from mdhelper_tpu.analysis.rmsd import TICA
+
+    pos, base, _ = _make_traj(F=14, n=8, noise=0.4)
+    results = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("MDTPU_HOST_PIPELINE", knob)
+        u = _universe(pos)
+        t = TICA(u.atoms, lag=2, verbose=False)
+        if knob == "0":
+            # tiny chunks: the lag ring must hand off across chunks
+            t._chunk_bytes = 3 * pos.shape[1] * 3 * 8
+        t.run()
+        assert t._host_pipeline is (knob == "1")
+        results[knob] = (
+            t.results.eigenvalues, t.results.tica_components
+        )
+    monkeypatch.delenv("MDTPU_HOST_PIPELINE")
+    np.testing.assert_allclose(
+        results["0"][0], results["1"][0], atol=1e-8
+    )
+    # same retained subspace: projectors agree even where individual
+    # eigenvectors rotate within near-degenerate clusters
+    U0, U1 = results["0"][1], results["1"][1]
+    lam = results["0"][0]
+    w0 = U0 * lam  # weight columns by eigenvalue to damp the
+    w1 = U1 * lam  # noise-floor modes before comparing projectors
+    np.testing.assert_allclose(
+        w0 @ U0.T, w1 @ U1.T, atol=1e-5
+    )
+
+
+def test_tica_validation():
+    from mdhelper_tpu.analysis.rmsd import TICA
+
+    pos, _, _ = _make_traj(F=5)
+    u = _universe(pos)
+    with pytest.raises(ValueError, match="positive"):
+        TICA(u.atoms, lag=0, verbose=False)
+    with pytest.raises(ValueError, match="below the analyzed"):
+        TICA(u.atoms, lag=5, verbose=False).run()
+    t = TICA(u.atoms, lag=1, verbose=False)
+    with pytest.raises(RuntimeError, match="run"):
+        t.transform()

@@ -585,3 +585,85 @@ def test_weighted_sum_q_dependent_form_factors():
         np.testing.assert_allclose(got[i], per_q[i], rtol=1e-12)
     with pytest.raises(ValueError, match="shape"):
         sf.calculate_weighted_sum(np.ones((2, 3)))
+
+
+def test_dynamic_structure_factor(universe):
+    """S(q, w): the rfft evaluation matches a dense trapezoid cosine
+    transform exactly; the w=0 row is the trapezoid integral of F;
+    a Debye decay transforms to the expected Lorentzian."""
+
+    isf = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, unique=False, sort=False,
+        incoherent=True, verbose=False,
+    ).run()
+    times = np.asarray(isf.results.times)
+    dt = times[1] - times[0]
+    tau = 4.0
+    shape_c = isf.results.cisf.shape
+    decay = np.exp(-times / tau)
+    isf.results.cisf = decay[:, None, None] * np.ones(shape_c)
+    isf.results.iisf = (
+        decay[:, None, None] * np.ones(isf.results.iisf.shape)
+    )
+    isf.calculate_dynamic_structure_factor()
+    w = isf.results.angular_frequencies
+    assert np.allclose(w, 2 * np.pi * np.fft.rfftfreq(len(times), dt))
+
+    # dense-matrix trapezoid cosine-transform oracle
+    weights = np.ones(len(times))
+    weights[0] = weights[-1] = 0.5
+    oracle = (dt / np.pi) * np.einsum(
+        "k,jk->j", weights * decay, np.cos(np.outer(w, times))
+    )
+    np.testing.assert_allclose(
+        isf.results.dsf[:, 0, 0], oracle, rtol=1e-12, atol=1e-15
+    )
+    np.testing.assert_allclose(
+        isf.results.idsf[:, 0, 0], oracle, rtol=1e-12, atol=1e-15
+    )
+    # w = 0: (1/pi) * trapezoid integral of F
+    np.testing.assert_allclose(
+        isf.results.dsf[0, 0, 0],
+        np.trapz(decay, times) / np.pi,
+        rtol=1e-12,
+    )
+    assert "results.dsf" in isf.results.units
+    assert "results.angular_frequencies" in isf.results.units
+
+    # Debye decay -> Lorentzian (tau/pi)/(1 + (w tau)^2), to
+    # quadrature accuracy of the short truncated window
+    lorentz = (tau / np.pi) / (1 + (w * tau) ** 2)
+    assert abs(isf.results.dsf[0, 0, 0] - lorentz[0]) / lorentz[0] < 0.35
+
+    # half-Hann taper applies before the transform
+    isf.calculate_dynamic_structure_factor(window="hann")
+    k = np.arange(len(times))
+    hann = 0.5 * (1 + np.cos(np.pi * k / (len(times) - 1)))
+    oracle_h = (dt / np.pi) * np.einsum(
+        "k,jk->j", weights * hann * decay,
+        np.cos(np.outer(w, times)),
+    )
+    np.testing.assert_allclose(
+        isf.results.dsf[:, 0, 0], oracle_h, rtol=1e-12, atol=1e-15
+    )
+
+    # t_max truncation shortens the frequency grid
+    isf.calculate_dynamic_structure_factor(t_max=times[5])
+    assert len(isf.results.angular_frequencies) == 6 // 2 + 1
+
+    with pytest.raises(ValueError, match="window"):
+        isf.calculate_dynamic_structure_factor(window="hamming")
+
+
+def test_dynamic_structure_factor_validation(universe):
+    isf = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, verbose=False
+    )
+    with pytest.raises(RuntimeError, match="run"):
+        isf.calculate_dynamic_structure_factor()
+    logged = IntermediateScatteringFunction(
+        universe.atoms, n_points=3, lags=[0, 1, 3, 7],
+        fft=False, verbose=False,
+    ).run()
+    with pytest.raises(ValueError, match="evenly spaced"):
+        logged.calculate_dynamic_structure_factor()

@@ -212,3 +212,88 @@ def test_thermal_conductivity_quantity_input_converts():
     np.testing.assert_allclose(
         quantity.conductivity, raw.conductivity, rtol=1e-12
     )
+
+
+def test_einstein_helfand_viscosity():
+    """Einstein-Helfand slope agrees with the Green-Kubo plateau on
+    an OU stress series; the FCA Helfand MSD matches a brute-force
+    O(N^2) oracle; validation paths."""
+
+    import numpy as np
+
+    from mdhelper_tpu import ureg
+    from mdhelper_tpu.analysis.thermodynamics import (
+        _scalar_msd_fft,
+        calculate_shear_viscosity,
+    )
+
+    # FCA MSD == brute-force oracle on a short series
+    r = np.random.default_rng(7)
+    short = r.standard_normal((40, 2))
+    msd = _scalar_msd_fft(short)
+    brute = np.zeros(40)
+    g = np.cumsum(short, axis=0)  # any series works for the identity
+    for m in range(40):
+        brute[m] = np.mean(
+            [
+                ((short[t + m] - short[t]) ** 2).mean()
+                for t in range(40 - m)
+            ]
+        )
+    np.testing.assert_allclose(msd, brute, rtol=1e-9, atol=1e-12)
+
+    # OU stress: eta = V sigma^2 tau / kT from the EH slope
+    T_steps, dt, tau, sigma = 60_000, 0.01, 0.4, 12.0
+    theta = dt / tau
+    p = np.empty((T_steps, 3))
+    p[0] = sigma * r.standard_normal(3)
+    drive = sigma * np.sqrt(2 * theta)
+    for t in range(1, T_steps):
+        p[t] = p[t - 1] * (1 - theta) + drive * r.standard_normal(3)
+
+    volume, temperature = 30_000.0, 300.0
+    out = calculate_shear_viscosity(
+        p, volume, temperature, dt, method="einstein",
+        fit_interval=(0.005, 0.04),
+    )
+    scale = (
+        (1 * ureg.atmosphere**2 * ureg.angstrom**3 * ureg.picosecond
+         / (ureg.boltzmann_constant * ureg.kelvin))
+        .to("millipascal * second").magnitude
+    )
+    expected = scale * volume / temperature * sigma**2 * tau
+    assert abs(out.viscosity - expected) / expected < 0.2, (
+        out.viscosity, expected,
+    )
+    # the two estimators agree on the same data
+    gk = calculate_shear_viscosity(p, volume, temperature, dt)
+    window = (gk.times > 4 * tau) & (gk.times < 20 * tau)
+    eta_gk = gk.running_viscosity[window].mean()
+    assert abs(out.viscosity - eta_gk) / eta_gk < 0.2
+    assert out.units["viscosity"] == ureg.millipascal * ureg.second
+    assert out.units["helfand_msd"] == (
+        ureg.atmosphere * ureg.picosecond
+    ) ** 2
+    # running derivative plateaus at the same value (mid-window)
+    mid = (out.times > 2 * tau) & (out.times < 10 * tau)
+    assert abs(out.running_viscosity[mid].mean() - expected) / (
+        expected
+    ) < 0.25
+
+    red = calculate_shear_viscosity(
+        p, volume, temperature, dt, method="einstein",
+        fit_interval=(0.005, 0.04), reduced=True,
+    )
+    assert "units" not in red
+    np.testing.assert_allclose(
+        red.viscosity / (volume / temperature),
+        out.viscosity / (scale * volume / temperature),
+        rtol=1e-12,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        calculate_shear_viscosity(
+            p, volume, temperature, dt, method="bogus"
+        )
