@@ -1163,23 +1163,31 @@ def _measure_tpu_subprocess() -> float:
 
 
 def _tunnel_health_gate() -> None:
-    """Fail fast (minutes, with a clear message) when the axon tunnel
-    is in a total outage — observed 13+-hour spans where every
-    execution hangs (BASELINE.md); without this gate the per-phase
-    retries would grind for hours before failing."""
+    """Gate the run on tunnel health with a bounded wait: probe
+    cheaply (a 3-op subprocess, ~2 s when healthy) and, during an
+    outage, KEEP POLLING for up to MDTPU_HEALTH_WAIT_S (default
+    45 min) before giving up — observed outages span minutes to
+    13+ hours (BASELINE.md), and the driver's round-end bench run is
+    the recorded measurement, so waiting out a short outage is far
+    cheaper than forfeiting it.  Without the gate the per-phase
+    retries would grind for hours before failing anyway."""
 
     import subprocess
     import sys
 
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return
+    budget = float(os.environ.get("MDTPU_HEALTH_WAIT_S", 45 * 60))
     probe = (
         "import jax, jax.numpy as jnp, numpy as np\n"
         "[np.asarray(jnp.sin(jnp.arange(8.) + i).sum())"
         " for i in range(3)]\n"
         "print('TUNNEL_OK')\n"
     )
-    for attempt in range(3):
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             out = subprocess.run(
                 [sys.executable, "-c", probe],
@@ -1187,18 +1195,28 @@ def _tunnel_health_gate() -> None:
                 env=os.environ.copy(),
             )
             if "TUNNEL_OK" in out.stdout:
+                if attempt > 1:
+                    print(
+                        f"[bench] tunnel recovered on probe {attempt}",
+                        file=sys.stderr,
+                    )
                 return
         except subprocess.TimeoutExpired:
             pass
+        remaining = deadline - time.monotonic()
         print(
-            f"[bench] tunnel health probe {attempt + 1}/3 failed",
+            f"[bench] tunnel health probe {attempt} failed "
+            f"({max(remaining, 0):.0f} s of wait budget left)",
             file=sys.stderr,
         )
-        time.sleep(30)
+        if remaining <= 0:
+            break
+        time.sleep(min(60, max(remaining, 1)))
     raise SystemExit(
-        "axon tunnel outage: a 3-op health probe hung 3x150 s; "
-        "benchmarking is impossible in this window (see BASELINE.md "
-        "outage notes and scripts/tunnel_recovery_bench.sh)."
+        "axon tunnel outage: 3-op health probes hung for "
+        f"{budget:.0f} s straight; benchmarking is impossible in "
+        "this window (see BASELINE.md outage notes and "
+        "scripts/tunnel_recovery_bench.sh)."
     )
 
 
