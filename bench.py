@@ -76,6 +76,11 @@ SQ_METHOD = os.environ.get("MDTPU_BENCH_SQ", "factor")
 # analyses in one jitted update; "classes": each pipeline separately;
 # "ops": raw kernels in dedicated loops (the round-1 metric).
 LEVEL = os.environ.get("MDTPU_BENCH_LEVEL", "fused")
+# Per-cell slot headroom for the Pallas plans (statistical overflow
+# auto-escalates with a costly re-stream; seeded fixtures overflow
+# DETERMINISTICALLY, so scaling-ladder configs >= 200k atoms should
+# set 6.0 up front — the 100k default fixture fits at 4.0).
+CAP_SIGMAS = float(os.environ.get("MDTPU_BENCH_CAPSIGMAS", 4.0))
 # Atom count for the "aggregates" level (clustering + hydrogen bonds
 # + nematic order are O(N^2) dense sweeps sized for the typical
 # aggregation-analysis regime, not the 100k RDF regime).
@@ -676,6 +681,7 @@ def tpu_class_fps(which: str) -> float:
             return RadialDistributionFunction(
                 u.atoms, n_bins=N_BINS, range=(0.0, R_MAX),
                 exclusion=(1, 1), verbose=False,
+                capacity_sigmas=CAP_SIGMAS,
             )
         if which == "cross":
             # Cross-RDF between the two species of a 50/50 binary
@@ -690,6 +696,7 @@ def tpu_class_fps(which: str) -> float:
             return RadialDistributionFunction(
                 u.atoms[0::2], u.atoms[1::2], n_bins=N_BINS,
                 range=(0.0, R_MAX), verbose=False,
+                capacity_sigmas=CAP_SIGMAS,
             )
         if which == "sq":
             from mdhelper_tpu.analysis.structure import StructureFactor

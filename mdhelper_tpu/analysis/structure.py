@@ -855,12 +855,44 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
         self._update = jax.jit(update)
 
+    def run(self, *args, **kwargs):
+        """Run, auto-escalating the Pallas cell plan's slot capacity
+        on the rare statistical overflow: the cost-searched plan
+        leaves ~4 sigma of headroom above the mean cell occupancy
+        (optimal padded work), so very long runs over many
+        (cell, frame) occupancy draws can trip it.  Each retry
+        re-plans with ``capacity_sigmas += 2`` (one recompile) and
+        re-streams; two escalations bound the recursion."""
+
+        from ..ops.pallas_cell_histogram import CellCapacityOverflow
+
+        try:
+            return super().run(*args, **kwargs)
+        except CellCapacityOverflow:
+            retries = getattr(self, "_capacity_retries", 0)
+            if retries >= 2:
+                raise
+            self._capacity_retries = retries + 1
+            self._capacity_sigmas += 2.0
+            self._cell_plan_cache = None
+            warnings.warn(
+                "Pallas cell capacity overflow (a density "
+                "fluctuation exceeded the planned slot count); "
+                f"re-planning with capacity_sigmas="
+                f"{self._capacity_sigmas} and re-running."
+            )
+            return self.run(*args, **kwargs)
+
     def _check_pallas_carry(self) -> None:
         if "max_occ" not in self._carry:
             return
         excess = int(self._carry.pop("max_occ"))
         if excess > 0:
-            raise RuntimeError(
+            from ..ops.pallas_cell_histogram import (
+                CellCapacityOverflow,
+            )
+
+            raise CellCapacityOverflow(
                 f"cell capacity overflow (by {excess} atoms): a cell "
                 "exceeded its planned slot count (a density "
                 "fluctuation or clustering). Re-run with a larger "
@@ -2464,6 +2496,7 @@ class VanHoveFunction(SerialAnalysisBase):
         lags=None,
         self_part: bool = True,
         distinct_part: bool = True,
+        capacity_sigmas: float = 4.0,
         reduced: bool = False,
         verbose: bool = True,
         **kwargs,
@@ -2471,6 +2504,7 @@ class VanHoveFunction(SerialAnalysisBase):
         self.group = group
         self.universe = group.universe
         super().__init__(self.universe.trajectory, verbose, **kwargs)
+        self._capacity_sigmas = float(capacity_sigmas)
 
         if not (self_part or distinct_part):
             raise ValueError(
@@ -2591,6 +2625,7 @@ class VanHoveFunction(SerialAnalysisBase):
                     np.asarray(self.universe.dimensions[:3], float),
                     float(self._range[1]),
                     n_atoms2=n_entities,
+                    capacity_sigmas=self._capacity_sigmas,
                 )
                 # No legal grid fits the VMEM table budget (very
                 # large N x box/r_max): the brute sweep is the only
@@ -2769,11 +2804,38 @@ class VanHoveFunction(SerialAnalysisBase):
 
         self._update = jit_update(update)
 
+    def run(self, *args, **kwargs):
+        """Run, auto-escalating the cross cell kernel's slot capacity
+        on the rare statistical overflow (the plan leaves ~4 sigma of
+        occupancy headroom; see RadialDistributionFunction.run)."""
+
+        from ..ops.pallas_cell_histogram import CellCapacityOverflow
+
+        try:
+            return super().run(*args, **kwargs)
+        except CellCapacityOverflow:
+            retries = getattr(self, "_capacity_retries", 0)
+            if retries >= 2:
+                raise
+            self._capacity_retries = retries + 1
+            self._capacity_sigmas += 2.0
+            warnings.warn(
+                "Pallas cell capacity overflow (a density "
+                "fluctuation exceeded the planned slot count); "
+                f"re-planning with capacity_sigmas="
+                f"{self._capacity_sigmas} and re-running."
+            )
+            return self.run(*args, **kwargs)
+
     def _conclude(self) -> None:
         if "max_occ" in self._carry:
             excess = int(self._carry.pop("max_occ"))
             if excess > 0:
-                raise RuntimeError(
+                from ..ops.pallas_cell_histogram import (
+                    CellCapacityOverflow,
+                )
+
+                raise CellCapacityOverflow(
                     f"cell capacity overflow (by {excess} atoms): a "
                     "cell exceeded its planned slot count (a density "
                     "fluctuation or clustering). Re-run with "

@@ -55,6 +55,7 @@ from .doublefloat import (
 )
 
 __all__ = [
+    "CellCapacityOverflow",
     "pallas_cell_plan",
     "pallas_cell_plan_search",
     "cell_pair_histogram_pallas",
@@ -65,6 +66,17 @@ __all__ = [
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+class CellCapacityOverflow(RuntimeError):
+    """A frame's densest cell exceeded the planned slot capacity.
+
+    The plan search minimizes padded pair work, which lands the
+    128-lane-snapped capacity ~4 sigma above the mean occupancy —
+    optimal throughput, but a long run over many (cell, frame) draws
+    can trip it.  Analyses catch this and retry with an escalated
+    ``capacity_sigmas`` (one replan + recompile) so the common case
+    stays fast."""
 
 
 def pallas_cell_plan(n_atoms, box, r_max, *, capacity_sigmas=4.0):

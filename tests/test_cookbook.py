@@ -283,3 +283,54 @@ def test_cookbook_weighted_sq_and_dielectric():
     )
     assert spec.epsilon.shape == spec.frequencies.shape
     assert np.isfinite(spec.epsilon).all()
+
+
+def test_cookbook_dynamic_structure_factor():
+    from mdhelper_tpu.analysis.structure import (
+        IntermediateScatteringFunction,
+    )
+
+    u = make_universe()
+    isf = IntermediateScatteringFunction(
+        u.atoms, n_points=3, incoherent=True, verbose=False
+    ).run()
+    isf.calculate_dynamic_structure_factor(window="hann")
+    assert isf.results.angular_frequencies[0] == 0.0
+    assert isf.results.dsf.shape[0] == len(
+        isf.results.angular_frequencies
+    )
+    assert isf.results.idsf.shape == isf.results.dsf.shape[:1] + (
+        1,
+        isf.results.dsf.shape[2],
+    )
+
+
+def test_cookbook_einstein_helfand():
+    from mdhelper_tpu.analysis.thermodynamics import (
+        calculate_shear_viscosity,
+    )
+
+    p = rng.standard_normal((4000, 3))
+    eta = calculate_shear_viscosity(
+        p, 1000.0, 300.0, 0.01,
+        method="einstein", fit_interval=(0.01, 0.1),
+    )
+    assert eta.helfand_msd.shape == (4000,)
+    assert np.isfinite(eta.viscosity)
+    assert "helfand_msd" in eta.units
+
+
+def test_cookbook_pca_tica():
+    from mdhelper_tpu.analysis.rmsd import (
+        PrincipalComponentAnalysis,
+        TICA,
+    )
+
+    u = make_universe()
+    pca = PrincipalComponentAnalysis(u.atoms, verbose=False).run()
+    assert pca.transform(n_components=2).shape == (N_FRAMES, 2)
+    tica = TICA(u.atoms, lag=2, verbose=False).run()
+    assert tica.results.eigenvalues.shape == (tica.results.rank,)
+    assert tica.results.timescales.shape == (tica.results.rank,)
+    slow = tica.transform(n_components=2)
+    assert slow.shape == (N_FRAMES, 2)

@@ -528,3 +528,93 @@ def test_triclinic_class_route_matches_xla_sweep():
     cp, rp = run(True)
     np.testing.assert_array_equal(cx, cp)
     np.testing.assert_allclose(rx, rp, rtol=1e-12)
+
+
+def test_rdf_capacity_overflow_auto_escalation(monkeypatch):
+    """The cost-searched plan leaves ~4 sigma of occupancy headroom;
+    on the rare statistical overflow run() must re-plan with +2 sigma
+    (clearing the plan cache) and re-stream, bounded at two retries."""
+
+    import warnings as w
+
+    from mdhelper_tpu.analysis import structure as S
+    from mdhelper_tpu.core.universe import Universe
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        CellCapacityOverflow,
+    )
+
+    r = np.random.default_rng(5)
+    u = Universe.from_arrays(
+        r.random((2, 60, 3)) * 20.0, np.array([20.0] * 3)
+    )
+    rdf = S.RadialDistributionFunction(
+        u.atoms, n_bins=16, range=(0.0, 3.0), verbose=False
+    )
+
+    calls = {"n": 0}
+
+    def fake_run(self, *a, **k):
+        calls["n"] += 1
+        self._cell_plan_cache = object()  # a plan was built
+        if calls["n"] <= 2:
+            raise CellCapacityOverflow("cell capacity overflow")
+        return self
+
+    monkeypatch.setattr(S.DynamicAnalysisBase, "run", fake_run)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = rdf.run()
+    assert out is rdf
+    assert calls["n"] == 3
+    assert rdf._capacity_sigmas == 8.0
+    assert rdf._capacity_retries == 2
+    assert rdf._cell_plan_cache is not None  # rebuilt by the last run
+    msgs = [str(c.message) for c in caught]
+    assert sum("capacity_sigmas=6.0" in m for m in msgs) == 1
+    assert sum("capacity_sigmas=8.0" in m for m in msgs) == 1
+
+    # a third overflow propagates
+    rdf2 = S.RadialDistributionFunction(
+        u.atoms, n_bins=16, range=(0.0, 3.0), verbose=False
+    )
+    calls["n"] = -10**9  # always raise
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        with pytest.raises(CellCapacityOverflow):
+            rdf2.run()
+    assert rdf2._capacity_sigmas == 8.0
+
+
+def test_vanhove_capacity_overflow_auto_escalation(monkeypatch):
+    from mdhelper_tpu.analysis import structure as S
+    from mdhelper_tpu.core.universe import Universe
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        CellCapacityOverflow,
+    )
+
+    import warnings as w
+
+    r = np.random.default_rng(6)
+    u = Universe.from_arrays(
+        r.random((4, 40, 3)) * 20.0, np.array([20.0] * 3), dt=1.0
+    )
+    vh = S.VanHoveFunction(
+        u.atoms, n_bins=8, range=(0.0, 3.0), n_lags=2, verbose=False
+    )
+    calls = {"n": 0}
+
+    def fake_run(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CellCapacityOverflow("cell capacity overflow")
+        return self
+
+    monkeypatch.setattr(S.SerialAnalysisBase, "run", fake_run)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = vh.run()
+    assert out is vh and calls["n"] == 2
+    assert vh._capacity_sigmas == 6.0
+    assert any(
+        "capacity_sigmas=6.0" in str(c.message) for c in caught
+    )
