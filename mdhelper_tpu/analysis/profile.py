@@ -812,6 +812,88 @@ class DensityProfile(DynamicAnalysisBase):
             reduced=self._reduced,
         )
 
+    def calculate_pmf(
+        self,
+        temperature: Union[float, "Q_"],
+        *,
+        reference_densities=None,
+    ) -> None:
+        r"""Potential of mean force along each profiled axis (beyond
+        reference; the :class:`~mdhelper_tpu.analysis.structure.\
+RadialDistributionFunction` ``calculate_pmf`` convention):
+
+        .. math::
+
+           w_g(x) = -k_\mathrm{B}T \ln \frac{\rho_g(x)}
+           {\rho_{\mathrm{ref},g}}
+
+        Parameters
+        ----------
+        temperature : `float` or `pint.Quantity`
+            Temperature (K), or the energy scale
+            :math:`k_\mathrm{B}T` when the run is reduced.
+        reference_densities : array-like, keyword-only, optional
+            Per-group reference densities ``(G,)``
+            (:math:`\mathrm{\AA}^{-3}`).  Default: each group's
+            bin-mean density along the axis — the homogeneous bulk
+            value, since slab bins have equal volumes.
+
+        Results: ``results.pmf`` — a list per profiled axis of
+        ``(G, n_bins)`` arrays (kJ/mol; :math:`k_\mathrm{B}T` units
+        when reduced).  Time-resolved runs (``average=False``) use
+        the time-averaged densities.  Bins with zero density map to
+        ``inf``.
+        """
+
+        kbt = _pmf_kbt(temperature, self._reduced)
+        if not self._reduced:
+            self.results.units["results.pmf"] = (
+                ureg.kilojoule / ureg.mole
+            )
+        self.results.pmf = []
+        for dens in self.results.number_densities:
+            dens = np.asarray(dens, dtype=np.float64)
+            if dens.ndim == 3:  # (G, n_frames, n_bins)
+                dens = dens.mean(axis=1)
+            if reference_densities is None:
+                ref = dens.mean(axis=-1, keepdims=True)
+            else:
+                ref = np.asarray(
+                    reference_densities, dtype=np.float64
+                ).reshape(-1, 1)
+                if ref.shape[0] != dens.shape[0]:
+                    raise ValueError(
+                        "reference_densities needs one value per "
+                        "group."
+                    )
+            with np.errstate(divide="ignore"):
+                self.results.pmf.append(-kbt * np.log(dens / ref))
+
+
+def _pmf_kbt(temperature, reduced: bool) -> float:
+    """kT in kJ/mol (or the bare reduced energy scale) — the shared
+    PMF prefactor (RadialDistributionFunction.calculate_pmf
+    convention)."""
+
+    temperature, unit_ = strip_unit(temperature, "kelvin")
+    if reduced:
+        # A plain float passes the TARGET unit string through
+        # strip_unit; only an actual quantity input yields a unit
+        # OBJECT.  (The reference's check is inverted — its reduced
+        # path raises on the documented plain-float usage,
+        # reference analysis/structure.py:948-952 — not replicated.)
+        if not isinstance(unit_, (str, type(None))):
+            raise ValueError(
+                "'temperature' cannot have units when reduced=True."
+            )
+        return temperature
+    return (
+        ureg.avogadro_constant
+        * ureg.boltzmann_constant
+        * temperature
+        * ureg.kelvin
+    ).m_as(ureg.kilojoule / ureg.mole)
+
 
 def _entity_charges(group, grouping: str) -> np.ndarray:
     if grouping == "atoms":
@@ -1161,6 +1243,47 @@ class RadialDensityProfile(DynamicAnalysisBase):
                 "g,gb->b", self._charges,
                 self.results.number_densities,
             )
+
+    def calculate_pmf(
+        self,
+        temperature: Union[float, "Q_"],
+        *,
+        reference_densities=None,
+    ) -> None:
+        r"""Radial potential of mean force
+        :math:`w_g(r) = -k_\mathrm{B}T\ln(\rho_g(r)/
+        \rho_{\mathrm{ref},g})` (beyond reference).
+
+        ``reference_densities``: per-group ``(G,)`` references
+        (:math:`\mathrm{\AA}^{-3}`); default: each group's mean
+        density over the OUTER quarter of shells — the far-field
+        plateau (radial shells have unequal volumes, so the bin mean
+        is not the bulk value).  Results: ``results.pmf``
+        ``(G, n_bins)`` in kJ/mol (:math:`k_\mathrm{B}T` when
+        reduced); zero-density bins map to ``inf``.
+        """
+
+        kbt = _pmf_kbt(temperature, self._reduced)
+        if not self._reduced:
+            self.results.units["results.pmf"] = (
+                ureg.kilojoule / ureg.mole
+            )
+        dens = np.asarray(
+            self.results.number_densities, dtype=np.float64
+        )
+        if reference_densities is None:
+            outer = max(1, dens.shape[-1] // 4)
+            ref = dens[:, -outer:].mean(axis=-1, keepdims=True)
+        else:
+            ref = np.asarray(
+                reference_densities, dtype=np.float64
+            ).reshape(-1, 1)
+            if ref.shape[0] != dens.shape[0]:
+                raise ValueError(
+                    "reference_densities needs one value per group."
+                )
+        with np.errstate(divide="ignore"):
+            self.results.pmf = -kbt * np.log(dens / ref)
 
 
 class DensityMap2D(DynamicAnalysisBase):

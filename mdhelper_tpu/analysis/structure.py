@@ -978,7 +978,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         self.results.units["results.pmf"] = ureg.kilojoule / ureg.mole
         temperature, unit_ = strip_unit(temperature, "kelvin")
         if self._reduced:
-            if isinstance(unit_, str):
+            # Raise on actual unit OBJECTS only: a plain float passes
+            # the target string through strip_unit.  (The reference's
+            # check is inverted and rejects the documented plain-float
+            # usage, analysis/structure.py:948-952 — not replicated.)
+            if not isinstance(unit_, (str, type(None))):
                 raise ValueError(
                     "'temperature' cannot have units when reduced=True."
                 )

@@ -508,3 +508,86 @@ def test_density_map_2d_oracle():
     )
     with pytest.raises(ValueError, match="orthorhombic"):
         DensityMap2D(tric.atoms, verbose=False)
+
+
+def test_density_profile_pmf(universe):
+    from mdhelper_tpu import ureg
+    from mdhelper_tpu.analysis.profile import DensityProfile
+
+    ag_a = universe.select_atoms("type A")
+    ag_b = universe.select_atoms("type B")
+    prof = DensityProfile(
+        [ag_a, ag_b], axes="z", n_bins=10, verbose=False
+    ).run()
+    prof.calculate_pmf(300.0)
+    dens = np.asarray(prof.results.number_densities[0])
+    kbt = (
+        ureg.avogadro_constant * ureg.boltzmann_constant * 300.0
+        * ureg.kelvin
+    ).m_as(ureg.kilojoule / ureg.mole)
+    with np.errstate(divide="ignore"):
+        oracle = -kbt * np.log(
+            dens / dens.mean(axis=-1, keepdims=True)
+        )
+    np.testing.assert_allclose(prof.results.pmf[0], oracle)
+    assert prof.results.units["results.pmf"] == (
+        ureg.kilojoule / ureg.mole
+    )
+
+    # explicit references + Boltzmann-inversion consistency: a bin
+    # at exactly the reference density has zero PMF
+    ref = dens[:, 3]
+    prof.calculate_pmf(300.0, reference_densities=ref)
+    np.testing.assert_allclose(
+        np.stack([p[i] for p, i in zip(prof.results.pmf[0], [3, 3])]),
+        0.0, atol=1e-12,
+    )
+    with pytest.raises(ValueError, match="one value per group"):
+        prof.calculate_pmf(300.0, reference_densities=np.ones(5))
+
+    # time-resolved densities average over frames first
+    tr = DensityProfile(
+        [ag_a, ag_b], axes="z", n_bins=10, average=False,
+        verbose=False,
+    ).run()
+    tr.calculate_pmf(300.0)
+    np.testing.assert_allclose(tr.results.pmf[0], oracle, atol=1e-9)
+
+    # reduced: bare kT scale, no unit entry
+    red = DensityProfile(
+        [ag_a, ag_b], axes="z", n_bins=10, reduced=True,
+        verbose=False,
+    ).run()
+    red.calculate_pmf(1.5)
+    np.testing.assert_allclose(
+        red.results.pmf[0], oracle * 1.5 / kbt, atol=1e-9
+    )
+    assert "results.pmf" not in red.results.units
+
+
+def test_radial_density_profile_pmf():
+    from mdhelper_tpu import ureg
+    from mdhelper_tpu.analysis.profile import RadialDensityProfile
+    from mdhelper_tpu.core.universe import Universe
+
+    r = np.random.default_rng(12)
+    n, F, L = 80, 4, 12.0
+    pos = r.random((F, n, 3)) * L
+    u = Universe.from_arrays(
+        pos, np.array([L] * 3),
+        types=np.array(["A"] * n, dtype=object),
+    )
+    prof = RadialDensityProfile(
+        u.atoms, np.array([6.0, 6.0, 6.0]), n_bins=16,
+        range=(0.0, 5.0), verbose=False,
+    ).run()
+    prof.calculate_pmf(300.0)
+    dens = np.asarray(prof.results.number_densities)
+    kbt = (
+        ureg.avogadro_constant * ureg.boltzmann_constant * 300.0
+        * ureg.kelvin
+    ).m_as(ureg.kilojoule / ureg.mole)
+    ref = dens[:, -4:].mean(axis=-1, keepdims=True)  # outer quarter
+    with np.errstate(divide="ignore"):
+        oracle = -kbt * np.log(dens / ref)
+    np.testing.assert_allclose(prof.results.pmf, oracle)

@@ -238,6 +238,22 @@ def test_rdf_postprocessing(universe):
     mask = np.isfinite(expected)
     assert np.allclose(rdf.results.pmf[mask], expected[mask])
 
+    # reduced mode: plain-float kT is the documented usage (the
+    # reference's inverted unit check rejects it; not replicated)
+    red = structure.RadialDistributionFunction(
+        ag1, ag2, n_bins=50, range=(0.05, 4.0), reduced=True,
+        verbose=False,
+    ).run()
+    red.calculate_pmf(1.5)
+    expected_red = -1.5 * np.log(red.results.rdf)
+    mask = np.isfinite(expected_red)
+    assert np.allclose(red.results.pmf[mask], expected_red[mask])
+    import pytest as _pytest
+
+    from mdhelper_tpu import Q_ as _Q
+    with _pytest.raises(ValueError, match="units"):
+        red.calculate_pmf(_Q(300.0, "kelvin"))
+
 
 def test_coordination_numbers_synthetic():
     bins = np.linspace(0.05, 10, 400)

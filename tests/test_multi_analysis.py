@@ -579,3 +579,25 @@ def test_fused_checkpoint_rejects_unregistered(universe, tmp_path):
     )
     with pytest.raises(ValueError, match="not registered"):
         run_together([rm], checkpoint=str(tmp_path / "x.npz"))
+
+
+def test_fused_tica_rides_the_stream(universe):
+    """TICA's lag-ring scan carry hands off identically inside a
+    fused pass (the ISF-ring pattern under run_together)."""
+
+    from mdhelper_tpu.analysis.rmsd import TICA
+
+    fused_tica = TICA(universe.atoms, lag=2, verbose=False)
+    fused_rdf = RadialDistributionFunction(
+        universe.atoms, n_bins=16, range=(0.0, 3.0), verbose=False
+    )
+    run_together([fused_rdf, fused_tica])
+    solo = TICA(universe.atoms, lag=2, verbose=False).run()
+    np.testing.assert_allclose(
+        fused_tica.results.eigenvalues, solo.results.eigenvalues,
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        fused_tica.results.mean_positions,
+        solo.results.mean_positions, atol=1e-9,
+    )
