@@ -685,11 +685,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         # every lattice direction, strictly).
         if not np.all(np.floor(self._cell_plan_box() / r_max) >= 3):
             return False
-        # The kernel's slot tables are VMEM-resident; when no legal
-        # grid fits the table budget (very large N x box/r_max), the
-        # searched plan falls back over budget — use the XLA sweep.
-        plan = self._searched_cell_plan()
-        return plan["_tables_bytes"] <= 9 << 20
+        # Any table size works: plans whose slot tables exceed the
+        # VMEM budget route to the streaming-block kernels inside the
+        # wrapper (per-(cell, neighbor) DMA), so large N never falls
+        # back to the O(N^2) XLA sweep.
+        return True
 
     def _cell_plan_box(self):
         """The per-axis extents the cell plan sees: orthorhombic box
@@ -2631,12 +2631,6 @@ class VanHoveFunction(SerialAnalysisBase):
                     n_atoms2=n_entities,
                     capacity_sigmas=self._capacity_sigmas,
                 )
-                # No legal grid fits the VMEM table budget (very
-                # large N x box/r_max): the brute sweep is the only
-                # device path.
-                if plan["_tables_bytes"] > 9 << 20:
-                    use_cell = False
-                    self._use_cell = False
             if use_cell:
                 self._cell_plan = plan
                 self._carry["max_occ"] = jnp.full(

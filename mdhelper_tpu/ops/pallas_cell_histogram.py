@@ -3,14 +3,21 @@ Pallas cell-list pair histogram
 ===============================
 
 The flagship RDF kernel, hand-tiled: sorted atom positions are packed
-into a 128-aligned ``(8, n_cells * capacity)`` slot table that lives
-entirely in VMEM (rows 0-2 hold xyz; rows 3-5 carry the atom id and
-the two tile-exclusion ids — a ``(3, S)`` float32 VMEM array is
-physically padded to 8 sublanes anyway, so the id rows are free), so
-every one of the :math:`27 N_\mathrm{cell}` neighbor pair blocks is
-formed, binned, and contracted on-chip — no pair-block HBM traffic at
-all (the XLA formulation in :mod:`mdhelper_tpu.ops.cell_histogram`
-streams its gathered blocks through HBM).  Per grid step (one cell):
+into a 128-aligned ``(8, n_cells * capacity)`` slot table (rows 0-2
+hold xyz; rows 3-5 carry the atom id and the two tile-exclusion ids —
+a ``(3, S)`` float32 VMEM array is physically padded to 8 sublanes
+anyway, so the id rows are free).  Tables under ~12 MB live entirely
+in VMEM, so every one of the :math:`27 N_\mathrm{cell}` neighbor pair
+blocks is formed, binned, and contracted on-chip — no pair-block HBM
+traffic at all (the XLA formulation in
+:mod:`mdhelper_tpu.ops.cell_histogram` streams its gathered blocks
+through HBM).  Larger tables (>~300k atoms) switch to the
+STREAMING-BLOCK kernels: the grid becomes ``(n_cells, n_neighbors)``
+and the scalar-prefetched neighbor table drives per-step DMA of just
+the two ``(8, capacity)`` blocks through the index maps — the same
+pair math at any N (the j-block re-reads are a sub-millisecond HBM
+stream against seconds of pair math).  Per grid step (one cell for
+the resident layout):
 
 1. the cell's i-block is an aligned dynamic lane slice of the table,
 2. each neighbor's j-block is another aligned slice (cell ids arrive
@@ -35,6 +42,7 @@ as ``np.int32`` (x64 weak-type promotion recurses otherwise).
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -127,7 +135,6 @@ def pallas_cell_plan_search(
     *,
     n_atoms2=None,
     capacity_sigmas=4.0,
-    table_budget_bytes=9 << 20,
 ):
     """Cost-driven cell-grid search (host side): pick ``n_cells_dim``
     to minimize the kernel's padded pair work.
@@ -145,10 +152,12 @@ def pallas_cell_plan_search(
         ``n_cells * n_neighbors * capacity1 * capacity2``
 
     (the per-slot work — distance math, one-hot digit contraction —
-    is uniform across slots), subject to the slot tables fitting the
-    ~16 MB VMEM alongside the one-hot chunks.  Measured on a TPU v5e
-    at 100k atoms, 50/50 cross: the searched grid is ~2x the naive
-    grid's throughput (BASELINE.md "Cross-RDF").
+    is uniform across slots).  Table size does not constrain the
+    search: plans whose slot tables exceed the VMEM budget run on the
+    streaming-block kernels (per-(cell, neighbor) DMA) instead of the
+    resident-table layout.  Measured on a TPU v5e at 100k atoms,
+    50/50 cross: the searched grid is ~2x the naive grid's throughput
+    (BASELINE.md "Cross-RDF").
 
     ``n_atoms2 is not None`` plans the cross kernel: BOTH groups share
     one grid (the kernel requirement) and the returned dict carries
@@ -211,14 +220,9 @@ def pallas_cell_plan_search(
         for ny in axis_candidates(max_dims[1]):
             for nz in axis_candidates(max_dims[2]):
                 plan = plan_for((nx, ny, nz))
-                if plan["_tables_bytes"] > table_budget_bytes:
-                    continue
                 key = (plan["_cost"], plan["n_cells"])
                 if best is None or key < best[0]:
                     best = (key, plan)
-    # Nothing under budget (dense systems where even the finest
-    # grid's tables overflow): fall back to the naive finest-grid
-    # plan — identical to MDTPU_CELL_SEARCH=0 / pallas_cell_plan.
     return fallback if best is None else best[1]
 
 
@@ -677,7 +681,11 @@ def _kernel(
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
     acc = block_acc(acc, c, True)
     acc = jax.lax.fori_loop(
-        1, 14, lambda nb, a: block_acc(a, nbr_ref[c, nb], False), acc
+        1, 14,
+        lambda nb, a: block_acc(
+            a, nbr_ref[c * np.int32(14) + nb], False
+        ),
+        acc,
     )
 
     @pl.when(c == 0)
@@ -752,7 +760,10 @@ def _kernel_tri(
         1,
         14,
         lambda nb, a: block_acc(
-            a, nbr_ref[c, nb], img_ref[c, nb], False
+            a,
+            nbr_ref[c * np.int32(14) + nb],
+            img_ref[c * np.int32(14) + nb],
+            False,
         ),
         acc,
     )
@@ -788,8 +799,8 @@ def _cross_kernel_tri(
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
 
     def nb_body(nb, acc):
-        j_cell = nbr_ref[c, nb]
-        img_k = img_ref[c, nb]
+        j_cell = nbr_ref[c * np.int32(27) + nb]
+        img_k = img_ref[c * np.int32(27) + nb]
         jp = pos2_ref[
             :, pl.ds(pl.multiple_of(j_cell * np.int32(cap2), 128), cap2)
         ]
@@ -828,6 +839,262 @@ def _cross_kernel_tri(
     @pl.when(c > 0)
     def _():
         out_ref[:] = out_ref[:] + acc
+
+
+def _upper_or_all(slot_col, lane, nb, cap):
+    """Strict upper slot triangle on the self block (``nb == 0``),
+    everything elsewhere — as one scalar select folded into the
+    compare: ``slot_col < lane + (nb > 0) * cap`` is the triangle when
+    ``nb == 0`` and always true otherwise (``slot_col < cap``)."""
+
+    return slot_col < lane + jnp.where(
+        nb == np.int32(0), np.int32(0), np.int32(cap)
+    )
+
+
+def _kernel_stream(
+    nbr_ref, occ_ref, box_ref, ipos_ref, jpos_ref, out_ref,
+    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+):
+    """Streaming-block variant of :func:`_kernel` for slot tables too
+    large to hold resident in VMEM (~16 MB/core): the grid is
+    ``(n_cells, 14)`` and the index maps DMA only the home cell's
+    ``(8, capacity)`` block plus the one neighbor block selected by
+    the scalar-prefetched half-shell table — VMEM holds two blocks
+    and the accumulator instead of the whole table, removing the
+    ~300k-atom compile ceiling (at 500k atoms the resident table is
+    34 MB and Mosaic refuses the kernel)."""
+
+    c = pl.program_id(0)
+    nb = pl.program_id(1)
+    cap = capacity
+    bins_i32 = np.int32(n_bins)
+    box = (box_ref[0], box_ref[1], box_ref[2])
+
+    ip = ipos_ref[...]
+    jp = jpos_ref[...]
+    i_occ = occ_ref[c]
+    j_occ = occ_ref[nbr_ref[c * np.int32(14) + nb]]
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+
+    if exact:
+        idx = _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins)
+    else:
+        idx = _bin_fast(ip, jp, box, inv_dr)
+
+    valid = (
+        (slot_col < i_occ)
+        & (lane < j_occ)
+        & (idx < bins_i32)
+        & _upper_or_all(slot_col, lane, nb, cap)
+    )
+    if exclude:
+        valid = valid & (
+            ip[_ROW_EX_I, :][:, None] != jp[_ROW_EX_J, :][None, :]
+        )
+    idx = jnp.where(valid, idx, bins_i32)
+
+    acc = _digit_contract(
+        idx, jnp.zeros((n_coarse, n_fine), jnp.float32),
+        chunk_rows=chunk_rows, cap_j=cap,
+        n_coarse=n_coarse, n_fine=n_fine,
+    )
+    first = (c == 0) & (nb == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _kernel_tri_stream(
+    nbr_ref, img_ref, occ_ref, shhi_ref, shlo_ref,
+    ipos_ref, jpos_ref, out_ref,
+    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+):
+    """Triclinic streaming-block variant (see :func:`_kernel_stream`
+    and :func:`_kernel_tri`): the per-block lattice image comes from
+    the scalar-prefetched image table row for this (cell, neighbor)
+    step (``img[c, 0] == 13``, the zero image, on the self block)."""
+
+    c = pl.program_id(0)
+    nb = pl.program_id(1)
+    cap = capacity
+    bins_i32 = np.int32(n_bins)
+
+    ip = ipos_ref[...]
+    jp = jpos_ref[...]
+    i_occ = occ_ref[c]
+    j_occ = occ_ref[nbr_ref[c * np.int32(14) + nb]]
+    img_k = img_ref[c * np.int32(14) + nb]
+    shift = tuple(
+        (shhi_ref[img_k, np.int32(k)], shlo_ref[img_k, np.int32(k)])
+        for k in range(3)
+    )
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+
+    if exact:
+        idx = _bin_exact_shift(
+            ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
+        )
+    else:
+        idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+
+    valid = (
+        (slot_col < i_occ)
+        & (lane < j_occ)
+        & (idx < bins_i32)
+        & _upper_or_all(slot_col, lane, nb, cap)
+    )
+    if exclude:
+        valid = valid & (
+            ip[_ROW_EX_I, :][:, None] != jp[_ROW_EX_J, :][None, :]
+        )
+    idx = jnp.where(valid, idx, bins_i32)
+
+    acc = _digit_contract(
+        idx, jnp.zeros((n_coarse, n_fine), jnp.float32),
+        chunk_rows=chunk_rows, cap_j=cap,
+        n_coarse=n_coarse, n_fine=n_fine,
+    )
+    first = (c == 0) & (nb == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _cross_kernel_stream(
+    nbr_ref, occ1_ref, occ2_ref, box_ref,
+    ipos_ref, jpos_ref, out_ref,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+):
+    """Streaming-block variant of :func:`_cross_kernel`: grid
+    ``(n_cells, 27)``, group-1 home block + the group-2 neighbor
+    block selected by the prefetched full-shell table."""
+
+    c = pl.program_id(0)
+    nb = pl.program_id(1)
+    bins_i32 = np.int32(n_bins)
+    box = (box_ref[0], box_ref[1], box_ref[2])
+
+    ip = ipos_ref[...]
+    jp = jpos_ref[...]
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap1, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
+
+    if exact:
+        idx = _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins)
+    else:
+        idx = _bin_fast(ip, jp, box, inv_dr)
+
+    valid = (
+        (slot_col < occ1_ref[c])
+        & (lane < occ2_ref[nbr_ref[c * np.int32(27) + nb]])
+        & (idx < bins_i32)
+    )
+    if exclude:
+        valid = valid & (
+            ip[_ROW_EX_I, :][:, None] != jp[_ROW_EX_J, :][None, :]
+        )
+    idx = jnp.where(valid, idx, bins_i32)
+
+    acc = _digit_contract(
+        idx, jnp.zeros((n_coarse, n_fine), jnp.float32),
+        chunk_rows=chunk_rows, cap_j=cap2,
+        n_coarse=n_coarse, n_fine=n_fine,
+    )
+    first = (c == 0) & (nb == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _cross_kernel_tri_stream(
+    nbr_ref, img_ref, occ1_ref, occ2_ref, shhi_ref, shlo_ref,
+    ipos_ref, jpos_ref, out_ref,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+):
+    """Triclinic streaming-block cross kernel (see
+    :func:`_cross_kernel_tri` and :func:`_kernel_stream`)."""
+
+    c = pl.program_id(0)
+    nb = pl.program_id(1)
+    bins_i32 = np.int32(n_bins)
+
+    ip = ipos_ref[...]
+    jp = jpos_ref[...]
+    img_k = img_ref[c * np.int32(27) + nb]
+    shift = tuple(
+        (shhi_ref[img_k, np.int32(k)], shlo_ref[img_k, np.int32(k)])
+        for k in range(3)
+    )
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap1, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
+
+    if exact:
+        idx = _bin_exact_shift(
+            ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
+        )
+    else:
+        idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+
+    valid = (
+        (slot_col < occ1_ref[c])
+        & (lane < occ2_ref[nbr_ref[c * np.int32(27) + nb]])
+        & (idx < bins_i32)
+    )
+    if exclude:
+        valid = valid & (
+            ip[_ROW_EX_I, :][:, None] != jp[_ROW_EX_J, :][None, :]
+        )
+    idx = jnp.where(valid, idx, bins_i32)
+
+    acc = _digit_contract(
+        idx, jnp.zeros((n_coarse, n_fine), jnp.float32),
+        chunk_rows=chunk_rows, cap_j=cap2,
+        n_coarse=n_coarse, n_fine=n_fine,
+    )
+    first = (c == 0) & (nb == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+#: Resident slot tables above this VMEM budget stream per-block
+#: instead (~16 MB/core VMEM; leave room for the one-hot chunks).
+#: MDTPU_PALLAS_STREAM=1/0 forces streaming always/never (A/Bs).
+_STREAM_TABLE_BYTES = 12 << 20
+
+
+def _use_stream_blocks(total_table_bytes: int) -> bool:
+    env = os.environ.get("MDTPU_PALLAS_STREAM")
+    if env is not None:
+        return env not in ("0", "", "false")
+    return total_table_bytes > _STREAM_TABLE_BYTES
 
 
 def _exclusion_ids(n, exclusion):
@@ -950,33 +1217,78 @@ def cell_pair_histogram_pallas(
         exact=(precision == "exact"), exclude=exclude,
         chunk_rows=chunk_rows,
     )
-    if triclinic:
-        kernel = functools.partial(_kernel_tri, **common)
-        n_prefetch = 5
-        args = (
-            jnp.asarray(half_shell), jnp.asarray(half_img),
-            occupancy, sh_hi, sh_lo, pos_table,
+    stream = _use_stream_blocks(_ROWS * n_cells * capacity * 4)
+    out_spec = pl.BlockSpec(
+        (n_rows, n_fine),
+        lambda *a: (jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    if stream:
+        # Per-(cell, neighbor) blocks: the scalar-prefetched
+        # half-shell table drives the j-block DMA via the index map,
+        # so VMEM holds two (8, capacity) blocks instead of the whole
+        # table (the resident layout caps out near 300k atoms).
+        block = pl.BlockSpec(
+            (_ROWS, capacity),
+            lambda c, nb, nbr, *s: (jnp.int32(0), c),
+            memory_space=pltpu.VMEM,
+        )
+        jblock = pl.BlockSpec(
+            (_ROWS, capacity),
+            lambda c, nb, nbr, *s: (
+                jnp.int32(0), nbr[c * 14 + nb]
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        if triclinic:
+            kernel = functools.partial(_kernel_tri_stream, **common)
+            n_prefetch = 5
+            args = (
+                jnp.asarray(half_shell.reshape(-1)),
+                jnp.asarray(half_img.reshape(-1)),
+                occupancy, sh_hi, sh_lo, pos_table, pos_table,
+            )
+        else:
+            kernel = functools.partial(_kernel_stream, **common)
+            n_prefetch = 3
+            args = (
+                jnp.asarray(half_shell.reshape(-1)), occupancy, box,
+                pos_table, pos_table,
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(n_cells, 14),
+            in_specs=[block, jblock],
+            out_specs=out_spec,
         )
     else:
-        kernel = functools.partial(_kernel, **common)
-        n_prefetch = 3
-        args = (jnp.asarray(half_shell), occupancy, box, pos_table)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
-        grid=(n_cells,),
-        in_specs=[
-            pl.BlockSpec(
-                (_ROWS, n_cells * capacity),
-                lambda c, *s: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_rows, n_fine),
-            lambda c, *s: (jnp.int32(0), jnp.int32(0)),
-            memory_space=pltpu.VMEM,
-        ),
-    )
+        if triclinic:
+            kernel = functools.partial(_kernel_tri, **common)
+            n_prefetch = 5
+            args = (
+                jnp.asarray(half_shell.reshape(-1)),
+                jnp.asarray(half_img.reshape(-1)),
+                occupancy, sh_hi, sh_lo, pos_table,
+            )
+        else:
+            kernel = functools.partial(_kernel, **common)
+            n_prefetch = 3
+            args = (
+            jnp.asarray(half_shell.reshape(-1)), occupancy, box,
+            pos_table,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(n_cells,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_ROWS, n_cells * capacity),
+                    lambda c, *s: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_spec,
+        )
     counts2d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1014,7 +1326,7 @@ def _cross_kernel(
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
 
     def nb_body(nb, acc):
-        j_cell = nbr_ref[c, nb]
+        j_cell = nbr_ref[c * np.int32(27) + nb]
         jp = pos2_ref[
             :, pl.ds(pl.multiple_of(j_cell * np.int32(cap2), 128), cap2)
         ]
@@ -1148,38 +1460,83 @@ def cross_pair_histogram_pallas(
         exact=(precision == "exact"), exclude=exclude,
         chunk_rows=chunk_rows,
     )
-    if triclinic:
-        kernel = functools.partial(_cross_kernel_tri, **common)
-        n_prefetch = 6
-        args = (
-            jnp.asarray(full_shell), jnp.asarray(full_img),
-            occ1, occ2, sh_hi, sh_lo, t1, t2,
+    stream = _use_stream_blocks(
+        _ROWS * n_cells * (capacity1 + capacity2) * 4
+    )
+    out_spec = pl.BlockSpec(
+        (n_rows, n_fine),
+        lambda *a: (jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    if stream:
+        iblock = pl.BlockSpec(
+            (_ROWS, capacity1),
+            lambda c, nb, nbr, *s: (jnp.int32(0), c),
+            memory_space=pltpu.VMEM,
+        )
+        jblock = pl.BlockSpec(
+            (_ROWS, capacity2),
+            lambda c, nb, nbr, *s: (
+                jnp.int32(0), nbr[c * 27 + nb]
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        if triclinic:
+            kernel = functools.partial(
+                _cross_kernel_tri_stream, **common
+            )
+            n_prefetch = 6
+            args = (
+                jnp.asarray(full_shell.reshape(-1)),
+                jnp.asarray(full_img.reshape(-1)),
+                occ1, occ2, sh_hi, sh_lo, t1, t2,
+            )
+        else:
+            kernel = functools.partial(_cross_kernel_stream, **common)
+            n_prefetch = 4
+            args = (
+                jnp.asarray(full_shell.reshape(-1)), occ1, occ2,
+                box, t1, t2,
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(n_cells, 27),
+            in_specs=[iblock, jblock],
+            out_specs=out_spec,
         )
     else:
-        kernel = functools.partial(_cross_kernel, **common)
-        n_prefetch = 4
-        args = (jnp.asarray(full_shell), occ1, occ2, box, t1, t2)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
-        grid=(n_cells,),
-        in_specs=[
-            pl.BlockSpec(
-                (_ROWS, n_cells * capacity1),
-                lambda c, *s: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (_ROWS, n_cells * capacity2),
-                lambda c, *s: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_rows, n_fine),
-            lambda c, *s: (jnp.int32(0), jnp.int32(0)),
-            memory_space=pltpu.VMEM,
-        ),
-    )
+        if triclinic:
+            kernel = functools.partial(_cross_kernel_tri, **common)
+            n_prefetch = 6
+            args = (
+                jnp.asarray(full_shell.reshape(-1)),
+                jnp.asarray(full_img.reshape(-1)),
+                occ1, occ2, sh_hi, sh_lo, t1, t2,
+            )
+        else:
+            kernel = functools.partial(_cross_kernel, **common)
+            n_prefetch = 4
+            args = (
+                jnp.asarray(full_shell.reshape(-1)), occ1, occ2,
+                box, t1, t2,
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(n_cells,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_ROWS, n_cells * capacity1),
+                    lambda c, *s: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (_ROWS, n_cells * capacity2),
+                    lambda c, *s: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_spec,
+        )
     counts2d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -618,3 +618,76 @@ def test_vanhove_capacity_overflow_auto_escalation(monkeypatch):
     assert any(
         "capacity_sigmas=6.0" in str(c.message) for c in caught
     )
+
+
+@pytest.mark.parametrize("triclinic", (False, True), ids=("ortho", "tri"))
+def test_streaming_block_kernels_match_resident(monkeypatch, triclinic):
+    """MDTPU_PALLAS_STREAM=1 forces the per-(cell, neighbor) DMA
+    kernels; counts must be bit-equal to the resident-table layout
+    for self (half-shell) and cross sweeps, exact and fast, with and
+    without exclusion."""
+
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+    from mdhelper_tpu.ops import pallas_cell_histogram as P
+
+    r = np.random.default_rng(33)
+    n1, n2 = 300, 200
+    if triclinic:
+        dims6 = np.array([14.0, 13.0, 12.0, 80.0, 95.0, 100.0])
+        h = np.asarray(triclinic_matrices(dims6), np.float32)
+        box = jnp.asarray(h)
+        frac1, frac2 = r.random((n1, 3)), r.random((n2, 3))
+        pos1 = (frac1 @ np.asarray(h, np.float64)).astype(np.float32)
+        pos2 = (frac2 @ np.asarray(h, np.float64)).astype(np.float32)
+        widths = P.triclinic_perpendicular_widths(h)
+    else:
+        widths = np.array([14.0, 13.0, 12.0])
+        box = jnp.asarray(widths.astype(np.float32))
+        pos1 = (r.random((n1, 3)) * widths).astype(np.float32)
+        pos2 = (r.random((n2, 3)) * widths).astype(np.float32)
+    r_max, n_bins = 3.5, 37
+    plan = P.pallas_cell_plan(n1, widths, r_max)
+
+    def self_counts(**kw):
+        c, _ = P.cell_pair_histogram_pallas(
+            jnp.asarray(pos1), box=box, r_max=r_max,
+            n_cells_dim=plan["n_cells_dim"],
+            capacity=plan["capacity"], n_bins=n_bins, **kw,
+        )
+        return np.asarray(c)
+
+    def cross_counts(**kw):
+        c, _, _ = P.cross_pair_histogram_pallas(
+            jnp.asarray(pos1), jnp.asarray(pos2), box=box,
+            r_max=r_max, n_cells_dim=plan["n_cells_dim"],
+            capacity1=plan["capacity"], capacity2=plan["capacity"],
+            n_bins=n_bins, **kw,
+        )
+        return np.asarray(c)
+
+    cases = [
+        dict(precision="exact"),
+        dict(precision="fast"),
+        dict(precision="exact", exclusion=(2, 2)),
+    ]
+    for kw in cases:
+        monkeypatch.delenv("MDTPU_PALLAS_STREAM", raising=False)
+        P.cell_pair_histogram_pallas._clear_cache()
+        P.cross_pair_histogram_pallas._clear_cache()
+        resident_self = self_counts(**kw)
+        resident_cross = cross_counts(**kw)
+        monkeypatch.setenv("MDTPU_PALLAS_STREAM", "1")
+        P.cell_pair_histogram_pallas._clear_cache()
+        P.cross_pair_histogram_pallas._clear_cache()
+        streamed_self = self_counts(**kw)
+        streamed_cross = cross_counts(**kw)
+        np.testing.assert_array_equal(
+            resident_self, streamed_self, err_msg=f"self {kw}"
+        )
+        np.testing.assert_array_equal(
+            resident_cross, streamed_cross, err_msg=f"cross {kw}"
+        )
+        assert resident_self.sum() > 0 and resident_cross.sum() > 0
+    monkeypatch.delenv("MDTPU_PALLAS_STREAM", raising=False)
+    P.cell_pair_histogram_pallas._clear_cache()
+    P.cross_pair_histogram_pallas._clear_cache()
