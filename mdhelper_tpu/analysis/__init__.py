@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     contacts,
     dynamics,
     electrostatics,
+    free_energy,
     hbonds,
     multi,
     orientation,
@@ -39,6 +40,7 @@ __all__ = [
     "cluster",
     "contacts",
     "dynamics",
+    "free_energy",
     "hbonds",
     "multi",
     "orientation",
