@@ -39,7 +39,7 @@ from scipy.special import log_ndtr, logsumexp
 
 from .. import Q_, ureg
 from ..algorithm.unit import strip_unit
-from .base import Hash
+from .base import Hash, SerialAnalysisBase
 
 __all__ = [
     "fep",
@@ -122,9 +122,11 @@ def harmonic_bin_bias(
             (mids[None, :] - eff_centers) / period
         )
 
+    if (bk < 0).any():
+        raise ValueError("Spring constants must be non-negative.")
     out = np.empty((centers.size, mids.size))
     for k in range(centers.size):
-        if bk[k] <= 0:
+        if bk[k] == 0:
             out[k] = 0.0
             continue
         s = np.sqrt(bk[k])
@@ -369,7 +371,14 @@ def mbar(
         f_k[~sampled] = -(
             logsumexp(-u_kn[~sampled] - d_n[None], axis=1)
         )
-    f_k = f_k - f_k[0]
+    # Re-anchor at state 0 — shifting f_k and d_n TOGETHER keeps the
+    # gauge consistent (W_nk = exp(f_k - u_kn - d_n) is invariant), so
+    # the returned log_denominators remain usable for external
+    # reweighting and the covariance weights still column-sum to 1
+    # even when state 0 is an unsampled target.
+    shift = f_k[0]
+    f_k = f_k - shift
+    d_n = d_n - shift
 
     results = Hash(
         free_energies=f_k,
@@ -467,31 +476,52 @@ def wham(
 
     total_b = counts.sum(axis=0)  # (B,)
     occupied = total_b > 0
-    log_total = np.where(occupied, np.log(np.maximum(total_b, 1)), -np.inf)
-    log_n = np.log(n_k)
+    if not occupied.any():
+        raise ValueError(
+            "Every bin is empty — no samples fall inside the binning "
+            "range."
+        )
+    # No clamp: fractional (weighted-histogram) totals in (0, 1) are
+    # legitimate and must enter the log as-is.
+    log_total = np.where(
+        occupied, np.log(np.where(occupied, total_b, 1.0)), -np.inf
+    )
+    # Windows without any in-range samples contribute nothing to the
+    # equations; solve over the active subset and report NaN free
+    # energies for the rest.
+    active = n_k > 0
+    if not active.any():
+        raise ValueError("Every window has zero samples.")
+    log_n_a = np.log(n_k[active])
+    bias_a = bias[active]
 
-    f_k = np.zeros(counts.shape[0])
+    f_a = np.zeros(int(active.sum()))
     converged = False
     for iteration in range(1, max_iter + 1):
         # log p_b (unnormalized)
         log_denom = logsumexp(
-            log_n[:, None] + f_k[:, None] - bias, axis=0
+            log_n_a[:, None] + f_a[:, None] - bias_a, axis=0
         )
         log_p = log_total - log_denom
-        f_new = -logsumexp(-bias + log_p[None, :], axis=1)
+        f_new = -logsumexp(-bias_a + log_p[None, :], axis=1)
         f_new = f_new - f_new[0]
-        delta = np.abs(f_new - f_k).max()
-        f_k = f_new
+        delta = np.abs(f_new - f_a).max()
+        f_a = f_new
         if delta < tol:
             converged = True
             break
 
-    log_denom = logsumexp(log_n[:, None] + f_k[:, None] - bias, axis=0)
+    log_denom = logsumexp(
+        log_n_a[:, None] + f_a[:, None] - bias_a, axis=0
+    )
     log_p = log_total - log_denom
     log_p = log_p - logsumexp(log_p[occupied])
     p = np.where(occupied, np.exp(log_p), 0.0)
     pmf = np.where(occupied, -log_p, np.nan)
     pmf = pmf - np.nanmin(pmf)
+
+    f_k = np.full(counts.shape[0], np.nan)
+    f_k[active] = f_a
 
     return Hash(
         pmf=pmf,
@@ -588,6 +618,10 @@ class UmbrellaSampling:
             np.asarray(spring_constants, dtype=np.float64),
             self._centers.shape,
         ).copy()
+        if (self._springs < 0).any():
+            raise ValueError(
+                "Spring constants must be non-negative."
+            )
         self._period = None if period is None else float(period)
         self._method = method
         self._reduced = reduced
@@ -666,8 +700,15 @@ class UmbrellaSampling:
         # would otherwise pile into the edge bins and fake deep
         # minima there); MBAR still uses them for the window free
         # energies, and WHAM runs the consistent truncated-domain
-        # equations on in-range counts.
-        in_range = (x_n >= edges[0]) & (x_n < edges[-1])
+        # equations on in-range counts.  The right edge is CLOSED,
+        # matching np.histogram's last bin (so both methods bin
+        # boundary samples identically).
+        in_range = (x_n >= edges[0]) & (x_n <= edges[-1])
+        if not in_range.any():
+            raise ValueError(
+                f"No samples fall inside range {range_} — check the "
+                "coordinate units/wrapping."
+            )
 
         if self._method == "wham":
             counts = np.stack(
@@ -726,16 +767,8 @@ class UmbrellaSampling:
         )
         return self
 
-    def save(self, file, **kwargs) -> None:
-        """Persist :attr:`results` to ``.npz`` (the analysis-layer
-        convention)."""
-
-        np.savez(
-            file,
-            **{
-                k: v
-                for k, v in self.results.items()
-                if isinstance(v, np.ndarray)
-            },
-            **kwargs,
-        )
+    # The analysis-layer persistence convention (saves EVERY results
+    # entry incl. convergence flags and units metadata, with the same
+    # archive/compress options); only touches self.results, so the
+    # unbound base method applies directly.
+    save = SerialAnalysisBase.save

@@ -169,6 +169,106 @@ def test_wham_recovers_harmonic_pmf():
     )
 
 
+def test_mbar_unsampled_anchor_gauge_consistency():
+    """Anchoring at an UNSAMPLED state 0 must shift f_k and d_n
+    together: uncertainties and log-denominators are gauge-invariant
+    under state relabeling (review regression)."""
+
+    a_k = np.array([1.0, 0.5, 2.0])
+    mu_k = np.array([0.2, 0.0, 0.4])
+    rng = np.random.default_rng(17)
+    n0 = 15_000
+    x_n = np.concatenate(
+        [
+            _gaussian_state_samples(a_k[1], mu_k[1], n0, rng),
+            _gaussian_state_samples(a_k[2], mu_k[2], n0, rng),
+        ]
+    )
+    u_kn = np.stack([_u(a, mu, x_n) for a, mu in zip(a_k, mu_k)])
+
+    # State 0 unsampled; states (1, 2) sampled.
+    out_a = mbar(u_kn, [0, n0, n0])
+    # Relabeled: same data with the sampled state first.
+    out_b = mbar(u_kn[[1, 2, 0]], [n0, n0, 0])
+
+    # Pairwise free energies and uncertainties between the SAME
+    # physical states must agree across labelings.
+    d_f_12_a = out_a.free_energies[2] - out_a.free_energies[1]
+    d_f_12_b = out_b.free_energies[1] - out_b.free_energies[0]
+    assert d_f_12_a == pytest.approx(d_f_12_b, abs=1e-9)
+    unc_a = np.sqrt(
+        out_a.covariance[1, 1]
+        + out_a.covariance[2, 2]
+        - 2 * out_a.covariance[1, 2]
+    )
+    unc_b = out_b.uncertainties[1]
+    assert unc_a == pytest.approx(unc_b, rel=1e-6)
+
+    # Gauge consistency: the weight columns built from the RETURNED
+    # (f_k, d_n) pair column-sum to 1 for sampled states.
+    w_cols = np.exp(
+        out_a.free_energies[:, None] - u_kn - out_a.log_denominators
+    ).sum(axis=1)
+    np.testing.assert_allclose(w_cols, 1.0, rtol=1e-6)
+
+
+def test_wham_fractional_counts_and_inactive_windows():
+    """Weighted (fractional) histogram totals below 1 must enter the
+    equations unclamped, and zero-sample windows get NaN free
+    energies without warnings (review regressions)."""
+
+    counts = np.array([[0.25, 3.0, 2.0], [0.25, 2.0, 1.0]])
+    out = wham(counts, np.zeros((2, 3)))
+    # Zero bias: probabilities are just normalized totals.
+    np.testing.assert_allclose(
+        out.probabilities, counts.sum(axis=0) / counts.sum()
+    )
+    assert out.probabilities[0] == pytest.approx(0.5 / 8.5)
+
+    counts = np.array([[5.0, 3.0, 0.0], [0.0, 0.0, 0.0]])
+    with np.errstate(all="raise"):
+        out = wham(counts, np.zeros((2, 3)))
+    assert np.isnan(out.free_energies[1])
+    assert out.free_energies[0] == 0.0
+
+    with pytest.raises(ValueError, match="bin is empty"):
+        wham(np.zeros((2, 3)), np.zeros((2, 3)))
+
+
+def test_umbrella_sampling_empty_range_and_negative_springs():
+    rng = np.random.default_rng(1)
+    series = _harmonic_umbrella_windows(
+        1.0, np.array([-0.5, 0.5]), 8.0, 200, rng
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        UmbrellaSampling(
+            series, [-0.5, 0.5], -8.0, temperature=1.0, reduced=True
+        )
+    for method in ("mbar", "wham"):
+        us = UmbrellaSampling(
+            series, [-0.5, 0.5], 8.0, temperature=1.0, reduced=True,
+            method=method,
+        )
+        with pytest.raises(ValueError, match="No samples"):
+            us.run(n_bins=8, range=(50.0, 60.0))
+
+
+def test_umbrella_sampling_save_keeps_metadata(tmp_path):
+    rng = np.random.default_rng(2)
+    us = UmbrellaSampling(
+        _harmonic_umbrella_windows(
+            1.0, np.array([-0.5, 0.5]), 8.0, 500, rng
+        ),
+        [-0.5, 0.5], 8.0, temperature=1.0, reduced=True,
+    ).run(n_bins=8)
+    out = tmp_path / "pmf_meta.npz"
+    us.save(out)
+    data = np.load(out, allow_pickle=True)
+    np.testing.assert_allclose(data["pmf"], us.results.pmf)
+    assert bool(data["converged"])
+    assert "units" in data.files
+
+
 def test_harmonic_bin_bias_matches_quadrature():
     """The erf-integral bin averages match brute-force quadrature of
     exp(-beta W) over each bin, far into the wings."""
