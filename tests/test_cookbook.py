@@ -2,6 +2,7 @@
 documented user workflows must actually run (API names, kwargs,
 results keys)."""
 
+import pytest
 import numpy as np
 
 from mdhelper_tpu.core import Universe
@@ -334,3 +335,44 @@ def test_cookbook_pca_tica():
     assert tica.results.timescales.shape == (tica.results.rank,)
     slow = tica.transform(n_components=2)
     assert slow.shape == (N_FRAMES, 2)
+
+
+def test_cookbook_free_energy():
+    from mdhelper_tpu.analysis.free_energy import (
+        UmbrellaSampling,
+        bar,
+        mbar,
+    )
+
+    # Harmonic umbrella windows over a flat landscape (exactly
+    # samplable); the recipe's call shapes must run as documented.
+    fe_rng = np.random.default_rng(31)
+    centers = np.linspace(-1.0, 1.0, 7)
+    kappa = 30.0
+    series = [
+        fe_rng.normal(c, np.sqrt(1.0 / kappa), size=800)
+        for c in centers
+    ]
+    us = UmbrellaSampling(
+        series, centers, kappa, temperature=1.0, reduced=True,
+    ).run(n_bins=20, range=(-1.2, 1.2))
+    assert us.results.pmf.shape == (20,)
+    assert us.results.bin_centers.shape == (20,)
+    assert us.results.pmf_uncertainties.shape == (20,)
+    ok = np.isfinite(us.results.pmf)
+    assert np.nanmax(us.results.pmf[ok]) < 0.5  # flat landscape
+
+    # Standalone estimators: two shifted harmonic states.
+    x0 = fe_rng.normal(0.0, 1.0, 4000)
+    x1 = fe_rng.normal(0.5, 1.0, 4000)
+    u0 = lambda x: 0.5 * x**2  # noqa: E731
+    u1 = lambda x: 0.5 * (x - 0.5) ** 2  # noqa: E731
+    df = bar(u1(x0) - u0(x0), u0(x1) - u1(x1))
+    assert abs(df) < 0.05  # equal widths: Delta f = 0
+
+    x_n = np.concatenate([x0, x1])
+    sol = mbar(
+        np.stack([u0(x_n), u1(x_n)]), [x0.size, x1.size]
+    )
+    assert sol.free_energies[1] == pytest.approx(df, abs=1e-6)
+    assert sol.uncertainties[1] > 0
