@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     electrostatics,
     free_energy,
     hbonds,
+    interface,
     multi,
     orientation,
     polymer,
@@ -42,6 +43,7 @@ __all__ = [
     "dynamics",
     "free_energy",
     "hbonds",
+    "interface",
     "multi",
     "orientation",
     "run_together",

@@ -1,0 +1,396 @@
+"""Tests for mdhelper_tpu.analysis.interface (Willard-Chandler
+instantaneous interfaces; beyond reference — no counterpart exists in
+/root/reference).  Oracles: a NumPy mirror of the particle-mesh
+pipeline, a direct periodic Gaussian KDE sum, and capillary-wave
+identities (Parseval)."""
+
+import numpy as np
+import pytest
+
+from mdhelper_tpu.analysis.interface import WillardChandlerInterface
+from mdhelper_tpu.core import Universe
+
+rng = np.random.default_rng(53)
+
+BOX = np.array([12.0, 12.0, 16.0])
+T, N = 5, 3000
+XI = 1.0
+SLAB = (4.0, 12.0)  # z extent of the liquid
+
+
+@pytest.fixture(scope="module")
+def slab_universe():
+    pos = rng.random((T, N, 3)) * np.array(
+        [BOX[0], BOX[1], SLAB[1] - SLAB[0]]
+    )
+    pos[..., 2] += SLAB[0]
+    return Universe.from_arrays(pos, BOX, dt=1.0)
+
+
+def oracle_smooth(counts, box, n_cells, xi, order):
+    """NumPy mirror of ops.profiles.gaussian_smooth_periodic."""
+    nx, ny, nz = n_cells
+    kernel = 1.0
+    for ax, (n, L) in enumerate(zip(n_cells, box)):
+        m = (
+            np.fft.rfftfreq(n) * n
+            if ax == 2
+            else np.fft.fftfreq(n) * n
+        )
+        k = 2 * np.pi * m / L
+        kern = np.exp(-0.5 * (xi * k) ** 2) / np.sinc(m / n) ** order
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        kernel = kernel * kern.reshape(shape)
+    cell_volume = box.prod() / (nx * ny * nz)
+    return (
+        np.fft.irfftn(
+            np.fft.rfftn(counts, axes=(0, 1, 2)) * kernel,
+            s=n_cells,
+            axes=(0, 1, 2),
+        )
+        / cell_volume
+    )
+
+
+def oracle_deposit(pts, box, n_cells, order):
+    """NumPy mirror of ops.profiles.grid_deposit_frames (one frame)."""
+    n = np.asarray(n_cells)
+    counts = np.zeros(n_cells)
+    s = pts * (n / box)
+    if order == 1:
+        idx = np.clip(s.astype(np.int32), 0, n - 1)
+        np.add.at(counts, tuple(idx.T), 1.0)
+        return counts
+    s = s - 0.5
+    if order == 2:
+        base, offs = np.floor(s), (0, 1)
+        w1d = lambda f: np.stack((1.0 - f, f), axis=-1)
+    else:
+        base, offs = np.round(s), (-1, 0, 1)
+        w1d = lambda f: np.stack(
+            (
+                0.5 * (0.5 - f) ** 2,
+                0.75 - f**2,
+                0.5 * (0.5 + f) ** 2,
+            ),
+            axis=-1,
+        )
+    frac = s - base
+    base = base.astype(np.int64)
+    wts = w1d(frac)  # (N, 3, K)
+    for a, oa in enumerate(offs):
+        for b, ob in enumerate(offs):
+            for c, oc in enumerate(offs):
+                idx = (base + np.array([oa, ob, oc])) % n
+                w = wts[:, 0, a] * wts[:, 1, b] * wts[:, 2, c]
+                np.add.at(counts, tuple(idx.T), w)
+    return counts
+
+
+def oracle_pipeline(
+    positions, box, n_cells, xi, level=None, axis=2, order=2
+):
+    """Full per-frame mirror: deposit, FFT smoothing, bulk level,
+    first-crossing heights along `axis`."""
+    n_cells = np.asarray(n_cells)
+    fields, levels, heights = [], [], []
+    for pos in positions:
+        pts = pos - np.floor(pos / box) * box
+        counts = oracle_deposit(pts, box, tuple(n_cells), order)
+        dens = oracle_smooth(counts, box, tuple(n_cells), xi, order)
+        fields.append(dens)
+        if level is None:
+            bulk = dens[dens >= 0.5 * dens.max()].mean()
+            c = 0.5 * bulk
+        else:
+            c = level
+        levels.append(c)
+
+        d = np.moveaxis(dens, axis, -1)
+        n_axis = n_cells[axis]
+        h = box[axis] / n_axis
+        above = d >= c
+        occupied = above.any(axis=-1)
+        lo_idx = np.argmax(above, axis=-1)
+        hi_idx = n_axis - 1 - np.argmax(above[..., ::-1], axis=-1)
+
+        def interp(first, outward):
+            d_in = np.take_along_axis(
+                d, first[..., None], axis=-1
+            )[..., 0]
+            d_out = np.take_along_axis(
+                d, (first[..., None] + outward) % n_axis, axis=-1
+            )[..., 0]
+            denom = d_in - d_out
+            with np.errstate(invalid="ignore"):
+                frac = np.where(
+                    denom > 0,
+                    (d_in - c) / np.where(denom > 0, denom, 1.0),
+                    0.0,
+                )
+            return np.clip(frac, 0.0, 1.0)
+
+        lower = (lo_idx + 0.5 - interp(lo_idx, -1)) * h
+        upper = (hi_idx + 0.5 + interp(hi_idx, +1)) * h
+        zeta = np.stack((lower, upper)) % box[axis]
+        heights.append(np.where(occupied[None], zeta, np.nan))
+    return (
+        np.mean(fields, axis=0),
+        np.asarray(levels),
+        np.stack(heights, axis=1),
+    )
+
+
+def test_pipeline_matches_numpy_oracle(slab_universe):
+    u = slab_universe
+    n_cells = (16, 16, 32)
+    wc = WillardChandlerInterface(
+        u.atoms, xi=XI, n_cells=n_cells, verbose=False
+    ).run()
+    pos = u.trajectory._positions
+    field, levels, heights = oracle_pipeline(pos, BOX, n_cells, XI)
+    np.testing.assert_allclose(
+        wc.results.density_field, field, rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(wc.results.levels, levels, rtol=1e-9)
+    np.testing.assert_allclose(
+        wc.results.heights, heights, rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        wc.results.mean_heights,
+        np.nanmean(heights, axis=(2, 3)),
+        rtol=1e-9,
+    )
+    # grid centers
+    for b, n, L in zip(wc.results.bins, n_cells, BOX):
+        np.testing.assert_allclose(b, (np.arange(n) + 0.5) * L / n)
+
+
+def test_smoothed_field_converges_to_direct_kde():
+    """The particle-mesh field converges to the exact periodic
+    Gaussian KDE at the grid centers as the assignment order rises
+    (per-particle error ~ (kh/2)^order after deconvolution)."""
+    from mdhelper_tpu.ops.profiles import (
+        gaussian_smooth_periodic,
+        grid_deposit_frames,
+    )
+    import jax.numpy as jnp
+
+    box = np.array([8.0, 8.0, 8.0])
+    n_cells = (32, 32, 32)
+    xi = 1.2
+    pts = rng.random((1, 12, 3)) * box
+
+    centers = [
+        (np.arange(n) + 0.5) * L / n for n, L in zip(n_cells, box)
+    ]
+    grid = np.stack(
+        np.meshgrid(*centers, indexing="ij"), axis=-1
+    )  # (nx, ny, nz, 3)
+    kde = np.zeros(n_cells)
+    images = np.array(
+        np.meshgrid(*([[-1, 0, 1]] * 3), indexing="ij")
+    ).reshape(3, -1).T
+    norm = (2 * np.pi * xi**2) ** -1.5
+    for p in pts[0]:
+        for img in images:
+            d2 = ((grid - p - img * box) ** 2).sum(axis=-1)
+            kde += norm * np.exp(-0.5 * d2 / xi**2)
+
+    errs = {}
+    for order in (1, 2, 3):
+        counts = grid_deposit_frames(
+            jnp.asarray(pts), n_cells, jnp.asarray(box), order
+        )
+        # each particle deposits total weight 1 at every order
+        np.testing.assert_allclose(
+            np.asarray(counts).sum(), pts.shape[1], rtol=1e-12
+        )
+        dens = np.asarray(
+            gaussian_smooth_periodic(
+                counts, jnp.asarray(box), xi, order
+            )
+        )[0]
+        errs[order] = np.abs(dens - kde).max() / kde.max()
+    assert errs[2] < 0.25 * errs[1]
+    assert errs[3] < 0.5 * errs[2]
+    assert errs[3] < 2e-3
+
+
+def test_slab_physics(slab_universe):
+    wc = WillardChandlerInterface(
+        slab_universe.atoms, xi=XI, verbose=False
+    ).run()
+    res = wc.results
+    # no unresolved columns in a dense slab
+    assert not np.isnan(res.heights).any()
+    # interfaces at the slab edges, within the coarse-graining width
+    lower, upper = res.mean_heights.mean(axis=1)
+    assert abs(lower - SLAB[0]) < 0.5 * XI
+    assert abs(upper - SLAB[1]) < 0.5 * XI
+    # capillary roughness of an ideal-gas slab is small but nonzero
+    assert 0 < res.interface_width[0] < XI
+    assert 0 < res.interface_width[1] < XI
+    # level = half the bulk density
+    bulk = N / (BOX[0] * BOX[1] * (SLAB[1] - SLAB[0]))
+    np.testing.assert_allclose(res.levels, 0.5 * bulk, rtol=0.15)
+    # the smoothed field integrates to N
+    cell_volume = BOX.prod() / res.density_field.size
+    np.testing.assert_allclose(
+        res.density_field.sum() * cell_volume, N, rtol=1e-9
+    )
+
+
+def test_fixed_level_and_axis(slab_universe):
+    """axis='x' + explicit level runs the same crossing logic along
+    x (the slab spans the full x range, so every column crosses at
+    the box faces or never — NaN columns allowed)."""
+    u = slab_universe
+    n_cells = (32, 16, 16)
+    wc = WillardChandlerInterface(
+        u.atoms, axis="x", xi=XI, n_cells=n_cells, level=0.8,
+        verbose=False,
+    ).run()
+    pos = u.trajectory._positions
+    field, levels, heights = oracle_pipeline(
+        pos, BOX, n_cells, XI, level=0.8, axis=0
+    )
+    np.testing.assert_allclose(wc.results.levels, levels)
+    np.testing.assert_allclose(
+        wc.results.heights, heights, rtol=1e-7, atol=1e-9
+    )
+    assert wc.results.heights.shape == (2, T, 16, 16)
+
+
+def test_spectrum_parseval_and_surface_tension(slab_universe):
+    wc = WillardChandlerInterface(
+        slab_universe.atoms, xi=XI, verbose=False
+    ).run()
+    wc.calculate_spectrum()
+    q = wc.results.spectrum_wavenumbers
+    spec = wc.results.spectrum
+    assert q.ndim == 1 and (q > 0).all()
+    assert spec.shape == (2, len(q))
+    assert np.isfinite(spec).all() and (spec >= 0).all()
+
+    # Parseval: sum_q |zeta_q|^2 = <fluct^2>_r, so the shell sums
+    # reconstruct the squared roughness exactly (no-NaN data).
+    n1, n2 = wc.results.heights.shape[2:]
+    L1, L2 = BOX[0], BOX[1]
+    dq = 2 * np.pi / max(L1, L2)
+    q1 = 2 * np.pi * np.fft.fftfreq(n1, d=L1 / n1)
+    q2 = 2 * np.pi * np.fft.fftfreq(n2, d=L2 / n2)
+    shells = np.round(
+        np.hypot(q1[:, None], q2[None, :]) / dq
+    ).astype(int)
+    counts = np.bincount(shells.ravel())[1:]  # q > 0 shells
+    for side in range(2):
+        total = (spec[side] * counts).sum() / (L1 * L2)
+        np.testing.assert_allclose(
+            total, wc.results.interface_width[side] ** 2, rtol=1e-9
+        )
+
+    wc.calculate_surface_tension(300.0)
+    gamma = wc.results.surface_tension
+    assert gamma.shape == (2,) and (gamma > 0).all()
+
+    # reduced units: plain kT scale, no unit metadata
+    red = WillardChandlerInterface(
+        slab_universe.atoms, xi=XI, reduced=True, verbose=False
+    ).run()
+    red.calculate_surface_tension(1.0)
+    assert np.isfinite(red.results.surface_tension).all()
+    assert not (red.results.units or {})
+
+
+def test_residue_com_grouping():
+    """Dimers with coincident atoms: the residue-COM field equals the
+    atoms field of the deduplicated system."""
+    box = np.array([10.0, 10.0, 10.0])
+    single = rng.random((3, 40, 3)) * box
+    paired = np.repeat(single, 2, axis=1)
+    u_pair = Universe.from_arrays(
+        paired, box,
+        masses=np.ones(80),
+        resindices=np.repeat(np.arange(40), 2),
+        dt=1.0,
+    )
+    u_single = Universe.from_arrays(single, box, dt=1.0)
+    kw = dict(xi=1.5, n_cells=16, level=0.02, verbose=False)
+    wc_pair = WillardChandlerInterface(
+        u_pair.atoms, "residues", **kw
+    ).run()
+    wc_single = WillardChandlerInterface(u_single.atoms, **kw).run()
+    np.testing.assert_allclose(
+        wc_pair.results.density_field,
+        wc_single.results.density_field,
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        wc_pair.results.heights,
+        wc_single.results.heights,
+        rtol=1e-9, atol=1e-12,
+    )
+
+
+def test_parallel_bit_equality(slab_universe):
+    kw = dict(xi=XI, n_cells=(16, 16, 32), verbose=False)
+    serial = WillardChandlerInterface(
+        slab_universe.atoms, **kw
+    ).run()
+    par = WillardChandlerInterface(
+        slab_universe.atoms, parallel=True, **kw
+    ).run()
+    # cross-frame reduction order differs under sharding: ulp-level
+    np.testing.assert_allclose(
+        par.results.density_field,
+        serial.results.density_field,
+        rtol=1e-12, atol=1e-15,
+    )
+    np.testing.assert_array_equal(
+        par.results.heights, serial.results.heights
+    )
+    np.testing.assert_array_equal(
+        par.results.levels, serial.results.levels
+    )
+
+
+def test_checkpoint_resume(slab_universe, tmp_path):
+    ckpt = str(tmp_path / "wc.npz")
+    kw = dict(xi=XI, n_cells=(16, 16, 16), verbose=False)
+    make = lambda: WillardChandlerInterface(
+        slab_universe.atoms, **kw
+    )
+    make().run(stop=3, checkpoint=ckpt)  # "killed" after 3 frames
+    resumed = make().run(checkpoint=ckpt)
+    straight = make().run()
+    np.testing.assert_allclose(
+        resumed.results.density_field,
+        straight.results.density_field,
+        rtol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        resumed.results.heights, straight.results.heights
+    )
+
+
+def test_validation():
+    box = np.array([8.0, 8.0, 8.0])
+    pos = rng.random((2, 20, 3)) * box
+    u = Universe.from_arrays(pos, box, dt=1.0)
+    with pytest.raises(ValueError, match="axis"):
+        WillardChandlerInterface(u.atoms, axis="w", verbose=False)
+    with pytest.raises(ValueError, match="n_cells"):
+        WillardChandlerInterface(u.atoms, n_cells=2, verbose=False)
+    with pytest.raises(ValueError, match="xi"):
+        WillardChandlerInterface(u.atoms, xi=0.0, verbose=False)
+    with pytest.raises(ValueError, match="grouping"):
+        WillardChandlerInterface(
+            u.atoms, "molecules", verbose=False
+        )
+    tric = Universe.from_arrays(
+        pos, np.array([8.0, 8.0, 8.0, 80.0, 90.0, 90.0]), dt=1.0
+    )
+    with pytest.raises(ValueError, match="orthorhombic"):
+        WillardChandlerInterface(tric.atoms, verbose=False)

@@ -376,3 +376,26 @@ def test_cookbook_free_energy():
     )
     assert sol.free_energies[1] == pytest.approx(df, abs=1e-6)
     assert sol.uncertainties[1] > 0
+
+
+def test_cookbook_interface():
+    """'Instantaneous interfaces (Willard-Chandler)' recipe."""
+    from mdhelper_tpu.analysis.interface import (
+        WillardChandlerInterface,
+    )
+
+    slab = rng.random((N_FRAMES, 400, 3)) * np.array(
+        [BOX, BOX, 6.0]
+    ) + np.array([0.0, 0.0, 2.0])
+    u = Universe.from_arrays(slab, np.array([BOX] * 3), dt=0.5)
+    wc = WillardChandlerInterface(
+        u.atoms, axis="z", xi=1.5, n_cells=16, verbose=False
+    ).run()
+    assert wc.results.heights.shape[:2] == (2, N_FRAMES)
+    assert wc.results.mean_heights.shape == (2, N_FRAMES)
+    assert wc.results.interface_width.shape == (2,)
+    assert wc.results.density_field.shape == (16, 16, 16)
+    wc.calculate_spectrum()
+    wc.calculate_surface_tension(300.0)
+    assert wc.results.surface_tension.shape == (2,)
+    assert np.isfinite(wc.results.surface_tension).all()
