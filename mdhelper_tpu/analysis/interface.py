@@ -159,6 +159,16 @@ class WillardChandlerInterface(DynamicAnalysisBase):
     parallel : `bool`, keyword-only, default False
         Shard frame batches over the device mesh.
 
+    Notes
+    -----
+    Per-frame (NPT) boxes are honored on the device path: each frame
+    wraps, deposits, smooths, and scales its heights against its own
+    cell.  The grid point COUNTS are static, so ``results.bins`` and
+    ``results.density_field`` report the constructor box's geometry —
+    exact for NVT, nominal (fractional-grid average) under NPT; the
+    capillary spectrum's wavevectors likewise use the constructor's
+    transverse lengths.
+
     Results
     -------
     ``results.bins``
@@ -222,12 +232,10 @@ class WillardChandlerInterface(DynamicAnalysisBase):
         self._axis = int(axis)
         self._trans_axes = tuple(a for a in range(3) if a != self._axis)
 
-        dims = self.universe.dimensions
-        if dims is None or not (np.asarray(dims[:3]) > 0).all():
-            raise ValueError(
-                "WillardChandlerInterface needs a periodic box."
-            )
-        self._dimensions = np.asarray(dims[:3], dtype=np.float64)
+        self._require_box("WillardChandlerInterface")
+        self._dimensions = np.asarray(
+            self.universe.dimensions[:3], dtype=np.float64
+        )
 
         self._xi = float(xi)
         if self._xi <= 0:
@@ -251,7 +259,11 @@ class WillardChandlerInterface(DynamicAnalysisBase):
         self._order = int(order)
         self._reduced = reduced
 
-        self._atom_indices = np.asarray(np.sort(group.ix))
+        # Stream in GROUP order (like every sibling analysis):
+        # masses and segment ids below are group-ordered, so a sorted
+        # stream would pair the wrong atoms with the wrong masses for
+        # non-ascending groups (e.g. g1 + g2 concatenations).
+        self._atom_indices = np.asarray(group.ix)
         self._seg_info = _group_segment_ids(group, grouping)
 
     def _prepare(self) -> None:
@@ -290,7 +302,7 @@ class WillardChandlerInterface(DynamicAnalysisBase):
 
     def _make_update(self) -> None:
         dtype = self._stream_dtype()
-        box = jnp.asarray(self._dimensions, dtype=dtype)
+        frame_boxes = self._frame_boxes
         n_cells = self._n_cells
         axis = self._axis
         n_axis = n_cells[axis]
@@ -305,13 +317,18 @@ class WillardChandlerInterface(DynamicAnalysisBase):
         fixed_level = self._level
 
         def update(carry, positions, dimensions, mask):
-            del dimensions
+            # Per-frame boxes: NPT trajectories deposit, smooth, and
+            # scale heights against each frame's own cell; the grid
+            # point COUNTS stay static (results.bins / density_field
+            # report the constructor box's geometry — exact for NVT,
+            # nominal under NPT).
+            boxes = frame_boxes(dimensions).astype(dtype)
             pts = positions
             if seg is not None:
                 pts = _com_positions(pts, masses, seg, n_seg)
-            pts = wrap_positions(pts, box)
-            counts = grid_deposit_frames(pts, n_cells, box, order)
-            dens = gaussian_smooth_periodic(counts, box, xi, order)
+            pts = wrap_positions(pts, boxes[:, None, :])
+            counts = grid_deposit_frames(pts, n_cells, boxes, order)
+            dens = gaussian_smooth_periodic(counts, boxes, xi, order)
             if fixed_level is None:
                 # Bulk = mean of the field over its upper half range;
                 # the interface sits at half bulk.
@@ -327,7 +344,10 @@ class WillardChandlerInterface(DynamicAnalysisBase):
                 )
             dens_t = jnp.moveaxis(dens, 1 + axis, -1)
             heights = slab_interface_heights(
-                dens_t, level[:, None, None, None], n_axis, box[axis]
+                dens_t,
+                level[:, None, None, None],
+                n_axis,
+                boxes[:, axis, None, None],
             )
             carry = {
                 "density": carry["density"]

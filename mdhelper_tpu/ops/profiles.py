@@ -125,7 +125,8 @@ def grid_deposit_frames(coords, n_cells_dim, box, order=1):
     n_cells_dim : `tuple`
         Static grid shape ``(nx, ny, nz)``.
     box : `jax.Array`
-        Orthorhombic box lengths, shape ``(3,)`` (coords' dtype).
+        Orthorhombic box lengths, shape ``(3,)`` or per-frame
+        ``(B, 3)``.
     order : `int`, default 1
         Assignment order (1, 2 or 3).
 
@@ -143,7 +144,10 @@ def grid_deposit_frames(coords, n_cells_dim, box, order=1):
     dims = jnp.asarray([nx, ny, nz], dtype=dtype)
     dims_i = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
     probes = jnp.arange(n_cells + 1, dtype=jnp.int32)
-    scaled = coords * (dims / box.astype(dtype))
+    scale = dims / jnp.asarray(box, dtype)
+    if scale.ndim == 2:  # per-frame boxes: (B, 3) -> (B, 1, 3)
+        scale = scale[:, None, :]
+    scaled = coords * scale
 
     if order == 1:
         cell = jnp.clip(
@@ -241,7 +245,8 @@ def gaussian_smooth_periodic(fields, box, xi, order=1):
         Per-frame deposits from :func:`grid_deposit_frames`, shape
         ``(B, nx, ny, nz)``.
     box : `jax.Array`
-        Orthorhombic box lengths, shape ``(3,)``.
+        Orthorhombic box lengths, shape ``(3,)`` or per-frame
+        ``(B, 3)``.
     xi : `float`
         Gaussian coarse-graining width :math:`\xi` (Angstrom).
     order : `int`, default 1
@@ -264,7 +269,8 @@ def gaussian_smooth_periodic(fields, box, xi, order=1):
 
     nx, ny, nz = (int(n) for n in fields.shape[1:])
     dtype = fields.dtype
-    box = box.astype(dtype)
+    box = jnp.asarray(box, dtype)
+    batched = box.ndim == 2  # per-frame boxes: kernel grows a B axis
     # Integer mode numbers are static; wavevectors k_a = 2 pi m_a / L_a
     # pick up the (possibly traced) box only as a scale factor.
     mx = np.fft.fftfreq(nx) * nx
@@ -272,7 +278,11 @@ def gaussian_smooth_periodic(fields, box, xi, order=1):
     mz = np.fft.rfftfreq(nz) * nz
 
     def axis_kernel(m, n, length):
-        k = (2 * np.pi) * jnp.asarray(m, dtype) / length
+        m_dev = jnp.asarray(m, dtype)
+        if batched:
+            k = (2 * np.pi) * m_dev / length[:, None]
+        else:
+            k = (2 * np.pi) * m_dev / length
         kern = jnp.exp(-0.5 * (xi * k) ** 2)
         if order:
             # B-spline window sinc^order(k h / 2), kh/2 = pi m / n;
@@ -281,16 +291,21 @@ def gaussian_smooth_periodic(fields, box, xi, order=1):
             kern = kern / jnp.asarray(np.sinc(m / n) ** order, dtype)
         return kern
 
+    kx = axis_kernel(mx, nx, box[..., 0])
+    ky = axis_kernel(my, ny, box[..., 1])
+    kz = axis_kernel(mz, nz, box[..., 2])
     kernel = (
-        axis_kernel(mx, nx, box[0])[:, None, None]
-        * axis_kernel(my, ny, box[1])[None, :, None]
-        * axis_kernel(mz, nz, box[2])[None, None, :]
+        kx[..., :, None, None]
+        * ky[..., None, :, None]
+        * kz[..., None, None, :]
     )
     spectra = jnp.fft.rfftn(fields, axes=(1, 2, 3))
     smooth = jnp.fft.irfftn(
         spectra * kernel, s=(nx, ny, nz), axes=(1, 2, 3)
     )
-    cell_volume = box[0] * box[1] * box[2] / (nx * ny * nz)
+    cell_volume = box.prod(-1) / (nx * ny * nz)
+    if batched:
+        cell_volume = cell_volume[:, None, None, None]
     return (smooth / cell_volume).astype(dtype)
 
 

@@ -334,6 +334,79 @@ def test_residue_com_grouping():
     )
 
 
+def test_group_order_invariance():
+    """Residue-COM results must not depend on the ORDER of the atom
+    group: masses/segment ids are group-ordered, so the stream must
+    be too (regression: a sorted stream paired wrong atoms with
+    wrong masses for non-ascending groups)."""
+    box = np.array([10.0, 10.0, 10.0])
+    pos = rng.random((3, 40, 3)) * box
+    u = Universe.from_arrays(
+        pos, box,
+        masses=rng.uniform(1.0, 16.0, 40),
+        resindices=np.repeat(np.arange(20), 2),
+        dt=1.0,
+    )
+    kw = dict(
+        grouping="residues", xi=1.5, n_cells=16, level=0.02,
+        verbose=False,
+    )
+    fwd = WillardChandlerInterface(u.atoms, **kw).run()
+    rev = WillardChandlerInterface(u.atoms[::-1], **kw).run()
+    np.testing.assert_allclose(
+        fwd.results.density_field,
+        rev.results.density_field,
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        fwd.results.heights, rev.results.heights,
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_per_frame_npt_boxes():
+    """Fluctuating (NPT) boxes: every frame wraps/deposits/smooths
+    against its own cell — each frame matches the NumPy oracle run
+    at that frame's box (regression: the constructor box used to be
+    baked into the whole run)."""
+    base = np.array([10.0, 10.0, 14.0])
+    scales = np.array([1.0, 1.08, 0.94])
+    boxes = base * scales[:, None]
+    n_cells = (16, 16, 32)
+    pos = np.empty((3, 500, 3))
+    for t in range(3):
+        pos[t] = rng.random((500, 3)) * np.array(
+            [boxes[t, 0], boxes[t, 1], 0.5 * boxes[t, 2]]
+        ) + np.array([0.0, 0.0, 0.25 * boxes[t, 2]])
+    u = Universe.from_arrays(
+        pos,
+        np.concatenate(
+            [boxes, np.full((3, 3), 90.0)], axis=1
+        ),
+        dt=1.0,
+    )
+    wc = WillardChandlerInterface(
+        u.atoms, xi=1.2, n_cells=n_cells, verbose=False
+    ).run()
+    fields = []
+    for t in range(3):
+        field_t, levels_t, heights_t = oracle_pipeline(
+            pos[t:t + 1], boxes[t], np.asarray(n_cells), 1.2
+        )
+        fields.append(field_t)
+        np.testing.assert_allclose(
+            wc.results.levels[t], levels_t[0], rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            wc.results.heights[:, t], heights_t[:, 0],
+            rtol=1e-7, atol=1e-9,
+        )
+    np.testing.assert_allclose(
+        wc.results.density_field, np.mean(fields, axis=0),
+        rtol=1e-9, atol=1e-12,
+    )
+
+
 def test_parallel_bit_equality(slab_universe):
     kw = dict(xi=XI, n_cells=(16, 16, 32), verbose=False)
     serial = WillardChandlerInterface(
