@@ -35,12 +35,172 @@ import numpy as np
 
 from .. import ureg
 from ..ops.pbc import wrap_positions
-from ..ops.profiles import gaussian_smooth_periodic, grid_deposit_frames
+from ..ops.profiles import (
+    axis_histogram_batch,
+    gaussian_smooth_periodic,
+    grid_deposit_frames,
+)
 from .base import DynamicAnalysisBase, jit_update
-from .profile import _pmf_kbt
-from .structure import _com_positions, _group_segment_ids
+from .profile import (
+    _broadcast_groupings,
+    _pmf_kbt,
+    _resolve_group_charges,
+)
+from .structure import (
+    _column_selector,
+    _com_positions,
+    _group_segment_ids,
+)
 
-__all__ = ["WillardChandlerInterface"]
+__all__ = ["IntrinsicDensityProfile", "WillardChandlerInterface"]
+
+
+def coarse_grained_heights(
+    pts, boxes, n_cells, xi, order, axis, fixed_level
+):
+    r"""Per-frame Willard–Chandler pipeline core: particle-mesh
+    deposit, FFT Gaussian smoothing, iso-density level, and the two
+    interface height maps along ``axis``.
+
+    Parameters
+    ----------
+    pts : `jax.Array`
+        Wrapped surface-group coordinates, shape ``(B, N, 3)``.
+    boxes : `jax.Array`
+        Per-frame orthorhombic box lengths, shape ``(B, 3)``.
+    n_cells : `tuple`
+        Static grid shape ``(nx, ny, nz)``.
+    xi, order : see :func:`mdhelper_tpu.ops.profiles.grid_deposit_frames`.
+    axis : `int`
+        Slab normal (0-2).
+    fixed_level : `float` or None
+        Iso-density level; None = half the per-frame bulk density
+        (bulk = mean of the field over grid points above half its
+        maximum).
+
+    Returns
+    -------
+    dens : `jax.Array`
+        Smoothed density fields, shape ``(B, nx, ny, nz)``.
+    level : `jax.Array`
+        Per-frame iso-density levels, shape ``(B,)``.
+    heights : `jax.Array`
+        ``(lower, upper)`` height maps, shape ``(2, B, n1, n2)``
+        (transverse axes in coordinate order); NaN where a column
+        never reaches the level.
+    """
+
+    n_axis = n_cells[axis]
+    counts = grid_deposit_frames(pts, n_cells, boxes, order)
+    dens = gaussian_smooth_periodic(counts, boxes, xi, order)
+    if fixed_level is None:
+        dmax = dens.max(axis=(1, 2, 3), keepdims=True)
+        bulk_mask = dens >= 0.5 * dmax
+        bulk = (dens * bulk_mask).sum(axis=(1, 2, 3)) / (
+            bulk_mask.sum(axis=(1, 2, 3))
+        )
+        level = 0.5 * bulk
+    else:
+        level = jnp.full(dens.shape[0], fixed_level, dtype=dens.dtype)
+    dens_t = jnp.moveaxis(dens, 1 + axis, -1)
+    heights = slab_interface_heights(
+        dens_t,
+        level[:, None, None, None],
+        n_axis,
+        boxes[:, axis, None, None],
+    )
+    return dens, level, heights
+
+
+def interpolate_height_maps(maps, frac):
+    r"""Periodic bilinear interpolation of per-frame height maps at
+    fractional transverse coordinates.
+
+    Parameters
+    ----------
+    maps : `jax.Array`
+        Height maps, shape ``(B, n1, n2)``; NaN marks unresolved
+        columns (NaN propagates to any point whose interpolation
+        stencil touches one).
+    frac : `jax.Array`
+        Fractional transverse coordinates in ``[0, 1)``, shape
+        ``(B, N, 2)``.
+
+    Returns
+    -------
+    values : `jax.Array`
+        Interpolated heights, shape ``(B, N)``.
+    """
+
+    n1, n2 = (int(n) for n in maps.shape[1:])
+    # Grid point j sits at fractional (j + 1/2) / n.
+    u = frac[..., 0] * n1 - 0.5
+    v = frac[..., 1] * n2 - 0.5
+    i0 = jnp.floor(u)
+    j0 = jnp.floor(v)
+    fu = (u - i0)[..., None]
+    fv = (v - j0)[..., None]
+    i0 = jax.lax.convert_element_type(i0, jnp.int32)
+    j0 = jax.lax.convert_element_type(j0, jnp.int32)
+    ii = jnp.mod(i0[..., None] + jnp.arange(2, dtype=jnp.int32), n1)
+    jj = jnp.mod(j0[..., None] + jnp.arange(2, dtype=jnp.int32), n2)
+    flat = maps.reshape(maps.shape[0], -1)
+    cid = ii[..., :, None] * n2 + jj[..., None, :]  # (B, N, 2, 2)
+    corners = jnp.take_along_axis(
+        flat[:, None, :],
+        cid.reshape(cid.shape[0], -1)[:, None, :],
+        axis=-1,
+    ).reshape(cid.shape)
+    wu = jnp.concatenate((1.0 - fu, fu), axis=-1)  # (B, N, 2)
+    wv = jnp.concatenate((1.0 - fv, fv), axis=-1)
+    return (
+        corners * wu[..., :, None] * wv[..., None, :]
+    ).sum(axis=(-2, -1))
+
+
+def _setup_wc_geometry(obj, what, axis, xi, n_cells, level, order):
+    """Shared Willard-Chandler constructor validation: sets
+    ``_triclinic``, ``_axis``, ``_trans_axes``, ``_dimensions``,
+    ``_xi``, ``_n_cells``, ``_level`` and ``_order`` on `obj`."""
+
+    obj._setup_periodic_box()
+    if obj._triclinic:
+        raise ValueError(f"{what} needs an orthorhombic cell.")
+
+    if isinstance(axis, str):
+        if axis not in ("x", "y", "z"):
+            raise ValueError("axis must be 'x', 'y', 'z' or 0-2.")
+        axis = "xyz".index(axis)
+    if axis not in (0, 1, 2):
+        raise ValueError("axis must be 'x', 'y', 'z' or 0-2.")
+    obj._axis = int(axis)
+    obj._trans_axes = tuple(a for a in range(3) if a != obj._axis)
+
+    obj._require_box(what)
+    obj._dimensions = np.asarray(
+        obj.universe.dimensions[:3], dtype=np.float64
+    )
+
+    obj._xi = float(xi)
+    if obj._xi <= 0:
+        raise ValueError("xi must be positive.")
+    if n_cells is None:
+        n_cells = tuple(
+            1 << int(np.ceil(np.log2(max(8.0, L / (obj._xi / 2)))))
+            for L in obj._dimensions
+        )
+    elif isinstance(n_cells, Real):
+        n_cells = (int(n_cells),) * 3
+    n_cells = tuple(int(n) for n in n_cells)
+    if len(n_cells) != 3 or min(n_cells) < 4:
+        raise ValueError(
+            "n_cells must be an int >= 4 or a triple of them."
+        )
+    obj._n_cells = n_cells
+    obj._level = None if level is None else float(level)
+    if order not in (1, 2, 3):
+        raise ValueError("order must be 1 (NGP), 2 (CIC) or 3 (TSC).")
+    obj._order = int(order)
 
 
 def slab_interface_heights(density, level, n_axis, length_axis):
@@ -212,51 +372,15 @@ class WillardChandlerInterface(DynamicAnalysisBase):
         super().__init__(
             self.universe.trajectory, parallel, verbose, **kwargs
         )
-        self._setup_periodic_box()
-        if self._triclinic:
-            raise ValueError(
-                "WillardChandlerInterface needs an orthorhombic cell."
-            )
         if grouping not in ("atoms", "residues", "segments"):
             raise ValueError(
                 "grouping must be 'atoms', 'residues' or 'segments'."
             )
         self._grouping = grouping
-
-        if isinstance(axis, str):
-            if axis not in ("x", "y", "z"):
-                raise ValueError("axis must be 'x', 'y', 'z' or 0-2.")
-            axis = "xyz".index(axis)
-        if axis not in (0, 1, 2):
-            raise ValueError("axis must be 'x', 'y', 'z' or 0-2.")
-        self._axis = int(axis)
-        self._trans_axes = tuple(a for a in range(3) if a != self._axis)
-
-        self._require_box("WillardChandlerInterface")
-        self._dimensions = np.asarray(
-            self.universe.dimensions[:3], dtype=np.float64
+        _setup_wc_geometry(
+            self, "WillardChandlerInterface", axis, xi, n_cells,
+            level, order,
         )
-
-        self._xi = float(xi)
-        if self._xi <= 0:
-            raise ValueError("xi must be positive.")
-        if n_cells is None:
-            n_cells = tuple(
-                1 << int(np.ceil(np.log2(max(8.0, L / (self._xi / 2)))))
-                for L in self._dimensions
-            )
-        elif isinstance(n_cells, Real):
-            n_cells = (int(n_cells),) * 3
-        n_cells = tuple(int(n) for n in n_cells)
-        if len(n_cells) != 3 or min(n_cells) < 4:
-            raise ValueError(
-                "n_cells must be an int >= 4 or a triple of them."
-            )
-        self._n_cells = n_cells
-        self._level = None if level is None else float(level)
-        if order not in (1, 2, 3):
-            raise ValueError("order must be 1 (NGP), 2 (CIC) or 3 (TSC).")
-        self._order = int(order)
         self._reduced = reduced
 
         # Stream in GROUP order (like every sibling analysis):
@@ -305,7 +429,6 @@ class WillardChandlerInterface(DynamicAnalysisBase):
         frame_boxes = self._frame_boxes
         n_cells = self._n_cells
         axis = self._axis
-        n_axis = n_cells[axis]
         seg, n_seg = self._seg_info
         masses = (
             None if seg is None
@@ -327,27 +450,8 @@ class WillardChandlerInterface(DynamicAnalysisBase):
             if seg is not None:
                 pts = _com_positions(pts, masses, seg, n_seg)
             pts = wrap_positions(pts, boxes[:, None, :])
-            counts = grid_deposit_frames(pts, n_cells, boxes, order)
-            dens = gaussian_smooth_periodic(counts, boxes, xi, order)
-            if fixed_level is None:
-                # Bulk = mean of the field over its upper half range;
-                # the interface sits at half bulk.
-                dmax = dens.max(axis=(1, 2, 3), keepdims=True)
-                bulk_mask = dens >= 0.5 * dmax
-                bulk = (dens * bulk_mask).sum(axis=(1, 2, 3)) / (
-                    bulk_mask.sum(axis=(1, 2, 3))
-                )
-                level = 0.5 * bulk
-            else:
-                level = jnp.full(
-                    dens.shape[0], fixed_level, dtype=dens.dtype
-                )
-            dens_t = jnp.moveaxis(dens, 1 + axis, -1)
-            heights = slab_interface_heights(
-                dens_t,
-                level[:, None, None, None],
-                n_axis,
-                boxes[:, axis, None, None],
+            dens, level, heights = coarse_grained_heights(
+                pts, boxes, n_cells, xi, order, axis, fixed_level
             )
             carry = {
                 "density": carry["density"]
@@ -486,4 +590,344 @@ class WillardChandlerInterface(DynamicAnalysisBase):
         if not self._reduced:
             self.results.units["results.surface_tension"] = (
                 ureg.kilojoule / ureg.mole / ureg.angstrom**2
+            )
+
+
+class IntrinsicDensityProfile(DynamicAnalysisBase):
+    r"""Intrinsic (interface-relative) density profiles
+    :math:`\rho_g(d)` of one or more groups, measured along the slab
+    normal from the instantaneous Willard–Chandler interface of a
+    surface-defining group (beyond reference — the reference's
+    :class:`~mdhelper_tpu.analysis.profile.DensityProfile`,
+    ``/root/reference/src/mdhelper/analysis/profile.py:287-996``,
+    bins fixed lab-frame axes, which smears interfacial structure by
+    the capillary roughness; binning against the instantaneous
+    surface recovers the intrinsic layering).
+
+    Each frame, the surface group's coarse-grained density defines
+    the two iso-density height maps :math:`\zeta^\pm(x_1, x_2)`
+    (exactly as :class:`WillardChandlerInterface`); every profiled
+    entity is assigned the signed normal distance to the bilinearly
+    interpolated interface under its transverse position,
+
+    .. math::
+
+       d^- = z - \zeta^-(x_1, x_2), \qquad
+       d^+ = \zeta^+(x_1, x_2) - z,
+
+    minimum-imaged along the normal — **positive into the liquid**
+    for both interfaces — and histogrammed (one-hot MXU matmuls;
+    scatter-adds serialize on TPU).
+
+    Parameters
+    ----------
+    surface : `AtomGroup`
+        The condensed phase defining the interface (e.g. water
+        oxygens).
+    groups : `AtomGroup` or array-like, optional
+        Group(s) to profile.  Default: the surface group itself.
+    groupings : `str` or array-like, default ``"atoms"``
+        ``"atoms"``, ``"residues"`` or ``"segments"`` per profiled
+        group.
+    axis : `str` or `int`, default ``"z"``
+        Slab normal (the slab must not straddle the periodic
+        boundary along it; recenter first).
+    n_bins : `int`, default 200
+        Distance histogram bins.
+    range : array-like, keyword-only, optional
+        ``(d_min, d_max)`` distance window (Angstrom).  Default:
+        ``(-L_axis/2, L_axis/2)`` — the full minimum-image range.
+    surface_grouping : `str`, keyword-only, default ``"atoms"``
+        Grouping for the surface-defining group.
+    xi, n_cells, level, order :
+        Willard–Chandler parameters (see
+        :class:`WillardChandlerInterface`).
+    side : `str`, keyword-only, default ``"both"``
+        ``"lower"``, ``"upper"`` or ``"both"`` (average of the two
+        interfaces' profiles).
+    charges : array-like, keyword-only, optional
+        Per-group entity charges (the
+        :class:`~mdhelper_tpu.analysis.profile.DensityProfile`
+        convention: auto-detected from the topology when uniform).
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh.
+
+    Notes
+    -----
+    Entities over unresolved interface columns (NaN height anywhere
+    in their bilinear stencil) drop out of the histogram; the
+    normalization still uses the full transverse area, so profiles
+    of sparse/rough interfaces are biased low by the unresolved
+    fraction — densify the grid or enlarge `xi` instead.  Per-frame
+    (NPT) boxes are honored exactly as in
+    :class:`WillardChandlerInterface`.
+
+    Results
+    -------
+    ``results.bins`` / ``results.edges``
+        Distance bin centers / edges (Angstrom).
+    ``results.counts``
+        Raw per-side counts, shape ``(G, 2, n_bins)`` —
+        ``[lower, upper]``.
+    ``results.number_densities``
+        Intrinsic number densities (Angstrom^-3), shape
+        ``(G, n_bins)``, per `side`.
+    ``results.charge_densities``
+        :math:`\sum_g q_g \rho_g(d)` (e/Angstrom^3), shape
+        ``(n_bins,)`` — when entity charges are uniform per group or
+        `charges` is given.
+    """
+
+    def __init__(
+        self,
+        surface,
+        groups=None,
+        groupings: Union[str, tuple] = "atoms",
+        axis: Union[str, int] = "z",
+        n_bins: int = 200,
+        *,
+        range=None,
+        surface_grouping: str = "atoms",
+        xi: float = 2.4,
+        n_cells: Union[int, tuple] = None,
+        level: float = None,
+        order: int = 2,
+        side: str = "both",
+        charges=None,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._surface = surface
+        self.universe = surface.universe
+        if groups is None:
+            groups = [surface]
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+        _setup_wc_geometry(
+            self, "IntrinsicDensityProfile", axis, xi, n_cells,
+            level, order,
+        )
+        if surface_grouping not in ("atoms", "residues", "segments"):
+            raise ValueError(
+                "surface_grouping must be 'atoms', 'residues' or "
+                "'segments'."
+            )
+        if side not in ("lower", "upper", "both"):
+            raise ValueError(
+                "side must be 'lower', 'upper' or 'both'."
+            )
+        self._side = side
+        self._n_groups = len(self._groups)
+        self._groupings = _broadcast_groupings(
+            self._groups, groupings
+        )
+        self._charges = _resolve_group_charges(
+            self._groups, self._groupings, charges, reduced
+        )
+        self._reduced = reduced
+
+        self._n_bins = int(n_bins)
+        if self._n_bins < 1:
+            raise ValueError("n_bins must be positive.")
+        if range is None:
+            half = 0.5 * self._dimensions[self._axis]
+            range = (-half, half)
+        self._range = (float(range[0]), float(range[1]))
+        if not self._range[0] < self._range[1]:
+            raise ValueError("range must be increasing.")
+
+        # Streaming columns: surface first, then the profiled groups
+        # (all in GROUP order — masses/segment ids are group-ordered).
+        column_groups = [surface] + self._groups
+        self._atom_indices = np.concatenate(
+            [g.ix for g in column_groups]
+        )
+        self._sels = []
+        offset = 0
+        for g in column_groups:
+            self._sels.append(offset + np.arange(g.n_atoms))
+            offset += g.n_atoms
+        self._surf_seg = _group_segment_ids(surface, surface_grouping)
+        self._segs = [
+            _group_segment_ids(g, grouping)
+            for g, grouping in zip(self._groups, self._groupings)
+        ]
+
+    def _prepare(self) -> None:
+        self.results.edges = np.linspace(
+            *self._range, self._n_bins + 1
+        )
+        self.results.bins = (
+            self.results.edges[:-1] + self.results.edges[1:]
+        ) / 2
+        self.results.units = {}
+        if not self._reduced:
+            self.results.units = {
+                "results.bins": ureg.angstrom,
+                "results.edges": ureg.angstrom,
+                "results.number_densities": ureg.angstrom**-3,
+            }
+            if self._charges is not None:
+                self.results.units["results.charge_densities"] = (
+                    ureg.elementary_charge / ureg.angstrom**3
+                )
+        self._carry = {
+            "counts": jnp.zeros(
+                (self._n_groups, 2, self._n_bins), jnp.float64
+            ),
+            "area": jnp.zeros((), jnp.float64),
+            "n": jnp.zeros((), jnp.float64),
+        }
+        self._make_update()
+
+    def _make_update(self) -> None:
+        dtype = self._stream_dtype()
+        frame_boxes = self._frame_boxes
+        n_cells = self._n_cells
+        axis = self._axis
+        t1, t2 = self._trans_axes
+        xi = self._xi
+        order = self._order
+        fixed_level = self._level
+        edges = jnp.asarray(self.results.edges)
+        n_cols = len(self._atom_indices)
+        takes = [
+            _column_selector(sel, n_cols) for sel in self._sels
+        ]
+        surf_seg, surf_n = self._surf_seg
+        surf_masses = (
+            None if surf_seg is None
+            else jnp.asarray(self._surface.masses, dtype=dtype)
+        )
+        surf_seg = None if surf_seg is None else jnp.asarray(surf_seg)
+        segs = [
+            (None if s is None else jnp.asarray(s), n)
+            for s, n in self._segs
+        ]
+        masses = [
+            jnp.asarray(g.masses, dtype=dtype) for g in self._groups
+        ]
+
+        def update(carry, positions, dimensions, mask):
+            boxes = frame_boxes(dimensions).astype(dtype)
+            spts = takes[0](positions)
+            if surf_seg is not None:
+                spts = _com_positions(
+                    spts, surf_masses, surf_seg, surf_n
+                )
+            spts = wrap_positions(spts, boxes[:, None, :])
+            _, _, heights = coarse_grained_heights(
+                spts, boxes, n_cells, xi, order, axis, fixed_level
+            )
+            length = boxes[:, axis, None]
+            group_counts = []
+            for take, (seg, n_seg), m in zip(takes[1:], segs, masses):
+                pos = take(positions)
+                if seg is not None:
+                    pos = _com_positions(pos, m, seg, n_seg)
+                pos = wrap_positions(pos, boxes[:, None, :])
+                frac = jnp.stack(
+                    (
+                        pos[..., t1] / boxes[:, None, t1],
+                        pos[..., t2] / boxes[:, None, t2],
+                    ),
+                    axis=-1,
+                )
+                z = pos[..., axis]
+                side_counts = []
+                for s, sign in ((0, 1.0), (1, -1.0)):
+                    d = sign * (z - interpolate_height_maps(
+                        heights[s], frac
+                    ))
+                    d = d - length * jnp.round(d / length)
+                    side_counts.append(
+                        axis_histogram_batch(d, mask, edges)
+                    )
+                group_counts.append(jnp.stack(side_counts))
+            area = boxes[:, t1] * boxes[:, t2]
+            return {
+                "counts": carry["counts"] + jnp.stack(group_counts),
+                "area": carry["area"] + (area * mask).sum(),
+                "n": carry["n"] + mask.sum(),
+            }
+
+        self._update = jit_update(update)
+
+    def _conclude(self) -> None:
+        counts = np.asarray(self._carry["counts"])
+        area = float(self._carry["area"])
+        dd = float(self.results.edges[1] - self.results.edges[0])
+        self.results.counts = counts
+        norm = max(area * dd, np.finfo(np.float64).tiny)
+        if self._side == "both":
+            dens = counts.sum(axis=1) / (2.0 * norm)
+        else:
+            dens = counts[:, 0 if self._side == "lower" else 1] / norm
+        self.results.number_densities = dens
+        if self._charges is not None:
+            self.results.charge_densities = np.einsum(
+                "g,gb->b", self._charges, dens
+            )
+        else:
+            self.results.charge_densities = None
+
+    def calculate_pmf(
+        self,
+        temperature: Union[float, "Q_"],
+        *,
+        reference_densities=None,
+    ) -> None:
+        r"""Intrinsic potential of mean force
+        :math:`w_g(d) = -k_\mathrm{B}T\ln(\rho_g(d)/
+        \rho_{\mathrm{ref},g})` (the
+        :class:`~mdhelper_tpu.analysis.profile.RadialDensityProfile`
+        ``calculate_pmf`` convention).
+
+        ``reference_densities``: per-group ``(G,)`` references
+        (:math:`\mathrm{\AA}^{-3}`); default: each group's mean
+        density over the top (largest-:math:`d`) quarter of bins —
+        assumes the range ends in the bulk liquid; pass explicit
+        references otherwise.  Results: ``results.pmf``
+        ``(G, n_bins)`` in kJ/mol (:math:`k_\mathrm{B}T` when
+        reduced); zero-density bins map to ``inf``.
+        """
+
+        kbt = _pmf_kbt(temperature, self._reduced)
+        if not self._reduced:
+            self.results.units["results.pmf"] = (
+                ureg.kilojoule / ureg.mole
+            )
+        dens = np.asarray(
+            self.results.number_densities, dtype=np.float64
+        )
+        if reference_densities is None:
+            ref = dens[:, -max(1, self._n_bins // 4):].mean(
+                axis=-1, keepdims=True
+            )
+            if (ref <= 0).any():
+                # e.g. a purely surface-adsorbed species with no bulk
+                # presence: its PMF zero is undefined without an
+                # explicit reference.
+                warnings.warn(
+                    "Group(s) "
+                    f"{np.flatnonzero(ref.ravel() <= 0).tolist()} "
+                    "have zero density over the default reference "
+                    "window (the top quarter of the distance range); "
+                    "their PMF is NaN — pass reference_densities."
+                )
+        else:
+            ref = np.asarray(
+                reference_densities, dtype=np.float64
+            ).reshape(self._n_groups, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.results.pmf = np.where(
+                ref > 0, -kbt * np.log(dens / ref), np.nan
             )

@@ -309,8 +309,13 @@ def gaussian_smooth_periodic(fields, box, xi, order=1):
     return (smooth / cell_volume).astype(dtype)
 
 
-def axis_histogram_batch(coords, mask, edges):
+def axis_histogram_batch(coords, mask, edges, weights=None):
     r"""Histogram 1-D coordinates over a frame batch.
+
+    NaN coordinates drop out (their ``in_range`` test is False) —
+    callers use NaN to mark atoms without a defined coordinate (e.g.
+    unresolved interface columns in
+    :class:`mdhelper_tpu.analysis.interface.IntrinsicDensityProfile`).
 
     Parameters
     ----------
@@ -320,6 +325,9 @@ def axis_histogram_batch(coords, mask, edges):
         Frame validity mask, shape ``(B,)``.
     edges : `jax.Array`
         Bin edges, shape ``(n_bins + 1,)`` (np.histogram semantics).
+    weights : `jax.Array`, optional
+        Per-atom weights, shape ``(N,)`` or ``(B, N)`` (e.g.
+        charges).
 
     Returns
     -------
@@ -330,10 +338,15 @@ def axis_histogram_batch(coords, mask, edges):
     n_bins = edges.shape[0] - 1
     idx, in_range = _bin_indices(coords, edges, n_bins)
     idx = idx.reshape(-1)
-    weights = (
-        in_range.astype(jnp.float32)
-        * mask[:, None].astype(jnp.float32)
-    ).reshape(-1)
+    w = in_range.astype(jnp.float32) * mask[:, None].astype(
+        jnp.float32
+    )
+    weighted = weights is not None
+    if weighted:
+        w = w * jnp.broadcast_to(
+            weights.astype(jnp.float32), coords.shape
+        )
+    weights = w.reshape(-1)
 
     n_fine = 16
     n_coarse = -(-(n_bins + 1) // n_fine)
@@ -349,9 +362,17 @@ def axis_histogram_batch(coords, mask, edges):
     fine = (
         idx[:, None] % n_fine == fine_iota
     ).astype(jnp.float32) * weights[:, None]
+    # HIGHEST only when `fine` carries real-valued weights (charges):
+    # the default bf16 MXU pass would round them (~4e-3 relative);
+    # 0/1 one-hots are bf16-exact and accumulate in f32 regardless.
     counts2d = jax.lax.dot_general(
         coarse, fine,
         dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if weighted
+            else jax.lax.Precision.DEFAULT
+        ),
         preferred_element_type=jnp.float32,
     )
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

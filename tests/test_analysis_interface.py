@@ -467,3 +467,299 @@ def test_validation():
     )
     with pytest.raises(ValueError, match="orthorhombic"):
         WillardChandlerInterface(tric.atoms, verbose=False)
+
+
+# ---------------------------------------------------------------------------
+# IntrinsicDensityProfile
+
+
+def oracle_interp(map2d, frac):
+    """NumPy mirror of interface.interpolate_height_maps (one map)."""
+    n1, n2 = map2d.shape
+    u = frac[:, 0] * n1 - 0.5
+    v = frac[:, 1] * n2 - 0.5
+    i0 = np.floor(u).astype(int)
+    j0 = np.floor(v).astype(int)
+    fu, fv = u - i0, v - j0
+    out = np.zeros(len(frac))
+    for a in (0, 1):
+        for b in (0, 1):
+            w = (fu if a else 1 - fu) * (fv if b else 1 - fv)
+            out += w * map2d[(i0 + a) % n1, (j0 + b) % n2]
+    return out
+
+
+def oracle_intrinsic(
+    positions, box, n_cells, xi, edges, axis=2, order=2, level=None
+):
+    """Full NumPy mirror: WC heights per frame, signed min-image
+    distances (positive into the liquid), histogram per side."""
+    t1, t2 = (a for a in range(3) if a != axis)
+    _, _, heights = oracle_pipeline(
+        positions, box, np.asarray(n_cells), xi, level=level,
+        axis=axis, order=order,
+    )
+    counts = np.zeros((2, len(edges) - 1))
+    L = box[axis]
+    for t, pos in enumerate(positions):
+        pts = pos - np.floor(pos / box) * box
+        frac = np.stack(
+            (pts[:, t1] / box[t1], pts[:, t2] / box[t2]), axis=-1
+        )
+        z = pts[:, axis]
+        for s, sign in ((0, 1.0), (1, -1.0)):
+            zeta = oracle_interp(heights[s, t], frac)
+            d = sign * (z - zeta)
+            d = d - L * np.round(d / L)
+            counts[s] += np.histogram(
+                d[np.isfinite(d)], bins=edges
+            )[0]
+    return counts
+
+
+def test_intrinsic_matches_numpy_oracle(slab_universe):
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    u = slab_universe
+    n_cells = (16, 16, 32)
+    idp = IntrinsicDensityProfile(
+        u.atoms, xi=XI, n_cells=n_cells, n_bins=64,
+        range=(-5.0, 5.0), verbose=False,
+    ).run()
+    counts = oracle_intrinsic(
+        u.trajectory._positions, BOX, n_cells, XI,
+        idp.results.edges,
+    )
+    np.testing.assert_allclose(
+        idp.results.counts[0], counts, atol=1e-9
+    )
+    # normalization: rho = counts / (2 A dd T) for side="both"
+    dd = idp.results.edges[1] - idp.results.edges[0]
+    np.testing.assert_allclose(
+        idp.results.number_densities[0],
+        counts.sum(0) / (2 * BOX[0] * BOX[1] * dd * T),
+        rtol=1e-12,
+    )
+    # deep-liquid plateau = bulk density
+    bulk = N / (BOX[0] * BOX[1] * (SLAB[1] - SLAB[0]))
+    np.testing.assert_allclose(
+        idp.results.number_densities[0][-10:].mean(), bulk, rtol=0.1
+    )
+
+
+def test_intrinsic_sides(slab_universe):
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    u = slab_universe
+    kw = dict(
+        xi=XI, n_cells=(16, 16, 32), n_bins=48, range=(-4.0, 4.0),
+        verbose=False,
+    )
+    both = IntrinsicDensityProfile(u.atoms, **kw).run()
+    lower = IntrinsicDensityProfile(u.atoms, side="lower", **kw).run()
+    upper = IntrinsicDensityProfile(u.atoms, side="upper", **kw).run()
+    np.testing.assert_allclose(
+        both.results.number_densities,
+        0.5 * (
+            lower.results.number_densities
+            + upper.results.number_densities
+        ),
+        rtol=1e-12,
+    )
+
+
+def test_intrinsic_sharpens_corrugated_slab():
+    """The whole point of intrinsic profiles: a corrugated slab's
+    lab-frame edge is smeared over the corrugation amplitude, while
+    the interface-relative edge stays sharp."""
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    box = np.array([24.0, 6.0, 24.0])
+    amp, z_lo, z_up = 2.0, 6.0, 18.0
+    T_, N_ = 3, 20000
+    pos = np.empty((T_, N_, 3))
+    for t in range(T_):
+        x = rng.uniform(0, box[0], N_)
+        y = rng.uniform(0, box[1], N_)
+        zeta = amp * np.sin(2 * np.pi * x / box[0] + t)
+        z = zeta + rng.uniform(z_lo, z_up, N_)
+        pos[t] = np.stack((x, y, z), axis=-1)
+    u = Universe.from_arrays(pos, box, dt=1.0)
+    edges_d = np.linspace(-4, 4, 81)
+    idp = IntrinsicDensityProfile(
+        u.atoms, xi=1.0, n_cells=(64, 8, 64), n_bins=80,
+        range=(-4.0, 4.0), verbose=False,
+    ).run()
+    dens = idp.results.number_densities[0]
+    bulk = N_ / (box[0] * box[1] * (z_up - z_lo))
+
+    # lab-frame profile of the lower edge region
+    z_edges = np.linspace(z_lo - amp - 2, z_lo + amp + 2, 81)
+    lab = (
+        np.histogram(pos[..., 2].ravel(), bins=z_edges)[0]
+        / (T_ * box[0] * box[1] * (z_edges[1] - z_edges[0]))
+    )
+
+    def edge_width(x, rho):
+        lo = x[np.searchsorted(rho > 0.25 * bulk, True)]
+        hi = x[np.searchsorted(rho > 0.75 * bulk, True)]
+        return hi - lo
+
+    d_centers = (edges_d[:-1] + edges_d[1:]) / 2
+    z_centers = (z_edges[:-1] + z_edges[1:]) / 2
+    w_intr = edge_width(d_centers, dens)
+    w_lab = edge_width(z_centers, lab)
+    # smeared over the corrugation: the arcsine height distribution
+    # has 25-75% quantile width 2 amp cos(pi/4) ~ 2.83
+    assert w_lab > 2 * amp * np.cos(np.pi / 4) * 0.85
+    assert w_intr < 0.5 * w_lab  # intrinsic edge is much sharper
+    np.testing.assert_allclose(dens[-15:].mean(), bulk, rtol=0.05)
+
+
+def test_intrinsic_charges_and_groups():
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    box = np.array([10.0, 10.0, 14.0])
+    n_w, n_i = 600, 100
+    pos = rng.random((3, n_w + 2 * n_i, 3)) * np.array(
+        [10.0, 10.0, 7.0]
+    ) + np.array([0.0, 0.0, 3.5])
+    u = Universe.from_arrays(
+        pos, box,
+        charges=np.concatenate(
+            (np.zeros(n_w), np.ones(n_i), -np.ones(n_i))
+        ),
+        dt=1.0,
+    )
+    water = u.atoms[:n_w]
+    cat = u.atoms[n_w:n_w + n_i]
+    an = u.atoms[n_w + n_i:]
+    idp = IntrinsicDensityProfile(
+        water, [cat, an], xi=1.2, n_cells=16, n_bins=32,
+        range=(-3.0, 3.0), verbose=False,
+    ).run()
+    assert idp.results.number_densities.shape == (2, 32)
+    np.testing.assert_allclose(
+        idp.results.charge_densities,
+        idp.results.number_densities[0]
+        - idp.results.number_densities[1],
+        rtol=1e-12,
+    )
+    idp.calculate_pmf(300.0)
+    assert idp.results.pmf.shape == (2, 32)
+
+
+def test_intrinsic_minimum_image():
+    """An analyte atom just across the periodic boundary from the
+    upper interface gets a small NEGATIVE distance, not ~+L."""
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    box = np.array([10.0, 10.0, 20.0])
+    surf = rng.random((1, 2000, 3)) * np.array([10.0, 10.0, 8.0])
+    surf[..., 2] += 9.0  # slab z in [9, 17]
+    probe = np.array([[[5.0, 5.0, 0.5]]])  # 3.5 A past z=17 via PBC
+    pos = np.concatenate((surf, probe), axis=1)
+    u = Universe.from_arrays(pos, box, dt=1.0)
+    idp = IntrinsicDensityProfile(
+        u.atoms[:-1], [u.atoms[-1:]], xi=1.0,
+        n_cells=(16, 16, 32), n_bins=40, range=(-10.0, 10.0),
+        side="upper", verbose=False,
+    ).run()
+    counts = idp.results.counts[0, 1]
+    bin_of = np.flatnonzero(counts)
+    assert len(bin_of) == 1
+    d = idp.results.bins[bin_of[0]]
+    assert -5.0 < d < -2.0, d
+
+
+def test_intrinsic_parallel_and_checkpoint(slab_universe, tmp_path):
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    kw = dict(
+        xi=XI, n_cells=(16, 16, 32), n_bins=48, range=(-4.0, 4.0),
+        verbose=False,
+    )
+    serial = IntrinsicDensityProfile(slab_universe.atoms, **kw).run()
+    par = IntrinsicDensityProfile(
+        slab_universe.atoms, parallel=True, **kw
+    ).run()
+    np.testing.assert_allclose(
+        par.results.counts, serial.results.counts, rtol=1e-12
+    )
+
+    ckpt = str(tmp_path / "idp.npz")
+    make = lambda: IntrinsicDensityProfile(
+        slab_universe.atoms, **kw
+    )
+    make().run(stop=3, checkpoint=ckpt)
+    resumed = make().run(checkpoint=ckpt)
+    np.testing.assert_allclose(
+        resumed.results.counts, serial.results.counts, rtol=1e-12
+    )
+
+
+def test_intrinsic_pmf_zero_reference():
+    """A group with zero density in the default reference window
+    (e.g. purely surface-adsorbed species) warns and gets NaN PMF
+    instead of a silent RuntimeWarning/nan mix."""
+    import warnings as _warnings
+
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    box = np.array([10.0, 10.0, 14.0])
+    n_w, n_i = 600, 80
+    pos = rng.random((2, n_w + n_i, 3)) * np.array(
+        [10.0, 10.0, 7.0]
+    ) + np.array([0.0, 0.0, 3.5])
+    # adsorbates strictly OUTSIDE the liquid (d < 0 on both sides)
+    pos[:, n_w:, 2] = 1.5 + rng.normal(0, 0.1, (2, n_i))
+    u = Universe.from_arrays(pos, box, dt=1.0)
+    idp = IntrinsicDensityProfile(
+        u.atoms[:n_w], [u.atoms[:n_w], u.atoms[n_w:]], xi=1.2,
+        n_cells=16, n_bins=32, range=(-3.0, 3.0), verbose=False,
+    ).run()
+    assert idp.results.counts[1].sum() > 0
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        idp.calculate_pmf(300.0)
+    assert any(
+        "reference_densities" in str(x.message) for x in w
+    )
+    assert np.isnan(idp.results.pmf[1]).all()
+    assert np.isfinite(idp.results.pmf[0]).any()
+    idp.calculate_pmf(300.0, reference_densities=[1.0, 0.1])
+    assert np.isfinite(idp.results.pmf[1]).any()
+
+
+def test_intrinsic_validation(slab_universe):
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    with pytest.raises(ValueError, match="side"):
+        IntrinsicDensityProfile(
+            slab_universe.atoms, side="top", verbose=False
+        )
+    with pytest.raises(ValueError, match="range"):
+        IntrinsicDensityProfile(
+            slab_universe.atoms, range=(2.0, -2.0), verbose=False
+        )
+    with pytest.raises(ValueError, match="surface_grouping"):
+        IntrinsicDensityProfile(
+            slab_universe.atoms, surface_grouping="molecules",
+            verbose=False,
+        )

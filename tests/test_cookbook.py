@@ -399,3 +399,32 @@ def test_cookbook_interface():
     wc.calculate_surface_tension(300.0)
     assert wc.results.surface_tension.shape == (2,)
     assert np.isfinite(wc.results.surface_tension).all()
+
+
+def test_cookbook_intrinsic_profile():
+    """'Intrinsic (interface-relative) density profiles' recipe."""
+    from mdhelper_tpu.analysis.interface import (
+        IntrinsicDensityProfile,
+    )
+
+    n_w, n_i = 300, 60
+    slab = rng.random((N_FRAMES, n_w + 2 * n_i, 3)) * np.array(
+        [BOX, BOX, 6.0]
+    ) + np.array([0.0, 0.0, 2.0])
+    u = Universe.from_arrays(
+        slab, np.array([BOX] * 3),
+        charges=np.concatenate(
+            (np.zeros(n_w), np.ones(n_i), -np.ones(n_i))
+        ),
+        dt=0.5,
+    )
+    water = u.atoms[:n_w]
+    idp = IntrinsicDensityProfile(
+        water, [u.atoms[n_w:n_w + n_i], u.atoms[n_w + n_i:]],
+        xi=1.5, n_cells=16, n_bins=32, range=(-3.0, 3.0),
+        verbose=False,
+    ).run()
+    assert idp.results.number_densities.shape == (2, 32)
+    assert idp.results.charge_densities.shape == (32,)
+    idp.calculate_pmf(300.0)
+    assert idp.results.pmf.shape == (2, 32)
