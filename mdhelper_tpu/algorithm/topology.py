@@ -32,6 +32,7 @@ __all__ = [
     "create_atoms",
     "guess_bonds",
     "minimize_vectors",
+    "resolve_vdw_radii",
     "triclinic_vectors",
     "unwrap",
     "unwrap_edge",
@@ -525,6 +526,67 @@ VDW_RADII = {
 }
 
 
+def resolve_vdw_radii(labels, *, vdwradii: dict = None) -> np.ndarray:
+    r"""Resolve per-atom van der Waals radii (Å) from element symbols
+    or atom names against :data:`VDW_RADII`.
+
+    Name resolution follows the package's mass-guessing convention: a
+    user override (matched longest-first) wins outright, then a
+    leading organic element (H/C/N/O/S/P) beats two-letter collisions
+    ("CA" is an alpha-carbon, "HE1" a hydrogen), then the longest
+    table match.  Shared by :func:`guess_bonds` and the
+    solvent-accessible-surface-area analysis.
+
+    Parameters
+    ----------
+    labels : array-like of `str`
+        Element symbols or atom names.
+    vdwradii : `dict`, keyword-only, optional
+        Extra/override radii, keyed by UPPERCASE symbol.
+
+    Returns
+    -------
+    radii : `numpy.ndarray`
+        Per-atom radii (Å), shape ``(len(labels),)``.
+    """
+
+    table = dict(VDW_RADII)
+    user = (
+        {str(k).upper(): float(v) for k, v in vdwradii.items()}
+        if vdwradii
+        else {}
+    )
+    organic = frozenset("HCNOSP")
+
+    def radius_of(index, label):
+        letters = "".join(
+            c for c in str(label).upper() if c.isalpha()
+        )
+        # user overrides win outright (longest match), so explicit
+        # {"CL": 1.75} makes chloride labels chlorine again
+        for length in (2, 1):
+            if letters[:length] in user:
+                return user[letters[:length]]
+        # then leading-organic-first: "CA" is an alpha-carbon and
+        # "HE1" a hydrogen in name-only formats — the same convention
+        # as the mass guesser (io/topology_files._guess_masses)
+        if letters[:1] in organic:
+            return table[letters[:1]]
+        for length in (2, 1):
+            if letters[:length] in table:
+                return table[letters[:length]]
+        raise ValueError(
+            f"No van der Waals radius for atom {index} "
+            f"(label {str(label)!r}); pass vdwradii={{...}}."
+        )
+
+    return np.fromiter(
+        (radius_of(i, e) for i, e in enumerate(labels)),
+        dtype=np.float64,
+        count=len(labels),
+    )
+
+
 def guess_bonds(
     elements,
     positions: np.ndarray,
@@ -578,41 +640,7 @@ def guess_bonds(
     positions = np.ascontiguousarray(positions, dtype=np.float64)
     if positions.ndim != 2 or positions.shape[1] != 3:
         raise ValueError("positions must have shape (N, 3).")
-    table = dict(VDW_RADII)
-    user = (
-        {str(k).upper(): float(v) for k, v in vdwradii.items()}
-        if vdwradii
-        else {}
-    )
-    organic = frozenset("HCNOSP")
-
-    def radius_of(index, label):
-        letters = "".join(
-            c for c in str(label).upper() if c.isalpha()
-        )
-        # user overrides win outright (longest match), so explicit
-        # {"CL": 1.75} makes chloride labels chlorine again
-        for length in (2, 1):
-            if letters[:length] in user:
-                return user[letters[:length]]
-        # then leading-organic-first: "CA" is an alpha-carbon and
-        # "HE1" a hydrogen in name-only formats — the same convention
-        # as the mass guesser (io/topology_files._guess_masses)
-        if letters[:1] in organic:
-            return table[letters[:1]]
-        for length in (2, 1):
-            if letters[:length] in table:
-                return table[letters[:length]]
-        raise ValueError(
-            f"No van der Waals radius for atom {index} "
-            f"(label {str(label)!r}); pass vdwradii={{...}}."
-        )
-
-    radii = np.fromiter(
-        (radius_of(i, e) for i, e in enumerate(elements)),
-        dtype=np.float64,
-        count=len(elements),
-    )
+    radii = resolve_vdw_radii(elements, vdwradii=vdwradii)
     if len(radii) != len(positions):
         raise ValueError(
             "elements and positions lengths do not match."

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     polymer,
     profile,
     rmsd,
+    sasa,
     steinhardt,
     structure,
     thermodynamics,
@@ -51,6 +52,7 @@ __all__ = [
     "polymer",
     "profile",
     "rmsd",
+    "sasa",
     "steinhardt",
     "structure",
     "thermodynamics",
