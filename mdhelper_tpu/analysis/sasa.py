@@ -42,6 +42,7 @@ from .cluster import (
 )
 from .steinhardt import (
     _cap_chunk_for_budget,
+    _dense_block_size,
     _order_host_pipeline,
     _pad_blocks,
 )
@@ -80,16 +81,6 @@ def sphere_points(n: int) -> np.ndarray:
     return np.stack(
         [rho * np.cos(phi), rho * np.sin(phi), z], axis=1
     )
-
-
-def _sasa_block_size(n_points: int, k: int) -> int:
-    """i-block size keeping the (block, n_points, max_occluders)
-    occlusion intermediate under ~64 MB of f32."""
-
-    budget = 16_000_000.0
-    raw = budget / max(1.0, float(n_points) * k)
-    bk = 1 << max(3, int(np.floor(np.log2(max(8.0, raw)))))
-    return int(min(bk, 1024))
 
 
 class SolventAccessibleSurfaceArea(DynamicAnalysisBase):
@@ -234,14 +225,20 @@ class SolventAccessibleSurfaceArea(DynamicAnalysisBase):
                 "results.times": ureg.picosecond,
             }
         self._store_offset = 0
+        self._reach_warned = False
         self._carry = jnp.zeros(())
         self._host_pipeline = _order_host_pipeline(self, n)
         if self._host_pipeline:
             self._prepare_host()
             return
         k = self._budget(n)
+        # per-FRAME work: the dense (n, n) candidate sweep plus the
+        # (n, n_points, k) occlusion test (_cap_chunk_for_budget's
+        # contract — see its other callers)
         _cap_chunk_for_budget(
-            self, n, float(n) + self._n_points * float(k)
+            self,
+            n,
+            float(n) * (float(n) + self._n_points * float(k)),
         )
         self._make_update()
 
@@ -256,7 +253,7 @@ class SolventAccessibleSurfaceArea(DynamicAnalysisBase):
         sphere = self._sphere
         cutoff = 2.0 * radii.max()
         triclinic = self._triclinic
-        blk = max(1, _sasa_block_size(n_pts, 64))
+        blk = _dense_block_size(n_pts, 64, rows_cap=1024)
 
         def host_update(batch) -> None:
             positions = self._host_chunk_positions(batch)
@@ -335,8 +332,13 @@ class SolventAccessibleSurfaceArea(DynamicAnalysisBase):
         n = len(self._atom_indices)
         n_pts = self._n_points
         k = self._budget(n)
+        # the budget this compiled update truncates to; the overflow
+        # check in _store_chunk must compare against THIS value, not
+        # a recomputed one (an escalated retry must not accept a
+        # stale chunk computed under the old, smaller budget)
+        self._active_budget = k
         frame_boxes = self._frame_boxes
-        bk = _sasa_block_size(n_pts, k)
+        bk = _dense_block_size(n_pts, k, rows_cap=1024)
         n_pad = _pad_blocks(n, bk)
         starts = jnp.arange(n_pad // bk, dtype=jnp.int32) * bk
         np_radii = np.pad(self._inflated, (0, n_pad - n))
@@ -414,13 +416,63 @@ class SolventAccessibleSurfaceArea(DynamicAnalysisBase):
 
     # -- shared host-side store -------------------------------------
 
+    def _check_min_image_reach(self, batch) -> None:
+        """Warn (once per run) when occluder reach :math:`R_i + R_j`
+        exceeds half the box — the minimum-image contract documented
+        in the class Notes; beyond it, second periodic images of
+        in-reach occluders are silently dropped and areas are
+        overestimated."""
+
+        import warnings
+
+        if self._reach_warned:
+            return
+        dims = np.asarray(
+            batch.host_dimensions[: batch.n_real], dtype=np.float64
+        )
+        if dims.size == 0:
+            return
+        reach = 2.0 * float(self._inflated.max())
+        if self._triclinic:
+            from ..algorithm.topology import triclinic_matrices
+            from ..ops.pallas_cell_histogram import (
+                triclinic_perpendicular_widths,
+            )
+
+            matrices = np.asarray(triclinic_matrices(dims))
+            min_width = min(
+                float(
+                    np.min(triclinic_perpendicular_widths(h))
+                )
+                for h in matrices
+            )
+        else:
+            lengths = dims[:, :3]
+            positive = lengths > 0
+            if not positive.any():
+                return  # aperiodic: no images to miss
+            min_width = float(lengths[positive].min())
+        if reach > 0.5 * min_width:
+            self._reach_warned = True
+            warnings.warn(
+                "occluder reach (2 * max inflated radius = "
+                f"{reach:.2f} A) exceeds half the smallest box "
+                f"width ({0.5 * min_width:.2f} A); minimum-image "
+                "occlusion drops second periodic images and SASA "
+                "will be overestimated in dense small cells."
+            )
+
     def _store_chunk(self, extras, batch) -> None:
         areas, counts = extras
         n_real = batch.n_real
         areas = np.asarray(areas, dtype=np.float64)[:n_real]
         counts = np.asarray(counts)[:n_real].astype(np.int64)
+        self._check_min_image_reach(batch)
         if not self._host_pipeline:
-            k = self._budget(len(self._atom_indices))
+            # compare against the budget the compiled update actually
+            # truncated with — NOT a recomputation from the current
+            # (possibly escalated) max_occluders
+            k = self._active_budget
             overflow = int(counts.max(initial=0)) - k
             if overflow > 0:
                 raise OccluderOverflow(
@@ -445,8 +497,13 @@ class SolventAccessibleSurfaceArea(DynamicAnalysisBase):
         import warnings
 
         try:
-            return super().run(*args, **kwargs)
+            result = super().run(*args, **kwargs)
         except OccluderOverflow:
+            # the failed run's async store queue may still hold the
+            # overflowing chunk (the raise aborts _drain_stores before
+            # its clear()); replaying it into the retry would store
+            # budget-truncated areas and shift every later frame slot
+            self._pending_stores.clear()
             retries = getattr(self, "_occluder_retries", 0)
             if retries >= 2:
                 raise
@@ -461,6 +518,8 @@ class SolventAccessibleSurfaceArea(DynamicAnalysisBase):
                 f"{self._max_occluders}."
             )
             return self.run(*args, **kwargs)
+        self._occluder_retries = 0
+        return result
 
     def _conclude(self) -> None:
         pass

@@ -49,13 +49,18 @@ from .cluster import (
 __all__ = ["SteinhardtOrderParameter", "TetrahedralOrderParameter"]
 
 
-def _dense_block_size(n_pad: int, n_cols: int) -> int:
-    """i-block size keeping the (block, N, cols) harmonic
-    intermediate under ~64 MB of f32."""
+def _dense_block_size(
+    n_pad: int, n_cols: int, rows_cap: int = None
+) -> int:
+    """i-block size keeping the (block, n_pad, n_cols) dense
+    intermediate under ~64 MB of f32.  ``rows_cap`` overrides the
+    default row clamp (``n_pad``) when the blocked axis differs from
+    the intermediate's second dimension (the SASA kernels block over
+    atoms but size by (n_points, max_occluders))."""
     budget = 16_000_000.0
     raw = budget / max(1.0, float(n_pad) * n_cols)
     bk = 1 << max(3, int(np.floor(np.log2(max(8.0, raw)))))
-    return int(min(bk, 1024, n_pad))
+    return int(min(bk, 1024, n_pad if rows_cap is None else rows_cap))
 
 
 def _pad_blocks(n: int, bk: int) -> int:

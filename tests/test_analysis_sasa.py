@@ -296,6 +296,128 @@ def test_occluder_overflow_escalates():
     )
 
 
+def test_escalated_retry_not_truncated():
+    # regression: the failed first pass's async store queue must not
+    # leak its budget-truncated chunk into the escalated retry.  Nine
+    # NEAR occluders crowd the north side and a FARTHER tenth one
+    # uniquely covers the south pole; the top-k-NEAREST compaction
+    # under max_occluders=8 drops exactly the pole coverer, so a
+    # leaked truncated chunk is numerically wrong (not merely
+    # reordered) and the oracle comparison catches it.
+    rng_l = np.random.default_rng(5)
+    center = np.array([10.0, 10.0, 10.0])
+    # near occluders on a 60-degree cone about +z: their occlusion
+    # caps (half-angle 66.4 deg at d=2, R=2.5) cannot reach the far
+    # occluder's south-pole cap (36.9 deg about -z), so dropping the
+    # pole coverer changes atom 0's area (verified: 32.23 truncated
+    # vs 24.38 correct A^2 at 480 points)
+    theta = np.deg2rad(rng_l.uniform(0.0, 60.0, 9))
+    phi = rng_l.uniform(0.0, 2.0 * np.pi, 9)
+    near_dirs = np.stack(
+        [
+            np.sin(theta) * np.cos(phi),
+            np.sin(theta) * np.sin(phi),
+            np.cos(theta),
+        ],
+        axis=1,
+    )
+    pos = np.concatenate(
+        [
+            center[None],
+            center + 2.0 * near_dirs,          # d = 2.0 (near)
+            center + [[0.0, 0.0, -4.0]],       # d = 4.0 (far, pole)
+        ]
+    )[None]
+    box = np.array([40.0, 40.0, 40.0])
+    radii = np.full(11, 1.5)
+    with pytest.warns(UserWarning, match="max_occluders"):
+        sasa = SolventAccessibleSurfaceArea(
+            _universe(pos, box).atoms, probe_radius=1.0,
+            n_points=480, radii=radii, max_occluders=8,
+            verbose=False,
+        ).run()
+    areas_o, counts_o = _oracle(pos[0].copy(), box, radii, 1.0, 480)
+    assert counts_o[0] == 10  # the overflow atom
+    np.testing.assert_allclose(
+        sasa.results.areas[0], areas_o, rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_array_equal(
+        sasa.results.n_neighbors[0], counts_o
+    )
+
+
+def test_escalation_budget_resets_across_runs():
+    # regression: a successful escalated run must reset the retry
+    # counter — a LATER run() on the same instance gets its own two
+    # escalations.  Frame 0 needs one doubling (8 -> 16); frame 1
+    # (everyone crammed, 40 candidates each) then needs two more
+    # (16 -> 32 -> 64), which only works if run 1 reset the count.
+    n = 41
+    rng_l = np.random.default_rng(9)
+    frame0 = np.zeros((n, 3))
+    frame0[0] = [50.0, 50.0, 50.0]
+    dirs = rng_l.normal(size=(10, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    frame0[1:11] = frame0[0] + 2.0 * dirs      # 10 candidates each
+    frame0[11:] = (
+        rng_l.random((30, 3)) * 30.0 + [[5.0, 5.0, 5.0]]
+    )
+    frame1 = 50.0 + 0.2 * rng_l.random((n, 3))  # all 40 in reach
+    pos = np.stack([frame0, frame1])
+    box = np.array([100.0, 100.0, 100.0])
+    radii = np.full(n, 1.5)
+    kw = dict(probe_radius=1.0, n_points=64, radii=radii,
+              verbose=False)
+    sasa = SolventAccessibleSurfaceArea(
+        _universe(pos, box).atoms, max_occluders=8, **kw
+    )
+    with pytest.warns(UserWarning, match="max_occluders"):
+        sasa.run(frames=np.array([0]))
+    assert sasa.results.n_neighbors[0, 0] == 10
+    with pytest.warns(UserWarning, match="max_occluders"):
+        sasa.run(frames=np.array([1]))
+    ref = SolventAccessibleSurfaceArea(
+        _universe(pos[1:2], box).atoms, **kw
+    ).run()
+    np.testing.assert_allclose(
+        sasa.results.areas, ref.results.areas, rtol=1e-12
+    )
+
+
+def test_min_image_reach_warning():
+    import warnings as _warnings
+
+    # inflated radius 2.9 -> reach 5.8 exceeds half a 6 A box
+    pos = np.array([[[1.0, 1.0, 1.0], [4.0, 4.0, 4.0]]])
+    radii = np.array([1.5, 1.5])
+    with pytest.warns(UserWarning, match="occluder reach"):
+        SolventAccessibleSurfaceArea(
+            _universe(pos, np.array([6.0, 6.0, 6.0])).atoms,
+            probe_radius=1.4, n_points=64, radii=radii,
+            verbose=False,
+        ).run()
+    # triclinic branch: perpendicular widths gate the contract
+    with pytest.warns(UserWarning, match="occluder reach"):
+        SolventAccessibleSurfaceArea(
+            _universe(
+                pos, np.array([7.0, 7.0, 7.0, 60.0, 60.0, 80.0])
+            ).atoms,
+            probe_radius=1.4, n_points=64, radii=radii,
+            verbose=False,
+        ).run()
+    # a roomy box stays silent
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        SolventAccessibleSurfaceArea(
+            _universe(pos, np.array([20.0, 20.0, 20.0])).atoms,
+            probe_radius=1.4, n_points=64, radii=radii,
+            verbose=False,
+        ).run()
+    assert not any(
+        "occluder reach" in str(w.message) for w in caught
+    )
+
+
 def test_radii_from_labels_and_overrides():
     pos = np.array([[[2.0, 2.0, 2.0], [30.0, 30.0, 30.0]]])
     box = np.array([60.0, 60.0, 60.0])
