@@ -770,3 +770,146 @@ def test_persistence_length_unwrap_requires_box():
     )
     with pytest.raises(ValueError, match="box dimensions"):
         polymer.PersistenceLength(u.atoms, unwrap=True, verbose=False)
+
+
+# -- mean-square internal distances ----------------------------------------
+
+
+def oracle_msid(chains):
+    """Brute double-loop MSID over (T, M, P, 3) unwrapped chains."""
+
+    n_p = chains.shape[2]
+    out = np.empty(n_p - 1)
+    for s in range(1, n_p):
+        diff = chains[:, :, s:] - chains[:, :, :-s]
+        out[s - 1] = (diff**2).sum(axis=-1).mean()
+    return out
+
+
+def test_msid_vs_oracle(universe, traj):
+    msid = polymer.MeanSquareInternalDistance(
+        universe.atoms, verbose=False
+    ).run()
+    assert msid.results.msid.shape == (1, N_P - 1)
+    np.testing.assert_array_equal(
+        msid.results.separations[0], np.arange(1, N_P)
+    )
+    ref = oracle_msid(traj.reshape(T, M, N_P, 3))
+    np.testing.assert_allclose(
+        msid.results.msid[0], ref, rtol=1e-9
+    )
+
+
+def test_msid_wrapped_matches_unwrapped(universe, traj):
+    """Wrapped coordinates reconstruct through the per-frame chain
+    walk (bond-fold cumulative sum) — no unwrap carry involved."""
+
+    wrapped = traj - BOX * np.floor(traj / BOX)
+    u = Universe.from_arrays(
+        wrapped,
+        np.array([BOX] * 3),
+        masses=universe.atoms.masses.copy(),
+        segindices=np.repeat(np.arange(M), N_P),
+        resindices=np.arange(N),
+        dt=1.0,
+    )
+    a = polymer.MeanSquareInternalDistance(
+        u.atoms, verbose=False
+    ).run()
+    b = polymer.MeanSquareInternalDistance(
+        universe.atoms, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        a.results.msid, b.results.msid, rtol=1e-9
+    )
+
+
+def test_msid_rod_exact():
+    """A straight chain with bond length b: MSID(s) = (s b)^2."""
+
+    b, n_p, m = 1.3, 6, 2
+    chain = np.zeros((n_p, 3))
+    chain[:, 0] = b * np.arange(n_p)
+    pos = np.stack([chain, chain + [0.0, 5.0, 0.0]])[None]
+    u = Universe.from_arrays(
+        pos.reshape(1, -1, 3), np.array([50.0] * 3), dt=1.0
+    )
+    msid = polymer.MeanSquareInternalDistance(
+        u.atoms, n_chains=m, n_monomers=n_p, verbose=False
+    ).run()
+    s = np.arange(1, n_p)
+    np.testing.assert_allclose(
+        msid.results.msid[0], (s * b) ** 2, rtol=1e-10
+    )
+
+
+def test_msid_residue_grouping_matches_atoms(universe):
+    """One-atom residues: residue-COM monomers equal atoms."""
+
+    atoms = polymer.MeanSquareInternalDistance(
+        universe.atoms, verbose=False
+    ).run()
+    residues = polymer.MeanSquareInternalDistance(
+        universe.atoms, "residues", verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        residues.results.msid, atoms.results.msid, rtol=1e-10
+    )
+
+
+def test_msid_parallel_matches_serial(universe):
+    serial = polymer.MeanSquareInternalDistance(
+        universe.atoms, verbose=False
+    ).run()
+    par = polymer.MeanSquareInternalDistance(
+        universe.atoms, parallel=True, verbose=False
+    ).run()
+    np.testing.assert_allclose(
+        par.results.msid, serial.results.msid, rtol=1e-12
+    )
+
+
+def test_msid_ragged_groups(traj):
+    """Two groups with different chain lengths produce per-group
+    lists; each matches its own oracle."""
+
+    u = Universe.from_arrays(traj, np.array([BOX] * 3), dt=1.0)
+    # group 1: first 4 chains of 8; group 2: last 16 atoms as
+    # 2 chains of 8 re-read as 4 chains of 4
+    g1 = u.atoms[np.arange(4 * N_P)]
+    g2 = u.atoms[np.arange(4 * N_P, 6 * N_P)]
+    msid = polymer.MeanSquareInternalDistance(
+        [g1, g2],
+        n_chains=[4, 4],
+        n_monomers=[N_P, 4],
+        verbose=False,
+    ).run()
+    assert isinstance(msid.results.msid, list)
+    ref1 = oracle_msid(traj[:, : 4 * N_P].reshape(T, 4, N_P, 3))
+    ref2 = oracle_msid(
+        traj[:, 4 * N_P : 6 * N_P].reshape(T, 4, 4, 3)
+    )
+    np.testing.assert_allclose(msid.results.msid[0], ref1, rtol=1e-9)
+    np.testing.assert_allclose(msid.results.msid[1], ref2, rtol=1e-9)
+
+
+def test_msid_host_pipeline(universe, monkeypatch):
+    device, host = _host_device_pair(
+        lambda: polymer.MeanSquareInternalDistance(
+            universe.atoms, verbose=False
+        ),
+        monkeypatch,
+        universe,
+    )
+    np.testing.assert_allclose(
+        host.results.msid, device.results.msid, rtol=1e-10
+    )
+
+
+def test_msid_validation():
+    pos = np.zeros((1, 4, 3))
+    u = Universe.from_arrays(pos, np.array([10.0] * 3), dt=1.0)
+    with pytest.raises(ValueError, match="at least 2"):
+        polymer.MeanSquareInternalDistance(
+            u.atoms, n_chains=4, n_monomers=1, verbose=False
+        )

@@ -131,6 +131,15 @@ def test_cookbook_polymer():
     EndToEndVector(u.atoms, **kwargs).run()
     RouseModes(u.atoms, n_modes=3, **kwargs).run()
 
+    from mdhelper_tpu.analysis.polymer import (
+        MeanSquareInternalDistance,
+    )
+
+    msid = MeanSquareInternalDistance(u.atoms, **kwargs).run()
+    s = msid.results.separations[0]
+    plateau = msid.results.msid[0] / s
+    assert plateau.shape == (5,) and (plateau > 0).all()
+
 
 def test_cookbook_run_together_and_save(tmp_path):
     from mdhelper_tpu.analysis.multi import run_together
