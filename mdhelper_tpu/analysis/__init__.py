@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     interface,
     multi,
     orientation,
+    pairing,
     polymer,
     profile,
     rmsd,
@@ -49,6 +50,7 @@ __all__ = [
     "orientation",
     "run_together",
     "electrostatics",
+    "pairing",
     "polymer",
     "profile",
     "rmsd",

@@ -437,3 +437,21 @@ def test_cookbook_intrinsic_profile():
     assert idp.results.charge_densities.shape == (32,)
     idp.calculate_pmf(300.0)
     assert idp.results.pmf.shape == (2, 32)
+
+
+def test_cookbook_ion_pairing():
+    from mdhelper_tpu.analysis.pairing import IonPairAnalysis
+
+    u = make_universe()
+    cations = u.select_atoms("charge > 0")
+    anions = u.select_atoms("charge < 0")
+    ipa = IonPairAnalysis(
+        cations, anions, cutoff=3.4, lifetimes=True, verbose=False
+    ).run()
+    assert ipa.results.counts.shape == (N_FRAMES,)
+    assert ipa.results.free_fractions.shape == (N_FRAMES, 2)
+    assert len(ipa.results.coordination[0]) == N // 2
+    assert ipa.results.lifetime[0] == pytest.approx(1.0)
+    IonPairAnalysis(
+        cations, anions, 3.4, ("atoms", "atoms"), verbose=False
+    ).run()
