@@ -81,7 +81,11 @@ class IonPairAnalysis(DynamicAnalysisBase):
     Results
     -------
     ``results.counts``
-        Per-frame contact-pair count, shape ``(n_frames,)``.
+        Per-frame contact-pair count, shape ``(n_frames,)``.  When
+        `group1` and `group2` resolve to the *same* entity set
+        (like-ion pairing), each unordered pair is counted once;
+        for partially overlapping selections pairs are ordered
+        (``(i, j)`` and ``(j, i)`` both count).
     ``results.mean_count``
         Time-averaged pair count.
     ``results.coordination``
@@ -94,7 +98,8 @@ class IonPairAnalysis(DynamicAnalysisBase):
         ``(n_frames, 2)`` — column 0 for `group1`, 1 for `group2`.
     ``results.pair_counts``
         (only with ``pair_counts=True``) per-pair contact-frame
-        counts, shape ``(N_1, N_2)``.
+        counts, shape ``(N_1, N_2)`` (the full symmetric matrix in
+        the like-ion case).
     ``results.lifetime``, ``results.survival``,
     ``results.lifetime_times``
         (only with ``lifetimes=True``) intermittent pair correlation
@@ -163,11 +168,14 @@ class IonPairAnalysis(DynamicAnalysisBase):
             if gr == "atoms":
                 ids = np.asarray(g.ix, dtype=np.int64)
             else:
-                # one absolute resindex per entity (first occurrence
-                # order matches the relabeled segment ids)
-                labels = np.asarray(g.resindices, dtype=np.int64)
-                uniq, inv = np.unique(labels, return_inverse=True)
-                ids = uniq
+                # one absolute resindex per entity, in np.unique's
+                # SORTED order — the same ordering
+                # _group_segment_ids uses for its relabeled segment
+                # ids, so row/column e of the contact matrix is the
+                # entity with the e-th smallest resindex
+                ids = np.unique(
+                    np.asarray(g.resindices, dtype=np.int64)
+                )
             self._segs.append(seg)
             self._n_entities.append(int(n))
             entity_ids.append(ids)
@@ -185,6 +193,13 @@ class IonPairAnalysis(DynamicAnalysisBase):
             )
         else:
             self._not_self = None
+        # identical entity sets (like-ion pairing): the contact
+        # matrix is symmetric, so counts / mean_count / lifetimes
+        # report each unordered pair ONCE (the matrix sum is halved);
+        # pair_counts stays the full symmetric matrix
+        self._symmetric = same_kind and np.array_equal(
+            entity_ids[0], entity_ids[1]
+        )
 
         self._pair_counts = bool(pair_counts)
         self._lifetimes = bool(lifetimes)
@@ -351,6 +366,7 @@ class IonPairAnalysis(DynamicAnalysisBase):
         n1, n2 = self._n_entities
         cutoff = self._cutoff
         not_self = self._not_self
+        symmetric = self._symmetric
         triclinic = self._triclinic
         track_pairs = self._pair_counts
         lifetimes = self._lifetimes
@@ -425,7 +441,9 @@ class IonPairAnalysis(DynamicAnalysisBase):
                 if rows.size and not_self is not None:
                     keep = not_self[rows, cols]
                     rows, cols = rows[keep], cols[keep]
-                counts[f] = rows.size
+                counts[f] = (
+                    rows.size // 2 if symmetric else rows.size
+                )
                 pc1 = np.bincount(rows, minlength=n1)
                 pc2 = np.bincount(cols, minlength=n2)
                 self._host_partners[0] += pc1
@@ -454,9 +472,11 @@ class IonPairAnalysis(DynamicAnalysisBase):
         n_real = batch.n_real
         n1, n2 = self._n_entities
         lo = self._store_offset
-        self.results.counts[lo:lo + n_real] = np.asarray(counts)[
-            :n_real
-        ]
+        chunk_counts = np.asarray(counts)[:n_real]
+        if self._symmetric:
+            # symmetric matrix, diagonal excluded: even sums
+            chunk_counts = chunk_counts // 2
+        self.results.counts[lo:lo + n_real] = chunk_counts
         self.results.free_fractions[lo:lo + n_real, 0] = (
             np.asarray(free1)[:n_real] / n1
         )

@@ -1694,11 +1694,13 @@ class MeanSquareInternalDistance(_PolymerAnalysisBase):
     on the MXU (HIGHEST precision, float64 carry) plus the squared
     norms :math:`A_i`; the conclusion reads
     :math:`\mathrm{MSID}(s)` off the offset-:math:`s` diagonals,
-    :math:`A_i + A_{i+s} - 2 G_{i,i+s}`.  The chain walk is exact
-    whenever every *bond* (not the internal distance itself) is
-    shorter than half the box — the usual bonded minimum-image
-    contract; pre-unwrapped or aperiodic coordinates pass through
-    unchanged.
+    :math:`A_i + A_{i+s} - 2 G_{i,i+s}`.  Bond folding goes through
+    the shared per-frame minimum-image helpers (orthorhombic and
+    triclinic cells, per-frame NPT boxes, per-axis aperiodic
+    zero-length dimensions), so the chain walk is exact whenever
+    every *bond* (not the internal distance itself) is shorter than
+    half the box — the usual bonded minimum-image contract;
+    pre-unwrapped or box-less coordinates pass through unchanged.
 
     Parameters
     ----------
@@ -1750,15 +1752,6 @@ class MeanSquareInternalDistance(_PolymerAnalysisBase):
             )
         self._setup_periodic_box()
 
-    def _chain_walk_box(self):
-        """Per-bond minimum-image box (orthorhombic lengths or
-        `None` for aperiodic/box-less universes)."""
-
-        dims = self._dimensions
-        if dims is None or not (np.asarray(dims) > 0).all():
-            return None
-        return np.asarray(dims, dtype=np.float64)
-
     def _prepare(self) -> None:
         self.results.units = {"results.msid": ureg.angstrom**2}
         self._carry = {
@@ -1789,41 +1782,43 @@ class MeanSquareInternalDistance(_PolymerAnalysisBase):
             self._prepare_host()
             return
 
+        from ..ops.histogram import _min_image_vectors
+
         extractors = [
             self._monomer_positions_fn(i)
             for i in range(self._n_groups)
         ]
-        box_np = self._chain_walk_box()
+        frame_boxes = self._frame_boxes
         hi = jax.lax.Precision.HIGHEST
 
         def walk_center(monomers, box):
-            """(B, M, P, 3) wrapped monomers -> chain-centered whole
-            chains via the bond-fold cumulative sum."""
+            """(B, M, P, 3) wrapped monomers + per-frame boxes ->
+            chain-centered whole chains via the bond-fold cumulative
+            sum (shared min-image helpers: orthorhombic, triclinic,
+            per-axis aperiodic zero lengths)."""
 
             bonds = monomers[..., 1:, :] - monomers[..., :-1, :]
-            if box is not None:
-                bonds = bonds - box * jnp.round(bonds / box)
+            folded = jax.vmap(
+                lambda v, bx: _min_image_vectors(
+                    v.reshape(-1, 3), bx.astype(v.dtype)
+                )
+            )(bonds, box).reshape(bonds.shape)
             internal = jnp.concatenate(
                 [
                     jnp.zeros_like(monomers[..., :1, :]),
-                    jnp.cumsum(bonds, axis=-2),
+                    jnp.cumsum(folded, axis=-2),
                 ],
                 axis=-2,
             )
             return internal - internal.mean(axis=-2, keepdims=True)
 
         def update(carry, positions, dimensions, mask):
-            del dimensions
+            box = frame_boxes(dimensions)
             grams, autos = [], []
             for extract, gram0, auto0 in zip(
                 extractors, carry["gram"], carry["auto"]
             ):
                 monomers = extract(positions)
-                box = (
-                    None
-                    if box_np is None
-                    else jnp.asarray(box_np, dtype=monomers.dtype)
-                )
                 x = walk_center(monomers, box)
                 w = mask.astype(x.dtype)
                 gram = jnp.einsum(
@@ -1839,20 +1834,34 @@ class MeanSquareInternalDistance(_PolymerAnalysisBase):
         self._update = jax.jit(update)
 
     def _prepare_host(self) -> None:
+        from ..algorithm.topology import minimize_vectors
+
         extractors = [
             self._host_monomer_extractor(i)
             for i in range(self._n_groups)
         ]
-        box = self._chain_walk_box()
 
         def host_update(batch) -> None:
             positions = self._host_chunk_positions(batch)
             n_real = batch.n_real
+            dims_all = np.asarray(
+                batch.host_dimensions[:n_real], dtype=np.float64
+            )
             for i, extract in enumerate(extractors):
                 monomers = extract(positions)[:n_real]
                 bonds = np.diff(monomers, axis=-2)
-                if box is not None:
-                    bonds -= box * np.round(bonds / box)
+                shape = bonds.shape
+                bonds = np.stack(
+                    [
+                        np.asarray(
+                            minimize_vectors(
+                                bonds[f].reshape(-1, 3),
+                                dims_all[f],
+                            )
+                        ).reshape(shape[1:])
+                        for f in range(n_real)
+                    ]
+                )
                 internal = np.concatenate(
                     [
                         np.zeros_like(monomers[..., :1, :]),

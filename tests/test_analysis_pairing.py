@@ -114,7 +114,8 @@ def test_like_ion_self_exclusion(universe, traj):
             CUT,
             exclude_same=~np.eye(N1, dtype=bool),
         )
-        assert ipa.results.counts[t] == w.sum()
+        # identical entity sets: each unordered pair counted ONCE
+        assert ipa.results.counts[t] == w.sum() // 2
     # symmetric: both coordination arrays equal
     np.testing.assert_allclose(
         ipa.results.coordination[0],

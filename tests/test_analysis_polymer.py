@@ -913,3 +913,63 @@ def test_msid_validation():
         polymer.MeanSquareInternalDistance(
             u.atoms, n_chains=4, n_monomers=1, verbose=False
         )
+
+
+def test_msid_triclinic_wrapped_matches_unwrapped(traj):
+    """Triclinic cells: bonds are folded along lattice vectors, so
+    wrapped coordinates reconstruct exactly (regression: the first
+    implementation folded orthorhombically)."""
+
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+
+    dims = np.array([BOX, BOX, BOX, 80.0, 75.0, 70.0])
+    h = np.asarray(triclinic_matrices(dims[None]))[0]  # rows = cell
+    frac = traj.reshape(-1, 3) @ np.linalg.inv(h)
+    wrapped = ((frac - np.floor(frac)) @ h).reshape(traj.shape)
+    u_wrap = Universe.from_arrays(wrapped, dims, dt=1.0)
+    u_free = Universe.from_arrays(traj, dims, dt=1.0)
+    kw = dict(n_chains=M, n_monomers=N_P, verbose=False)
+    a = polymer.MeanSquareInternalDistance(u_wrap.atoms, **kw).run()
+    b = polymer.MeanSquareInternalDistance(u_free.atoms, **kw).run()
+    np.testing.assert_allclose(
+        a.results.msid, b.results.msid, rtol=1e-9
+    )
+    ref = oracle_msid(traj.reshape(T, M, N_P, 3))
+    np.testing.assert_allclose(b.results.msid[0], ref, rtol=1e-9)
+
+
+def test_msid_npt_per_frame_boxes(traj):
+    """Per-frame (NPT) boxes: each frame folds with ITS box
+    (regression: the first implementation used the static first
+    frame's box)."""
+
+    boxes = np.column_stack(
+        [
+            np.linspace(BOX, 1.6 * BOX, T),
+            np.linspace(BOX, 1.4 * BOX, T),
+            np.full(T, BOX),
+        ]
+    )
+    wrapped = traj - boxes[:, None, :] * np.floor(
+        traj / boxes[:, None, :]
+    )
+    u = Universe.from_arrays(wrapped, boxes, dt=1.0)
+    kw = dict(n_chains=M, n_monomers=N_P, verbose=False)
+    msid = polymer.MeanSquareInternalDistance(u.atoms, **kw).run()
+    ref = oracle_msid(traj.reshape(T, M, N_P, 3))
+    np.testing.assert_allclose(msid.results.msid[0], ref, rtol=1e-9)
+
+
+def test_msid_slab_zero_axis(traj):
+    """Zero-length axes are aperiodic per axis: a slab box still
+    folds the periodic axes (regression: the first implementation
+    disabled folding entirely when any axis was zero)."""
+
+    box = np.array([BOX, BOX, 0.0])
+    wrapped = traj.copy()
+    wrapped[..., :2] -= BOX * np.floor(traj[..., :2] / BOX)
+    u = Universe.from_arrays(wrapped, box, dt=1.0)
+    kw = dict(n_chains=M, n_monomers=N_P, verbose=False)
+    msid = polymer.MeanSquareInternalDistance(u.atoms, **kw).run()
+    ref = oracle_msid(traj.reshape(T, M, N_P, 3))
+    np.testing.assert_allclose(msid.results.msid[0], ref, rtol=1e-9)
