@@ -11,6 +11,7 @@ batched kernels (:mod:`mdhelper_tpu.ops.histogram`,
 """
 
 import warnings
+from numbers import Real
 from typing import Union
 
 import jax
@@ -1738,6 +1739,144 @@ class StructureFactor(NumbaAnalysisBase):
             )
         self.results.weighted_ssf = rows / norm
         return self.results.weighted_ssf
+
+    def calculate_charge_structure_factor(
+        self, charges=None
+    ) -> np.ndarray:
+        r"""Charge–charge structure factor from the partial rows
+        (beyond reference),
+
+        .. math::
+
+           S_{ZZ}(q) = \frac{1}{N} \left\langle \left|
+           \sum_i z_i e^{i\mathbf{q}\cdot\mathbf{r}_i}
+           \right|^2 \right\rangle
+           = \sum_{\alpha\beta} z_\alpha z_\beta\,
+           \mathrm{Re}\,\langle \rho_\alpha(\mathbf{q})
+           \rho_\beta^*(\mathbf{q})\rangle / N
+
+        — the electrolyte/ionic-liquid screening observable.  The
+        Stillinger–Lovett conditions require
+        :math:`S_{ZZ}(q \to 0) \to 0` (perfect screening) with
+        leading :math:`q^2` growth; see
+        :meth:`calculate_screening_length`.
+
+        Parameters
+        ----------
+        charges : array-like, optional
+            Per-group entity charges :math:`z_\alpha` (e).  `None`
+            resolves each group's uniform entity charge from the
+            topology (atom charges, or residue/segment totals for
+            COM groupings); non-uniform groups raise.
+
+        Returns
+        -------
+        charge_ssf : `numpy.ndarray`
+            :math:`S_{ZZ}(q)`, also stored as
+            ``results.charge_ssf``.
+        """
+
+        from .profile import _resolve_group_charges
+
+        if self._mode != "partial":
+            raise ValueError(
+                "The charge structure factor needs mode='partial' "
+                "(every pair row must be available)."
+            )
+        z = _resolve_group_charges(
+            self._groups, self._groupings, charges, False
+        )
+        if z is None:
+            raise ValueError(
+                "A group has non-uniform entity charges; pass "
+                "charges=[z_1, ...] explicitly."
+            )
+        prior = getattr(self.results, "weighted_ssf", None)
+        self.results.charge_ssf = self.calculate_weighted_sum(
+            z, normalization="none"
+        )
+        # weighted_ssf is a scratch alias here — restore whatever a
+        # user had stored from an explicit weighted-sum call
+        if prior is None:
+            del self.results["weighted_ssf"]
+        else:
+            self.results.weighted_ssf = prior
+        return self.results.charge_ssf
+
+    def calculate_screening_length(
+        self, *, q_max=None, charges=None
+    ) -> float:
+        r"""Charge screening length from the low-:math:`q` charge
+        structure factor (beyond reference): fit
+
+        .. math::
+
+           S_{ZZ}(q) = \frac{A\,q^2}{q^2 + \kappa^2},
+           \qquad \lambda_\mathrm{s} = 1/\kappa
+
+        — the Debye–Hückel form (for which :math:`A = \langle z^2
+        \rangle` and :math:`\kappa` is the inverse Debye length);
+        concentrated electrolytes deviate (underscreening:
+        :math:`\lambda_\mathrm{s}` *grows* with concentration past
+        the Kirkwood point, e.g. Lee et al., *Phys. Rev. Lett.*
+        **119**, 026002 (2017)).
+
+        Parameters
+        ----------
+        q_max : `float` or unit-bearing quantity, keyword-only, \
+        optional
+            Fit window upper edge (Å⁻¹).  Defaults to the median
+            available wavenumber (the :math:`q^2` form only holds at
+            low :math:`q`).
+        charges : array-like, keyword-only, optional
+            Forwarded to :meth:`calculate_charge_structure_factor`
+            when ``results.charge_ssf`` is absent.
+
+        Returns
+        -------
+        screening_length : `float`
+            :math:`\lambda_\mathrm{s} = 1/\kappa` (Å), also stored
+            as ``results.screening_length`` (with
+            ``results.charge_ssf_fit`` holding ``(A, kappa)`` and
+            the fitted curve over the fit window in
+            ``results.charge_ssf_fit_curve``).
+        """
+
+        from scipy import optimize
+
+        if getattr(self.results, "charge_ssf", None) is None:
+            self.calculate_charge_structure_factor(charges)
+        if q_max is not None and not isinstance(q_max, Real):
+            q_max = strip_unit(q_max, "1/angstrom")[0]
+        q = np.asarray(self.results.wavenumbers, dtype=np.float64)
+        s = np.asarray(self.results.charge_ssf, dtype=np.float64)
+        if q_max is None:
+            q_max = float(np.median(q))
+        window = (q > 0) & (q <= q_max)
+        if window.sum() < 3:
+            raise ValueError(
+                "Fewer than 3 wavenumbers below q_max; decrease "
+                "q_min/increase q_max or use a denser grid."
+            )
+        qf, sf = q[window], s[window]
+        a0 = max(float(sf[-1]), 1e-6)
+        (a, kappa), _ = optimize.curve_fit(
+            lambda x, a, k: a * x * x / (x * x + k * k),
+            qf,
+            sf,
+            p0=(a0, max(float(qf[0]), 1e-3)),
+            bounds=(0, np.inf),
+            maxfev=10000,
+        )
+        self.results.charge_ssf_fit = np.array([a, kappa])
+        self.results.charge_ssf_fit_curve = (
+            a * qf * qf / (qf * qf + kappa * kappa)
+        )
+        self.results.screening_length = float(1.0 / kappa)
+        units = getattr(self.results, "units", None)
+        if units is not None:
+            units["results.screening_length"] = ureg.angstrom
+        return self.results.screening_length
 
 
 def _resolve_lag_values(spec, n_lags, n_frames):

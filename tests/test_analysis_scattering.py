@@ -667,3 +667,112 @@ def test_dynamic_structure_factor_validation(universe):
     ).run()
     with pytest.raises(ValueError, match="evenly spaced"):
         logged.calculate_dynamic_structure_factor()
+
+
+def test_charge_structure_factor():
+    """S_ZZ(q) equals the charge-weighted recombination and the
+    direct charge-weighted trig-sum oracle; the weighted_ssf scratch
+    key is not left behind."""
+
+    from mdhelper_tpu.analysis.structure import StructureFactor
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(53)
+    box, T, n = 9.0, 3, 36
+    pos = local.random((T, n, 3)) * box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A", "B"] * (n // 2), dtype=object),
+        charges=np.tile([1.0, -1.0], n // 2),
+    )
+    ga, gb = u.select_atoms("type A"), u.select_atoms("type B")
+    partial = StructureFactor(
+        [ga, gb], mode="partial", n_points=3, sort=True,
+        unique=True, verbose=False,
+    ).run()
+
+    szz = partial.calculate_charge_structure_factor()
+    assert "weighted_ssf" not in partial.results
+    ref = partial.calculate_weighted_sum(
+        [1.0, -1.0], normalization="none"
+    )
+    np.testing.assert_allclose(szz, ref, rtol=1e-12)
+    # a prior weighted_ssf must survive the scratch use
+    partial.calculate_charge_structure_factor()
+    np.testing.assert_allclose(
+        partial.results.weighted_ssf, ref, rtol=1e-12
+    )
+
+    # direct oracle: charge-weighted trig sums
+    qs = (
+        2 * np.pi / box
+        * np.stack(
+            np.meshgrid(*[np.arange(3)] * 3), -1
+        ).reshape(-1, 3)
+    )
+    z_atom = np.where(np.isin(np.arange(n), ga.ix), 1.0, -1.0)
+    per_q = np.zeros(len(qs))
+    for f in range(T):
+        phases = qs @ pos[f].T
+        cos = (np.cos(phases) * z_atom).sum(axis=1)
+        sin = (np.sin(phases) * z_atom).sum(axis=1)
+        per_q += cos**2 + sin**2
+    per_q /= T * n
+    wavenumbers = np.round(np.linalg.norm(qs, axis=1), 9)
+    uniq, inverse = np.unique(wavenumbers, return_inverse=True)
+    oracle = np.zeros(len(uniq))
+    np.add.at(oracle, inverse, per_q)
+    oracle /= np.bincount(inverse)
+    np.testing.assert_allclose(szz, oracle, rtol=1e-6)
+
+    # non-uniform group charges must raise with the explicit hint
+    u2 = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A", "B"] * (n // 2), dtype=object),
+        charges=local.normal(size=n),
+    )
+    p2 = StructureFactor(
+        [u2.select_atoms("type A"), u2.select_atoms("type B")],
+        mode="partial", n_points=3, verbose=False,
+    ).run()
+    with pytest.warns(UserWarning):
+        with pytest.raises(ValueError, match="charges="):
+            p2.calculate_charge_structure_factor()
+    # ...and explicit charges fix it
+    p2.calculate_charge_structure_factor([1.0, -1.0])
+
+
+def test_screening_length_fit():
+    """The Debye-form fit recovers a synthetic kappa on the class's
+    own wavenumber grid."""
+
+    from mdhelper_tpu.analysis.structure import StructureFactor
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(59)
+    box, n = 9.0, 24
+    pos = local.random((2, n, 3)) * box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3),
+        types=np.array(["A", "B"] * (n // 2), dtype=object),
+        charges=np.tile([1.0, -1.0], n // 2),
+    )
+    partial = StructureFactor(
+        [u.select_atoms("type A"), u.select_atoms("type B")],
+        mode="partial", n_points=4, sort=True, unique=True,
+        verbose=False,
+    ).run()
+    q = partial.results.wavenumbers
+    a_true, kappa_true = 1.0, 0.7
+    partial.results.charge_ssf = (
+        a_true * q**2 / (q**2 + kappa_true**2)
+    )
+    lam = partial.calculate_screening_length(q_max=float(q.max()))
+    assert lam == pytest.approx(1.0 / kappa_true, rel=1e-6)
+    a_fit, kappa_fit = partial.results.charge_ssf_fit
+    assert a_fit == pytest.approx(a_true, rel=1e-6)
+    assert partial.results.units[
+        "results.screening_length"
+    ].dimensionality
+    with pytest.raises(ValueError, match="Fewer than 3"):
+        partial.calculate_screening_length(q_max=1e-9)

@@ -455,3 +455,23 @@ def test_cookbook_ion_pairing():
     IonPairAnalysis(
         cations, anions, 3.4, ("atoms", "atoms"), verbose=False
     ).run()
+
+
+def test_cookbook_charge_ssf_screening():
+    from mdhelper_tpu.analysis.structure import StructureFactor
+
+    u = make_universe()
+    partial = StructureFactor(
+        [u.select_atoms("charge > 0"), u.select_atoms("charge < 0")],
+        mode="partial", n_points=4, sort=True, unique=True,
+        verbose=False,
+    ).run()
+    partial.calculate_charge_structure_factor()
+    assert partial.results.charge_ssf.shape == (
+        len(partial.results.wavenumbers),
+    )
+    # fit machinery on a synthetic Debye curve over the class grid
+    q = partial.results.wavenumbers
+    partial.results.charge_ssf = q**2 / (q**2 + 0.5**2)
+    lam = partial.calculate_screening_length(q_max=float(q.max()))
+    assert lam == pytest.approx(2.0, rel=1e-5)
