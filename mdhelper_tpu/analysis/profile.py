@@ -939,11 +939,15 @@ def _broadcast_groupings(groups, groupings) -> list:
     return list(groupings)
 
 
-def _resolve_group_charges(groups, groupings, charges, reduced):
+def _resolve_group_charges(
+    groups, groupings, charges, reduced,
+    what: str = "charge density profile",
+):
     """Explicit per-group charges (unit-stripped), or auto-detected
     uniform entity charges (None + warning when any group is
     non-uniform — the DensityProfile contract, shared by every
-    profiling class)."""
+    profiling class and the charge structure factor; `what` names
+    the quantity in the warning)."""
 
     if charges is not None:
         if len(charges) != len(groups):
@@ -963,8 +967,7 @@ def _resolve_group_charges(groups, groupings, charges, reduced):
         if not np.allclose(entity[0], entity):
             warnings.warn(
                 f"Not all {grouping} in group {i} share the same "
-                "charge. No charge density profile will be "
-                "calculated."
+                f"charge. No {what} will be calculated."
             )
             return None
         out[i] = entity[0]

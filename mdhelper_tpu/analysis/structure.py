@@ -1698,6 +1698,18 @@ class StructureFactor(NumbaAnalysisBase):
             ``results.weighted_ssf``.
         """
 
+        self.results.weighted_ssf = self._recombine_partials(
+            weights, normalization
+        )
+        return self.results.weighted_ssf
+
+    def _recombine_partials(
+        self, weights, normalization: str
+    ) -> np.ndarray:
+        """Weight-recombine the partial rows WITHOUT touching
+        ``results`` (shared by :meth:`calculate_weighted_sum` and
+        :meth:`calculate_charge_structure_factor`)."""
+
         if self._mode != "partial":
             raise ValueError(
                 "Weighted recombination needs mode='partial' (every "
@@ -1737,8 +1749,7 @@ class StructureFactor(NumbaAnalysisBase):
                 "Invalid normalization. Valid values: 'b2', "
                 "'b_mean_sq', 'none'."
             )
-        self.results.weighted_ssf = rows / norm
-        return self.results.weighted_ssf
+        return rows / norm
 
     def calculate_charge_structure_factor(
         self, charges=None
@@ -1784,23 +1795,17 @@ class StructureFactor(NumbaAnalysisBase):
                 "(every pair row must be available)."
             )
         z = _resolve_group_charges(
-            self._groups, self._groupings, charges, False
+            self._groups, self._groupings, charges, False,
+            what="charge structure factor",
         )
         if z is None:
             raise ValueError(
                 "A group has non-uniform entity charges; pass "
                 "charges=[z_1, ...] explicitly."
             )
-        prior = getattr(self.results, "weighted_ssf", None)
-        self.results.charge_ssf = self.calculate_weighted_sum(
-            z, normalization="none"
+        self.results.charge_ssf = self._recombine_partials(
+            z, "none"
         )
-        # weighted_ssf is a scratch alias here — restore whatever a
-        # user had stored from an explicit weighted-sum call
-        if prior is None:
-            del self.results["weighted_ssf"]
-        else:
-            self.results.weighted_ssf = prior
         return self.results.charge_ssf
 
     def calculate_screening_length(
@@ -1825,9 +1830,11 @@ class StructureFactor(NumbaAnalysisBase):
         ----------
         q_max : `float` or unit-bearing quantity, keyword-only, \
         optional
-            Fit window upper edge (Å⁻¹).  Defaults to the median
-            available wavenumber (the :math:`q^2` form only holds at
-            low :math:`q`).
+            Fit window upper edge (Å⁻¹).  Defaults to the tenth
+            smallest positive wavenumber — the Debye :math:`q^2`
+            form only holds at low :math:`q`, well below the
+            charge-ordering peak; set `q_max` explicitly below that
+            peak for production fits.
         charges : array-like, keyword-only, optional
             Forwarded to :meth:`calculate_charge_structure_factor`
             when ``results.charge_ssf`` is absent.
@@ -1838,7 +1845,8 @@ class StructureFactor(NumbaAnalysisBase):
             :math:`\lambda_\mathrm{s} = 1/\kappa` (Å), also stored
             as ``results.screening_length`` (with
             ``results.charge_ssf_fit`` holding ``(A, kappa)`` and
-            the fitted curve over the fit window in
+            the fit window + fitted curve in
+            ``results.charge_ssf_fit_q`` /
             ``results.charge_ssf_fit_curve``).
         """
 
@@ -1851,12 +1859,16 @@ class StructureFactor(NumbaAnalysisBase):
         q = np.asarray(self.results.wavenumbers, dtype=np.float64)
         s = np.asarray(self.results.charge_ssf, dtype=np.float64)
         if q_max is None:
-            q_max = float(np.median(q))
+            positive = np.sort(q[q > 0])
+            if len(positive) == 0:
+                raise ValueError("No positive wavenumbers.")
+            q_max = float(positive[min(9, len(positive) - 1)])
         window = (q > 0) & (q <= q_max)
         if window.sum() < 3:
             raise ValueError(
-                "Fewer than 3 wavenumbers below q_max; decrease "
-                "q_min/increase q_max or use a denser grid."
+                "Fewer than 3 wavenumbers below q_max; increase "
+                "q_max, use a larger box, or a denser wavevector "
+                "grid."
             )
         qf, sf = q[window], s[window]
         a0 = max(float(sf[-1]), 1e-6)
@@ -1868,7 +1880,18 @@ class StructureFactor(NumbaAnalysisBase):
             bounds=(0, np.inf),
             maxfev=10000,
         )
+        if kappa <= 1e-3 * float(qf[0]):
+            # an inverse length far below the smallest resolvable
+            # wavenumber is indistinguishable from zero suppression
+            raise ValueError(
+                "The fit resolved no q^2 suppression in the window "
+                "(kappa -> 0): S_ZZ is flat there — either the "
+                "window sits past the low-q regime (decrease "
+                "q_max) or the system shows no charge screening "
+                "over the accessible wavenumbers."
+            )
         self.results.charge_ssf_fit = np.array([a, kappa])
+        self.results.charge_ssf_fit_q = qf
         self.results.charge_ssf_fit_curve = (
             a * qf * qf / (qf * qf + kappa * kappa)
         )

@@ -692,12 +692,13 @@ def test_charge_structure_factor():
     ).run()
 
     szz = partial.calculate_charge_structure_factor()
+    # the recombination must not touch the weighted-sum key...
     assert "weighted_ssf" not in partial.results
     ref = partial.calculate_weighted_sum(
         [1.0, -1.0], normalization="none"
     )
     np.testing.assert_allclose(szz, ref, rtol=1e-12)
-    # a prior weighted_ssf must survive the scratch use
+    # ...nor clobber one a user stored explicitly
     partial.calculate_charge_structure_factor()
     np.testing.assert_allclose(
         partial.results.weighted_ssf, ref, rtol=1e-12
@@ -771,8 +772,18 @@ def test_screening_length_fit():
     assert lam == pytest.approx(1.0 / kappa_true, rel=1e-6)
     a_fit, kappa_fit = partial.results.charge_ssf_fit
     assert a_fit == pytest.approx(a_true, rel=1e-6)
+    # fit window stored alongside the curve, aligned
+    assert (
+        partial.results.charge_ssf_fit_q.shape
+        == partial.results.charge_ssf_fit_curve.shape
+    )
     assert partial.results.units[
         "results.screening_length"
     ].dimensionality
-    with pytest.raises(ValueError, match="Fewer than 3"):
+    with pytest.raises(ValueError, match="increase.*q_max"):
         partial.calculate_screening_length(q_max=1e-9)
+    # a flat S_ZZ (no screening resolved) raises instead of
+    # returning an infinite length
+    partial.results.charge_ssf = np.ones_like(q)
+    with pytest.raises(ValueError, match="kappa -> 0"):
+        partial.calculate_screening_length(q_max=float(q.max()))
