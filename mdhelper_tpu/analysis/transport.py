@@ -43,6 +43,7 @@ __all__ = [
     "msd_shift",
     "calculate_transport_coefficients",
     "calculate_conductivity",
+    "calculate_nernst_einstein_conductivity",
     "calculate_electrophoretic_mobility",
     "calculate_transference_number",
     "Onsager",
@@ -185,6 +186,30 @@ def calculate_conductivity(
 
     z = np.asarray(z, dtype=float)
     kappas = np.einsum("bij,ij->b", L_ij, z * z[:, None])
+    if not reduced:
+        kappas = (
+            kappas
+            * ureg.avogadro_constant
+            * ureg.elementary_charge**2
+            * ureg.mole
+            / ureg.coulomb**2
+        ).to_reduced_units().magnitude
+    return kappas
+
+
+def calculate_nernst_einstein_conductivity(
+    L_ii_self: np.ndarray, z: np.ndarray, *, reduced: bool = False
+) -> np.ndarray:
+    r"""Nernst–Einstein (ideal, uncorrelated) conductivity
+    :math:`\kappa_\mathrm{NE} = \sum_i z_i^2 L_{ii}^\mathrm{self}`
+    with :math:`L_{ii}^\mathrm{self} = N_i D_i / (V k_\mathrm{B}T)`
+    (beyond reference) — same units as
+    :func:`calculate_conductivity`, so
+    :math:`\alpha = \kappa / \kappa_\mathrm{NE}` is the ionicity
+    (inverse Haven ratio)."""
+
+    z = np.asarray(z, dtype=float)
+    kappas = np.einsum("bi,i->b", np.asarray(L_ii_self), z * z)
     if not reduced:
         kappas = (
             kappas
@@ -968,6 +993,55 @@ class Onsager(SerialAnalysisBase):
             ureg.coulomb**2
             / (ureg.kilojoule * ureg.angstrom * ureg.picosecond)
         )
+
+    def calculate_nernst_einstein_conductivity(
+        self, *, charges=None
+    ) -> None:
+        r"""Ideal (uncorrelated) Nernst–Einstein conductivity from
+        ``results.L_ii_self`` (beyond reference), stored as
+        ``results.ne_conductivities`` — the denominator of the
+        ionicity :math:`\alpha = \kappa / \kappa_\mathrm{NE}`."""
+
+        if self.results.L_ij is None:
+            raise RuntimeError(
+                "Call Onsager.calculate_transport_coefficients() "
+                "before "
+                "Onsager.calculate_nernst_einstein_conductivity()."
+            )
+        self._resolve_charges(charges)
+        self.results.ne_conductivities = (
+            calculate_nernst_einstein_conductivity(
+                self.results.L_ii_self,
+                self._charges,
+                reduced=self._reduced,
+            )
+        )
+        self.results.units["results.ne_conductivities"] = (
+            ureg.coulomb**2
+            / (ureg.kilojoule * ureg.angstrom * ureg.picosecond)
+        )
+
+    def calculate_ionicity(self, *, charges=None) -> None:
+        r"""Ionicity (degree of ion uncorrelation)
+        :math:`\alpha = \kappa / \kappa_\mathrm{NE}` and the Haven
+        ratio :math:`H_\mathrm{R} = 1/\alpha` (beyond reference) —
+        :math:`\alpha < 1` signals correlated cation–anion motion
+        (ion pairing); see
+        :class:`mdhelper_tpu.analysis.pairing.IonPairAnalysis` for
+        the structural complement.  Stores ``results.ionicity`` and
+        ``results.haven_ratios`` (per block)."""
+
+        if self.results.conductivities is None:
+            self.calculate_conductivity(charges=charges)
+        if getattr(self.results, "ne_conductivities", None) is None:
+            self.calculate_nernst_einstein_conductivity(
+                charges=charges
+            )
+        self.results.ionicity = (
+            self.results.conductivities
+            / self.results.ne_conductivities
+        )
+        self.results.haven_ratios = 1.0 / self.results.ionicity
 
     def calculate_electrophoretic_mobility(
         self, *, charges=None, rhos=None

@@ -276,6 +276,29 @@ def test_onsager_conductivity_pipeline():
     )
     onsager.calculate_electrophoretic_mobility()
     assert onsager.results.electrophoretic_mobilities.shape == (1, 2)
+    onsager.calculate_ionicity()
+    assert onsager.results.ne_conductivities.shape == (1,)
+    assert np.all(np.isfinite(onsager.results.ionicity))
+    assert np.allclose(
+        onsager.results.haven_ratios * onsager.results.ionicity, 1.0
+    )
+
+
+def test_nernst_einstein_algebra():
+    """kappa_NE = sum z_i^2 L_ii_self; ionicity algebra exact on
+    synthetic coefficients."""
+
+    L_ii_self = np.array([[2.0, 1.5]])
+    z = np.array([1.0, -2.0])
+    ne_reduced = transport.calculate_nernst_einstein_conductivity(
+        L_ii_self, z, reduced=True
+    )
+    assert np.allclose(ne_reduced, 2.0 + 4 * 1.5)
+    factor = 6.02214076e23 * (1.602176634e-19) ** 2
+    ne = transport.calculate_nernst_einstein_conductivity(
+        L_ii_self, z
+    )
+    assert np.allclose(ne, ne_reduced * factor)
 
 
 def test_fit_models():

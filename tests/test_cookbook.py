@@ -475,3 +475,21 @@ def test_cookbook_charge_ssf_screening():
     partial.results.charge_ssf = q**2 / (q**2 + 0.5**2)
     lam = partial.calculate_screening_length(q_max=float(q.max()))
     assert lam == pytest.approx(2.0, rel=1e-5)
+
+
+def test_cookbook_ionicity():
+    from mdhelper_tpu.analysis.transport import Onsager
+
+    u = make_universe()
+    onsager = Onsager(
+        [u.select_atoms("charge > 0"), u.select_atoms("charge < 0")],
+        temperature=300, unwrap=True, fft=True, verbose=False,
+    ).run()
+    onsager.calculate_transport_coefficients(
+        start=1, stop=5, scale="linear"
+    )
+    onsager.calculate_ionicity()
+    assert onsager.results.ionicity.shape == (1,)
+    assert np.allclose(
+        onsager.results.haven_ratios * onsager.results.ionicity, 1.0
+    )
