@@ -186,6 +186,13 @@ def calculate_conductivity(
 
     z = np.asarray(z, dtype=float)
     kappas = np.einsum("bij,ij->b", L_ij, z * z[:, None])
+    return _conductivity_si(kappas, reduced)
+
+
+def _conductivity_si(kappas: np.ndarray, reduced: bool) -> np.ndarray:
+    """Shared (mol e)^2-to-C^2 conversion for kappa and kappa_NE —
+    one definition keeps the ionicity ratio unit-consistent."""
+
     if not reduced:
         kappas = (
             kappas
@@ -210,15 +217,7 @@ def calculate_nernst_einstein_conductivity(
 
     z = np.asarray(z, dtype=float)
     kappas = np.einsum("bi,i->b", np.asarray(L_ii_self), z * z)
-    if not reduced:
-        kappas = (
-            kappas
-            * ureg.avogadro_constant
-            * ureg.elementary_charge**2
-            * ureg.mole
-            / ureg.coulomb**2
-        ).to_reduced_units().magnitude
-    return kappas
+    return _conductivity_si(kappas, reduced)
 
 
 def calculate_electrophoretic_mobility(
@@ -1031,12 +1030,14 @@ class Onsager(SerialAnalysisBase):
         the structural complement.  Stores ``results.ionicity`` and
         ``results.haven_ratios`` (per block)."""
 
-        if self.results.conductivities is None:
-            self.calculate_conductivity(charges=charges)
-        if getattr(self.results, "ne_conductivities", None) is None:
-            self.calculate_nernst_einstein_conductivity(
-                charges=charges
-            )
+        # always recompute BOTH kappas so they reflect the same
+        # charges and the current L_ij / L_ii_self (a cached
+        # numerator against a fresh denominator would silently mix
+        # charge sets or fit windows)
+        self.calculate_conductivity(charges=charges)
+        self.calculate_nernst_einstein_conductivity(
+            charges=charges
+        )
         self.results.ionicity = (
             self.results.conductivities
             / self.results.ne_conductivities

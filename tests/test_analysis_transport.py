@@ -282,6 +282,14 @@ def test_onsager_conductivity_pipeline():
     assert np.allclose(
         onsager.results.haven_ratios * onsager.results.ionicity, 1.0
     )
+    # regression: ionicity recomputes BOTH kappas with the passed
+    # charges — uniform charge scaling must leave it invariant (the
+    # cached-numerator bug made it differ by the ratio squared)
+    alpha = onsager.results.ionicity.copy()
+    onsager.calculate_ionicity(charges=[2.0, -2.0])
+    np.testing.assert_allclose(
+        onsager.results.ionicity, alpha, rtol=1e-12
+    )
 
 
 def test_nernst_einstein_algebra():
