@@ -1029,6 +1029,82 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
             scsf, self._q_group, len(self.results.wavenumbers)
         )
 
+    def calculate_guinier_radius(
+        self, *, q_max_rg: float = 1.3
+    ) -> float:
+        r"""Radius of gyration from the Guinier regime of
+        :math:`S_\mathrm{sc}(q)` (beyond reference),
+
+        .. math::
+
+           \ln S_\mathrm{sc}(q) = \ln S_\mathrm{sc}(0)
+           - \frac{q^2 R_\mathrm{g}^2}{3},
+           \qquad q R_\mathrm{g} \lesssim 1.3,
+
+        self-consistently: the linear ``ln S`` vs ``q^2`` fit is
+        repeated, each pass restricting the window to
+        :math:`q R_\mathrm{g} \le` `q_max_rg` with the previous
+        pass's :math:`R_\mathrm{g}`, until the window stabilizes.
+        The scattering-derived value should match the real-space
+        :class:`Gyradius` average for an ideal chain — a standard
+        consistency check between reciprocal- and real-space
+        analyses.
+
+        Returns
+        -------
+        guinier_radius : `float`
+            :math:`R_\mathrm{g}` (Å), also stored as
+            ``results.guinier_radius`` (with the fit window in
+            ``results.guinier_fit_q``).
+        """
+
+        if getattr(self.results, "scsf", None) is None:
+            raise RuntimeError(
+                "Call SingleChainStructureFactor.run() before "
+                "calculate_guinier_radius()."
+            )
+        q = np.asarray(self.results.wavenumbers, dtype=np.float64)
+        s = np.asarray(self.results.scsf, dtype=np.float64)
+        positive = (q > 0) & (s > 0)
+        if positive.sum() < 3:
+            raise ValueError(
+                "Fewer than 3 positive (q, S) points for the "
+                "Guinier fit; use a denser wavevector grid."
+            )
+        window = positive
+        rg = None
+        for _ in range(20):
+            if window.sum() < 3:
+                raise ValueError(
+                    "The Guinier window collapsed below 3 points "
+                    "(q grid too coarse for this chain size); use "
+                    "a larger box or denser q grid."
+                )
+            slope, _ = np.polyfit(
+                q[window] ** 2, np.log(s[window]), 1
+            )
+            if slope >= 0:
+                raise ValueError(
+                    "ln S(q) does not decay over the fit window; "
+                    "no Guinier regime resolved."
+                )
+            new_rg = float(np.sqrt(-3.0 * slope))
+            new_window = positive & (q * new_rg <= q_max_rg)
+            if rg is not None and abs(new_rg - rg) <= 1e-10 * rg:
+                rg = new_rg
+                window = new_window
+                break
+            if (new_window == window).all() and rg is not None:
+                rg = new_rg
+                break
+            rg, window = new_rg, new_window
+        self.results.guinier_radius = rg
+        self.results.guinier_fit_q = q[window]
+        units = getattr(self.results, "units", None)
+        if units is not None:
+            units["results.guinier_radius"] = ureg.angstrom
+        return rg
+
 
 class RouseModes(_PolymerAnalysisBase):
     r"""Rouse normal-mode amplitudes, autocorrelations, and relaxation

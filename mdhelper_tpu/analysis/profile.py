@@ -28,7 +28,11 @@ from scipy import integrate, sparse
 from .. import ureg
 from ..algorithm.unit import strip_unit
 from ..ops.pbc import wrap_positions
-from ..ops.profiles import axis_histogram_batch, plane_histogram_batch
+from ..ops.profiles import (
+    axis_histogram_batch,
+    plane_histogram_batch,
+    volume_histogram_batch,
+)
 from .base import DynamicAnalysisBase, host_unwrap_chunk
 from .structure import _com_positions, _group_segment_ids
 
@@ -36,6 +40,7 @@ __all__ = [
     "calculate_potential_profile",
     "DensityProfile",
     "DensityMap2D",
+    "DensityMap3D",
     "RadialDensityProfile",
 ]
 
@@ -1484,6 +1489,192 @@ class DensityMap2D(DynamicAnalysisBase):
         if self._charges is not None:
             self.results.charge_densities = np.einsum(
                 "g,gxy->xy", self._charges,
+                self.results.number_densities,
+            )
+        else:
+            self.results.charge_densities = None
+
+
+class DensityMap3D(DynamicAnalysisBase):
+    r"""Time-averaged 3-D number (and charge) density fields over the
+    whole box — spatial distribution functions, solvation shells
+    around frozen frameworks, pore networks (beyond reference; the
+    reference's profiles, ``analysis/profile.py:287-996``, are
+    one-dimensional).
+
+    TPU formulation: each frame bins scatter-free through
+    :func:`mdhelper_tpu.ops.profiles.volume_histogram_batch` — point
+    blocks contract a one-hot ``(bk, n_x)`` matrix against a weighted
+    one-hot ``(bk, n_y n_z)`` matrix on the MXU, so the voxel grid
+    never materializes per point.  The counts carry is
+    order-independent (``parallel=True`` shards frames).
+
+    Parameters
+    ----------
+    groups : `AtomGroup` or array-like
+        Group(s) to map.
+    groupings : `str` or array-like, default ``"atoms"``
+        ``"atoms"``, ``"residues"`` or ``"segments"`` (centers of
+        mass of wrapped coordinates for molecule groupings).
+    n_bins : `int` or triple, default 64
+        Voxels per box axis.
+    charges : array-like, keyword-only, optional
+        Per-group entity charges (default: topology charges).
+    reduced : `bool`, keyword-only, default False
+        Reduced (LJ) units.
+    parallel : `bool`, keyword-only, default False
+        Shard frame batches over the device mesh.
+
+    Results
+    -------
+    ``results.bins``
+        ``[x_centers, y_centers, z_centers]`` (Angstrom).
+    ``results.counts``
+        Raw per-group counts, shape ``(G, n_x, n_y, n_z)``.
+    ``results.number_densities``
+        Time-averaged fields (Angstrom^-3), same shape.
+    ``results.charge_densities``
+        Charge-weighted sum over groups (e Angstrom^-3), when
+        charges are known.
+    """
+
+    def __init__(
+        self,
+        groups,
+        groupings: Union[str, tuple] = "atoms",
+        n_bins: Union[int, tuple] = 64,
+        *,
+        charges=None,
+        reduced: bool = False,
+        parallel: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ) -> None:
+        self._groups = (
+            [groups] if hasattr(groups, "universe") else list(groups)
+        )
+        self.universe = self._groups[0].universe
+        super().__init__(
+            self.universe.trajectory, parallel, verbose, **kwargs
+        )
+        self._setup_periodic_box()
+        if self._triclinic:
+            raise ValueError(
+                "DensityMap3D needs an orthorhombic cell."
+            )
+        if isinstance(n_bins, Real):
+            n_bins = (int(n_bins),) * 3
+        if len(n_bins) != 3 or min(n_bins) < 1:
+            raise ValueError(
+                "n_bins must be a positive int or a triple."
+            )
+        self._n_bins = tuple(int(b) for b in n_bins)
+
+        self._groupings = _broadcast_groupings(
+            self._groups, groupings
+        )
+        self._reduced = reduced
+        self._charges = _resolve_group_charges(
+            self._groups, self._groupings, charges, reduced
+        )
+
+        self._atom_indices = np.unique(
+            np.concatenate([g.ix for g in self._groups])
+        )
+        col_of = {int(g): c for c, g in enumerate(self._atom_indices)}
+        self._cols = [
+            np.fromiter(
+                (col_of[int(i)] for i in g.ix), dtype=np.int64,
+                count=g.n_atoms,
+            )
+            for g in self._groups
+        ]
+        dims = self.universe.dimensions
+        if dims is None or not (np.asarray(dims[:3]) > 0).all():
+            raise ValueError(
+                "DensityMap3D needs a periodic box with non-zero "
+                "dimensions."
+            )
+        self._dimensions = np.asarray(dims[:3], dtype=np.float64)
+
+    def _prepare(self) -> None:
+        nx, ny, nz = self._n_bins
+        self._edges = [
+            np.linspace(0.0, self._dimensions[a], n + 1)
+            for a, n in enumerate(self._n_bins)
+        ]
+        self.results.bins = [
+            (e[:-1] + e[1:]) / 2 for e in self._edges
+        ]
+        if not self._reduced:
+            self.results.units = {
+                "results.bins": ureg.angstrom,
+                "results.number_densities": ureg.angstrom**-3,
+            }
+            if self._charges is not None:
+                self.results.units["results.charge_densities"] = (
+                    ureg.elementary_charge * ureg.angstrom**-3
+                )
+        self._carry = {
+            "counts": jnp.zeros(
+                (len(self._groups), nx, ny, nz), dtype=jnp.float64
+            ),
+            "n": jnp.zeros((), dtype=jnp.float64),
+        }
+        self._make_update()
+
+    def _make_update(self) -> None:
+        dtype = self._stream_dtype()
+        edges = [
+            jnp.asarray(e, dtype=dtype) for e in self._edges
+        ]
+        box = jnp.asarray(self._dimensions, dtype=dtype)
+        cols = [jnp.asarray(c) for c in self._cols]
+        seg_info = [
+            _group_segment_ids(g, grouping)
+            for g, grouping in zip(self._groups, self._groupings)
+        ]
+        masses = [
+            None if seg is None else jnp.asarray(g.masses)
+            for g, (seg, _) in zip(self._groups, seg_info)
+        ]
+
+        def update(carry, positions, dimensions, mask):
+            del dimensions
+            new = []
+            for i, col in enumerate(cols):
+                pts = positions[:, col]  # (B, n_i, 3)
+                seg, n_seg = seg_info[i]
+                if seg is not None:
+                    pts = _com_positions(
+                        pts, masses[i], jnp.asarray(seg), n_seg
+                    )
+                pts = wrap_positions(pts, box)
+                new.append(
+                    volume_histogram_batch(
+                        pts, mask, edges[0], edges[1], edges[2]
+                    )
+                )
+            return {
+                "counts": carry["counts"] + jnp.stack(new),
+                "n": carry["n"] + mask.sum(),
+            }
+
+        from .base import jit_update
+
+        self._update = jit_update(update)
+
+    def _conclude(self) -> None:
+        counts = np.asarray(self._carry["counts"])
+        n_frames = float(self._carry["n"])
+        self.results.counts = counts
+        voxel = np.prod(
+            [np.diff(e)[0] for e in self._edges]
+        )
+        self.results.number_densities = counts / (n_frames * voxel)
+        if self._charges is not None:
+            self.results.charge_densities = np.einsum(
+                "g,gxyz->xyz", self._charges,
                 self.results.number_densities,
             )
         else:

@@ -22,6 +22,7 @@ __all__ = [
     "gaussian_smooth_periodic",
     "grid_deposit_frames",
     "plane_histogram_batch",
+    "volume_histogram_batch",
 ]
 
 
@@ -95,6 +96,95 @@ def plane_histogram_batch(
     counts = jax.lax.map(frame, (coords, mask)).sum(axis=0)
     out = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return counts.astype(out)
+
+
+def volume_histogram_batch(
+    coords, mask, edges_x, edges_y, edges_z,
+    weights=None, block: int = 2048,
+):
+    r"""3-D histogram of per-atom coordinates over a frame batch —
+    scatter-free: per point block, a one-hot ``(bk, n_x)`` matrix
+    contracts against a weighted one-hot ``(bk, n_y n_z)`` matrix on
+    the MXU (the combined :math:`y n_z + z` minor index keeps the
+    per-block intermediate at ``bk (n_x + n_y n_z)`` floats instead
+    of the full ``bk n_x n_y n_z`` outer product).
+
+    Parameters
+    ----------
+    coords : `jax.Array`
+        Coordinates, shape ``(B, N, 3)``.
+    mask : `jax.Array`
+        Frame validity mask, shape ``(B,)``.
+    edges_x, edges_y, edges_z : `jax.Array`
+        Bin edges (np.histogram semantics).
+    weights : `jax.Array`, optional
+        Per-atom weights, shape ``(N,)``.
+    block : `int`, default 2048
+        Point-block size (bounds the one-hot intermediates).
+
+    Returns
+    -------
+    counts : `jax.Array`
+        Counts summed over real frames, ``(n_x, n_y, n_z)``.
+    """
+
+    n_x = edges_x.shape[0] - 1
+    n_y = edges_y.shape[0] - 1
+    n_z = edges_z.shape[0] - 1
+    n = coords.shape[1]
+    dtype = jnp.float32
+    bk = int(min(block, max(n, 1)))
+    n_pad = int(-(-n // bk) * bk)
+
+    def frame(args):
+        xyz, m = args
+        ix, ok_x = _bin_indices(xyz[:, 0], edges_x, n_x)
+        iy, ok_y = _bin_indices(xyz[:, 1], edges_y, n_y)
+        iz, ok_z = _bin_indices(xyz[:, 2], edges_z, n_z)
+        w = (ok_x & ok_y & ok_z).astype(dtype) * m.astype(dtype)
+        if weights is not None:
+            w = w * weights.astype(dtype)
+        iyz = iy * n_z + iz
+        ix_p = jnp.pad(ix, (0, n_pad - n))
+        iyz_p = jnp.pad(iyz, (0, n_pad - n))
+        w_p = jnp.pad(w, (0, n_pad - n))
+
+        def body(acc, start):
+            ixb = jax.lax.dynamic_slice(ix_p, (start,), (bk,))
+            iyzb = jax.lax.dynamic_slice(iyz_p, (start,), (bk,))
+            wb = jax.lax.dynamic_slice(w_p, (start,), (bk,))
+            onehot_x = (
+                ixb[:, None]
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (bk, n_x), 1
+                )
+            ).astype(dtype)
+            onehot_yz = (
+                iyzb[:, None]
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (bk, n_y * n_z), 1
+                )
+            ).astype(dtype) * wb[:, None]
+            # HIGHEST: real-valued weights (charges) must not take
+            # the default bf16 MXU pass
+            part = jax.lax.dot_general(
+                onehot_x, onehot_yz,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return acc + part, None
+
+        starts = jnp.arange(
+            n_pad // bk, dtype=jnp.int32
+        ) * jnp.int32(bk)
+        acc0 = jnp.zeros((n_x, n_y * n_z), dtype=dtype)
+        acc, _ = jax.lax.scan(body, acc0, starts)
+        return acc
+
+    counts = jax.lax.map(frame, (coords, mask)).sum(axis=0)
+    out = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return counts.reshape(n_x, n_y, n_z).astype(out)
 
 
 def grid_deposit_frames(coords, n_cells_dim, box, order=1):

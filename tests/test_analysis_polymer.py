@@ -973,3 +973,40 @@ def test_msid_slab_zero_axis(traj):
     msid = polymer.MeanSquareInternalDistance(u.atoms, **kw).run()
     ref = oracle_msid(traj.reshape(T, M, N_P, 3))
     np.testing.assert_allclose(msid.results.msid[0], ref, rtol=1e-9)
+
+
+def test_scsf_guinier_radius():
+    """Guinier-fit Rg from S_sc(q) matches the real-space Rg of
+    ideal random-walk chains within discretization tolerance."""
+
+    rng_l = np.random.default_rng(101)
+    m, p, b, box = 40, 20, 1.0, 60.0
+    T_l = 4
+    steps = rng_l.normal(size=(T_l, m, p - 1, 3))
+    steps *= b / np.linalg.norm(steps, axis=-1, keepdims=True)
+    starts = rng_l.random((T_l, m, 1, 3)) * box
+    chains = np.concatenate(
+        [starts, starts + np.cumsum(steps, axis=2)], axis=2
+    )
+    u = Universe.from_arrays(
+        chains.reshape(T_l, m * p, 3), np.array([box] * 3), dt=1.0
+    )
+    scsf = polymer.SingleChainStructureFactor(
+        u.atoms, n_chains=m, n_monomers=p, n_points=5,
+        verbose=False,
+    ).run()
+    rg = scsf.calculate_guinier_radius()
+    com = chains.mean(axis=2, keepdims=True)
+    rg_direct = np.sqrt(
+        ((chains - com) ** 2).sum(axis=-1).mean()
+    )
+    assert rg == pytest.approx(rg_direct, rel=0.12)
+    assert scsf.results.guinier_fit_q.max() * rg <= 1.3 + 1e-9
+    assert scsf.results.units[
+        "results.guinier_radius"
+    ].dimensionality
+
+    with pytest.raises(RuntimeError, match="run"):
+        polymer.SingleChainStructureFactor(
+            u.atoms, n_chains=m, n_monomers=p, verbose=False
+        ).calculate_guinier_radius()

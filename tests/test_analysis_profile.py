@@ -591,3 +591,96 @@ def test_radial_density_profile_pmf():
     with np.errstate(divide="ignore"):
         oracle = -kbt * np.log(dens / ref)
     np.testing.assert_allclose(prof.results.pmf, oracle)
+
+
+def test_density_map_3d_oracle():
+    """DensityMap3D vs per-frame np.histogramdd; charge field; COM
+    grouping; point blocking; parallel bit-equality; validation."""
+
+    from mdhelper_tpu.analysis.profile import DensityMap3D
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(67)
+    box = np.array([8.0, 10.0, 12.0])
+    T, n = 5, 64
+    pos = local.random((T, n, 3)) * box
+    charges = np.tile([1.0, -1.0], n // 2)
+    u = Universe.from_arrays(
+        pos, box,
+        types=np.array(["A", "B"] * (n // 2), dtype=object),
+        charges=charges,
+        masses=np.ones(n),
+        resindices=np.repeat(np.arange(n // 2), 2),
+    )
+    cation = u.select_atoms("type A")
+    anion = u.select_atoms("type B")
+    dm = DensityMap3D(
+        [cation, anion], n_bins=(6, 8, 10), verbose=False
+    ).run()
+
+    rng_edges = [(0, box[a]) for a in range(3)]
+    for gi, ag in enumerate((cation, anion)):
+        ref = np.zeros((6, 8, 10))
+        for f in range(T):
+            ref += np.histogramdd(
+                pos[f, ag.ix], bins=(6, 8, 10), range=rng_edges
+            )[0]
+        np.testing.assert_array_equal(dm.results.counts[gi], ref)
+        voxel = (box[0] / 6) * (box[1] / 8) * (box[2] / 10)
+        np.testing.assert_allclose(
+            dm.results.number_densities[gi].sum() * voxel,
+            ag.n_atoms,
+            rtol=1e-12,
+        )
+    np.testing.assert_allclose(
+        dm.results.charge_densities,
+        dm.results.number_densities[0]
+        - dm.results.number_densities[1],
+        rtol=1e-12,
+    )
+
+    # point blocking: a block smaller than N must bin identically
+    from mdhelper_tpu.ops.profiles import volume_histogram_batch
+    import jax.numpy as jnp
+
+    edges = [np.linspace(0, box[a], b + 1)
+             for a, b in enumerate((6, 8, 10))]
+    full = volume_histogram_batch(
+        jnp.asarray(pos), jnp.ones(T),
+        *[jnp.asarray(e) for e in edges],
+    )
+    small = volume_histogram_batch(
+        jnp.asarray(pos), jnp.ones(T),
+        *[jnp.asarray(e) for e in edges], block=16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full), np.asarray(small)
+    )
+
+    # residues grouping: COMs of wrapped dimer pairs
+    dr = DensityMap3D(
+        u.atoms, "residues", n_bins=4, verbose=False
+    ).run()
+    ref = np.zeros((4, 4, 4))
+    for f in range(T):
+        com = pos[f].reshape(-1, 2, 3).mean(axis=1) % box
+        ref += np.histogramdd(com, bins=(4, 4, 4),
+                              range=rng_edges)[0]
+    np.testing.assert_array_equal(dr.results.counts[0], ref)
+
+    par = DensityMap3D(
+        [cation, anion], n_bins=(6, 8, 10),
+        parallel=True, verbose=False,
+    ).run()
+    np.testing.assert_array_equal(
+        par.results.counts, dm.results.counts
+    )
+
+    with pytest.raises(ValueError):
+        DensityMap3D(u.atoms, n_bins=(4, 4), verbose=False)
+    tric = Universe.from_arrays(
+        pos, np.array([8, 10, 12, 80, 85, 95.0]),
+        types=np.array(["A"] * n, dtype=object),
+    )
+    with pytest.raises(ValueError, match="orthorhombic"):
+        DensityMap3D(tric.atoms, verbose=False)

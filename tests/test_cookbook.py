@@ -493,3 +493,22 @@ def test_cookbook_ionicity():
     assert np.allclose(
         onsager.results.haven_ratios * onsager.results.ionicity, 1.0
     )
+
+
+def test_cookbook_density_map_3d_and_guinier():
+    from mdhelper_tpu.analysis.polymer import (
+        SingleChainStructureFactor,
+    )
+    from mdhelper_tpu.analysis.profile import DensityMap3D
+
+    u = make_universe()
+    sdf = DensityMap3D(
+        [u.select_atoms("type A")], n_bins=8, verbose=False
+    ).run()
+    assert sdf.results.number_densities.shape == (1, 8, 8, 8)
+    scsf = SingleChainStructureFactor(
+        u.atoms, n_chains=8, n_monomers=6, n_points=4,
+        verbose=False,
+    ).run()
+    rg = scsf.calculate_guinier_radius()
+    assert rg > 0
