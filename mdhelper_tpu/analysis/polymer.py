@@ -1073,6 +1073,7 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
             )
         window = positive
         rg = None
+        converged = False
         for _ in range(20):
             if window.sum() < 3:
                 raise ValueError(
@@ -1090,14 +1091,21 @@ class SingleChainStructureFactor(_PolymerAnalysisBase):
                 )
             new_rg = float(np.sqrt(-3.0 * slope))
             new_window = positive & (q * new_rg <= q_max_rg)
-            if rg is not None and abs(new_rg - rg) <= 1e-10 * rg:
-                rg = new_rg
-                window = new_window
-                break
-            if (new_window == window).all() and rg is not None:
-                rg = new_rg
-                break
+            stable = rg is not None and (
+                abs(new_rg - rg) <= 1e-10 * rg
+                or (new_window == window).all()
+            )
             rg, window = new_rg, new_window
+            if stable:
+                converged = True
+                break
+        if not converged:
+            warnings.warn(
+                "The Guinier window iteration did not converge in "
+                "20 passes (the q grid straddles the q*Rg cutoff); "
+                "returning the last iterate — inspect "
+                "results.guinier_fit_q before trusting the fit."
+            )
         self.results.guinier_radius = rg
         self.results.guinier_fit_q = q[window]
         units = getattr(self.results, "units", None)

@@ -1589,13 +1589,10 @@ class DensityMap3D(DynamicAnalysisBase):
             )
             for g in self._groups
         ]
-        dims = self.universe.dimensions
-        if dims is None or not (np.asarray(dims[:3]) > 0).all():
-            raise ValueError(
-                "DensityMap3D needs a periodic box with non-zero "
-                "dimensions."
-            )
-        self._dimensions = np.asarray(dims[:3], dtype=np.float64)
+        self._require_box("DensityMap3D")
+        self._dimensions = np.asarray(
+            self.universe.dimensions[:3], dtype=np.float64
+        )
 
     def _prepare(self) -> None:
         nx, ny, nz = self._n_bins

@@ -133,7 +133,12 @@ def volume_histogram_batch(
     n_z = edges_z.shape[0] - 1
     n = coords.shape[1]
     dtype = jnp.float32
-    bk = int(min(block, max(n, 1)))
+    # bound the (bk, n_y n_z) one-hot to ~16 MB of f32 regardless of
+    # the voxel grid (a fixed block would cost 512 MB at 256^3)
+    budget = 4_000_000
+    bk = int(
+        min(block, max(8, budget // max(1, n_y * n_z)), max(n, 1))
+    )
     n_pad = int(-(-n // bk) * bk)
 
     def frame(args):
@@ -182,7 +187,16 @@ def volume_histogram_batch(
         acc, _ = jax.lax.scan(body, acc0, starts)
         return acc
 
-    counts = jax.lax.map(frame, (coords, mask)).sum(axis=0)
+    # frame sum as a scan carry: lax.map would materialize the full
+    # (B, n_x, n_y n_z) stack before reducing (GBs at 256^3)
+    def frame_body(acc, args):
+        return acc + frame(args), None
+
+    counts, _ = jax.lax.scan(
+        frame_body,
+        jnp.zeros((n_x, n_y * n_z), dtype=dtype),
+        (coords, mask),
+    )
     out = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return counts.reshape(n_x, n_y, n_z).astype(out)
 
