@@ -207,3 +207,109 @@ def test_nematic_host_pipeline_equals_device(monkeypatch):
         names=np.array(["B", "E"] * n, dtype=object),
     )
     run_both(tric)
+
+
+# -- axis-resolved orientation profiles ------------------------------------
+
+
+def test_orientation_profile_vs_oracle():
+    from mdhelper_tpu.analysis.orientation import OrientationProfile
+    from mdhelper_tpu.core.universe import Universe
+
+    local = np.random.default_rng(71)
+    box = np.array([8.0, 9.0, 10.0])
+    T_l, n = 5, 40
+    begins = local.random((T_l, n, 3)) * box
+    vecs = local.normal(size=(T_l, n, 3))
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    ends = begins + 0.9 * vecs
+    pos = np.empty((T_l, 2 * n, 3))
+    pos[:, 0::2] = begins % box
+    pos[:, 1::2] = ends % box
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["B", "E"] * n, dtype=object),
+        dt=1.0,
+    )
+    gb = u.select_atoms("type B")
+    ge = u.select_atoms("type E")
+    n_bins = 12
+    op = OrientationProfile(
+        gb, ge, axis="z", n_bins=n_bins, verbose=False
+    ).run()
+
+    counts = np.zeros(n_bins)
+    c1 = np.zeros(n_bins)
+    c2 = np.zeros(n_bins)
+    edges = np.linspace(0, box[2], n_bins + 1)
+    for f in range(T_l):
+        cos = vecs[f, :, 2]
+        mid = (begins[f] + 0.45 * vecs[f]) % box
+        idx = np.clip(
+            np.searchsorted(edges, mid[:, 2], side="right") - 1,
+            0, n_bins - 1,
+        )
+        np.add.at(counts, idx, 1.0)
+        np.add.at(c1, idx, cos)
+        np.add.at(c2, idx, cos**2)
+    np.testing.assert_allclose(op.results.counts, counts)
+    occupied = counts > 0
+    np.testing.assert_allclose(
+        op.results.p1[occupied], (c1 / counts)[occupied],
+        rtol=1e-5, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        op.results.p2[occupied],
+        ((3 * c2 / counts - 1) / 2)[occupied],
+        rtol=1e-5, atol=1e-8,
+    )
+    assert np.isnan(op.results.p1[~occupied]).all()
+
+    # perfectly aligned vectors: P1 = P2 = 1 in occupied bins
+    pos2 = pos.copy()
+    pos2[:, 1::2] = (pos[:, 0::2] + [0.0, 0.0, 0.8]) % box
+    u2 = Universe.from_arrays(
+        pos2, box, types=np.array(["B", "E"] * n, dtype=object),
+        dt=1.0,
+    )
+    al = OrientationProfile(
+        u2.select_atoms("type B"), u2.select_atoms("type E"),
+        axis="z", n_bins=n_bins, verbose=False,
+    ).run()
+    occ = al.results.counts > 0
+    np.testing.assert_allclose(al.results.p1[occ], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(al.results.p2[occ], 1.0, rtol=1e-6)
+
+    # director override: x reference flips the profile content
+    dx = OrientationProfile(
+        gb, ge, axis="z", n_bins=n_bins,
+        director=[2.0, 0.0, 0.0], verbose=False,
+    ).run()
+    c1x = np.zeros(n_bins)
+    for f in range(T_l):
+        mid = (begins[f] + 0.45 * vecs[f]) % box
+        idx = np.clip(
+            np.searchsorted(edges, mid[:, 2], side="right") - 1,
+            0, n_bins - 1,
+        )
+        np.add.at(c1x, idx, vecs[f, :, 0])
+    np.testing.assert_allclose(
+        dx.results.p1[occupied], (c1x / counts)[occupied],
+        rtol=1e-5, atol=1e-8,
+    )
+
+    # parallel equality
+    par = OrientationProfile(
+        gb, ge, axis="z", n_bins=n_bins, parallel=True,
+        verbose=False,
+    ).run()
+    np.testing.assert_allclose(
+        par.results.p1[occupied], op.results.p1[occupied],
+        rtol=1e-12,
+    )
+
+    with pytest.raises(ValueError, match="axis"):
+        OrientationProfile(gb, ge, axis="w", verbose=False)
+    with pytest.raises(ValueError, match="director"):
+        OrientationProfile(
+            gb, ge, director=[0.0, 0.0, 0.0], verbose=False
+        )

@@ -512,3 +512,16 @@ def test_cookbook_density_map_3d_and_guinier():
     ).run()
     rg = scsf.calculate_guinier_radius()
     assert rg > 0
+
+
+def test_cookbook_orientation_profile():
+    from mdhelper_tpu.analysis.orientation import OrientationProfile
+
+    u = make_universe()
+    prof = OrientationProfile(
+        u.select_atoms("type A"), u.select_atoms("type B"),
+        axis="z", n_bins=10, verbose=False,
+    ).run()
+    assert prof.results.p1.shape == (10,)
+    occ = prof.results.counts > 0
+    assert np.all(np.abs(prof.results.p1[occ]) <= 1 + 1e-9)
