@@ -42,6 +42,41 @@ from .base import DynamicAnalysisBase
 __all__ = ["NematicOrderParameter", "OrientationProfile"]
 
 
+def _compact_pair_columns(begins, ends):
+    """Validation + streamed-column compaction for the axis-vector
+    classes: both groups must share a universe, match in length, be
+    non-empty, and pair distinct atoms (a zero-length axis has no
+    orientation).  Returns ``(atom_indices, b_col, e_col)``."""
+
+    if begins.universe is not ends.universe:
+        raise ValueError(
+            "'begins' and 'ends' must belong to the same universe."
+        )
+    if begins.n_atoms != ends.n_atoms:
+        raise ValueError(
+            "'begins' and 'ends' must have the same number of "
+            "atoms."
+        )
+    if begins.n_atoms == 0:
+        raise ValueError("Empty axis groups.")
+    if (np.asarray(begins.ix) == np.asarray(ends.ix)).any():
+        raise ValueError(
+            "'begins' and 'ends' pair an atom with itself; each "
+            "axis needs two distinct atoms."
+        )
+    involved = np.unique(np.concatenate([begins.ix, ends.ix]))
+    col_of = {int(g): c for c, g in enumerate(involved)}
+    b_col = np.fromiter(
+        (col_of[int(i)] for i in begins.ix),
+        dtype=np.int64, count=begins.n_atoms,
+    )
+    e_col = np.fromiter(
+        (col_of[int(i)] for i in ends.ix),
+        dtype=np.int64, count=ends.n_atoms,
+    )
+    return involved, b_col, e_col
+
+
 class NematicOrderParameter(DynamicAnalysisBase):
     r"""Nematic order parameter :math:`P_2`, director, and
     orientational relaxation :math:`C_1(t)` / :math:`C_2(t)`.
@@ -97,13 +132,9 @@ class NematicOrderParameter(DynamicAnalysisBase):
         verbose: bool = True,
         **kwargs,
     ) -> None:
-        if begins.n_atoms != ends.n_atoms:
-            raise ValueError(
-                "'begins' and 'ends' must have the same number of "
-                "atoms."
-            )
-        if begins.n_atoms == 0:
-            raise ValueError("Empty axis groups.")
+        (
+            self._atom_indices, self._b_col, self._e_col
+        ) = _compact_pair_columns(begins, ends)
         self.universe = begins.universe
         super().__init__(
             self.universe.trajectory, parallel, verbose, **kwargs
@@ -112,21 +143,6 @@ class NematicOrderParameter(DynamicAnalysisBase):
         self._ends_ix = ends.ix
         self._acf = bool(acf)
         self._reduced = reduced
-
-        involved = np.unique(
-            np.concatenate([self._begins_ix, self._ends_ix])
-        )
-        self._atom_indices = involved
-        col_of = {int(g): c for c, g in enumerate(involved)}
-        self._b_col = np.fromiter(
-            (col_of[int(i)] for i in self._begins_ix),
-            dtype=np.int64, count=len(self._begins_ix),
-        )
-        self._e_col = np.fromiter(
-            (col_of[int(i)] for i in self._ends_ix),
-            dtype=np.int64, count=len(self._ends_ix),
-        )
-
         self._setup_periodic_box()
 
     def _prepare(self) -> None:
@@ -306,8 +322,9 @@ class OrientationProfile(DynamicAnalysisBase):
     (count, :math:`\sum\cos\theta`, :math:`\sum\cos^2\theta`) via
     :func:`mdhelper_tpu.ops.profiles.axis_histogram_batch` with
     per-frame weights.  The accumulators are order-independent, so
-    ``parallel=True`` shards frames over the mesh.  The box is the
-    initialization-time cell (the density-map convention;
+    ``parallel=True`` shards frames over the mesh.  Bond folding and
+    wrapping use each frame's own box (NPT-safe); only the bin grid
+    is the initialization-time cell (the profile-class convention;
     orthorhombic only).
 
     Parameters
@@ -351,13 +368,9 @@ class OrientationProfile(DynamicAnalysisBase):
         verbose: bool = True,
         **kwargs,
     ) -> None:
-        if begins.n_atoms != ends.n_atoms:
-            raise ValueError(
-                "'begins' and 'ends' must have the same number of "
-                "atoms."
-            )
-        if begins.n_atoms == 0:
-            raise ValueError("Empty axis groups.")
+        (
+            self._atom_indices, self._b_col, self._e_col
+        ) = _compact_pair_columns(begins, ends)
         self.universe = begins.universe
         super().__init__(
             self.universe.trajectory, parallel, verbose, **kwargs
@@ -382,18 +395,6 @@ class OrientationProfile(DynamicAnalysisBase):
             raise ValueError("'director' must be non-zero.")
         self._director = director / norm
         self._reduced = reduced
-
-        involved = np.unique(np.concatenate([begins.ix, ends.ix]))
-        self._atom_indices = involved
-        col_of = {int(g): c for c, g in enumerate(involved)}
-        self._b_col = np.fromiter(
-            (col_of[int(i)] for i in begins.ix),
-            dtype=np.int64, count=begins.n_atoms,
-        )
-        self._e_col = np.fromiter(
-            (col_of[int(i)] for i in ends.ix),
-            dtype=np.int64, count=ends.n_atoms,
-        )
         self._dimensions = np.asarray(
             self.universe.dimensions[:3], dtype=np.float64
         )
@@ -414,28 +415,43 @@ class OrientationProfile(DynamicAnalysisBase):
         self._make_update()
 
     def _make_update(self) -> None:
+        from ..ops.histogram import _image_shift
         from ..ops.pbc import wrap_positions
         from ..ops.profiles import axis_histogram_batch
 
         dtype = self._stream_dtype()
         b_col = jnp.asarray(self._b_col)
         e_col = jnp.asarray(self._e_col)
-        box = jnp.asarray(self._dimensions, dtype=dtype)
         edges = jnp.asarray(self._edges, dtype=dtype)
         director = jnp.asarray(self._director, dtype=dtype)
         ax = self._axis
 
         def update(carry, positions, dimensions, mask):
-            del dimensions
+            # per-FRAME boxes for the PHYSICS (the bond fold and the
+            # wrap: an NPT frame must fold with ITS box); only the
+            # bin GRID is the init-time cell, the profile-class
+            # convention
+            box = dimensions[:, None, :3].astype(positions.dtype)
             b_pos = positions[:, b_col]
             e_pos = positions[:, e_col]
-            v = _min_image_vectors(
-                (e_pos - b_pos).reshape(-1, 3), box
-            ).reshape(e_pos.shape)
-            u = v / jnp.sqrt((v * v).sum(axis=-1))[..., None]
+            delta = e_pos - b_pos
+            v = delta - box * _image_shift(delta, box)
+            norm = jnp.sqrt((v * v).sum(axis=-1))
+            # distinct-atom pairs are enforced at init; a residual
+            # zero-length bond (coincident f32 coordinates) must not
+            # poison the histograms: its cos stays finite and its
+            # bin coordinate goes NaN (dropped by the histogram)
+            valid = norm > 0
+            u = v / jnp.maximum(
+                norm, jnp.finfo(v.dtype).tiny
+            )[..., None]
             cos = (u * director).sum(axis=-1)  # (B, N)
             mid = wrap_positions(b_pos + 0.5 * v, box)
-            coord = mid[..., ax]
+            coord = jnp.where(
+                valid,
+                mid[..., ax],
+                jnp.asarray(jnp.nan, positions.dtype),
+            )
 
             # per-FRAME f32 histograms, f64 cross-frame accumulation:
             # keeps serial and frame-sharded parallel runs bit-equal
@@ -480,6 +496,5 @@ class OrientationProfile(DynamicAnalysisBase):
         with np.errstate(divide="ignore", invalid="ignore"):
             self.results.p1 = np.where(n > 0, c1 / n, np.nan)
             self.results.p2 = np.where(
-                n > 0, (3.0 * c2 / np.maximum(n, 1) - 1.0) / 2.0,
-                np.nan,
+                n > 0, (3.0 * c2 / n - 1.0) / 2.0, np.nan
             )

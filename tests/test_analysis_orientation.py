@@ -313,3 +313,70 @@ def test_orientation_profile_vs_oracle():
         OrientationProfile(
             gb, ge, director=[0.0, 0.0, 0.0], verbose=False
         )
+
+
+def test_orientation_profile_npt_per_frame_boxes():
+    """Boundary-straddling bonds fold with each frame's OWN box
+    (regression: the first implementation used the init-time box for
+    the fold, corrupting NPT orientations)."""
+
+    from mdhelper_tpu.analysis.orientation import OrientationProfile
+    from mdhelper_tpu.core.universe import Universe
+
+    boxes = np.array(
+        [[10.0, 10.0, 10.0], [10.0, 10.0, 16.0]]
+    )
+    # frame 0 (L_z = 10): bond from z=9.7 to z=0.5 -> +z via the
+    # boundary; frame 1 (L_z = 16): bond from z=15.7 to z=0.5 ->
+    # +z via ITS boundary.  Folding frame 1 with the init box (10)
+    # would give dz = 0.5 - 15.7 + 10 = -5.2 (garbage).
+    pos = np.array(
+        [
+            [[5.0, 5.0, 9.7], [5.0, 5.0, 0.5]],
+            [[5.0, 5.0, 15.7], [5.0, 5.0, 0.5]],
+        ]
+    )
+    u = Universe.from_arrays(
+        pos, boxes, types=np.array(["B", "E"], dtype=object),
+        dt=1.0,
+    )
+    prof = OrientationProfile(
+        u.select_atoms("type B"), u.select_atoms("type E"),
+        axis="z", n_bins=4, verbose=False,
+    ).run()
+    occ = prof.results.counts > 0
+    # both frames' bonds point along +z exactly
+    np.testing.assert_allclose(prof.results.p1[occ], 1.0,
+                               rtol=1e-6)
+    assert prof.results.counts.sum() == 2
+
+
+def test_pair_column_validation():
+    from mdhelper_tpu.analysis.orientation import (
+        NematicOrderParameter,
+        OrientationProfile,
+    )
+    from mdhelper_tpu.core.universe import Universe
+
+    pos = np.zeros((1, 4, 3))
+    pos[0, :, 2] = [0.0, 1.0, 2.0, 3.0]
+    box = np.array([10.0, 10.0, 10.0])
+    u = Universe.from_arrays(
+        pos, box, types=np.array(["A", "A", "B", "B"],
+                                 dtype=object),
+    )
+    u2 = Universe.from_arrays(
+        pos.copy(), box, types=np.array(["A", "A", "B", "B"],
+                                        dtype=object),
+    )
+    ga, gb = u.select_atoms("type A"), u.select_atoms("type B")
+    with pytest.raises(ValueError, match="same universe"):
+        OrientationProfile(ga, u2.select_atoms("type B"),
+                           verbose=False)
+    with pytest.raises(ValueError, match="same universe"):
+        NematicOrderParameter(ga, u2.select_atoms("type B"),
+                              verbose=False)
+    with pytest.raises(ValueError, match="itself"):
+        OrientationProfile(ga, ga, verbose=False)
+    with pytest.raises(ValueError, match="itself"):
+        NematicOrderParameter(gb, gb, verbose=False)
