@@ -680,11 +680,17 @@ def _kernel(
 
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
     acc = block_acc(acc, c, True)
+    # TRACED i32 bounds (folding c*14 into them) are load-bearing:
+    # static bounds make fori_loop carry a Python-int counter that
+    # canonicalizes to i64 under x64, and any narrowing use of it
+    # (the flat-table index arithmetic) recurses Mosaic's 64-bit
+    # convert lowering at trace time (chip-only; interpret mode and
+    # the CPU tests never see it).  Traced bounds take the while->
+    # fori path whose induction var is a native i32.
+    base = c * np.int32(14)
     acc = jax.lax.fori_loop(
-        1, 14,
-        lambda nb, a: block_acc(
-            a, nbr_ref[c * np.int32(14) + nb], False
-        ),
+        base + np.int32(1), base + np.int32(14),
+        lambda nb, a: block_acc(a, nbr_ref[nb], False),
         acc,
     )
 
@@ -756,14 +762,13 @@ def _kernel_tri(
 
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
     acc = block_acc(acc, c, np.int32(13), True)  # zero image
+    # traced i32 bounds: see the neighbor loop in _kernel
+    base = c * np.int32(14)
     acc = jax.lax.fori_loop(
-        1,
-        14,
+        base + np.int32(1),
+        base + np.int32(14),
         lambda nb, a: block_acc(
-            a,
-            nbr_ref[c * np.int32(14) + nb],
-            img_ref[c * np.int32(14) + nb],
-            False,
+            a, nbr_ref[nb], img_ref[nb], False
         ),
         acc,
     )
@@ -799,8 +804,8 @@ def _cross_kernel_tri(
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
 
     def nb_body(nb, acc):
-        j_cell = nbr_ref[c * np.int32(27) + nb]
-        img_k = img_ref[c * np.int32(27) + nb]
+        j_cell = nbr_ref[nb]
+        img_k = img_ref[nb]
         jp = pos2_ref[
             :, pl.ds(pl.multiple_of(j_cell * np.int32(cap2), 128), cap2)
         ]
@@ -830,7 +835,9 @@ def _cross_kernel_tri(
             n_coarse=n_coarse, n_fine=n_fine,
         )
 
-    acc = jax.lax.fori_loop(0, 27, nb_body, acc)
+    # traced i32 bounds: see the neighbor loop in _kernel
+    base = c * np.int32(27)
+    acc = jax.lax.fori_loop(base, base + np.int32(27), nb_body, acc)
 
     @pl.when(c == 0)
     def _():
@@ -1326,7 +1333,7 @@ def _cross_kernel(
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
 
     def nb_body(nb, acc):
-        j_cell = nbr_ref[c * np.int32(27) + nb]
+        j_cell = nbr_ref[nb]
         jp = pos2_ref[
             :, pl.ds(pl.multiple_of(j_cell * np.int32(cap2), 128), cap2)
         ]
@@ -1349,7 +1356,9 @@ def _cross_kernel(
             n_coarse=n_coarse, n_fine=n_fine,
         )
 
-    acc = jax.lax.fori_loop(0, 27, nb_body, acc)
+    # traced i32 bounds: see the neighbor loop in _kernel
+    base = c * np.int32(27)
+    acc = jax.lax.fori_loop(base, base + np.int32(27), nb_body, acc)
 
     @pl.when(c == 0)
     def _():
