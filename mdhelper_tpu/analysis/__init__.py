@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     contacts,
     dynamics,
     electrostatics,
+    flow,
     free_energy,
     hbonds,
     interface,
@@ -43,6 +44,7 @@ __all__ = [
     "cluster",
     "contacts",
     "dynamics",
+    "flow",
     "free_energy",
     "hbonds",
     "interface",

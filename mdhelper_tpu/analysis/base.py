@@ -608,10 +608,14 @@ class SerialAnalysisBase:
     #: atom indices to read per frame (None = all atoms); subclasses may
     #: set this in __init__/_prepare to slice reader columns on the host.
     _atom_indices: Optional[np.ndarray] = None
-    #: what the stream's coordinate payload is: "positions" (default)
-    #: or "velocities" (for VACF-style analyses; the reader must
-    #: support ``read_velocity_frames``).  The payload rides the same
-    #: chunking/padding/sharding/prefetch machinery either way.
+    #: what the stream's coordinate payload is: "positions" (default),
+    #: "velocities" (for VACF-style analyses; the reader must
+    #: support ``read_velocity_frames``), or "positions+velocities"
+    #: (both, concatenated on the last axis into ``(B, N, 6)`` chunks
+    #: — flow/temperature profiles bin positions with velocity
+    #: weights).  The payload rides the same chunking/padding/
+    #: sharding/prefetch machinery either way; ``_coord_axes`` indexes
+    #: the concatenated width (0-2 positions, 3-5 velocities).
     _payload: str = "positions"
     #: coordinate axes to stream (None = all three); analyses that only
     #: consume a subset (e.g. a z-axis density profile) set this in
@@ -636,6 +640,37 @@ class SerialAnalysisBase:
             if jax.default_backend() == "tpu"
             else np.float64
         )
+
+    def _payload_width(self) -> int:
+        """Width of the streamed last axis before ``_coord_axes``
+        slicing: 3 for a single payload, 6 for the concatenated
+        positions+velocities stream."""
+
+        return 6 if self._payload == "positions+velocities" else 3
+
+    def _read_payload(self, block) -> tuple:
+        """Read one frame block's payload + box dimensions from the
+        trajectory reader according to ``_payload``."""
+
+        if self._payload == "velocities":
+            # box-only + velocity reads: decoding the (discarded)
+            # positions would double the reader work
+            return (
+                self._trajectory.read_velocity_frames(block),
+                self._trajectory.read_dimension_frames(block),
+            )
+        if self._payload == "positions+velocities":
+            # the combined reader entry decodes each frame once
+            # (read_frames + read_velocity_frames would decode TRR
+            # frames twice)
+            positions, velocities, dimensions = (
+                self._trajectory.read_frames_with_velocities(block)
+            )
+            return (
+                np.concatenate([positions, velocities], axis=-1),
+                dimensions,
+            )
+        return self._trajectory.read_frames(block)
 
     def _effective_atom_indices(self) -> Optional[np.ndarray]:
         """``_atom_indices``, with the identity selection (every atom,
@@ -699,7 +734,7 @@ class SerialAnalysisBase:
             else self._trajectory.n_atoms
         )
         itemsize = self._stream_dtype().itemsize
-        per_frame = max(n_atoms * 3 * itemsize, 1)
+        per_frame = max(n_atoms * self._payload_width() * itemsize, 1)
         chunk = int(max(1, self._chunk_bytes // per_frame))
         frame_multiple = n_shards if shard_axis == "frames" else 1
         chunk = max(frame_multiple, chunk - chunk % frame_multiple)
@@ -724,19 +759,7 @@ class SerialAnalysisBase:
                     mask_sharding,
                 )
                 continue
-            if self._payload == "velocities":
-                # box-only + velocity reads: decoding the (discarded)
-                # positions would double the reader work
-                positions = self._trajectory.read_velocity_frames(
-                    block
-                )
-                dimensions = self._trajectory.read_dimension_frames(
-                    block
-                )
-            else:
-                positions, dimensions = self._trajectory.read_frames(
-                    block
-                )
+            positions, dimensions = self._read_payload(block)
             host_positions, host_dimensions = positions, dimensions
             if self._host_pipeline:
                 # Host-pipeline analyses consume the raw chunk as-is;
@@ -798,17 +821,7 @@ class SerialAnalysisBase:
         )
         per_proc = hi - lo
         if len(local_idx):
-            if self._payload == "velocities":
-                positions = self._trajectory.read_velocity_frames(
-                    local_idx
-                )
-                dimensions = self._trajectory.read_dimension_frames(
-                    local_idx
-                )
-            else:
-                positions, dimensions = self._trajectory.read_frames(
-                    local_idx
-                )
+            positions, dimensions = self._read_payload(local_idx)
             if atom_indices is not None:
                 positions = positions[:, atom_indices]
             if self._coord_axes is not None:
@@ -826,7 +839,9 @@ class SerialAnalysisBase:
         else:
             # This host's whole block is padding (masked out).
             width = (
-                3 if self._coord_axes is None else len(self._coord_axes)
+                self._payload_width()
+                if self._coord_axes is None
+                else len(self._coord_axes)
             )
             positions = np.zeros(
                 (per_proc, n_atoms, width), dtype=self._stream_dtype()

@@ -164,6 +164,30 @@ class TrajectoryReader:
             velocities[out] = self._read_velocities(int(index))
         return velocities
 
+    def read_frames_with_velocities(
+        self, indices: Sequence[int]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched combined read for the dual
+        positions+velocities payload: ``(positions (F, N, 3),
+        velocities (F, N, 3), dimensions (F, 6))``.  The per-frame
+        loop interleaves the position/velocity/box reads so
+        one-frame-cache readers (TRR, NetCDF) decode each frame
+        exactly once instead of once per field."""
+
+        indices = np.asarray(indices, dtype=int)
+        n = len(indices)
+        positions = np.empty(
+            (n, self._n_atoms, 3), dtype=np.float64
+        )
+        velocities = np.empty_like(positions)
+        dimensions = np.empty((n, 6), dtype=np.float64)
+        for out, index in enumerate(indices):
+            i = int(index)
+            positions[out] = self._read_positions(i)
+            velocities[out] = self._read_velocities(i)
+            dimensions[out] = self._read_dimensions(i)
+        return positions, velocities, dimensions
+
     def read_dimension_frames(
         self, indices: Sequence[int]
     ) -> np.ndarray:
@@ -297,6 +321,12 @@ class ArrayReader(TrajectoryReader):
 
     def read_dimension_frames(self, indices):
         return self._dimensions[np.asarray(indices, dtype=int)]
+
+    def read_frames_with_velocities(self, indices):
+        positions, dimensions = self.read_frames(indices)
+        return (
+            positions, self.read_velocity_frames(indices), dimensions
+        )
 
     def _read_forces(self, index: int) -> np.ndarray:
         if self._forces is None:

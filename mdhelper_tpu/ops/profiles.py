@@ -442,13 +442,21 @@ def axis_histogram_batch(coords, mask, edges, weights=None):
     n_bins = edges.shape[0] - 1
     idx, in_range = _bin_indices(coords, edges, n_bins)
     idx = idx.reshape(-1)
-    w = in_range.astype(jnp.float32) * mask[:, None].astype(
-        jnp.float32
+    # accumulate in the coords dtype: float32 on the TPU stream (f64
+    # is emulated there), full float64 when the caller binned f64
+    # coordinates (the CPU / oracle path) — small-difference
+    # observables (drift-removed temperatures) keep every bit the
+    # platform offers
+    acc = (
+        coords.dtype
+        if jnp.issubdtype(coords.dtype, jnp.floating)
+        else jnp.float32
     )
+    w = in_range.astype(acc) * mask[:, None].astype(acc)
     weighted = weights is not None
     if weighted:
         w = w * jnp.broadcast_to(
-            weights.astype(jnp.float32), coords.shape
+            weights.astype(acc), coords.shape
         )
     weights = w.reshape(-1)
 
@@ -460,12 +468,10 @@ def axis_histogram_batch(coords, mask, edges, weights=None):
     fine_iota = jax.lax.broadcasted_iota(
         jnp.int32, (idx.shape[0], n_fine), 1
     )
-    coarse = (idx[:, None] // n_fine == coarse_iota).astype(
-        jnp.float32
-    )
+    coarse = (idx[:, None] // n_fine == coarse_iota).astype(acc)
     fine = (
         idx[:, None] % n_fine == fine_iota
-    ).astype(jnp.float32) * weights[:, None]
+    ).astype(acc) * weights[:, None]
     # HIGHEST only when `fine` carries real-valued weights (charges):
     # the default bf16 MXU pass would round them (~4e-3 relative);
     # 0/1 one-hots are bf16-exact and accumulate in f32 regardless.
@@ -477,7 +483,7 @@ def axis_histogram_batch(coords, mask, edges, weights=None):
             if weighted
             else jax.lax.Precision.DEFAULT
         ),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return counts2d.reshape(-1)[:n_bins].astype(dtype)

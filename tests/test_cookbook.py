@@ -506,9 +506,30 @@ def test_cookbook_density_map_3d_and_guinier():
         [u.select_atoms("type A")], n_bins=8, verbose=False
     ).run()
     assert sdf.results.number_densities.shape == (1, 8, 8, 8)
+
+    # The Guinier fit needs real chain structure (the shared
+    # uniform-gas fixture has no S(q) decay for some rng states):
+    # compact Gaussian blobs from an order-independent local rng.
+    local = np.random.default_rng(7)
+    n_chains, n_monomers = 8, 6
+    centers = local.uniform(2, 8, (N_FRAMES, n_chains, 1, 3))
+    offsets = local.normal(
+        0.0, 0.6, (N_FRAMES, n_chains, n_monomers, 3)
+    )
+    chain_pos = (centers + offsets).reshape(
+        N_FRAMES, n_chains * n_monomers, 3
+    ) % BOX
+    u_chains = Universe.from_arrays(
+        chain_pos,
+        np.array([BOX] * 3),
+        types=np.array(
+            ["A"] * (n_chains * n_monomers), dtype=object
+        ),
+        dt=0.5,
+    )
     scsf = SingleChainStructureFactor(
-        u.atoms, n_chains=8, n_monomers=6, n_points=4,
-        verbose=False,
+        u_chains.atoms, n_chains=n_chains, n_monomers=n_monomers,
+        n_points=4, verbose=False,
     ).run()
     rg = scsf.calculate_guinier_radius()
     assert rg > 0
