@@ -535,6 +535,27 @@ def test_cookbook_density_map_3d_and_guinier():
     assert rg > 0
 
 
+def test_cookbook_flow_profile():
+    from mdhelper_tpu.analysis.flow import FlowProfile
+
+    local = np.random.default_rng(11)
+    pos = local.uniform(0, BOX, (N_FRAMES, N, 3))
+    vel = local.standard_normal((N_FRAMES, N, 3))
+    u = Universe.from_arrays(
+        pos, np.array([BOX] * 3),
+        types=np.array(["A", "B"] * (N // 2), dtype=object),
+        masses=np.tile([22.99, 35.45], N // 2),
+        velocities=vel, dt=0.5,
+    )
+    prof = FlowProfile(
+        u.atoms, axis="z", n_bins=10, verbose=False
+    ).run()
+    assert prof.results.velocity.shape == (10, 3)
+    occupied = prof.results.counts > 3
+    assert np.all(prof.results.temperature[occupied] > 0)
+    assert np.all(prof.results.mass_density >= 0)
+
+
 def test_cookbook_orientation_profile():
     from mdhelper_tpu.analysis.orientation import OrientationProfile
 
