@@ -322,3 +322,56 @@ class FlowProfile(DynamicAnalysisBase):
             self.results.temperature = np.where(
                 dof > 0, kinetic / (dof * k_B), np.nan
             )
+
+    def calculate_shear_rate(
+        self, component: str = "x", *, window=None
+    ) -> float:
+        r"""Fit the shear rate :math:`\dot\gamma = \partial
+        u_\alpha / \partial z` from the streaming-velocity profile
+        (weighted linear least squares over the occupied bins; the
+        NEMD viscosity workflow's numerator is the imposed momentum
+        flux, its denominator this slope).
+
+        Parameters
+        ----------
+        component : `str`, default :code:`"x"`
+            Velocity component whose gradient along the profiled
+            axis is fitted.
+        window : slice or array-like, keyword-only, optional
+            Bin subset to fit (e.g. ``slice(10, 50)`` to exclude
+            wall layers in a confined geometry).  Default: every
+            occupied bin.
+
+        Returns
+        -------
+        shear_rate : `float`
+            :math:`\dot\gamma` in ps⁻¹ (stored with units in
+            ``results.units`` unless reduced).
+        """
+
+        if component not in ("x", "y", "z"):
+            raise ValueError("component must be 'x', 'y' or 'z'.")
+        if getattr(self.results, "velocity", None) is None:
+            raise RuntimeError("Call run() first.")
+        comp = "xyz".index(component)
+        bins = self.results.bins
+        u = self.results.velocity[:, comp]
+        counts = self.results.counts
+        if window is not None:
+            bins = bins[window]
+            u = u[window]
+            counts = counts[window]
+        ok = np.isfinite(u) & (counts > 0)
+        if ok.sum() < 2:
+            raise ValueError(
+                "Fewer than two occupied bins in the fit window."
+            )
+        # per-bin sample counts weight the fit (sparse bins carry
+        # noisier velocity means)
+        slope = np.polyfit(bins[ok], u[ok], 1, w=np.sqrt(counts[ok]))[0]
+        self.results.shear_rate = float(slope)
+        if not self._reduced:
+            self.results.units["results.shear_rate"] = (
+                ureg.picosecond**-1
+            )
+        return self.results.shear_rate

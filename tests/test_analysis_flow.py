@@ -342,6 +342,36 @@ def test_flow_run_together():
         ])
 
 
+def test_flow_shear_rate_fit():
+    """A linear imposed velocity profile fits back to its slope."""
+
+    T, n, n_bins = 6, 400, 10
+    gamma = 0.35
+    pos = rng.uniform(0.0, 10.0, (T, n, 3))
+    vel = rng.standard_normal((T, n, 3)) * 0.05
+    vel[..., 0] += gamma * (pos[..., 2] - 5.0)
+    masses = np.ones(n)
+    u = _universe(pos, vel, masses=masses)
+    prof = FlowProfile(u.atoms, "z", n_bins, verbose=False).run()
+    rate = prof.calculate_shear_rate("x")
+    # binning flattens the gradient within each bin; the fitted
+    # slope recovers the imposed one to a few percent at this noise
+    np.testing.assert_allclose(rate, gamma, rtol=0.05)
+    assert prof.results.shear_rate == rate
+    assert (
+        str(prof.results.units["results.shear_rate"])
+        in ("1 / picosecond", "picosecond ** -1", "1/picosecond")
+    )
+    with pytest.raises(ValueError, match="component"):
+        prof.calculate_shear_rate("w")
+    with pytest.raises(ValueError, match="occupied"):
+        prof.calculate_shear_rate("x", window=slice(0, 1))
+
+    fresh = FlowProfile(u.atoms, "z", n_bins, verbose=False)
+    with pytest.raises(RuntimeError, match="run"):
+        fresh.calculate_shear_rate()
+
+
 def test_flow_validation_errors():
     T, n = 3, 8
     pos = rng.uniform(0.0, 10.0, (T, n, 3))
