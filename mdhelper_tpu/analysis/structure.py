@@ -660,17 +660,12 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if self._range[0] != 0.0:
             return False
         if self.ag2 is self.ag1 and self._groupings[0] == self._groupings[1]:
-            # Self-RDF: the kernel always removes identical-atom
-            # pairs.  exclusion=None (reference default) is served by
-            # adding the n1 self-pairs back into bin 0 (their distance
-            # is exactly 0); (e, e) tiles cover the removal; (e0, e1)
-            # with e0 != e1 would not, so that case stays on the XLA
-            # sweep.
-            if (
-                self._exclusion is not None
-                and self._exclusion[0] != self._exclusion[1]
-            ):
-                return False
+            # Self-RDF: exclusion=None (reference default) is served
+            # by adding the n1 self-pairs back into bin 0 (their
+            # distance is exactly 0); (e, e) tiles ride the symmetric
+            # half-shell mask; asymmetric (e0, e1) tiles ride the
+            # kernel's ordered-multiplicity weights (round 4).
+            pass
         else:
             # Cross-RDF: disjoint groups; (e0, e1) exclusion rides
             # the id rows of the slot tables.

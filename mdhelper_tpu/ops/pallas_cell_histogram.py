@@ -341,7 +341,9 @@ def _bin_exact_shift(ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins):
     return _exact_index_from_d2(d2, inv_dr, dr2_hi, dr2_lo, n_bins)
 
 
-def _digit_contract(idx, acc, *, chunk_rows, cap_j, n_coarse, n_fine):
+def _digit_contract(
+    idx, acc, *, chunk_rows, cap_j, n_coarse, n_fine, weights=None
+):
     """Chunked lane-major digit contraction of bin indices ``idx``
     (rows x cap_j, invalid entries already spilled to ``n_bins``) into
     the ``(n_coarse, n_fine)`` accumulator.
@@ -356,6 +358,11 @@ def _digit_contract(idx, acc, *, chunk_rows, cap_j, n_coarse, n_fine):
     f32 (the i1 mask's native layout), then convert 0/1 exactly to
     bf16 — Mosaic cannot relayout i1 masks onto the (16, 128) bf16
     tiling directly.
+
+    ``weights`` (rows x cap_j float32, small exact integers) scale
+    each pair's contribution by riding the coarse one-hot's on-value —
+    the asymmetric-exclusion ordered-pair multiplicity {0, 1, 2} costs
+    no extra contraction (the select exists either way).
     """
 
     fine_i32 = np.int32(n_fine)
@@ -369,10 +376,16 @@ def _digit_contract(idx, acc, *, chunk_rows, cap_j, n_coarse, n_fine):
     for ch in range(n_rows // chunk_rows):
         rows = idx[ch * chunk_rows:(ch + 1) * chunk_rows, :]
         flat = rows.reshape(1, chunk_rows * cap_j)
+        if weights is None:
+            on = np.float32(1)
+        else:
+            on = weights[
+                ch * chunk_rows:(ch + 1) * chunk_rows, :
+            ].reshape(1, chunk_rows * cap_j)
         coarse = jax.lax.convert_element_type(
             jnp.where(
                 flat // fine_i32 == c_iota,
-                np.float32(1), np.float32(0),
+                on, np.float32(0),
             ),
             jnp.bfloat16,
         )
@@ -397,6 +410,21 @@ _ROWS = 8
 _ROW_AID = 3
 _ROW_EX_I = 4
 _ROW_EX_J = 5
+
+
+def _asym_weights(ei, ej, jp):
+    """Ordered-pair multiplicity for asymmetric ``(e0, e1)`` exclusion
+    tiles on the half-shell sweep: for the unordered pair {a, b} the
+    ordered product counts ``[a//e0 != b//e1] + [b//e0 != a//e1]``
+    (in {0, 1, 2}) — ``ei``/``ej`` are the i-atoms' ``//e0``/``//e1``
+    id columns, ``jp`` the j-block slot table.  float32 (exact small
+    integers); rides the contraction's coarse one-hot on-value."""
+
+    jei = jp[_ROW_EX_I, :][None, :]
+    jej = jp[_ROW_EX_J, :][None, :]
+    return jnp.where(
+        ei != jej, np.float32(1), np.float32(0)
+    ) + jnp.where(jei != ej, np.float32(1), np.float32(0))
 
 
 @functools.lru_cache(maxsize=None)
@@ -626,7 +654,7 @@ def _slot_table(
 def _kernel(
     nbr_ref, occ_ref, box_ref, pos_ref, out_ref,
     *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
 ):
     """Half-shell (Newton's-third-law) sweep: neighbor 0 is the cell
     itself, masked to the strict upper slot triangle; neighbors 1-13
@@ -634,7 +662,13 @@ def _kernel(
     examined exactly ONCE (half the pair math of a full 27-cell
     sweep); the wrapper doubles the counts to restore the ordered-pair
     convention.  Valid because the self-RDF masks (identical-atom
-    drop, ``(e, e)`` tile exclusion) are symmetric."""
+    drop, ``(e, e)`` tile exclusion) are symmetric.
+
+    ``asym`` serves asymmetric ``(e0, e1)`` tiles on the same sweep:
+    each unordered pair contributes its ordered-pair multiplicity
+    ``[a//e0 != b//e1] + [b//e0 != a//e1]`` in {0, 1, 2} through the
+    contraction weights (no doubling in the wrapper; diagonal (i, i)
+    pairs are restored host-side)."""
 
     c = pl.program_id(0)
     cap = capacity
@@ -648,6 +682,7 @@ def _kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     i_valid = slot_col < i_occ  # (cap, 1)
     ei = ip[_ROW_EX_I, :][:, None]
+    ej = ip[_ROW_EX_J, :][:, None]
     upper = slot_col < lane  # (cap, cap) strict upper triangle
 
     def block_acc(acc, j_cell, self_cell):
@@ -672,10 +707,11 @@ def _kernel(
         if exclude:
             valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
         idx = jnp.where(valid, idx, bins_i32)
+        weights = _asym_weights(ei, ej, jp) if asym else None
 
         return _digit_contract(
             idx, acc, chunk_rows=chunk_rows, cap_j=cap,
-            n_coarse=n_coarse, n_fine=n_fine,
+            n_coarse=n_coarse, n_fine=n_fine, weights=weights,
         )
 
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
@@ -706,7 +742,7 @@ def _kernel(
 def _kernel_tri(
     nbr_ref, img_ref, occ_ref, shhi_ref, shlo_ref, pos_ref, out_ref,
     *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
 ):
     """Triclinic half-shell sweep: identical structure to
     :func:`_kernel`, but the minimum image is a per-BLOCK lattice
@@ -727,6 +763,7 @@ def _kernel_tri(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     i_valid = slot_col < i_occ
     ei = ip[_ROW_EX_I, :][:, None]
+    ej = ip[_ROW_EX_J, :][:, None]
     upper = slot_col < lane
 
     def block_acc(acc, j_cell, img_k, self_cell):
@@ -754,10 +791,11 @@ def _kernel_tri(
         if exclude:
             valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
         idx = jnp.where(valid, idx, bins_i32)
+        weights = _asym_weights(ei, ej, jp) if asym else None
 
         return _digit_contract(
             idx, acc, chunk_rows=chunk_rows, cap_j=cap,
-            n_coarse=n_coarse, n_fine=n_fine,
+            n_coarse=n_coarse, n_fine=n_fine, weights=weights,
         )
 
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
@@ -862,7 +900,7 @@ def _upper_or_all(slot_col, lane, nb, cap):
 def _kernel_stream(
     nbr_ref, occ_ref, box_ref, ipos_ref, jpos_ref, out_ref,
     *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
 ):
     """Streaming-block variant of :func:`_kernel` for slot tables too
     large to hold resident in VMEM (~16 MB/core): the grid is
@@ -902,11 +940,18 @@ def _kernel_stream(
             ip[_ROW_EX_I, :][:, None] != jp[_ROW_EX_J, :][None, :]
         )
     idx = jnp.where(valid, idx, bins_i32)
+    weights = (
+        _asym_weights(
+            ip[_ROW_EX_I, :][:, None], ip[_ROW_EX_J, :][:, None], jp
+        )
+        if asym
+        else None
+    )
 
     acc = _digit_contract(
         idx, jnp.zeros((n_coarse, n_fine), jnp.float32),
         chunk_rows=chunk_rows, cap_j=cap,
-        n_coarse=n_coarse, n_fine=n_fine,
+        n_coarse=n_coarse, n_fine=n_fine, weights=weights,
     )
     first = (c == 0) & (nb == 0)
 
@@ -923,7 +968,7 @@ def _kernel_tri_stream(
     nbr_ref, img_ref, occ_ref, shhi_ref, shlo_ref,
     ipos_ref, jpos_ref, out_ref,
     *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
 ):
     """Triclinic streaming-block variant (see :func:`_kernel_stream`
     and :func:`_kernel_tri`): the per-block lattice image comes from
@@ -965,11 +1010,18 @@ def _kernel_tri_stream(
             ip[_ROW_EX_I, :][:, None] != jp[_ROW_EX_J, :][None, :]
         )
     idx = jnp.where(valid, idx, bins_i32)
+    weights = (
+        _asym_weights(
+            ip[_ROW_EX_I, :][:, None], ip[_ROW_EX_J, :][:, None], jp
+        )
+        if asym
+        else None
+    )
 
     acc = _digit_contract(
         idx, jnp.zeros((n_coarse, n_fine), jnp.float32),
         chunk_rows=chunk_rows, cap_j=cap,
-        n_coarse=n_coarse, n_fine=n_fine,
+        n_coarse=n_coarse, n_fine=n_fine, weights=weights,
     )
     first = (c == 0) & (nb == 0)
 
@@ -1149,11 +1201,15 @@ def cell_pair_histogram_pallas(
     lengths — per-frame (NPT) boxes re-use one compiled kernel; when a
     frame's box shrinks below ``n_cells_dim * r_max`` (the cell sweep
     would miss pairs) the returned counts are NaN-poisoned.
-    ``exclusion=(e, e)`` drops pairs whose atom indices satisfy
-    ``i // e == j // e`` (the reference's tile exclusion,
-    ``analysis/structure.py:92-104``); identical-atom pairs are always
-    dropped.  Asymmetric ``(e0, e1)`` tiles are incompatible with the
-    half-shell sweep — use the XLA kernel for those.
+    ``exclusion=(e0, e1)`` drops ordered pairs whose atom indices
+    satisfy ``i // e0 == j // e1`` (the reference's tile exclusion,
+    ``analysis/structure.py:92-104``).  Symmetric ``(e, e)`` tiles ride
+    the half-shell mask directly (identical-atom pairs are dropped by
+    the slot triangle); asymmetric tiles weight each unordered pair by
+    its ordered multiplicity ``[i//e0 != j//e1] + [j//e0 != i//e1]``
+    in the contraction and restore the surviving diagonal ``(i, i)``
+    pairs (``i//e0 != i//e1``; distance 0 -> bin 0) host-side, exactly
+    matching the XLA full-product sweep.
 
     TRICLINIC cells: pass the ``(3, 3)`` lower-triangular box matrix
     as ``box`` (rows are the box vectors,
@@ -1183,11 +1239,7 @@ def cell_pair_histogram_pallas(
     positions = positions.astype(jnp.float32)
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
 
-    if exclusion is not None and exclusion[0] != exclusion[1]:
-        raise NotImplementedError(
-            "the half-shell self kernel requires symmetric (e, e) "
-            "exclusion tiles; use the XLA kernel for (e0, e1)."
-        )
+    asym = exclusion is not None and exclusion[0] != exclusion[1]
     _, _, half_shell, half_img = _neighbor_tables(n_cells_dim)
     ex_i, ex_j, exclude = _exclusion_ids(n, exclusion)
     if triclinic:
@@ -1221,7 +1273,8 @@ def cell_pair_histogram_pallas(
         capacity=capacity, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
         inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
-        exact=(precision == "exact"), exclude=exclude,
+        exact=(precision == "exact"),
+        exclude=exclude and not asym, asym=asym,
         chunk_rows=chunk_rows,
     )
     stream = _use_stream_blocks(_ROWS * n_cells * capacity * 4)
@@ -1302,9 +1355,21 @@ def cell_pair_histogram_pallas(
         out_shape=jax.ShapeDtypeStruct((n_rows, n_fine), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(*args)
-    # Each unordered pair was counted once; restore the ordered-pair
-    # convention of the XLA kernel / np.histogram oracle.
-    counts = counts2d[:n_coarse].reshape(-1)[:n_bins] * np.float32(2)
+    counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
+    if asym:
+        # The kernel already accumulated ordered-pair multiplicities;
+        # add back the diagonal (i, i) pairs the slot triangle drops
+        # but the tile rule keeps (i//e0 != i//e1; distance exactly 0
+        # -> bin 0), matching the XLA full-product sweep.
+        e0, e1 = (int(e) for e in exclusion)
+        ar = np.arange(n)
+        n_diag = int(np.sum(ar // e0 != ar // e1))
+        if n_diag:
+            counts = counts.at[0].add(np.float32(n_diag))
+    else:
+        # Each unordered pair was counted once; restore the
+        # ordered-pair convention of the XLA kernel / oracle.
+        counts = counts * np.float32(2)
     counts = jnp.where(sweep_ok, counts, jnp.float32(np.nan))
     return counts, max_occupancy
 

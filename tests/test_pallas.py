@@ -158,6 +158,48 @@ def test_pallas_cell_histogram_molecule_exclusion():
     np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
 
 
+@pytest.mark.parametrize("exclusion", [(2, 3), (3, 2), (1, 4)])
+@pytest.mark.parametrize("precision", ["fast", "exact"])
+def test_pallas_cell_histogram_asymmetric_exclusion(
+    precision, exclusion
+):
+    """Asymmetric (e0, e1) tiles on the SELF kernel: each unordered
+    pair contributes its ordered multiplicity
+    ``[i//e0 != j//e1] + [j//e0 != i//e1]`` and surviving diagonal
+    (i, i) pairs land in bin 0 — exactly the XLA full-product sweep /
+    reference ``analysis/structure.py:100-102`` semantics."""
+
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cell_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    n, box, r_max, n_bins = 900, 16.0, 3.5, 96
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+    plan = pallas_cell_plan(n, [box] * 3, r_max)
+    counts, occ = cell_pair_histogram_pallas(
+        jnp.asarray(pos), box=(box,) * 3, r_max=r_max,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity=plan["capacity"], n_bins=n_bins,
+        precision=precision, exclusion=exclusion,
+    )
+    assert int(occ) <= plan["capacity"]
+    p64 = pos.astype(np.float64)
+    d = p64[:, None] - p64[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    e0, e1 = exclusion
+    i = np.arange(n)
+    dist[(i[:, None] // e0) == (i[None, :] // e1)] = np.inf
+    oracle = np.histogram(dist, bins=n_bins, range=(0.0, r_max))[0]
+    if precision == "exact":
+        np.testing.assert_array_equal(
+            np.asarray(counts).astype(int), oracle
+        )
+    else:
+        _assert_histogram_close(np.asarray(counts), oracle)
+
+
 def test_pallas_cell_histogram_per_frame_boxes():
     """One compiled kernel serves per-frame (NPT) boxes; a box below
     the planned cell grid NaN-poisons instead of silently missing
@@ -669,6 +711,7 @@ def test_streaming_block_kernels_match_resident(monkeypatch, triclinic):
         dict(precision="exact"),
         dict(precision="fast"),
         dict(precision="exact", exclusion=(2, 2)),
+        dict(precision="exact", exclusion=(2, 3)),
     ]
     for kw in cases:
         monkeypatch.delenv("MDTPU_PALLAS_STREAM", raising=False)
