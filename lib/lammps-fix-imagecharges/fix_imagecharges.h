@@ -11,6 +11,18 @@
    optionally restricts which atoms are imaged, and `scale` scales the
    image charge magnitude (q_image = -scale * q).
 
+   Every one of px/py/pz/nx/ny/nz/scale also accepts an equal- or
+   atom-style variable as `v_name` (grammar parity with the reference
+   constructor, /root/reference/lib/lammps-fix-imagecharges/
+   fix_imagecharges.cpp:37-76 and styles enum :18-23).  Equal-style
+   variables re-evaluate every timestep (moving/oscillating electrode
+   planes); atom-style variables evaluate per atom per timestep
+   (spatially varying mirror parameters).  Note the reference parses
+   this grammar but executes only the CONSTANT branches
+   (`setup_pre_force`/`post_force` there gate on
+   `varflag == CONSTANT`); here the variable styles are evaluated for
+   real on every code path.
+
    Public API parity:
    /root/reference/lib/lammps-fix-imagecharges/fix_imagecharges.h.
 ------------------------------------------------------------------------- */
@@ -50,21 +62,38 @@ class FixImageCharges : public Fix {
     int unpack_exchange(int, double *) override;
 
  protected:
-    double pxvalue, pyvalue, pzvalue;  // point on the mirror plane
-    double nxvalue, nyvalue, nzvalue;  // plane normal
-    int itype;                         // image particle type
-    double scale;                      // image charge scale factor
+    // One mirror parameter: a constant, an equal-style variable
+    // (re-evaluated each step) or an atom-style variable (evaluated
+    // per atom each step into `atomBuf`).
+    struct Param {
+        double value = 0.0;    // constant / last equal-style value
+        char *str = nullptr;   // variable name (nullptr = constant)
+        int var = -1;          // variable index (resolved in init)
+        int style = 0;         // CONSTANT / EQUAL / ATOM
+        double *atomBuf = nullptr;  // per-atom values (ATOM style)
+        int maxatom = 0;            // atomBuf capacity
+    };
+
+    Param px, py, pz;  // point on the mirror plane
+    Param nx, ny, nz;  // plane normal
+    Param scaleParam;  // image charge scale factor
+    int itype;         // image particle type
 
     char *idregion;
     class Region *region;
 
     int *imagei;   // per-atom index of the image partner (-1: is one)
     double *imageid;
-    int exclusionAtom;
 
     int varflag;
     int nmax;
     int seenCount, addedCount;
+
+    void parseParam(Param &param, const char *arg, const char *name);
+    void initParam(Param &param, const char *name);
+    void evaluateParams();
+    void paramAt(int i, double p[3], double n[3], double *scale) const;
+    static void freeParam(Param &param, class Memory *memory);
 };
 
 }  // namespace LAMMPS_NS
