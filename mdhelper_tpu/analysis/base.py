@@ -621,6 +621,15 @@ class SerialAnalysisBase:
     #: consume a subset (e.g. a z-axis density profile) set this in
     #: _prepare to cut the host->HBM transfer proportionally.
     _coord_axes = None
+    #: optional host-side chunk transform ``f(positions, block) ->
+    #: positions`` applied to the raw ``(B, N, width)`` payload right
+    #: after reading (before atom/axis slicing and upload); ``block``
+    #: holds the chunk's global frame indices.  Used for precomputed
+    #: per-frame corrections (e.g. DensityProfile's parallel
+    #: recentering shifts) that keep the device update
+    #: order-independent.  Device-stream paths only (host-pipeline
+    #: analyses consume raw chunks).
+    _host_transform = None
     #: HBM budget per coordinate chunk.  With the depth-1 prefetch
     #: two chunks are resident at once (n computing, n+1 uploaded),
     #: so this is half the effective coordinate budget.
@@ -760,6 +769,8 @@ class SerialAnalysisBase:
                 )
                 continue
             positions, dimensions = self._read_payload(block)
+            if self._host_transform is not None:
+                positions = self._host_transform(positions, block)
             host_positions, host_dimensions = positions, dimensions
             if self._host_pipeline:
                 # Host-pipeline analyses consume the raw chunk as-is;
@@ -822,6 +833,8 @@ class SerialAnalysisBase:
         per_proc = hi - lo
         if len(local_idx):
             positions, dimensions = self._read_payload(local_idx)
+            if self._host_transform is not None:
+                positions = self._host_transform(positions, local_idx)
             if atom_indices is not None:
                 positions = positions[:, atom_indices]
             if self._coord_axes is not None:

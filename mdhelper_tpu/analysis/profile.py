@@ -239,9 +239,11 @@ class DensityProfile(DynamicAnalysisBase):
     reduced : `bool`, keyword-only, default False
         Reduced (LJ) units.
     parallel : `bool`, keyword-only, default False
-        Shard frame batches over the device mesh (no recentering
-        sequencing constraint: the unwrap scan forces single-device
-        order when ``recenter`` is set).
+        Shard frame batches over the device mesh.  Works with
+        ``recenter``: a host pre-pass over the recenter group
+        precomputes every frame's COM shift (reference parallel
+        precompute, ``profile.py:703-739``), so the sharded update
+        stays order-independent.
     """
 
     def __init__(
@@ -364,7 +366,11 @@ class DensityProfile(DynamicAnalysisBase):
                     "Invalid group index passed to 'recenter'."
                 )
             self._recenter = (int(recenter_group), recenter_position)
-            self._sequential = True
+            # Serial runs unwrap in-scan (order-dependent); parallel
+            # runs precompute the per-frame recentering shifts up
+            # front (reference ``profile.py:703-739``), so the device
+            # update stays order-independent and frame-shardable.
+            self._sequential = not parallel
 
         # Entity bookkeeping.
         self._atom_indices = np.concatenate(
@@ -436,7 +442,33 @@ class DensityProfile(DynamicAnalysisBase):
         # fewer bytes host->HBM — the dominant cost at 100k atoms).
         # Recentering keeps all three (the unwrap scan and the COM
         # shift are 3-D).
-        if self._recenter is None:
+        # Parallel recentering: per-frame COM shifts are precomputed
+        # host-side from the recenter group's own unwrap (reference
+        # precompute, ``profile.py:703-739``) and subtracted from each
+        # chunk before upload (``_host_transform``), so the device
+        # update is the order-independent wrap + histogram path.  The
+        # all-entity unwrap of the serial scan is unnecessary here:
+        # ``wrap(x + k * box) == wrap(x)``, so only the shift survives
+        # the final wrap.
+        self._rec_precomputed = (
+            self._recenter is not None
+            and getattr(self, "_parallel", False)
+        )
+        if self._rec_precomputed:
+            shifts = self._precompute_recenter_shifts()
+            lookup = np.zeros(
+                (self.universe.trajectory.n_frames, 3)
+            )
+            lookup[self.frames] = shifts
+
+            def shift_chunk(positions, block):
+                return positions - lookup[block][:, None, :]
+
+            self._host_transform = shift_chunk
+        no_recenter_update = (
+            self._recenter is None or self._rec_precomputed
+        )
+        if no_recenter_update:
             self._coord_axes = sorted(set(axes))
             column_of = {a: i for i, a in enumerate(self._coord_axes)}
             box = box[jnp.asarray(self._coord_axes)]
@@ -453,7 +485,7 @@ class DensityProfile(DynamicAnalysisBase):
         ns = self._Ns
         entity_slices = self._entity_slices
         average = self._average
-        recenter = self._recenter
+        recenter = None if self._rec_precomputed else self._recenter
         if recenter is not None:
             rec_slice = entity_slices[recenter[0]]
             rec_masses = jnp.asarray(
@@ -590,6 +622,75 @@ class DensityProfile(DynamicAnalysisBase):
             ]
             self._store_offset = 0
 
+    def _precompute_recenter_shifts(self) -> np.ndarray:
+        """Host pre-pass for parallel recentering: stream ONLY the
+        recenter group's positions over the analyzed frames (float64),
+        run the same image-flag unwrap the serial scan uses, and
+        return the per-frame COM shifts ``(n_frames, 3)``.
+
+        Mirrors the reference's parallel precompute
+        (``/root/reference/src/mdhelper/analysis/profile.py:703-739``)
+        but stores three numbers per frame instead of every unwrapped
+        coordinate: after the final wrap, whole-box unwrap offsets of
+        the profiled atoms cancel, so the shift is the only sequential
+        quantity."""
+
+        gi, target = self._recenter
+        group = self._groups[gi]
+        grouping = self._groupings[gi]
+        box = np.asarray(self._dimensions, dtype=np.float64)
+        target = np.asarray(target, dtype=np.float64)
+        traj = self.universe.trajectory
+        seg, n_entities = _group_segment_ids(group, grouping)
+        masses = np.asarray(group.masses, dtype=np.float64)
+        ent_masses = np.asarray(
+            _entity_masses(group, grouping), dtype=np.float64
+        )
+
+        def entities_of(pos_block):
+            if grouping == "atoms":
+                return pos_block
+            n_frames = len(pos_block)
+            com = np.zeros((n_frames, n_entities, 3))
+            np.add.at(
+                com,
+                (np.arange(n_frames)[:, None], seg[None, :]),
+                masses[None, :, None] * pos_block,
+            )
+            com /= np.bincount(
+                seg, weights=masses, minlength=n_entities
+            )[None, :, None]
+            return com
+
+        shifts = np.empty((self.n_frames, 3))
+        prev = images = None
+        per_frame = max(group.n_atoms * 3 * 8, 1)
+        chunk = int(max(1, self._chunk_bytes // per_frame))
+        for lo in range(0, self.n_frames, chunk):
+            block = self.frames[lo:lo + chunk]
+            positions, _ = traj.read_frames(block)
+            ent = entities_of(
+                positions[:, group.ix].astype(np.float64)
+            )
+            for b in range(len(block)):
+                e = ent[b]
+                if prev is None:
+                    prev = e.copy()
+                    images = np.zeros_like(e)
+                delta = e - prev
+                images -= np.where(
+                    np.abs(delta) >= box / 2, np.sign(delta), 0.0
+                )
+                prev = e
+                unwrapped = e + images * box
+                com = (ent_masses[:, None] * unwrapped).sum(
+                    axis=0
+                ) / ent_masses.sum()
+                shifts[lo + b] = np.where(
+                    np.isnan(com), 0.0, com - target
+                )
+        return shifts
+
     def _prepare_host(self) -> None:
         dims = self._dimensions
         axes = [int(a) for a in self._axes]
@@ -724,7 +825,10 @@ class DensityProfile(DynamicAnalysisBase):
 
     def _conclude(self) -> None:
         if self._average:
-            if self._host_pipeline or self._recenter is not None:
+            if self._host_pipeline or (
+                self._recenter is not None
+                and not getattr(self, "_rec_precomputed", False)
+            ):
                 counts = self._counts
             else:
                 counts = [np.asarray(c) for c in self._carry]

@@ -113,6 +113,54 @@ def test_density_profile_recenter():
     assert np.allclose(dp.results.number_densities[0][0], ref)
 
 
+def test_density_profile_recenter_serial_parallel_equal():
+    """parallel=True + recenter: the host pre-pass precomputes the
+    per-frame COM shifts (reference ``profile.py:703-739``), so the
+    frame-sharded run matches the serial unwrap scan — including
+    boundary crossings of the recenter group."""
+
+    n = 24
+    base = rng.random((1, n, 3)) * 4 + 1
+    # Drift far enough along z to wrap several times.
+    drift = (
+        np.linspace(0, 3.5 * DIMS[2], T)[:, None, None]
+        * np.array([0, 0, 1.0])
+    )
+    traj = (base + drift) % DIMS
+    u = Universe.from_arrays(traj, DIMS, dt=1.0)
+    serial = profile.DensityProfile(
+        u.atoms, axes="z", n_bins=23, recenter=0, verbose=False,
+        parallel=False,
+    ).run()
+    u2 = Universe.from_arrays(traj, DIMS, dt=1.0)
+    par = profile.DensityProfile(
+        u2.atoms, axes="z", n_bins=23, recenter=0, verbose=False,
+        parallel=True,
+    ).run()
+    assert np.allclose(
+        serial.results.number_densities[0],
+        par.results.number_densities[0],
+    )
+    # And both match the manual unwrap/shift/wrap pipeline.
+    counts = np.zeros(23)
+    prev = traj[0].copy()
+    images = np.zeros_like(prev)
+    for pos in traj:
+        delta = pos - prev
+        images -= np.where(
+            np.abs(delta) >= DIMS / 2, np.sign(delta), 0.0
+        )
+        prev = pos.copy()
+        unwrapped = pos + images * DIMS
+        com = unwrapped.mean(axis=0)
+        shifted = unwrapped - (com - DIMS / 2)
+        shifted -= np.floor(shifted / DIMS) * DIMS
+        counts += np.histogram(shifted[:, 2], 23, (0, DIMS[2]))[0]
+    ref = counts * 23 / (DIMS.prod() * T)
+    assert np.allclose(serial.results.number_densities[0][0], ref)
+    assert np.allclose(par.results.number_densities[0][0], ref)
+
+
 def test_potential_profile_integral_analytic():
     """Sinusoidal charge density has an analytic potential."""
 
