@@ -16,6 +16,7 @@ statement separator (``pair.py:1020``) — an expression-syntax bug we do
 not replicate.
 """
 
+import re
 from typing import Optional, Sequence, Union
 
 import numpy as np
@@ -105,6 +106,15 @@ def gauss_energy(
         mix = "alpha12=sqrt(alpha1*alpha2);beta12=sqrt(beta1*beta2);"
         per_params = ["alpha", "beta"]
     elif "core" in mix:
+        # The amplitude A must come from somewhere: a definition in
+        # the user's own mixing statements or a registered global.
+        # (Checked against the PRE-substitution string: the expansion
+        # itself contains "A*", which would blind a post-hoc check.)
+        if (
+            re.search(r"\bA\s*=", mix) is None
+            and "A" not in known_globals
+        ):
+            raise ValueError("Global parameter 'A' not specified.")
         mix = mix.replace(
             "core",
             f"alpha12=A*(beta12/{np.pi})^(3/2);"
@@ -112,8 +122,6 @@ def gauss_energy(
         )
         if not mix.endswith(";"):
             mix += ";"
-        if "A" not in mix and "A" not in known_globals:
-            raise ValueError("Global parameter 'A' not specified.")
         per_params = list(per_params or []) + ["sigma"]
     return f"{prefix}{root}{suffix}{mix}", list(per_params or [])
 
