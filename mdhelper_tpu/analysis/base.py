@@ -304,6 +304,19 @@ class SerialAnalysisBase:
 
         import os
 
+        if jax.process_count() > 1:
+            # Multi-host: frame-sharded extras span other hosts'
+            # devices, so the per-class np.asarray fetches in
+            # _store_chunk would fail; re-assemble the global arrays
+            # on every host up front (tiled allgather over DCN).
+            from ..parallel.mesh import fetch_global
+
+            extras = jax.tree_util.tree_map(
+                lambda leaf: fetch_global(leaf)
+                if isinstance(leaf, jax.Array)
+                else leaf,
+                extras,
+            )
         knob = os.environ.get("MDTPU_SYNC_STORE")
         sync = (
             knob not in (None, "", "0")
@@ -749,11 +762,6 @@ class SerialAnalysisBase:
         chunk = max(frame_multiple, chunk - chunk % frame_multiple)
 
         multihost = jax.process_count() > 1
-        if multihost and shard_axis != "frames":
-            raise NotImplementedError(
-                "Multi-host execution currently supports frame "
-                "sharding only (shard='frames')."
-            )
         if multihost and self._sequential:
             raise NotImplementedError(
                 "Order-dependent analyses (ISF ring buffers, unwrap "
@@ -762,10 +770,22 @@ class SerialAnalysisBase:
 
         for lo in range(0, self.n_frames, chunk):
             block = self.frames[lo:lo + chunk]
-            if multihost:
+            if multihost and shard_axis == "frames":
                 yield self._multihost_batch(
                     block, n_shards, data_sharding, box_sharding,
                     mask_sharding,
+                )
+                continue
+            if multihost:
+                # Non-frame shardings (q tensor sharding's replicated
+                # chunks, the atoms ppermute ring): every host reads
+                # the FULL chunk — the trajectory source must be
+                # host-identical — and each addressable shard is cut
+                # from it by global index, so any sharding layout
+                # works without per-process offset bookkeeping.
+                yield self._multihost_replicated_batch(
+                    block, n_shards, shard_axis, data_sharding,
+                    box_sharding, mask_sharding,
                 )
                 continue
             positions, dimensions = self._read_payload(block)
@@ -872,6 +892,50 @@ class SerialAnalysisBase:
                 mask_sharding, mask_global[lo:hi], (padded,)
             ),
             block,
+        )
+
+    def _multihost_replicated_batch(
+        self, block, n_shards, shard_axis, data_sharding,
+        box_sharding, mask_sharding,
+    ) -> _Batch:
+        """Assemble one chunk in a multi-host job for the non-frame
+        sharding layouts: every host reads the whole chunk (identical
+        trajectory source per host) and ``make_array_from_callback``
+        slices each addressable device's shard out of it — replicated
+        payloads (``shard='q'``) and atom-sharded ring payloads alike.
+        """
+
+        positions, dimensions = self._read_payload(block)
+        if self._host_transform is not None:
+            positions = self._host_transform(positions, block)
+        atom_indices = self._effective_atom_indices()
+        if atom_indices is not None:
+            positions = positions[:, atom_indices]
+        if self._coord_axes is not None:
+            positions = positions[:, :, self._coord_axes]
+        positions = positions.astype(
+            self._stream_dtype(), copy=False
+        )
+        mask = np.ones(len(block), dtype=np.float64)
+        if shard_axis == "atoms":
+            from ..parallel.mesh import pad_to_multiple
+
+            positions, _ = pad_to_multiple(
+                positions, n_shards, axis=1
+            )
+
+        def from_full(full, sharding):
+            return jax.make_array_from_callback(
+                full.shape, sharding, lambda idx: full[idx]
+            )
+
+        return _Batch(
+            from_full(positions, data_sharding),
+            from_full(np.asarray(dimensions), box_sharding),
+            from_full(mask, mask_sharding),
+            block,
+            host_positions=positions,
+            host_dimensions=dimensions,
         )
 
     # -- driver ----------------------------------------------------------
@@ -1083,15 +1147,29 @@ class SerialAnalysisBase:
         if not leaves:
             return carry
         if sum(leaf.nbytes for leaf in leaves) <= self._sync_carry_bytes:
-            return jax.tree_util.tree_map(
-                lambda leaf: np.asarray(leaf)
-                if isinstance(leaf, jax.Array)
-                else leaf,
-                carry,
-            )
+
+            def fetch(leaf):
+                if not isinstance(leaf, jax.Array):
+                    return leaf
+                if not (
+                    leaf.is_fully_addressable
+                    or leaf.is_fully_replicated
+                ):
+                    # Multi-host shard spanning other hosts: a host
+                    # round trip would need an allgather; a barrier
+                    # sync is all the chain-break requires.
+                    jax.block_until_ready(leaf)
+                    return leaf
+                return np.asarray(leaf)
+
+            return jax.tree_util.tree_map(fetch, carry)
         # Large carry (e.g. an ISF incoherent ring buffer): fetch one
         # small leaf to synchronize without paying the full transfer.
-        np.asarray(min(leaves, key=lambda leaf: leaf.size))
+        small = min(leaves, key=lambda leaf: leaf.size)
+        if small.is_fully_addressable or small.is_fully_replicated:
+            np.asarray(small)
+        else:
+            jax.block_until_ready(small)
         return carry
 
     # -- persistence -------------------------------------------------------

@@ -1597,11 +1597,16 @@ class StructureFactor(NumbaAnalysisBase):
                 jnp.asarray(wavevectors),
                 NamedSharding(self._mesh, P("q", None)),
             )
+            # The q-tile table rides the CARRY (returned unchanged by
+            # the update) rather than being closed over: a closed-over
+            # global array is illegal in multi-host jit ("Closing over
+            # jax.Array that spans non-addressable devices").
             self._carry = {
                 "ssf": jax.device_put(
                     jnp.zeros((n_pairs, n_q + pad), jnp.float64),
                     NamedSharding(self._mesh, P(None, "q")),
-                )
+                ),
+                "qs": qs,
             }
         else:
             self._carry = {
@@ -1614,9 +1619,14 @@ class StructureFactor(NumbaAnalysisBase):
         pairs = self.results.pairs
         mode = self._mode
 
+        q_in_carry = getattr(self, "_shard", None) == "q"
+
         def update(carry, positions, dimensions, mask):
             del dimensions
-            cos, sin = self._group_trig_sums(positions, qs)  # (B, G, Nq)
+            qs_run = carry["qs"] if q_in_carry else qs
+            cos, sin = self._group_trig_sums(
+                positions, qs_run
+            )  # (B, G, Nq)
             if mode is None:
                 total_c = cos.sum(axis=1)
                 total_s = sin.sum(axis=1)
@@ -1635,12 +1645,16 @@ class StructureFactor(NumbaAnalysisBase):
             ssf = carry["ssf"] + (
                 frame_ssf * mask[:, None, None]
             ).sum(axis=0)
+            if q_in_carry:
+                return {"ssf": ssf, "qs": carry["qs"]}
             return {"ssf": ssf}
 
         self._update = jit_update(update)
 
     def _conclude(self) -> None:
-        ssf = np.asarray(self._carry["ssf"])[
+        from ..parallel.mesh import fetch_global
+
+        ssf = fetch_global(self._carry["ssf"])[
             :, : getattr(self, "_n_q_real", None)
         ] / (self.n_frames * self._N)
 

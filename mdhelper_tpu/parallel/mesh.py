@@ -21,6 +21,7 @@ __all__ = [
     "FRAME_AXIS",
     "initialize_distributed",
     "get_mesh",
+    "fetch_global",
     "frame_sharding",
     "replicated_sharding",
     "pad_to_multiple",
@@ -99,6 +100,25 @@ def process_frame_block(n_padded: int) -> tuple[int, int]:
     per_proc = n_padded // n_procs
     lo = jax.process_index() * per_proc
     return lo, lo + per_proc
+
+
+def fetch_global(array) -> np.ndarray:
+    """Fetch a (possibly multi-host global) ``jax.Array`` to host
+    numpy: plain ``np.asarray`` when every shard is process-local or
+    the array is fully replicated; otherwise a tiled
+    ``process_allgather`` re-assembles the global value on every host
+    (e.g. a q-sharded S(q) accumulator whose tiles live across DCN).
+    """
+
+    if not isinstance(array, jax.Array):
+        return np.asarray(array)
+    if array.is_fully_addressable or array.is_fully_replicated:
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(array, tiled=True)
+    )
 
 
 def frame_sharding(mesh: Mesh, batch_ndim: int = 3) -> NamedSharding:

@@ -79,6 +79,61 @@ WORKER = textwrap.dedent(
     tail = sf.results.ssf[0, sf.results.wavenumbers > 2.0]
     assert abs(tail.mean() - 1.0) < 0.35
 
+    # Padded FINAL chunk across hosts: 4-frame chunks over 11 frames
+    # leave a 3-frame tail chunk that pads to the 8-device mesh (the
+    # classic multi-host divergence case).
+    rdf_chunked = structure.RadialDistributionFunction(
+        ag, n_bins=32, range=(0.0, 4.5), exclusion=(1, 1),
+        parallel=True, verbose=False,
+    )
+    rdf_chunked._chunk_bytes = 4 * N * 3 * 8
+    rdf_chunked.run()
+    np.testing.assert_array_equal(
+        rdf_chunked.results.counts, expected
+    )
+
+    # q-sharded S(q): the wavevector axis sharded over the global
+    # mesh with replicated frame chunks, vs the frame-sharded run of
+    # the same direct sweep.
+    kwargs = dict(
+        n_points=4, method="direct", sort=False, unique=False,
+        verbose=False,
+    )
+    sfq = structure.StructureFactor(ag, shard="q", **kwargs).run()
+    sff = structure.StructureFactor(
+        ag, parallel=True, **kwargs
+    ).run()
+    np.testing.assert_allclose(
+        sfq.results.ssf, sff.results.ssf, rtol=1e-9
+    )
+
+    # Atom-sharded ppermute ring over the global mesh (replicated
+    # frame chunks, group-2 shards rotating across DCN).
+    rdf_ring = structure.RadialDistributionFunction(
+        ag, n_bins=32, range=(0.0, 4.5), exclusion=(1, 1),
+        shard="atoms", verbose=False,
+    ).run()
+    np.testing.assert_array_equal(rdf_ring.results.counts, expected)
+
+    # Store-type analysis across hosts: per-frame dipole stores from
+    # a frame-sharded stream, re-assembled in frame order (chunked so
+    # the final chunk pads).
+    from mdhelper_tpu.analysis.electrostatics import DipoleMoment
+
+    charges = rng.standard_normal(N)
+    u_q = Universe.from_arrays(
+        positions, np.array([BOX] * 3),
+        types=np.array(["A"] * N, dtype=object),
+        masses=np.ones(N), charges=charges,
+    )
+    dm = DipoleMoment(u_q.atoms, parallel=True, verbose=False)
+    dm._chunk_bytes = 4 * N * 3 * 8
+    dm.run()
+    ref_dipoles = np.einsum("a,tad->td", charges, positions)
+    np.testing.assert_allclose(
+        dm.results.dipoles[:, 0], ref_dipoles, rtol=1e-9, atol=1e-9
+    )
+
     print(f"proc {pid} OK", flush=True)
     """
 )
