@@ -641,7 +641,8 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
     def _use_pallas_cell_kernel(self) -> bool:
         """Route the hot RDF cases through the hand-tiled Pallas
-        cell-list kernel: uniform bins from 0, box at least 3 cutoffs
+        cell-list kernel: uniform bins (any ``range``; ``range[0] > 0``
+        uses the offset-grid boundary convention), box at least 3 cutoffs
         per (perpendicular-width) axis on the first frame — both
         orthorhombic and triclinic cells, the latter via per-(cell,
         neighbor) lattice-image shifts (per-frame NPT boxes are fine:
@@ -656,8 +657,6 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if _jax.default_backend() != "tpu":
             return False
         if self._drop_axis is not None:
-            return False
-        if self._range[0] != 0.0:
             return False
         if self.ag2 is self.ag1 and self._groupings[0] == self._groupings[1]:
             # Self-RDF: exclusion=None (reference default) is served
@@ -729,6 +728,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         )
 
         r_max = float(self._range[1])
+        r_min = float(self._range[0])
         cross = not (
             self.ag2 is self.ag1
             and self._groupings[0] == self._groupings[1]
@@ -739,8 +739,14 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         exclusion = self._exclusion
         # Self-RDF with no exclusion (reference default): the kernel
         # always drops identical-atom pairs, whose distance is exactly
-        # 0, so they are added back into bin 0 after the sweep.
-        self_pairs = 0 if cross or exclusion is not None else self._n1
+        # 0, so they are added back into bin 0 after the sweep —
+        # unless the range starts above 0 (then they are out of
+        # range, like the reference's lower-bound capped_distance).
+        self_pairs = (
+            0
+            if cross or exclusion is not None or r_min > 0
+            else self._n1
+        )
         kernel_exclusion = (1, 1) if exclusion is None else exclusion
 
         self._carry["max_occ"] = jnp.full((), -(2**30), jnp.int32)
@@ -795,7 +801,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                         pos.astype(jnp.float32),
                         pos_b.astype(jnp.float32),
                         box=kernel_box(dims),
-                        r_max=r_max,
+                        r_max=r_max, r_min=r_min,
                         n_cells_dim=plan["n_cells_dim"],
                         capacity1=plan["capacity"],
                         capacity2=plan["capacity2"],
@@ -811,7 +817,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                     counts, occ = cell_pair_histogram_pallas(
                         pos.astype(jnp.float32),
                         box=kernel_box(dims),
-                        r_max=r_max,
+                        r_max=r_max, r_min=r_min,
                         n_cells_dim=plan["n_cells_dim"],
                         capacity=plan["capacity"],
                         n_bins=n_bins, precision="exact",
@@ -2618,15 +2624,20 @@ class VanHoveFunction(SerialAnalysisBase):
     frames of a lag — use lag times short enough that particles do
     not diffuse half a box.
 
-    Kernel routing: on a real TPU with an orthorhombic box (>= 3
-    histogram ranges per axis) and uniform bins from 0, the distinct
-    part rides the Pallas cross cell kernel and the chunk size is
-    capped so one device execution stays ~20 s (the brute
-    :math:`O(N^2)` sweep at 100k atoms x a dense lag grid packs
-    minutes of work into one execution, which tunnel-attached
+    Kernel routing: on a real TPU with a box at least 3 histogram
+    ranges per axis (perpendicular widths for triclinic cells; any
+    uniform ``range``, incl. ``range[0] > 0`` via offset-grid
+    binning), the distinct part rides the Pallas cross cell kernel
+    and the chunk size is capped so one device execution stays ~20 s
+    (the brute :math:`O(N^2)` sweep at 100k atoms x a dense lag grid
+    packs minutes of work into one execution, which tunnel-attached
     runtimes kill; bisected in BASELINE.md round 3).
-    ``MDTPU_VANHOVE_IMPL=xla`` forces the brute sweep (triclinic
-    boxes and ``range[0] > 0`` always use it).  The two exact paths
+    ``MDTPU_VANHOVE_IMPL=xla`` forces the brute sweep (boxes under 3
+    ranges per axis also use it); when even one frame's selected-lag
+    brute sweep exceeds the budget, the lag grid splits across
+    executions of one compiled step (with a warning) — no
+    configuration packs an execution past the watchdog.  The two
+    exact paths
     implement two self-consistent float64 bin-boundary conventions
     (``np.histogram(range=...)`` vs explicit edges) that can differ
     on exact-tie pairs by ~1e-7 of the counts — adjacent-bin
@@ -2704,9 +2715,10 @@ class VanHoveFunction(SerialAnalysisBase):
     def _use_cell_kernel(self) -> bool:
         """Route the distinct-part pair sweeps through the Pallas
         cross cell kernel (same eligibility as the RDF: real TPU,
-        orthorhombic box >= 3 histogram ranges per axis, uniform bins
-        from 0).  ``MDTPU_VANHOVE_IMPL=xla`` forces the brute tiled
-        sweep."""
+        box at least 3 histogram ranges per axis — perpendicular
+        widths for triclinic cells — any uniform ``range``, incl.
+        ``range[0] > 0`` via the offset-grid binning).
+        ``MDTPU_VANHOVE_IMPL=xla`` forces the brute tiled sweep."""
 
         import os
 
@@ -2714,15 +2726,33 @@ class VanHoveFunction(SerialAnalysisBase):
             return False
         if jax.default_backend() != "tpu":
             return False
-        if not self._distinct_part or self._triclinic:
-            return False
-        if self._range[0] != 0.0:
+        if not self._distinct_part:
             return False
         dims = self.universe.dimensions
         if dims is None:
             return False
         return bool(
-            np.all(np.floor(dims[:3] / self._range[1]) >= 3)
+            np.all(
+                np.floor(self._cell_plan_box() / self._range[1]) >= 3
+            )
+        )
+
+    def _cell_plan_box(self):
+        """Per-axis extents the cell plan sees (orthorhombic lengths
+        or triclinic perpendicular widths; same as the RDF)."""
+
+        dims = np.asarray(self.universe.dimensions, np.float64)
+        if not self._triclinic:
+            return dims[:3]
+        from ..ops.pallas_cell_histogram import (
+            triclinic_perpendicular_widths,
+        )
+
+        h32 = np.asarray(triclinic_matrices(dims), np.float64).astype(
+            np.float32
+        )
+        return np.asarray(
+            triclinic_perpendicular_widths(h32), np.float64
         )
 
     def _prepare(self) -> None:
@@ -2787,6 +2817,7 @@ class VanHoveFunction(SerialAnalysisBase):
         # chunk size is capped so one execution stays ~20 s.
         use_cell = self._use_cell_kernel()
         self._use_cell = use_cell
+        split_lags = None
         if distinct_part:
             if use_cell:
                 from ..ops.pallas_cell_histogram import (
@@ -2794,10 +2825,11 @@ class VanHoveFunction(SerialAnalysisBase):
                 )
 
                 # Cross kernel over the same group at two times: a
-                # joint (equal-count) grid search.
+                # joint (equal-count) grid search (triclinic grids
+                # plan against the perpendicular widths).
                 plan = pallas_cell_plan_search(
                     n_entities,
-                    np.asarray(self.universe.dimensions[:3], float),
+                    self._cell_plan_box(),
                     float(self._range[1]),
                     n_atoms2=n_entities,
                     capacity_sigmas=self._capacity_sigmas,
@@ -2810,7 +2842,14 @@ class VanHoveFunction(SerialAnalysisBase):
                 est_sweep = n_entities / 6.0e5
             else:
                 est_sweep = n_entities * n_entities / 3.3e9
-            budget = 20.0  # seconds of device work per execution
+            import os as _os
+
+            # seconds of device work per execution (the tunnel
+            # watchdog budget; MDTPU_EXEC_BUDGET_S overrides — tests
+            # shrink it to force the lag-split path on CPU)
+            budget = float(
+                _os.environ.get("MDTPU_EXEC_BUDGET_S", 20.0)
+            )
             max_frames = max(
                 1, int(budget / max(1e-9, n_sel * est_sweep))
             )
@@ -2821,6 +2860,16 @@ class VanHoveFunction(SerialAnalysisBase):
             self._chunk_bytes = min(
                 self._chunk_bytes, max_frames * frame_bytes
             )
+            # When even ONE frame's full selected-lag sweep exceeds
+            # the budget (brute path at large N x many lags — the
+            # round-3 watchdog kill), split the LAG GRID across
+            # executions of one compiled step (below).
+            if not use_cell:
+                lags_per_exec = max(
+                    1, int(budget / max(1e-9, est_sweep))
+                )
+                if lags_per_exec < n_sel:
+                    split_lags = lags_per_exec
 
         if use_cell:
             from ..ops.pallas_cell_histogram import (
@@ -2829,15 +2878,18 @@ class VanHoveFunction(SerialAnalysisBase):
 
             cell_plan = self._cell_plan
             cell_r_max = float(self._range[1])
+            cell_r_min = float(self._range[0])
             cell_cap = int(cell_plan["capacity"])
             cell_dims = cell_plan["n_cells_dim"]
 
         def scan_step(carry, inputs):
             pos, box, vol, valid = inputs  # (N, 3), box, scalar mask
-            if use_cell:
-                # The cell kernel needs wrapped coordinates (cell ids
-                # clip at the grid edges).  Padded frames carry zero
-                # boxes — guard the fold; their results are masked.
+            if use_cell and not triclinic:
+                # The orthorhombic cell kernel needs wrapped
+                # coordinates (cell ids clip at the grid edges); the
+                # triclinic kernel folds fractionally inside.  Padded
+                # frames carry zero boxes — guard the fold; their
+                # results are masked.
                 boxf = box.astype(pos.dtype)
                 safe = jnp.where(boxf > 0, boxf, 1.0)
                 pos = pos - safe * jnp.floor(pos / safe)
@@ -2888,12 +2940,19 @@ class VanHoveFunction(SerialAnalysisBase):
                     counts_s = counts_s.at[lag].add(cs * ok)
                 if distinct_part:
                     if use_cell:
+                        # Orthorhombic: (3,) lengths; triclinic: the
+                        # frame's (3, 3) box matrix (per-block
+                        # lattice-image shifts inside the kernel).
+                        kbox = (
+                            box if triclinic else box[:3]
+                        ).astype(jnp.float32)
                         cd32, occ1, occ2 = (
                             cross_pair_histogram_pallas(
                                 past.astype(jnp.float32),
                                 pos.astype(jnp.float32),
-                                box=box[:3].astype(jnp.float32),
+                                box=kbox,
                                 r_max=cell_r_max,
+                                r_min=cell_r_min,
                                 n_cells_dim=cell_dims,
                                 capacity1=cell_cap,
                                 capacity2=cell_cap,
@@ -2971,7 +3030,150 @@ class VanHoveFunction(SerialAnalysisBase):
             )
             return carry
 
-        self._update = jit_update(update)
+        if split_lags is None:
+            self._update = jit_update(update)
+        else:
+            self._prepare_lag_split(
+                split_lags, n_sel, n_lags, lag_range, edges, seg,
+                masses, n_entities, triclinic, self_part, precision,
+            )
+
+    def _prepare_lag_split(
+        self, lags_per_exec, n_sel, n_lags, lag_range, edges, seg,
+        masses, n_entities, triclinic, self_part, precision,
+    ) -> None:
+        """Brute-path watchdog escape: one compiled per-frame step
+        parameterized by a traced LAG SUBSET, executed
+        ``ceil(n_sel / k)`` times per frame so no single device
+        execution exceeds the ~20 s budget that kills the tunnel
+        worker (round-3 bisection).  ``advance=1`` on the first group
+        performs the ring/frame/volume bookkeeping; later groups only
+        sweep their lags against the already-updated ring."""
+
+        import warnings
+
+        warnings.warn(
+            "VanHoveFunction brute distinct-part sweep exceeds the "
+            f"per-execution budget; splitting the {n_sel}-lag grid "
+            f"into groups of {lags_per_exec} across executions "
+            "(slower per frame; the Pallas cell kernel route avoids "
+            "this entirely).",
+            stacklevel=2,
+        )
+        k = int(lags_per_exec)
+        groups = []
+        for g0 in range(0, n_sel, k):
+            grp = np.arange(g0, min(g0 + k, n_sel), dtype=np.int32)
+            groups.append(
+                np.pad(
+                    grp, (0, k - len(grp)), constant_values=n_sel
+                )
+            )
+        groups = [jnp.asarray(g) for g in groups]
+        n_bins = self._n_bins
+
+        def split_step(carry, pos, box, vol, valid, lag_sub, advance):
+            adv = advance > 0
+            took = jnp.logical_and(
+                jnp.logical_not(adv), valid > 0
+            ).astype(carry["frame"].dtype)
+            fi = carry["frame"] - took  # the frame being processed
+            rcfi = (fi % n_lags).astype(jnp.int32)
+            ring = jnp.where(
+                adv & (valid > 0),
+                carry["ring"].at[rcfi].set(pos),
+                carry["ring"],
+            )
+            rifi = ((fi - lag_range) % n_lags).astype(jnp.int32)
+            lag_ok = (
+                (lag_range <= fi) & (valid > 0)
+            ).astype(jnp.float64)
+
+            def lag_body(i, acc):
+                counts_s, counts_d, m2, m4 = acc
+                raw = lag_sub[i]
+                inb = (raw < np.int32(n_sel)).astype(jnp.float64)
+                lag = jnp.minimum(raw, np.int32(n_sel - 1))
+                past = ring[rifi[lag]]
+                ok = lag_ok[lag] * inb
+                if self_part:
+                    dmin = _min_image_distance(
+                        pos - past, box.astype(pos.dtype)
+                    )
+                    r2 = dmin * dmin
+                    m2 = m2.at[lag].add(
+                        r2.sum().astype(jnp.float64) * ok
+                    )
+                    m4 = m4.at[lag].add(
+                        (r2 * r2).sum().astype(jnp.float64) * ok
+                    )
+                    if precision == "exact":
+                        cs = displacement_histogram_frame(
+                            pos, past, box, edges,
+                            precision=precision,
+                        )
+                    else:
+                        cs = _bin_distances(
+                            dmin, edges,
+                            jnp.ones(dmin.shape, jnp.float32),
+                            n_bins,
+                        )
+                    counts_s = counts_s.at[lag].add(cs * ok)
+                cd = radial_histogram_frame(
+                    past, pos, box, edges, exclusion=(1, 1),
+                    precision=precision,
+                )
+                counts_d = counts_d.at[lag].add(
+                    jnp.where(ok > 0, cd, 0.0)
+                )
+                return counts_s, counts_d, m2, m4
+
+            counts_s, counts_d, m2, m4 = jax.lax.fori_loop(
+                0, k, lag_body,
+                (
+                    carry["self"], carry["distinct"],
+                    carry["m2"], carry["m4"],
+                ),
+            )
+            advf = adv.astype(jnp.float64)
+            return {
+                "ring": ring,
+                "self": counts_s,
+                "distinct": counts_d,
+                "m2": m2,
+                "m4": m4,
+                "origins": carry["origins"] + lag_ok * advf,
+                "volume": carry["volume"]
+                + vol.astype(jnp.float64) * (valid > 0) * advf,
+                "frame": fi + (valid > 0),
+            }
+
+        inner = jax.jit(split_step)
+
+        def update(carry, positions, dimensions, mask):
+            pos = positions
+            if seg is not None:
+                pos = _com_positions(pos, masses, seg, n_entities)
+            if triclinic:
+                box = triclinic_matrices(dimensions)
+                vol = box[:, 0, 0] * box[:, 1, 1] * box[:, 2, 2]
+            else:
+                box = dimensions[:, :3]
+                vol = box.prod(axis=1)
+            for b in range(positions.shape[0]):
+                for gi, grp in enumerate(groups):
+                    carry = inner(
+                        carry, pos[b], box[b], vol[b], mask[b],
+                        grp, np.int32(1 if gi == 0 else 0),
+                    )
+                    # Tiny host fetch between executions: bounds the
+                    # dispatch queue (the tunnel degrades on chained
+                    # device-resident sequences) and keeps every
+                    # execution under the watchdog budget.
+                    np.asarray(carry["frame"])
+            return carry
+
+        self._update = update
 
     def run(self, *args, **kwargs):
         """Run, auto-escalating the cross cell kernel's slot capacity

@@ -239,63 +239,153 @@ def _cell_sweep_ok(box, dims, n_cells_dim, r_max):
     return (wide_enough | whole_axis).all()
 
 
-def _bin_boundary_constants(r_max, n_bins):
-    """``(inv_dr, dr2_hi, dr2_lo)`` for the exact binning tail:
-    ``r_max / n_bins`` is rounded in f64 FIRST, then squared — the
-    same boundary convention as the XLA path's uniform-edge width
-    ``h = (edges[-1] - edges[0]) / n_bins``, so the two routes
-    resolve bin-edge tie pairs identically (split-sensitive; see
-    BASELINE.md "triclinic Pallas cell kernels")."""
+def _bin_boundary_constants(r_max, n_bins, r_min=0.0):
+    """Static binning constants for the exact tail, as a tuple whose
+    first element selects the convention:
 
-    inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
-    dr2_wide = (np.float64(r_max) / np.float64(n_bins)) ** 2
-    dr2_hi = np.float32(dr2_wide)
-    dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
-    return inv_dr, dr2_hi, dr2_lo
+    * ``("zero", inv_dr, dr2_hi, dr2_lo)`` — uniform bins from 0:
+      ``r_max / n_bins`` is rounded in f64 FIRST, then squared — the
+      same boundary convention as the XLA path's uniform-edge width
+      ``h = (edges[-1] - edges[0]) / n_bins``, so the two routes
+      resolve bin-edge tie pairs identically (split-sensitive; see
+      BASELINE.md "triclinic Pallas cell kernels").
+    * ``("offset", e0, inv_h, c0, c1, c2)`` — uniform bins from
+      ``r_min > 0``: the boundary ``(e_0 + k h)^2`` expands to
+      ``e_0^2 + 2 e_0 h k + h^2 k^2`` with each coefficient split
+      into a double-float pair, REPLICATING
+      ``ops/histogram._exact_bin_indices`` operation-for-operation
+      (incl. the closed last edge and the below-range spill).
+    """
+
+    if r_min == 0.0:
+        inv_dr = np.float32(np.float64(n_bins) / np.float64(r_max))
+        dr2_wide = (np.float64(r_max) / np.float64(n_bins)) ** 2
+        dr2_hi = np.float32(dr2_wide)
+        dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
+        return ("zero", inv_dr, dr2_hi, dr2_lo)
+    # Offset grid: the analysis passes float32-stream edges, so the
+    # e0/h here derive from the same f32-rounded endpoints the XLA
+    # path sees (its `edges` array is float32 on the stream).
+    e0 = np.float64(np.float32(r_min))
+    e_last = np.float64(np.float32(r_max))
+    h = (e_last - e0) / np.float64(n_bins)
+
+    def split(x):
+        hi = np.float32(x)
+        return (hi, np.float32(x - np.float64(hi)))
+
+    return (
+        "offset",
+        np.float32(e0),
+        np.float32(1.0 / h),
+        split(e0 * e0),
+        split(2.0 * e0 * h),
+        split(h * h),
+    )
 
 
-def _bin_fast(ip, jp, box, inv_dr):
+def _fast_index_from_dist(dist, bin_consts, n_bins):
+    """Fast-path index for either binning convention (see
+    :func:`_bin_boundary_constants`)."""
+
+    if bin_consts[0] == "zero":
+        inv_dr = bin_consts[1]
+        # f32 -> i32 truncation == floor for the non-negative product.
+        return jax.lax.convert_element_type(dist * inv_dr, jnp.int32)
+    _, e0, inv_h = bin_consts[:3]
+    idx = jax.lax.convert_element_type(
+        (dist - e0) * inv_h, jnp.int32
+    )
+    # Truncation rounds (-1, 0) up to 0: spill below-range distances
+    # explicitly.
+    return jnp.where(dist < e0, np.int32(n_bins), idx)
+
+
+def _bin_fast(ip, jp, box, bin_consts, n_bins):
     d2 = None
     for k in range(3):
         delta = ip[k, :][:, None] - jp[k, :][None, :]
         delta = delta - box[k] * jnp.round(delta / box[k])
         d2 = delta * delta if d2 is None else d2 + delta * delta
-    dist = jnp.sqrt(d2)
-    # f32 -> i32 truncation == floor for the non-negative product.
-    return jax.lax.convert_element_type(dist * inv_dr, jnp.int32)
+    return _fast_index_from_dist(jnp.sqrt(d2), bin_consts, n_bins)
 
 
-def _exact_index_from_d2(d2, inv_dr, dr2_hi, dr2_lo, n_bins):
+def _exact_index_from_d2(d2, bin_consts, n_bins):
     """Float32-estimated bin index with a +-1 correction against the
-    exact ``(k * dr)^2`` boundaries (shared exact-binning tail)."""
+    exact squared-edge boundaries (shared exact-binning tail; see
+    :func:`_bin_boundary_constants` for the two conventions)."""
 
-    idx = jax.lax.convert_element_type(
-        jnp.sqrt(jnp.maximum(d2[0], np.float32(0.0))) * inv_dr,
-        jnp.int32,
-    )
-    idx = jnp.minimum(idx, np.int32(n_bins))
+    if bin_consts[0] == "zero":
+        _, inv_dr, dr2_hi, dr2_lo = bin_consts
+        idx = jax.lax.convert_element_type(
+            jnp.sqrt(jnp.maximum(d2[0], np.float32(0.0))) * inv_dr,
+            jnp.int32,
+        )
+        idx = jnp.minimum(idx, np.int32(n_bins))
 
-    def boundary(k):
-        k2 = jax.lax.convert_element_type(k * k, jnp.float32)
-        bh, bl = two_prod(k2, dr2_hi)
-        # The trailing df_add normalizes the (hi, lo) split exactly
-        # like the XLA path's boundary accumulation
-        # (ops/histogram._exact_bin_indices) — double-float compares
-        # are split-sensitive on bin-edge tie pairs.
-        return df_add(
-            (np.float32(0.0), np.float32(0.0)),
-            (bh, bl + k2 * dr2_lo),
+        def boundary(k):
+            k2 = jax.lax.convert_element_type(k * k, jnp.float32)
+            bh, bl = two_prod(k2, dr2_hi)
+            # The trailing df_add normalizes the (hi, lo) split
+            # exactly like the XLA path's boundary accumulation
+            # (ops/histogram._exact_bin_indices) — double-float
+            # compares are split-sensitive on bin-edge tie pairs.
+            return df_add(
+                (np.float32(0.0), np.float32(0.0)),
+                (bh, bl + k2 * dr2_lo),
+            )
+
+        one = np.int32(1)
+        return (
+            idx
+            + jnp.where(
+                df_ge(d2, boundary(idx + one)), one, np.int32(0)
+            )
+            - jnp.where(df_lt(d2, boundary(idx)), one, np.int32(0))
         )
 
+    # Offset grid — replicate ops/histogram._exact_bin_indices
+    # operation-for-operation: boundary(k) = e0^2 + 2 e0 h k + h^2 k^2
+    # accumulated as df_add(df_add(c0, t1), t2), f32-estimated index
+    # from (dist - e0) * inv_h, +-1 correction, below-range spill and
+    # a CLOSED last edge (np.histogram range semantics).
+    _, e0, inv_h, c0, c1, c2 = bin_consts
+    bins_i32 = np.int32(n_bins)
+
+    def boundary(k):
+        kf = jax.lax.convert_element_type(k, jnp.float32)
+        k2 = kf * kf
+        t1 = two_prod(kf, c1[0])
+        t2 = two_prod(k2, c2[0])
+        acc = df_add(
+            (np.float32(c0[0]), np.float32(c0[1])),
+            (t1[0], t1[1] + kf * np.float32(c1[1])),
+        )
+        return df_add(acc, (t2[0], t2[1] + k2 * np.float32(c2[1])))
+
+    dist = jnp.sqrt(jnp.maximum(d2[0], np.float32(0.0)))
+    idx = jnp.clip(
+        jax.lax.convert_element_type((dist - e0) * inv_h, jnp.int32),
+        np.int32(0),
+        bins_i32,
+    )
     one = np.int32(1)
-    return (
+    idx = (
         idx
         + jnp.where(df_ge(d2, boundary(idx + one)), one, np.int32(0))
         - jnp.where(df_lt(d2, boundary(idx)), one, np.int32(0))
     )
+    b_last = boundary(bins_i32)
+    in_range = df_ge(d2, boundary(np.int32(0))) & (
+        df_lt(d2, b_last)
+        | ((d2[0] == b_last[0]) & (d2[1] == b_last[1]))
+    )
+    return jnp.where(
+        in_range, jnp.minimum(idx, bins_i32 - one), bins_i32
+    )
 
 
-def _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins):
+def _bin_exact(ip, jp, box, bin_consts, n_bins):
     """Exact double-float bin assignment: float32-estimated index with
     a +-1 correction against the exact (k*dr)^2 boundaries."""
 
@@ -308,10 +398,10 @@ def _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins):
         d = df_sub((s, e), (m * box[k], np.float32(0.0)))
         components.append(df_square(d))
     d2 = df_sum3(*components)
-    return _exact_index_from_d2(d2, inv_dr, dr2_hi, dr2_lo, n_bins)
+    return _exact_index_from_d2(d2, bin_consts, n_bins)
 
 
-def _bin_fast_shift(ip, jp, shift, inv_dr):
+def _bin_fast_shift(ip, jp, shift, bin_consts, n_bins):
     """Fast-path bin assignment under a per-BLOCK image shift (the
     triclinic kernels): ``d = (i - shift) - j`` — no per-pair
     minimum-image math at all.  ``shift`` is three (hi, lo) scalar
@@ -321,11 +411,10 @@ def _bin_fast_shift(ip, jp, shift, inv_dr):
     for k in range(3):
         delta = (ip[k, :] - shift[k][0])[:, None] - jp[k, :][None, :]
         d2 = delta * delta if d2 is None else d2 + delta * delta
-    dist = jnp.sqrt(d2)
-    return jax.lax.convert_element_type(dist * inv_dr, jnp.int32)
+    return _fast_index_from_dist(jnp.sqrt(d2), bin_consts, n_bins)
 
 
-def _bin_exact_shift(ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins):
+def _bin_exact_shift(ip, jp, shift, bin_consts, n_bins):
     """Exact double-float bin assignment under a per-block image
     shift: the pair difference is error-free (two_diff) and the shift
     arrives as an exact double-float lattice translation
@@ -338,7 +427,7 @@ def _bin_exact_shift(ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins):
         d = df_sub((s, e), (shift[k][0], shift[k][1]))
         components.append(df_square(d))
     d2 = df_sum3(*components)
-    return _exact_index_from_d2(d2, inv_dr, dr2_hi, dr2_lo, n_bins)
+    return _exact_index_from_d2(d2, bin_consts, n_bins)
 
 
 def _digit_contract(
@@ -653,8 +742,7 @@ def _slot_table(
 
 def _kernel(
     nbr_ref, occ_ref, box_ref, pos_ref, out_ref,
-    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
+    *, capacity, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows, asym=False,
 ):
     """Half-shell (Newton's-third-law) sweep: neighbor 0 is the cell
     itself, masked to the strict upper slot triangle; neighbors 1-13
@@ -692,11 +780,9 @@ def _kernel(
         j_valid = lane < j_occ  # (1, cap)
 
         if exact:
-            idx = _bin_exact(
-                ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins
-            )
+            idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
         else:
-            idx = _bin_fast(ip, jp, box, inv_dr)
+            idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
 
         # The self block keeps only the strict upper slot triangle
         # (which also drops identical atoms); distinct cells never
@@ -741,8 +827,7 @@ def _kernel(
 
 def _kernel_tri(
     nbr_ref, img_ref, occ_ref, shhi_ref, shlo_ref, pos_ref, out_ref,
-    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
+    *, capacity, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows, asym=False,
 ):
     """Triclinic half-shell sweep: identical structure to
     :func:`_kernel`, but the minimum image is a per-BLOCK lattice
@@ -780,10 +865,12 @@ def _kernel_tri(
 
         if exact:
             idx = _bin_exact_shift(
-                ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
+                ip, jp, shift, bin_consts, n_bins
             )
         else:
-            idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+            idx = _bin_fast_shift(
+                ip, jp, shift, bin_consts, n_bins
+            )
 
         valid = i_valid & j_valid & (idx < bins_i32)
         if self_cell:
@@ -823,8 +910,7 @@ def _kernel_tri(
 def _cross_kernel_tri(
     nbr_ref, img_ref, occ1_ref, occ2_ref, shhi_ref, shlo_ref,
     pos1_ref, pos2_ref, out_ref,
-    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows,
 ):
     """Triclinic cross-group variant of :func:`_cross_kernel` with
     per-block image shifts (see :func:`_kernel_tri`)."""
@@ -858,10 +944,12 @@ def _cross_kernel_tri(
 
         if exact:
             idx = _bin_exact_shift(
-                ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
+                ip, jp, shift, bin_consts, n_bins
             )
         else:
-            idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+            idx = _bin_fast_shift(
+                ip, jp, shift, bin_consts, n_bins
+            )
 
         valid = i_valid & j_valid & (idx < bins_i32)
         if exclude:
@@ -899,8 +987,7 @@ def _upper_or_all(slot_col, lane, nb, cap):
 
 def _kernel_stream(
     nbr_ref, occ_ref, box_ref, ipos_ref, jpos_ref, out_ref,
-    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
+    *, capacity, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows, asym=False,
 ):
     """Streaming-block variant of :func:`_kernel` for slot tables too
     large to hold resident in VMEM (~16 MB/core): the grid is
@@ -925,9 +1012,9 @@ def _kernel_stream(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
     if exact:
-        idx = _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins)
+        idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
     else:
-        idx = _bin_fast(ip, jp, box, inv_dr)
+        idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
 
     valid = (
         (slot_col < i_occ)
@@ -967,8 +1054,7 @@ def _kernel_stream(
 def _kernel_tri_stream(
     nbr_ref, img_ref, occ_ref, shhi_ref, shlo_ref,
     ipos_ref, jpos_ref, out_ref,
-    *, capacity, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows, asym=False,
+    *, capacity, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows, asym=False,
 ):
     """Triclinic streaming-block variant (see :func:`_kernel_stream`
     and :func:`_kernel_tri`): the per-block lattice image comes from
@@ -993,11 +1079,9 @@ def _kernel_tri_stream(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
     if exact:
-        idx = _bin_exact_shift(
-            ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
-        )
+        idx = _bin_exact_shift(ip, jp, shift, bin_consts, n_bins)
     else:
-        idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+        idx = _bin_fast_shift(ip, jp, shift, bin_consts, n_bins)
 
     valid = (
         (slot_col < i_occ)
@@ -1037,8 +1121,7 @@ def _kernel_tri_stream(
 def _cross_kernel_stream(
     nbr_ref, occ1_ref, occ2_ref, box_ref,
     ipos_ref, jpos_ref, out_ref,
-    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows,
 ):
     """Streaming-block variant of :func:`_cross_kernel`: grid
     ``(n_cells, 27)``, group-1 home block + the group-2 neighbor
@@ -1055,9 +1138,9 @@ def _cross_kernel_stream(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
 
     if exact:
-        idx = _bin_exact(ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins)
+        idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
     else:
-        idx = _bin_fast(ip, jp, box, inv_dr)
+        idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
 
     valid = (
         (slot_col < occ1_ref[c])
@@ -1089,8 +1172,7 @@ def _cross_kernel_stream(
 def _cross_kernel_tri_stream(
     nbr_ref, img_ref, occ1_ref, occ2_ref, shhi_ref, shlo_ref,
     ipos_ref, jpos_ref, out_ref,
-    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows,
 ):
     """Triclinic streaming-block cross kernel (see
     :func:`_cross_kernel_tri` and :func:`_kernel_stream`)."""
@@ -1110,11 +1192,9 @@ def _cross_kernel_tri_stream(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
 
     if exact:
-        idx = _bin_exact_shift(
-            ip, jp, shift, inv_dr, dr2_hi, dr2_lo, n_bins
-        )
+        idx = _bin_exact_shift(ip, jp, shift, bin_consts, n_bins)
     else:
-        idx = _bin_fast_shift(ip, jp, shift, inv_dr)
+        idx = _bin_fast_shift(ip, jp, shift, bin_consts, n_bins)
 
     valid = (
         (slot_col < occ1_ref[c])
@@ -1175,7 +1255,7 @@ def _exclusion_ids(n, exclusion):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_cells_dim", "capacity", "n_bins", "r_max",
+        "n_cells_dim", "capacity", "n_bins", "r_max", "r_min",
         "precision", "exclusion",
     ),
 )
@@ -1189,6 +1269,7 @@ def cell_pair_histogram_pallas(
     n_bins: int,
     precision: str = "fast",
     exclusion=(1, 1),
+    r_min: float = 0.0,
 ):
     r"""All-pairs histogram on ``[0, r_max]`` via the Pallas cell-list
     kernel; returns ``(counts, max_occupancy)``.
@@ -1260,7 +1341,7 @@ def cell_pair_histogram_pallas(
         )
         sweep_ok = _cell_sweep_ok(box, dims, n_cells_dim, r_max)
 
-    inv_dr, dr2_hi, dr2_lo = _bin_boundary_constants(r_max, n_bins)
+    bin_consts = _bin_boundary_constants(r_max, n_bins, r_min)
 
     # One-hot chunking: cap the live one-hot pair to ~8 MB.
     chunk_rows = max(
@@ -1272,7 +1353,7 @@ def cell_pair_histogram_pallas(
     common = dict(
         capacity=capacity, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
-        inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
+        bin_consts=bin_consts,
         exact=(precision == "exact"),
         exclude=exclude and not asym, asym=asym,
         chunk_rows=chunk_rows,
@@ -1360,11 +1441,12 @@ def cell_pair_histogram_pallas(
         # The kernel already accumulated ordered-pair multiplicities;
         # add back the diagonal (i, i) pairs the slot triangle drops
         # but the tile rule keeps (i//e0 != i//e1; distance exactly 0
-        # -> bin 0), matching the XLA full-product sweep.
+        # -> bin 0), matching the XLA full-product sweep.  With an
+        # offset grid (r_min > 0) zero distances are out of range.
         e0, e1 = (int(e) for e in exclusion)
         ar = np.arange(n)
         n_diag = int(np.sum(ar // e0 != ar // e1))
-        if n_diag:
+        if n_diag and r_min == 0.0:
             counts = counts.at[0].add(np.float32(n_diag))
     else:
         # Each unordered pair was counted once; restore the
@@ -1376,8 +1458,7 @@ def cell_pair_histogram_pallas(
 
 def _cross_kernel(
     nbr_ref, occ1_ref, occ2_ref, box_ref, pos1_ref, pos2_ref, out_ref,
-    *, cap1, cap2, n_bins, n_coarse, n_fine, inv_dr,
-    dr2_hi, dr2_lo, exact, exclude, chunk_rows,
+    *, cap1, cap2, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows,
 ):
     """Cross-group variant of :func:`_kernel`: i atoms from group 1's
     slot table, j atoms from group 2's; no identical-atom handling
@@ -1405,11 +1486,9 @@ def _cross_kernel(
         j_valid = lane < occ2_ref[j_cell]
 
         if exact:
-            idx = _bin_exact(
-                ip, jp, box, inv_dr, dr2_hi, dr2_lo, n_bins
-            )
+            idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
         else:
-            idx = _bin_fast(ip, jp, box, inv_dr)
+            idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
 
         valid = i_valid & j_valid & (idx < bins_i32)
         if exclude:
@@ -1438,7 +1517,7 @@ def _cross_kernel(
     jax.jit,
     static_argnames=(
         "n_cells_dim", "capacity1", "capacity2", "n_bins",
-        "r_max", "precision", "exclusion",
+        "r_max", "r_min", "precision", "exclusion",
     ),
 )
 def cross_pair_histogram_pallas(
@@ -1453,9 +1532,13 @@ def cross_pair_histogram_pallas(
     n_bins: int,
     precision: str = "fast",
     exclusion=None,
+    r_min: float = 0.0,
 ):
     r"""Cross-group cutoff histogram: every (group-1, group-2) pair on
-    uniform bins ``[0, r_max]``; returns ``(counts, max_occ1,
+    uniform bins ``[r_min, r_max]`` (``r_min > 0`` switches to the
+    offset-grid boundary convention of
+    ``ops/histogram._exact_bin_indices``, incl. the closed last
+    edge); returns ``(counts, max_occ1,
     max_occ2)``.  The groups must be disjoint atom sets (no
     identical-atom masking is applied).  ``box`` is a runtime ``(3,)``
     array — per-frame boxes supported, NaN-poisoned when a box
@@ -1519,7 +1602,7 @@ def cross_pair_histogram_pallas(
         cell_size, ex_i=ex2, ex_j=ex2, cell_xyz=cells2,
     )
 
-    inv_dr, dr2_hi, dr2_lo = _bin_boundary_constants(r_max, n_bins)
+    bin_consts = _bin_boundary_constants(r_max, n_bins, r_min)
     chunk_rows = max(
         8,
         min(capacity1, (4 * 1024 * 1024) // (4 * n_fine * capacity2)),
@@ -1530,7 +1613,7 @@ def cross_pair_histogram_pallas(
     common = dict(
         cap1=capacity1, cap2=capacity2, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
-        inv_dr=inv_dr, dr2_hi=dr2_hi, dr2_lo=dr2_lo,
+        bin_consts=bin_consts,
         exact=(precision == "exact"), exclude=exclude,
         chunk_rows=chunk_rows,
     )

@@ -157,6 +157,75 @@ def test_vanhove_chunked_equals_single_chunk():
     )
 
 
+def test_vanhove_lag_split_matches_single_pass(monkeypatch):
+    """The brute-path lag-split mode (one compiled step per lag
+    subset, forced here via a tiny MDTPU_EXEC_BUDGET_S) reproduces
+    the single-pass scan bit-for-bit — the watchdog escape for
+    configurations whose one-frame sweep exceeds the execution
+    budget."""
+
+    u, pos, box = _make_universe(n_frames=12)
+    whole = VanHoveFunction(
+        u.atoms, n_bins=15, range=(0.0, 3.5), verbose=False
+    ).run()
+    monkeypatch.setenv("MDTPU_EXEC_BUDGET_S", "1e-9")
+    u2, _, _ = _make_universe(n_frames=12)
+    with pytest.warns(UserWarning, match="splitting"):
+        split = VanHoveFunction(
+            u2.atoms, n_bins=15, range=(0.0, 3.5), verbose=False
+        ).run()
+    for key in (
+        "counts_self", "counts_distinct", "gs", "gd", "msd", "alpha2"
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(whole.results, key)),
+            np.asarray(getattr(split.results, key)),
+            err_msg=key,
+        )
+
+
+def test_vanhove_lag_split_log_lags(monkeypatch):
+    """Lag splitting composes with the log lag grid and a >1-frame
+    chunk request (the chunk cap shrinks it; grouping stays exact)."""
+
+    u, pos, box = _make_universe(n_frames=14)
+    whole = VanHoveFunction(
+        u.atoms, n_bins=12, range=(0.0, 3.2), n_lags=8,
+        lags="log", verbose=False,
+    ).run()
+    monkeypatch.setenv("MDTPU_EXEC_BUDGET_S", "1e-9")
+    u2, _, _ = _make_universe(n_frames=14)
+    with pytest.warns(UserWarning, match="splitting"):
+        split = VanHoveFunction(
+            u2.atoms, n_bins=12, range=(0.0, 3.2), n_lags=8,
+            lags="log", verbose=False,
+        ).run()
+    np.testing.assert_array_equal(
+        whole.results.counts_distinct, split.results.counts_distinct
+    )
+    np.testing.assert_array_equal(
+        whole.results.counts_self, split.results.counts_self
+    )
+
+
+def test_vanhove_offset_range():
+    """range[0] > 0 against the f64 oracle (the Pallas route's
+    offset-grid binning is covered kernel-level in test_pallas; this
+    covers the class plumbing both paths share)."""
+
+    u, pos, box = _make_universe(n_frames=8)
+    vh = VanHoveFunction(
+        u.atoms, n_bins=14, range=(1.2, 3.6), verbose=False
+    ).run()
+    counts_s, counts_d = _oracle(
+        pos, box, vh.results.edges, np.arange(8)
+    )
+    np.testing.assert_array_equal(vh.results.counts_self, counts_s)
+    np.testing.assert_array_equal(
+        vh.results.counts_distinct, counts_d
+    )
+
+
 def test_vanhove_exact_f32_stream_matches_f64_oracle():
     u, pos, box = _make_universe(n=20, n_frames=8)
     vh = VanHoveFunction(u.atoms, n_bins=18, range=(0.0, 3.9))

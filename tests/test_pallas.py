@@ -158,6 +158,64 @@ def test_pallas_cell_histogram_molecule_exclusion():
     np.testing.assert_array_equal(np.asarray(counts).astype(int), oracle)
 
 
+@pytest.mark.parametrize("precision", ["fast", "exact"])
+def test_pallas_cell_histogram_offset_range(precision):
+    """range[0] > 0: the offset-grid binning convention (replicating
+    ``ops/histogram._exact_bin_indices`` — below-range spill, closed
+    last edge) on both self and cross kernels vs the f64 oracle."""
+
+    from mdhelper_tpu.ops.pallas_cell_histogram import (
+        cell_pair_histogram_pallas,
+        cross_pair_histogram_pallas,
+        pallas_cell_plan,
+    )
+
+    n, box, r0, r1, n_bins = 800, 16.0, 1.25, 3.5, 45
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+    plan = pallas_cell_plan(n, [box] * 3, r1)
+    counts, occ = cell_pair_histogram_pallas(
+        jnp.asarray(pos), box=(box,) * 3, r_max=r1, r_min=r0,
+        n_cells_dim=plan["n_cells_dim"], capacity=plan["capacity"],
+        n_bins=n_bins, precision=precision,
+    )
+    p64 = pos.astype(np.float64)
+    d = p64[:, None] - p64[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1))
+    dist[np.arange(n), np.arange(n)] = np.inf
+    # float32-stream endpoints, like the analysis classes build.
+    edges = np.linspace(np.float32(r0), np.float32(r1), n_bins + 1)
+    oracle = np.histogram(dist, bins=edges)[0]
+    if precision == "exact":
+        np.testing.assert_array_equal(
+            np.asarray(counts).astype(int), oracle
+        )
+    else:
+        _assert_histogram_close(np.asarray(counts), oracle)
+
+    n2 = 500
+    p2 = (rng.random((n2, 3)) * box).astype(np.float32)
+    plan2 = pallas_cell_plan(n2, [box] * 3, r1)
+    c, _, _ = cross_pair_histogram_pallas(
+        jnp.asarray(pos), jnp.asarray(p2), box=(box,) * 3,
+        r_max=r1, r_min=r0,
+        n_cells_dim=plan["n_cells_dim"],
+        capacity1=plan["capacity"], capacity2=plan2["capacity"],
+        n_bins=n_bins, precision=precision,
+    )
+    dc = p64[:, None] - p2.astype(np.float64)[None]
+    dc -= box * np.round(dc / box)
+    oracle_c = np.histogram(
+        np.sqrt((dc**2).sum(-1)), bins=edges
+    )[0]
+    if precision == "exact":
+        np.testing.assert_array_equal(
+            np.asarray(c).astype(int), oracle_c
+        )
+    else:
+        _assert_histogram_close(np.asarray(c), oracle_c)
+
+
 @pytest.mark.parametrize("exclusion", [(2, 3), (3, 2), (1, 4)])
 @pytest.mark.parametrize("precision", ["fast", "exact"])
 def test_pallas_cell_histogram_asymmetric_exclusion(
