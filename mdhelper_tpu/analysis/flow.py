@@ -111,6 +111,16 @@ class FlowProfile(DynamicAnalysisBase):
     treated as free particles, like LAMMPS ``compute temp`` without
     ``fix rattle``); rigid-molecule temperatures need the per-bin dof
     corrected by the caller.
+
+    With ``remove_drift=True`` the per-frame global-COM centering
+    consumes 3 dof per frame, but only the 3 per-bin streaming-mean
+    dof are deducted (``dof = 3 (N_b - 1)``): the global COM-removal
+    dof are NOT spread across bins, so T is biased low by
+    ~:math:`1/N_\mathrm{atoms}` relative to LAMMPS ``compute
+    temp/com`` on the whole system.  Documented convention: the
+    centering here is primarily numerical (it keeps the drift-removed
+    kinetic energy at the thermal scale in float32), and a per-bin
+    redistribution of 3 global dof has no unique definition.
     """
 
     _payload = "positions+velocities"
@@ -246,7 +256,14 @@ class FlowProfile(DynamicAnalysisBase):
                     hist(mw2_f[None]),
                 )
 
-            sums = jax.lax.map(per_frame, (coord, mw, mw2, mask))
+            # Batched map (ADVICE r3): plain lax.map ran the six
+            # per-frame histograms as a sequential scan — thousands
+            # of tiny matmuls per chunk on TPU; batch_size vectorizes
+            # 8 frames per step while bounding the one-hot memory to
+            # ~8x a single frame (the reason this is not a full vmap).
+            sums = jax.lax.map(
+                per_frame, (coord, mw, mw2, mask), batch_size=8
+            )
             n_f, m_f, mwx_f, mwy_f, mwz_f, mw2_f = (
                 s.astype(jnp.float64) for s in sums
             )
