@@ -1355,7 +1355,7 @@ def _measure_tpu_subprocess(on_phase=None) -> float:
             )
     # Unmeasured phases (deadline) are projected at the mean measured
     # per-frame cost, so the value stays comparable to a full run.
-    return done / (seconds_per_frame * len(phases))
+    return done / (seconds_per_frame * len(phases)), done, len(phases)
 
 
 def _tunnel_health_gate() -> bool:
@@ -1553,13 +1553,25 @@ def main() -> None:
         emitted["any"] = True
 
     try:
-        tpu_fps = _measure_tpu_subprocess(on_phase=on_phase)
+        tpu_fps, done, total = _measure_tpu_subprocess(
+            on_phase=on_phase
+        )
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] measurement failed: {exc}", file=sys.stderr)
         if _reduced_fallback() or emitted["any"]:
             return
         raise
 
+    if done < total:
+        # Deadline-truncated: keep the partial TAG on the final line
+        # and do NOT persist it as a trusted full-configuration
+        # record (review catch: an untagged projected 2-of-5 estimate
+        # would masquerade as a complete measurement).
+        _emit(
+            metric + f" [partial: {done}/{total}]",
+            tpu_fps, tpu_fps / baseline_fps,
+        )
+        return
     _emit(metric, tpu_fps, tpu_fps / baseline_fps)
     _save_scratch(
         _final_key(),

@@ -908,6 +908,10 @@ class SerialAnalysisBase:
         positions, dimensions = self._read_payload(block)
         if self._host_transform is not None:
             positions = self._host_transform(positions, block)
+        # host_positions carries the RAW pre-slicing payload — the
+        # same contract as _stream_batches (store-type consumers
+        # index it with full-universe atom indices).
+        host_positions = positions
         atom_indices = self._effective_atom_indices()
         if atom_indices is not None:
             positions = positions[:, atom_indices]
@@ -934,7 +938,7 @@ class SerialAnalysisBase:
             from_full(np.asarray(dimensions), box_sharding),
             from_full(mask, mask_sharding),
             block,
-            host_positions=positions,
+            host_positions=host_positions,
             host_dimensions=dimensions,
         )
 

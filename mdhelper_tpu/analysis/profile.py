@@ -664,7 +664,12 @@ class DensityProfile(DynamicAnalysisBase):
 
         shifts = np.empty((self.n_frames, 3))
         prev = images = None
-        per_frame = max(group.n_atoms * 3 * 8, 1)
+        # Chunk by the FULL trajectory frame width: read_frames
+        # materializes every atom of each frame regardless of the
+        # group slice taken afterwards (review catch: sizing by the
+        # group's bytes could request hundreds of GB per read for a
+        # small solute in a large system).
+        per_frame = max(traj.n_atoms * 3 * 8, 1)
         chunk = int(max(1, self._chunk_bytes // per_frame))
         for lo in range(0, self.n_frames, chunk):
             block = self.frames[lo:lo + chunk]

@@ -311,6 +311,27 @@ def _com_positions(positions, masses, segment_ids, n_groups):
     return total / mass_sums[None, :, None]
 
 
+def _pallas_plan_extents(dimensions, triclinic):
+    """Per-axis extents a Pallas cell plan sees: orthorhombic box
+    lengths, or the perpendicular widths of the f32-rounded triclinic
+    cell (the same rounding the kernel's shift table uses —
+    split-sensitive, keep ONE definition)."""
+
+    dims = np.asarray(dimensions, np.float64)
+    if not triclinic:
+        return dims[:3]
+    from ..ops.pallas_cell_histogram import (
+        triclinic_perpendicular_widths,
+    )
+
+    h32 = np.asarray(triclinic_matrices(dims), np.float64).astype(
+        np.float32
+    )
+    return np.asarray(
+        triclinic_perpendicular_widths(h32), np.float64
+    )
+
+
 class RadialDistributionFunction(DynamicAnalysisBase):
     r"""Radial distribution function :math:`g_{ij}(r)` for two- and
     three-dimensional systems.
@@ -687,21 +708,8 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         return True
 
     def _cell_plan_box(self):
-        """The per-axis extents the cell plan sees: orthorhombic box
-        lengths, or the perpendicular widths of a triclinic cell."""
-
-        dims = np.asarray(self.universe.dimensions, np.float64)
-        if not self._triclinic:
-            return dims[:3]
-        from ..ops.pallas_cell_histogram import (
-            triclinic_perpendicular_widths,
-        )
-
-        h32 = np.asarray(triclinic_matrices(dims), np.float64).astype(
-            np.float32
-        )
-        return np.asarray(
-            triclinic_perpendicular_widths(h32), np.float64
+        return _pallas_plan_extents(
+            self.universe.dimensions, self._triclinic
         )
 
     def _searched_cell_plan(self):
@@ -2738,21 +2746,8 @@ class VanHoveFunction(SerialAnalysisBase):
         )
 
     def _cell_plan_box(self):
-        """Per-axis extents the cell plan sees (orthorhombic lengths
-        or triclinic perpendicular widths; same as the RDF)."""
-
-        dims = np.asarray(self.universe.dimensions, np.float64)
-        if not self._triclinic:
-            return dims[:3]
-        from ..ops.pallas_cell_histogram import (
-            triclinic_perpendicular_widths,
-        )
-
-        h32 = np.asarray(triclinic_matrices(dims), np.float64).astype(
-            np.float32
-        )
-        return np.asarray(
-            triclinic_perpendicular_widths(h32), np.float64
+        return _pallas_plan_extents(
+            self.universe.dimensions, self._triclinic
         )
 
     def _prepare(self) -> None:

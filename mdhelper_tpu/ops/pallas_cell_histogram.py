@@ -263,11 +263,14 @@ def _bin_boundary_constants(r_max, n_bins, r_min=0.0):
         dr2_hi = np.float32(dr2_wide)
         dr2_lo = np.float32(dr2_wide - np.float64(dr2_hi))
         return ("zero", inv_dr, dr2_hi, dr2_lo)
-    # Offset grid: the analysis passes float32-stream edges, so the
-    # e0/h here derive from the same f32-rounded endpoints the XLA
-    # path sees (its `edges` array is float32 on the stream).
-    e0 = np.float64(np.float32(r_min))
-    e_last = np.float64(np.float32(r_max))
+    # Offset grid: FULL-f64 endpoints, exactly like the analysis
+    # classes' ``np.linspace(r_min, r_max)`` edges feeding the XLA
+    # path (``_exact_bin_indices`` reads ``edges.astype(f64)``) — an
+    # f32-rounded e0 here would shift every boundary by ~1e-7
+    # relative and flip bin-edge tie pairs between the two routes
+    # (round-4 review catch).
+    e0 = np.float64(r_min)
+    e_last = np.float64(r_max)
     h = (e_last - e0) / np.float64(n_bins)
 
     def split(x):

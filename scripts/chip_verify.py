@@ -1,0 +1,517 @@
+"""Chip-verification sweep: run one analysis class on the REAL TPU
+and compare against a float64 NumPy oracle (CLAUDE.md rule: CPU-green
+is not chip-correct — bf16-MXU defaults and Mosaic lowering differ on
+the chip).  One check per process (the tunnel's one-heavy-executable
+limit):
+
+    python scripts/chip_verify.py <check> [...]
+
+Prints ``CHIPVERIFY <check> max_rel_err=<x> [extras]`` on success.
+Checks: rdf_asym, rdf_offset, vanhove_triclinic, orientation,
+densitymap2d, densitymap3d, scsf_guinier, ionpair, msid, charge_sq,
+sasa, bonded.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+rng = np.random.default_rng(808)
+
+
+def _report(name, err, **extras):
+    tail = " ".join(f"{k}={v}" for k, v in extras.items())
+    print(f"CHIPVERIFY {name} max_rel_err={err:.3e} {tail}",
+          flush=True)
+
+
+def _universe(pos, box_arr, **kw):
+    from mdhelper_tpu.core.universe import Universe
+
+    n = pos.shape[1]
+    kw.setdefault("types", np.array(["A"] * n, dtype=object))
+    kw.setdefault("masses", np.ones(n))
+    return Universe.from_arrays(pos, box_arr, dt=1.0, **kw)
+
+
+def _min_image(d, box):
+    return d - box * np.round(d / box)
+
+
+def rdf_asym():
+    """Asymmetric (2, 3) self-exclusion through the Pallas half-shell
+    weights — NEW round-4 kernel route, chip oracle mandatory."""
+
+    n, box, r_max, n_bins, n_frames = 20_000, 30.0, 6.0, 100, 6
+    pos = rng.random((n_frames, n, 3)) * box
+    u = _universe(pos, np.array([box] * 3))
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    a = RadialDistributionFunction(
+        u.atoms, n_bins=n_bins, range=(0.0, r_max),
+        exclusion=(2, 3), verbose=False,
+    )
+    a.run()
+    assert a._use_pallas_cell_kernel(), "expected the Pallas route"
+    i = np.arange(n)
+    excl = (i[:, None] // 2) == (i[None, :] // 3)
+    counts = np.zeros(n_bins)
+    for f in range(n_frames):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        d = _min_image(p[:, None] - p[None], np.float64(np.float32(box)))
+        dist = np.sqrt((d**2).sum(-1))
+        dist[excl] = np.inf
+        counts += np.histogram(dist, bins=n_bins, range=(0, r_max))[0]
+    got = np.asarray(a.results.counts, dtype=np.float64)
+    err = np.abs(got - counts).max() / max(counts.max(), 1)
+    np.testing.assert_array_equal(got, counts)
+    _report("rdf_asym", err, pairs=int(counts.sum()))
+
+
+def rdf_offset():
+    """range[0] > 0 offset-grid binning on the Pallas self kernel —
+    NEW round-4 route."""
+
+    n, box, r0, r1, n_bins, n_frames = 20_000, 30.0, 2.1, 6.0, 80, 6
+    pos = rng.random((n_frames, n, 3)) * box
+    u = _universe(pos, np.array([box] * 3))
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    a = RadialDistributionFunction(
+        u.atoms, n_bins=n_bins, range=(r0, r1), exclusion=(1, 1),
+        verbose=False,
+    )
+    a.run()
+    assert a._use_pallas_cell_kernel(), "expected the Pallas route"
+    counts = np.zeros(n_bins)
+    edges = np.linspace(r0, r1, n_bins + 1)
+    for f in range(n_frames):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        d = _min_image(p[:, None] - p[None], np.float64(np.float32(box)))
+        dist = np.sqrt((d**2).sum(-1))
+        dist[np.arange(n), np.arange(n)] = np.inf
+        counts += np.histogram(dist, bins=edges)[0]
+    got = np.asarray(a.results.counts, dtype=np.float64)
+    err = np.abs(got - counts).max() / max(counts.max(), 1)
+    np.testing.assert_array_equal(got, counts)
+    _report("rdf_offset", err, pairs=int(counts.sum()))
+
+
+def vanhove_triclinic():
+    """Triclinic distinct part through the triclinic cross cell
+    kernel — NEW round-4 route (was the brute XLA fallback)."""
+
+    from mdhelper_tpu.analysis.structure import VanHoveFunction
+
+    n, n_frames, n_bins = 8_000, 10, 60
+    dims6 = np.array([26.0, 25.0, 24.0, 80.0, 95.0, 100.0])
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+
+    h = np.asarray(triclinic_matrices(dims6), np.float64)
+    frac = rng.random((n_frames, n, 3))
+    pos = frac @ h
+    u = _universe(pos, dims6)
+    vh = VanHoveFunction(
+        u.atoms, n_bins=n_bins, range=(0.0, 6.0), n_lags=4,
+        verbose=False,
+    )
+    vh.run()
+    assert vh._use_cell, "expected the triclinic cell-kernel route"
+    # f64 oracle on the f32-rounded stream, full 27-image search.
+    h32 = np.asarray(h, np.float32).astype(np.float64)
+    pos32 = pos.astype(np.float32).astype(np.float64)
+    shifts = np.array(
+        [
+            w @ h32
+            for w in np.stack(
+                np.meshgrid(*[[-1, 0, 1]] * 3), -1
+            ).reshape(-1, 3)
+        ]
+    )
+    counts_d = np.zeros((4, n_bins))
+    counts_s = np.zeros((4, n_bins))
+    for lag in range(4):
+        for t0 in range(n_frames - lag):
+            a, b = pos32[t0], pos32[t0 + lag]
+            delta = a[:, None, :] - b[None, :, :]
+            d2 = (
+                (delta[None] + shifts[:, None, None, :]) ** 2
+            ).sum(-1).min(axis=0)
+            dist = np.sqrt(d2)
+            np.fill_diagonal(dist, np.inf)
+            counts_d[lag] += np.histogram(
+                dist, bins=n_bins, range=(0.0, 6.0)
+            )[0]
+            ds = delta[np.arange(n), np.arange(n)]
+            d2s = (
+                (ds[None] + shifts[:, None, :]) ** 2
+            ).sum(-1).min(axis=0)
+            counts_s[lag] += np.histogram(
+                np.sqrt(d2s), bins=n_bins, range=(0.0, 6.0)
+            )[0]
+    got = np.asarray(vh.results.counts_distinct, np.float64)
+    # bin-edge tie pairs may straddle (documented ~1e-7 of counts)
+    diff = np.abs(got - counts_d).sum()
+    total = counts_d.sum()
+    assert diff <= max(4e-7 * total, 8), (diff, total)
+    gs = np.asarray(vh.results.counts_self, np.float64)
+    diff_s = np.abs(gs - counts_s).sum()
+    assert diff_s <= max(1e-6 * counts_s.sum(), 4), diff_s
+    _report(
+        "vanhove_triclinic", diff / max(total, 1),
+        pairs=int(total), straddles=int(diff),
+    )
+
+
+def orientation():
+    from mdhelper_tpu.analysis.orientation import OrientationProfile
+
+    n_mol, n_frames, n_bins, box = 4_000, 12, 40, 40.0
+    centers = rng.random((n_frames, n_mol, 3)) * box
+    dvec = rng.standard_normal((n_frames, n_mol, 3))
+    dvec /= np.linalg.norm(dvec, axis=-1, keepdims=True)
+    pos = np.empty((n_frames, 2 * n_mol, 3))
+    pos[:, 0::2] = centers
+    pos[:, 1::2] = centers + 1.1 * dvec
+    u = _universe(
+        pos % box, np.array([box] * 3),
+        types=np.array(["B", "E"] * n_mol, dtype=object),
+    )
+    op = OrientationProfile(
+        u.select_atoms("type B"), u.select_atoms("type E"),
+        axis="z", n_bins=n_bins, verbose=False,
+    )
+    op.run()
+    counts = np.zeros(n_bins)
+    c1 = np.zeros(n_bins)
+    c2 = np.zeros(n_bins)
+    for f in range(n_frames):
+        b = (pos[f, 0::2] % box).astype(np.float64)
+        v = _min_image(pos[f, 1::2] - pos[f, 0::2], box)
+        cos = v[:, 2] / np.linalg.norm(v, axis=1)
+        mid = (b[:, 2] + v[:, 2] / 2) % box
+        idx = np.clip(
+            (mid / box * n_bins).astype(int), 0, n_bins - 1
+        )
+        np.add.at(counts, idx, 1.0)
+        np.add.at(c1, idx, cos)
+        np.add.at(c2, idx, 1.5 * cos**2 - 0.5)
+    occ = counts > 0
+    p1 = np.where(occ, c1 / np.maximum(counts, 1), np.nan)
+    p2 = np.where(occ, c2 / np.maximum(counts, 1), np.nan)
+    err = max(
+        np.abs(np.asarray(op.results.p1)[occ] - p1[occ]).max(),
+        np.abs(np.asarray(op.results.p2)[occ] - p2[occ]).max(),
+    )
+    assert err < 5e-6, err
+    np.testing.assert_allclose(
+        np.asarray(op.results.counts), counts, atol=0.5
+    )
+    _report("orientation", err, bonds=int(counts.sum()))
+
+
+def densitymaps():
+    from mdhelper_tpu.analysis.profile import DensityMap2D, DensityMap3D
+
+    n, n_frames, box = 50_000, 10, 40.0
+    pos = rng.random((n_frames, n, 3)) * box
+    u = _universe(pos, np.array([box] * 3))
+    dm2 = DensityMap2D(
+        u.atoms, axes="xz", n_bins=(32, 48), verbose=False
+    )
+    dm2.run()
+    ref2 = np.zeros((32, 48))
+    for f in range(n_frames):
+        p = pos[f].astype(np.float32).astype(np.float64) % box
+        ref2 += np.histogram2d(
+            p[:, 0], p[:, 2], bins=(32, 48),
+            range=((0, box), (0, box)),
+        )[0]
+    got2 = np.asarray(dm2.results.counts[0], np.float64)
+    err2 = np.abs(got2 - ref2).max() / ref2.max()
+    assert err2 < 1e-9, err2
+
+    dm3 = DensityMap3D(u.atoms, n_bins=16, verbose=False)
+    dm3.run()
+    ref3 = np.zeros((16, 16, 16))
+    for f in range(n_frames):
+        p = pos[f].astype(np.float32).astype(np.float64) % box
+        ref3 += np.histogramdd(
+            p, bins=(16, 16, 16), range=[(0, box)] * 3
+        )[0]
+    got3 = np.asarray(dm3.results.counts[0], np.float64)
+    err3 = np.abs(got3 - ref3).max() / ref3.max()
+    assert err3 < 1e-9, err3
+    _report("densitymaps", max(err2, err3), atoms=n)
+
+
+def scsf_guinier():
+    from mdhelper_tpu.analysis.polymer import (
+        SingleChainStructureFactor,
+    )
+
+    n_chains, n_monomers, n_frames, box = 200, 60, 8, 60.0
+    starts = rng.random((n_frames, n_chains, 1, 3)) * box
+    steps = rng.standard_normal((n_frames, n_chains, n_monomers, 3))
+    pos = (starts + 0.5 * np.cumsum(steps, axis=2)).reshape(
+        n_frames, -1, 3
+    )
+    u = _universe(pos % box, np.array([box] * 3))
+    sc = SingleChainStructureFactor(
+        u.atoms, n_points=12, n_chains=n_chains,
+        n_monomers=n_monomers, verbose=False,
+    )
+    sc.run()
+    rg = sc.calculate_guinier_radius()
+    # Oracle Rg: mean over chains/frames of the squared gyration radius
+    chains = pos.reshape(n_frames, n_chains, n_monomers, 3)
+    com = chains.mean(axis=2, keepdims=True)
+    rg2 = ((chains - com) ** 2).sum(-1).mean(axis=-1)
+    rg_direct = np.sqrt(rg2.mean())
+    err = abs(rg - rg_direct) / rg_direct
+    # Guinier is an estimator: agreement to a few % in its window
+    assert err < 0.15, (rg, rg_direct)
+    # and the scsf itself vs a direct f64 oracle (grouped by unique
+    # |q| exactly like the class's conclusion)
+    qs = np.asarray(sc._wavevectors, np.float64)
+    ref = np.zeros(len(qs))
+    p32 = pos.astype(np.float32).astype(np.float64)
+    for f in range(n_frames):
+        ch = p32[f].reshape(n_chains, n_monomers, 3)
+        phase = np.einsum("qd,cmd->qcm", qs, ch)
+        ref += (
+            (np.cos(phase).sum(-1) ** 2 + np.sin(phase).sum(-1) ** 2)
+            .sum(-1)
+        )
+    ref /= n_frames * n_chains * n_monomers
+    from mdhelper_tpu.analysis.structure import group_mean_last_axis
+
+    ref_g = group_mean_last_axis(
+        ref[None], sc._q_group, len(sc.results.wavenumbers)
+    )[0]
+    got = np.asarray(sc.results.scsf, np.float64)
+    rel = np.abs(got - ref_g) / np.maximum(np.abs(ref_g), 1e-12)
+    assert np.median(rel) < 5e-6, np.median(rel)
+    _report(
+        "scsf_guinier", float(np.median(rel)),
+        rg=round(float(rg), 3), rg_direct=round(float(rg_direct), 3),
+    )
+
+
+def ionpair():
+    from mdhelper_tpu.analysis.pairing import IonPairAnalysis
+
+    n_each, n_frames, box, cut = 5_000, 10, 40.0, 4.0
+    pos = rng.random((n_frames, 2 * n_each, 3)) * box
+    u = _universe(pos, np.array([box] * 3))
+    g1, g2 = u.atoms[:n_each], u.atoms[n_each:]
+    ip = IonPairAnalysis(g1, g2, cut, verbose=False)
+    ip.run()
+    from scipy.spatial import cKDTree
+
+    counts = np.zeros(n_frames)
+    for f in range(n_frames):
+        p = pos[f].astype(np.float32).astype(np.float64) % box
+        t2 = cKDTree(p[n_each:], boxsize=box)
+        nb = cKDTree(p[:n_each], boxsize=box).query_ball_tree(t2, cut)
+        counts[f] = sum(len(x) for x in nb)
+    got = np.asarray(ip.results.counts, np.float64)
+    err = np.abs(got - counts).max() / counts.max()
+    assert err < 1e-9, err
+    _report("ionpair", err, contacts=int(counts.sum()))
+
+
+def msid():
+    from mdhelper_tpu.analysis.polymer import (
+        MeanSquareInternalDistance,
+    )
+
+    n_chains, n_monomers, n_frames, box = 500, 50, 10, 50.0
+    starts = rng.random((n_frames, n_chains, 1, 3)) * box
+    steps = rng.standard_normal((n_frames, n_chains, n_monomers, 3))
+    pos = (starts + 0.7 * np.cumsum(steps, axis=2)).reshape(
+        n_frames, -1, 3
+    )
+    u = _universe(pos % box, np.array([box] * 3))
+    ms = MeanSquareInternalDistance(
+        u.atoms, n_chains=n_chains, n_monomers=n_monomers,
+        verbose=False,
+    )
+    ms.run()
+    # Oracle from the unwrapped chains (the class reconstructs via
+    # bond folds; the raw coordinates here never exceed box/2 steps)
+    chains = pos.reshape(n_frames, n_chains, n_monomers, 3)
+    msid_ref = np.zeros(n_monomers - 1)
+    for s in range(1, n_monomers):
+        d = chains[:, :, s:] - chains[:, :, :-s]
+        msid_ref[s - 1] = (d**2).sum(-1).mean()
+    got = np.asarray(ms.results.msid, np.float64)
+    rel = np.abs(got - msid_ref) / msid_ref
+    assert rel.max() < 1e-5, rel.max()
+    _report("msid", float(rel.max()), chains=n_chains)
+
+
+def charge_sq():
+    from mdhelper_tpu.analysis.structure import StructureFactor
+
+    n_each, n_frames, box = 10_000, 10, 40.0
+    pos = rng.random((n_frames, 2 * n_each, 3)) * box
+    charges = np.concatenate([np.ones(n_each), -np.ones(n_each)])
+    u = _universe(
+        pos, np.array([box] * 3), charges=charges,
+        types=np.array(
+            ["P"] * n_each + ["M"] * n_each, dtype=object
+        ),
+    )
+    sf = StructureFactor(
+        [u.select_atoms("type P"), u.select_atoms("type M")],
+        mode="partial", n_points=8, sort=False, unique=False,
+        verbose=False,
+    )
+    sf.run()
+    szz = sf.calculate_charge_structure_factor(charges=[1.0, -1.0])
+    # Direct f64 oracle: |sum_i z_i exp(iq r_i)|^2 / N
+    qs = np.asarray(sf._wavevectors, np.float64)
+    p32 = pos.astype(np.float32).astype(np.float64)
+    ref = np.zeros(len(qs))
+    for f in range(n_frames):
+        phase = qs @ p32[f].T
+        c = (np.cos(phase) * charges).sum(axis=1)
+        s = (np.sin(phase) * charges).sum(axis=1)
+        ref += c * c + s * s
+    ref /= n_frames * 2 * n_each
+    got = np.asarray(szz, np.float64)
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-9)
+    med = float(np.median(rel))
+    assert med < 1e-5, med
+    _report("charge_sq", med, q_points=len(qs))
+
+
+def sasa():
+    from mdhelper_tpu.analysis.sasa import (
+        SolventAccessibleSurfaceArea,
+    )
+
+    n, n_frames, box = 20_000, 4, 60.0
+    pos = rng.random((n_frames, n, 3)) * box
+    radii = rng.uniform(1.0, 1.8, n)
+    u = _universe(pos, np.array([box] * 3))
+    sa = SolventAccessibleSurfaceArea(
+        u.atoms, probe_radius=1.4, n_points=128, radii=radii,
+        verbose=False,
+    )
+    sa.run()
+    # f64 oracle on frame 0: Shrake-Rupley with the same golden
+    # spiral (the module's point generator for exactness).
+    from mdhelper_tpu.analysis.sasa import sphere_points
+
+    pts = np.asarray(sphere_points(128), np.float64)
+    p = pos[0].astype(np.float32).astype(np.float64)
+    infl = radii + 1.4
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(p % box, boxsize=box)
+    reach = 2 * infl.max()
+    ref = np.empty(n)
+    for i in range(n):
+        nbrs = [j for j in tree.query_ball_point(p[i] % box, reach)
+                if j != i]
+        surf = p[i] + infl[i] * pts
+        free = np.ones(len(pts), bool)
+        for j in nbrs:
+            d = _min_image(surf - p[j], box)
+            free &= (d**2).sum(-1) > infl[j] ** 2
+        ref[i] = 4 * np.pi * infl[i] ** 2 * free.mean()
+    got = np.asarray(sa.results.areas[0], np.float64)
+    scale = 4 * np.pi * infl.max() ** 2
+    err = np.abs(got - ref).max() / scale
+    assert err < 1e-6, err
+    _report("sasa", err, atoms=n)
+
+
+def bonded():
+    from mdhelper_tpu.analysis.bonded import (
+        BondAngleDistribution,
+        BondLengthDistribution,
+    )
+
+    n_mol, n_frames, box = 10_000, 10, 50.0
+    centers = rng.random((n_frames, n_mol, 3)) * box
+    d1 = rng.standard_normal((n_frames, n_mol, 3))
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = rng.standard_normal((n_frames, n_mol, 3))
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    pos = np.empty((n_frames, 3 * n_mol, 3))
+    pos[:, 0::3] = centers
+    pos[:, 1::3] = centers + 0.96 * d1
+    pos[:, 2::3] = centers + 0.97 * d2
+    bonds = np.empty((2 * n_mol, 2), dtype=np.int64)
+    bonds[0::2] = np.stack(
+        [3 * np.arange(n_mol), 3 * np.arange(n_mol) + 1], axis=1
+    )
+    bonds[1::2] = np.stack(
+        [3 * np.arange(n_mol), 3 * np.arange(n_mol) + 2], axis=1
+    )
+    u = _universe(
+        pos % box, np.array([box] * 3), bonds=bonds,
+        resindices=np.repeat(np.arange(n_mol), 3),
+        types=np.array(["O", "H", "H"] * n_mol, dtype=object),
+    )
+    bl = BondLengthDistribution(
+        u.atoms, n_bins=40, range=(0.9, 1.0), verbose=False
+    )
+    bl.run()
+    p32 = (pos % box).astype(np.float32).astype(np.float64)
+    d = _min_image(
+        p32[:, bonds[:, 0]] - p32[:, bonds[:, 1]], box
+    )
+    lengths = np.linalg.norm(d, axis=-1)
+    edges = np.asarray(bl.results.edges, np.float64)
+    ref = np.histogram(lengths, bins=edges)[0]
+    got = np.asarray(bl.results.counts, np.float64)
+    dl = np.abs(got - ref).sum()
+    assert dl <= max(4, 1e-6 * ref.sum()), dl
+
+    ba = BondAngleDistribution(u.atoms, n_bins=36, verbose=False)
+    ba.run()
+    v1 = _min_image(p32[:, 1::3] - p32[:, 0::3], box)
+    v2 = _min_image(p32[:, 2::3] - p32[:, 0::3], box)
+    cosang = (v1 * v2).sum(-1) / (
+        np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1)
+    )
+    ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+    ref_a = np.histogram(
+        ang, bins=np.asarray(ba.results.edges, np.float64)
+    )[0]
+    got_a = np.asarray(ba.results.counts, np.float64)
+    da = np.abs(got_a - ref_a).sum()
+    assert da <= max(6, 2e-5 * ref_a.sum()), da
+    _report(
+        "bonded", (dl + da) / (ref.sum() + ref_a.sum()),
+        bonds=int(ref.sum()), angles=int(ref_a.sum()),
+    )
+
+
+CHECKS = {
+    "rdf_asym": rdf_asym,
+    "rdf_offset": rdf_offset,
+    "vanhove_triclinic": vanhove_triclinic,
+    "orientation": orientation,
+    "densitymaps": densitymaps,
+    "scsf_guinier": scsf_guinier,
+    "ionpair": ionpair,
+    "msid": msid,
+    "charge_sq": charge_sq,
+    "sasa": sasa,
+    "bonded": bonded,
+}
+
+if __name__ == "__main__":
+    for name in sys.argv[1:]:
+        CHECKS[name]()

@@ -170,7 +170,10 @@ def test_pallas_cell_histogram_offset_range(precision):
         pallas_cell_plan,
     )
 
-    n, box, r0, r1, n_bins = 800, 16.0, 1.25, 3.5, 45
+    # deliberately NOT exactly representable in float32: the offset
+    # constants must derive from full-f64 endpoints like the XLA
+    # path's linspace edges (round-4 review catch)
+    n, box, r0, r1, n_bins = 800, 16.0, 1.2, 3.7, 45
     pos = (rng.random((n, 3)) * box).astype(np.float32)
     plan = pallas_cell_plan(n, [box] * 3, r1)
     counts, occ = cell_pair_histogram_pallas(
@@ -183,8 +186,8 @@ def test_pallas_cell_histogram_offset_range(precision):
     d -= box * np.round(d / box)
     dist = np.sqrt((d**2).sum(-1))
     dist[np.arange(n), np.arange(n)] = np.inf
-    # float32-stream endpoints, like the analysis classes build.
-    edges = np.linspace(np.float32(r0), np.float32(r1), n_bins + 1)
+    # full-f64 edges, like the analysis classes build.
+    edges = np.linspace(r0, r1, n_bins + 1)
     oracle = np.histogram(dist, bins=edges)[0]
     if precision == "exact":
         np.testing.assert_array_equal(
