@@ -40,11 +40,29 @@ def _min_image(d, box):
     return d - box * np.round(d / box)
 
 
+def _pair_hist_chunked(p, box, edges, excl=None, block=1000):
+    """f64 ordered-pair distance histogram in row blocks (a full
+    (N, N, 3) delta tensor at 20k atoms is ~10 GB)."""
+
+    n = len(p)
+    counts = np.zeros(len(edges) - 1)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        d = _min_image(p[lo:hi, None] - p[None, :], box)
+        dist = np.sqrt((d**2).sum(-1))
+        rows = np.arange(lo, hi)
+        dist[rows - lo, rows] = np.inf  # identical atoms
+        if excl is not None:
+            dist[excl(rows)] = np.inf
+        counts += np.histogram(dist, bins=edges)[0]
+    return counts
+
+
 def rdf_asym():
     """Asymmetric (2, 3) self-exclusion through the Pallas half-shell
     weights — NEW round-4 kernel route, chip oracle mandatory."""
 
-    n, box, r_max, n_bins, n_frames = 20_000, 30.0, 6.0, 100, 6
+    n, box, r_max, n_bins, n_frames = 12_000, 26.0, 6.0, 100, 4
     pos = rng.random((n_frames, n, 3)) * box
     u = _universe(pos, np.array([box] * 3))
     from mdhelper_tpu.analysis.structure import (
@@ -57,15 +75,22 @@ def rdf_asym():
     )
     a.run()
     assert a._use_pallas_cell_kernel(), "expected the Pallas route"
-    i = np.arange(n)
-    excl = (i[:, None] // 2) == (i[None, :] // 3)
+    i_all = np.arange(n)
     counts = np.zeros(n_bins)
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    box32 = np.float64(np.float32(box))
+
+    def excl(rows):
+        # the helper drops identical atoms unconditionally; the
+        # surviving diagonal pairs (i//2 != i//3) are added back to
+        # bin 0 below via n_diag
+        return (rows[:, None] // 2) == (i_all[None, :] // 3)
+
+    n_diag = int(np.sum(i_all // 2 != i_all // 3))
     for f in range(n_frames):
         p = pos[f].astype(np.float32).astype(np.float64)
-        d = _min_image(p[:, None] - p[None], np.float64(np.float32(box)))
-        dist = np.sqrt((d**2).sum(-1))
-        dist[excl] = np.inf
-        counts += np.histogram(dist, bins=n_bins, range=(0, r_max))[0]
+        counts += _pair_hist_chunked(p, box32, edges, excl=excl)
+    counts[0] += n_frames * n_diag  # surviving (i, i) pairs, bin 0
     got = np.asarray(a.results.counts, dtype=np.float64)
     err = np.abs(got - counts).max() / max(counts.max(), 1)
     np.testing.assert_array_equal(got, counts)
@@ -76,7 +101,7 @@ def rdf_offset():
     """range[0] > 0 offset-grid binning on the Pallas self kernel —
     NEW round-4 route."""
 
-    n, box, r0, r1, n_bins, n_frames = 20_000, 30.0, 2.1, 6.0, 80, 6
+    n, box, r0, r1, n_bins, n_frames = 12_000, 26.0, 2.1, 6.0, 80, 4
     pos = rng.random((n_frames, n, 3)) * box
     u = _universe(pos, np.array([box] * 3))
     from mdhelper_tpu.analysis.structure import (
@@ -91,12 +116,10 @@ def rdf_offset():
     assert a._use_pallas_cell_kernel(), "expected the Pallas route"
     counts = np.zeros(n_bins)
     edges = np.linspace(r0, r1, n_bins + 1)
+    box32 = np.float64(np.float32(box))
     for f in range(n_frames):
         p = pos[f].astype(np.float32).astype(np.float64)
-        d = _min_image(p[:, None] - p[None], np.float64(np.float32(box)))
-        dist = np.sqrt((d**2).sum(-1))
-        dist[np.arange(n), np.arange(n)] = np.inf
-        counts += np.histogram(dist, bins=edges)[0]
+        counts += _pair_hist_chunked(p, box32, edges)
     got = np.asarray(a.results.counts, dtype=np.float64)
     err = np.abs(got - counts).max() / max(counts.max(), 1)
     np.testing.assert_array_equal(got, counts)
@@ -109,7 +132,7 @@ def vanhove_triclinic():
 
     from mdhelper_tpu.analysis.structure import VanHoveFunction
 
-    n, n_frames, n_bins = 8_000, 10, 60
+    n, n_frames, n_bins = 2_500, 6, 60
     dims6 = np.array([26.0, 25.0, 24.0, 80.0, 95.0, 100.0])
     from mdhelper_tpu.algorithm.topology import triclinic_matrices
 
@@ -118,7 +141,7 @@ def vanhove_triclinic():
     pos = frac @ h
     u = _universe(pos, dims6)
     vh = VanHoveFunction(
-        u.atoms, n_bins=n_bins, range=(0.0, 6.0), n_lags=4,
+        u.atoms, n_bins=n_bins, range=(0.0, 6.0), n_lags=3,
         verbose=False,
     )
     vh.run()
@@ -134,21 +157,25 @@ def vanhove_triclinic():
             ).reshape(-1, 3)
         ]
     )
-    counts_d = np.zeros((4, n_bins))
-    counts_s = np.zeros((4, n_bins))
-    for lag in range(4):
+    counts_d = np.zeros((3, n_bins))
+    counts_s = np.zeros((3, n_bins))
+    block = 500
+    for lag in range(3):
         for t0 in range(n_frames - lag):
             a, b = pos32[t0], pos32[t0 + lag]
-            delta = a[:, None, :] - b[None, :, :]
-            d2 = (
-                (delta[None] + shifts[:, None, None, :]) ** 2
-            ).sum(-1).min(axis=0)
-            dist = np.sqrt(d2)
-            np.fill_diagonal(dist, np.inf)
-            counts_d[lag] += np.histogram(
-                dist, bins=n_bins, range=(0.0, 6.0)
-            )[0]
-            ds = delta[np.arange(n), np.arange(n)]
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                delta = a[lo:hi, None, :] - b[None, :, :]
+                d2 = (
+                    (delta[None] + shifts[:, None, None, :]) ** 2
+                ).sum(-1).min(axis=0)
+                dist = np.sqrt(d2)
+                rows = np.arange(lo, hi)
+                dist[rows - lo, rows] = np.inf
+                counts_d[lag] += np.histogram(
+                    dist, bins=n_bins, range=(0.0, 6.0)
+                )[0]
+            ds = a - b
             d2s = (
                 (ds[None] + shifts[:, None, :]) ** 2
             ).sum(-1).min(axis=0)
