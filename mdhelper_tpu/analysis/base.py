@@ -1218,8 +1218,13 @@ class NumbaAnalysisBase(SerialAnalysisBase):
         **kwargs,
     ) -> "NumbaAnalysisBase":
         if n_threads is not None:
-            logging.debug(
-                "n_threads is ignored: XLA manages device parallelism."
+            import warnings
+
+            warnings.warn(
+                "n_threads is accepted for API parity but ignored: "
+                "XLA manages device parallelism (like the n_batches "
+                "no-op).",
+                stacklevel=2,
             )
         return super().run(
             start=start, stop=stop, step=step, frames=frames,
