@@ -1319,7 +1319,11 @@ def _measure_tpu_subprocess(on_phase=None) -> float:
                                 * len(phases)
                             ),
                         )
-                    if len(successes) >= 2:
+                    # Best-of-2 normally; a third attempt when the
+                    # deadline leaves comfortable room (windows drift
+                    # by integer factors — more samples, better max).
+                    target = 3 if _remaining() > 900.0 else 2
+                    if len(successes) >= target:
                         break
                     continue
                 last = RuntimeError(
