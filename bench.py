@@ -1124,6 +1124,7 @@ def _save_scratch(key: str, record: dict) -> None:
         "fps", 0
     ):
         record = existing
+    data[key] = record
     try:
         tmp = _SCRATCH_PATH + ".tmp"
         with open(tmp, "w") as f:
@@ -1328,9 +1329,15 @@ def _measure_tpu_subprocess(on_phase=None) -> float:
                             ),
                         )
                     # Best-of-2 normally; a third attempt when the
-                    # deadline leaves comfortable room (windows drift
-                    # by integer factors — more samples, better max).
-                    target = 3 if _remaining() > 900.0 else 2
+                    # deadline leaves comfortable room FOR THE
+                    # REMAINING PHASES TOO (a refinement must never
+                    # starve an unmeasured phase into a [partial]).
+                    phases_left = len(phases) - done - 1
+                    target = (
+                        3
+                        if _remaining() > 900.0 * (1 + phases_left)
+                        else 2
+                    )
                     if len(successes) >= target:
                         break
                     continue
