@@ -538,6 +538,28 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         # reduction is one fused multiply-add, so always accumulate.
         track_volume = True
 
+        # XLA brute-sweep chunk cap (same per-execution budget as the
+        # Pallas/VanHove routing): at 100k atoms a default 128 MB
+        # chunk packs ~100 tiled O(N^2) frame sweeps (~1 min) into
+        # ONE execution — past the ~20 s tunnel watchdog that kills
+        # the device worker.  Cells don't need this (their sweeps are
+        # ~20x cheaper and the 8-frame bench chunks sit well under).
+        if jax.default_backend() == "tpu":
+            import os as _os
+
+            budget = float(
+                _os.environ.get("MDTPU_EXEC_BUDGET_S", 20.0)
+            )
+            est_frame = (self._n1 * self._n2) / 3.3e9
+            max_frames = max(1, int(budget / max(1e-9, est_frame)))
+            frame_bytes = (
+                len(self._atom_indices) * 3
+                * np.dtype(self._stream_dtype()).itemsize
+            )
+            self._chunk_bytes = min(
+                self._chunk_bytes, max_frames * frame_bytes
+            )
+
         def update(carry, positions, dimensions, mask):
             pos1 = take1(positions)
             pos2 = take2(positions)
