@@ -1,0 +1,141 @@
+"""Mechanical public-API parity against the reference tree.
+
+Walks every module under ``/root/reference/src/mdhelper`` (read-only),
+collects its top-level public functions/classes, and asserts each name
+is importable from the corresponding ``mdhelper_tpu`` surface at
+RUNTIME (several families — poly1-9, gauss1-8, fourier1-8, the
+``*_parallel_*`` kernel aliases — are generated from closed forms
+rather than hand-written, so an AST-level scan of this repo would
+miss them).  Skipped when the reference tree is absent.
+"""
+
+import ast
+import importlib
+import os
+
+import pytest
+
+REFERENCE = "/root/reference/src/mdhelper"
+
+#: reference module -> the mdhelper_tpu module(s) carrying its surface.
+MODULE_MAP = {
+    "algorithm/accelerated.py": ["mdhelper_tpu.algorithm.accelerated"],
+    "algorithm/correlation.py": ["mdhelper_tpu.algorithm.correlation"],
+    "algorithm/molecule.py": ["mdhelper_tpu.algorithm.molecule"],
+    "algorithm/topology.py": ["mdhelper_tpu.algorithm.topology"],
+    "algorithm/unit.py": ["mdhelper_tpu.algorithm.unit"],
+    "algorithm/utility.py": ["mdhelper_tpu.algorithm.utility"],
+    "analysis/base.py": ["mdhelper_tpu.analysis.base"],
+    "analysis/electrostatics.py": [
+        "mdhelper_tpu.analysis.electrostatics"
+    ],
+    "analysis/polymer.py": ["mdhelper_tpu.analysis.polymer"],
+    "analysis/profile.py": ["mdhelper_tpu.analysis.profile"],
+    "analysis/structure.py": ["mdhelper_tpu.analysis.structure"],
+    "analysis/thermodynamics.py": [
+        "mdhelper_tpu.analysis.thermodynamics"
+    ],
+    "analysis/transport.py": ["mdhelper_tpu.analysis.transport"],
+    "fit/distribution.py": ["mdhelper_tpu.fit.distribution"],
+    "fit/exponential.py": ["mdhelper_tpu.fit.exponential"],
+    "fit/fourier.py": ["mdhelper_tpu.fit.fourier"],
+    "fit/gaussian.py": ["mdhelper_tpu.fit.gaussian"],
+    "fit/polynomial.py": ["mdhelper_tpu.fit.polynomial"],
+    "fit/power.py": ["mdhelper_tpu.fit.power"],
+    "lammps/topology.py": ["mdhelper_tpu.lammps.topology"],
+    "openmm/bond.py": ["mdhelper_tpu.openmm.bond"],
+    "openmm/file.py": ["mdhelper_tpu.openmm.file"],
+    "openmm/pair.py": [
+        "mdhelper_tpu.openmm.pair",
+        "mdhelper_tpu.openmm.expressions",
+    ],
+    "openmm/reporter.py": ["mdhelper_tpu.openmm.reporter"],
+    "openmm/system.py": ["mdhelper_tpu.openmm.system"],
+    "openmm/topology.py": ["mdhelper_tpu.openmm.topology"],
+    "openmm/unit.py": ["mdhelper_tpu.openmm.unit"],
+    "openmm/utility.py": ["mdhelper_tpu.openmm.utility"],
+    "plot/axis.py": ["mdhelper_tpu.plot.axis"],
+    "plot/color.py": ["mdhelper_tpu.plot.color"],
+    "plot/rcparam.py": ["mdhelper_tpu.plot.rcparam"],
+}
+
+
+def _reference_symbols():
+    out = {}
+    for rel in MODULE_MAP:
+        path = os.path.join(REFERENCE, rel)
+        if not os.path.exists(path):
+            continue
+        tree = ast.parse(open(path).read())
+        out[rel] = [
+            node.name
+            for node in tree.body
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef))
+            and not node.name.startswith("_")
+        ]
+    return out
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree not mounted"
+)
+def test_every_reference_public_symbol_exists():
+    missing = []
+    openmm_unavailable = False
+    try:
+        import openmm  # noqa: F401
+    except ImportError:
+        openmm_unavailable = True
+    for rel, symbols in _reference_symbols().items():
+        targets = []
+        for mod_name in MODULE_MAP[rel]:
+            try:
+                targets.append(importlib.import_module(mod_name))
+            except ImportError:
+                # openmm-dependent modules import the real OpenMM;
+                # fall back to their AST so parity is still checked.
+                if openmm_unavailable and mod_name.startswith(
+                    "mdhelper_tpu.openmm"
+                ):
+                    path = os.path.join(
+                        "/root/repo",
+                        mod_name.replace(".", "/") + ".py",
+                    )
+                    tree = ast.parse(open(path).read())
+
+                    class _Surface:
+                        names = {
+                            node.name
+                            for node in tree.body
+                            if isinstance(
+                                node,
+                                (ast.FunctionDef, ast.ClassDef),
+                            )
+                        } | {
+                            t.id
+                            for node in tree.body
+                            if isinstance(node, ast.Assign)
+                            for t in node.targets
+                            if isinstance(t, ast.Name)
+                        }
+
+                        def __init__(self):
+                            pass
+
+                        def has(self, name):
+                            return name in self.names
+
+                    targets.append(_Surface())
+                else:
+                    raise
+        for sym in symbols:
+            ok = any(
+                (t.has(sym) if hasattr(t, "has") else hasattr(t, sym))
+                for t in targets
+            )
+            if not ok:
+                missing.append(f"{rel}:{sym}")
+    assert not missing, (
+        "reference public symbols missing from mdhelper_tpu: "
+        f"{missing}"
+    )
