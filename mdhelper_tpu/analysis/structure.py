@@ -550,7 +550,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             budget = float(
                 _os.environ.get("MDTPU_EXEC_BUDGET_S", 20.0)
             )
-            est_frame = (self._n1 * self._n2) / 3.3e9
+            # ~3.3e9 exact pairs/s orthorhombic; the triclinic
+            # 27-image double-float search runs ~4.5x slower
+            # (round-3 ledger: 1.84 fps at 20k = 7.4e8 pairs/s).
+            rate = 7.4e8 if triclinic else 3.3e9
+            est_frame = (self._n1 * self._n2) / rate
             max_frames = max(1, int(budget / max(1e-9, est_frame)))
             frame_bytes = (
                 len(self._atom_indices) * 3
