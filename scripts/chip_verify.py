@@ -7,9 +7,9 @@ limit):
     python scripts/chip_verify.py <check> [...]
 
 Prints ``CHIPVERIFY <check> max_rel_err=<x> [extras]`` on success.
-Checks: rdf_asym, rdf_offset, vanhove_triclinic, orientation,
-densitymap2d, densitymap3d, scsf_guinier, ionpair, msid, charge_sq,
-sasa, bonded.
+Run with no arguments (or an unknown name) to list the registered
+checks — the authoritative list is the ``CHECKS`` dict at the bottom
+of this file.
 """
 
 import sys
@@ -301,9 +301,11 @@ def scsf_guinier():
     com = chains.mean(axis=2, keepdims=True)
     rg2 = ((chains - com) ** 2).sum(-1).mean(axis=-1)
     rg_direct = np.sqrt(rg2.mean())
-    err = abs(rg - rg_direct) / rg_direct
-    # Guinier is an estimator: agreement to a few % in its window
-    assert err < 0.15, (rg, rg_direct)
+    # The Guinier estimator truncates the ln S expansion at q^2, so
+    # its value differs from the direct real-space Rg by a
+    # window-dependent few percent even on perfect data — an explicit
+    # 10% bound documents that expected estimator bias.
+    assert abs(rg - rg_direct) / rg_direct < 0.10, (rg, rg_direct)
     # and the scsf itself vs a direct f64 oracle (grouped by unique
     # |q| exactly like the class's conclusion)
     qs = np.asarray(sc._wavevectors, np.float64)
@@ -325,9 +327,22 @@ def scsf_guinier():
     got = np.asarray(sc.results.scsf, np.float64)
     rel = np.abs(got - ref_g) / np.maximum(np.abs(ref_g), 1e-12)
     assert np.median(rel) < 5e-6, np.median(rel)
+    # Deterministic chip check: the SAME self-consistent fit on the
+    # f64 oracle curve must land on the same Rg — this isolates the
+    # chip's scsf fidelity from the estimator's direct-Rg bias.
+    saved = sc.results.scsf
+    try:
+        sc.results.scsf = ref_g
+        rg_oracle = sc.calculate_guinier_radius()
+    finally:
+        sc.results.scsf = saved
+    fit_err = abs(rg - rg_oracle) / rg_oracle
+    assert fit_err < 1e-3, (rg, rg_oracle)
     _report(
         "scsf_guinier", float(np.median(rel)),
-        rg=round(float(rg), 3), rg_direct=round(float(rg_direct), 3),
+        rg=round(float(rg), 3), rg_oracle=round(float(rg_oracle), 4),
+        rg_direct=round(float(rg_direct), 3),
+        fit_err=f"{fit_err:.2e}",
     )
 
 
@@ -540,5 +555,13 @@ CHECKS = {
 }
 
 if __name__ == "__main__":
+    if not sys.argv[1:]:
+        print("usage: chip_verify.py <check> [...]")
+        print("checks:", " ".join(sorted(CHECKS)))
+        sys.exit(2)
     for name in sys.argv[1:]:
+        if name not in CHECKS:
+            print(f"unknown check {name!r}; valid checks:",
+                  " ".join(sorted(CHECKS)))
+            sys.exit(2)
         CHECKS[name]()

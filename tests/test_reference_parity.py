@@ -12,6 +12,7 @@ miss them).  Skipped when the reference tree is absent.
 import ast
 import importlib
 import os
+import warnings
 
 import pytest
 
@@ -66,7 +67,12 @@ def _reference_symbols():
         path = os.path.join(REFERENCE, rel)
         if not os.path.exists(path):
             continue
-        tree = ast.parse(open(path).read())
+        # Reference sources are untrusted public content whose parse
+        # raises SyntaxWarnings (invalid escape sequences); they are
+        # not actionable here and must not trip a -W error policy.
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", SyntaxWarning)
+            tree = ast.parse(open(path).read())
         out[rel] = [
             node.name
             for node in tree.body
