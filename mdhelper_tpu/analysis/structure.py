@@ -688,29 +688,31 @@ class RadialDistributionFunction(DynamicAnalysisBase):
 
     def _use_pallas_cell_kernel(self) -> bool:
         """Route the hot RDF cases through the hand-tiled Pallas
-        cell-list kernel: uniform bins (any ``range``; ``range[0] > 0``
-        uses the offset-grid boundary convention), box at least 3 cutoffs
-        per (perpendicular-width) axis on the first frame — both
-        orthorhombic and triclinic cells, the latter via per-(cell,
-        neighbor) lattice-image shifts (per-frame NPT boxes are fine:
+        cell-list kernels: uniform bins (any ``range``;
+        ``range[0] > 0`` uses the offset-grid boundary convention),
+        ANY periodic box size — boxes of at least 3 cutoffs per
+        (perpendicular-width) axis ride the classic reach-1
+        half-shell/27 sweeps; smaller or subdivided grids ride the
+        generalized deduped-table sweeps (per-axis ``reach``, ordered
+        small-box mode, per-pair 27-candidate triclinic minimum image
+        — round 5); 2-D ``drop_axis`` RDFs ride the same kernels on a
+        grid over the two kept axes.  Per-frame NPT boxes are fine:
         the kernel takes the box at runtime and NaN-poisons if a
-        frame's box invalidates the planned cell grid), self- or
-        molecule-block exclusion, running on a real TPU.  Everything
-        else uses the general XLA tiled sweep (2-D drop_axis,
-        range[0] > 0, too-small boxes)."""
+        frame's box invalidates the planned cell grid.  The XLA tiled
+        sweep remains only for non-TPU backends, overlapping cross
+        groups, and aperiodic (zero-extent) axes."""
 
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
-            return False
-        if self._drop_axis is not None:
             return False
         if self.ag2 is self.ag1 and self._groupings[0] == self._groupings[1]:
             # Self-RDF: exclusion=None (reference default) is served
             # by adding the n1 self-pairs back into bin 0 (their
             # distance is exactly 0); (e, e) tiles ride the symmetric
             # half-shell mask; asymmetric (e0, e1) tiles ride the
-            # kernel's ordered-multiplicity weights (round 4).
+            # kernel's ordered-multiplicity weights (round 4) or the
+            # plain ordered mask (small-box mode).
             pass
         else:
             # Cross-RDF: disjoint groups; (e0, e1) exclusion rides
@@ -720,23 +722,23 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         dims = self.universe.dimensions
         if dims is None:
             return False
-        r_max = self._range[1]
-        # Orthorhombic: box lengths; triclinic: the perpendicular
-        # widths of the first-frame cell (the triclinic kernel's
-        # per-block image shifts need >= 3 cells of >= r_max along
-        # every lattice direction, strictly).
-        if not np.all(np.floor(self._cell_plan_box() / r_max) >= 3):
-            return False
-        # Any table size works: plans whose slot tables exceed the
-        # VMEM budget route to the streaming-block kernels inside the
-        # wrapper (per-(cell, neighbor) DMA), so large N never falls
-        # back to the O(N^2) XLA sweep.
-        return True
+        # Aperiodic axes (zero extents by convention) need the XLA
+        # sweep's per-axis periodicity guard; the cell grid assumes
+        # periodic wrapping on every grid axis.
+        return bool(np.all(self._cell_plan_box() > 0))
 
     def _cell_plan_box(self):
-        return _pallas_plan_extents(
+        """Extents the cell plan spans: 3 box lengths (perpendicular
+        widths for triclinic cells), or the two KEPT extents for 2-D
+        ``drop_axis`` grids."""
+
+        ext = _pallas_plan_extents(
             self.universe.dimensions, self._triclinic
         )
+        if self._drop_axis is not None:
+            keep = [a for a in range(3) if a != self._drop_axis]
+            return ext[keep]
+        return ext
 
     def _searched_cell_plan(self):
         from ..ops.pallas_cell_histogram import pallas_cell_plan_search
@@ -801,11 +803,55 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             n2 = self._n2
 
         triclinic = self._triclinic
+        drop = self._drop_axis
+        axes = (
+            (0, 1, 2)
+            if drop is None
+            else tuple(a for a in range(3) if a != drop)
+        )
+
+        # Per-execution chunk cap (same ~20 s tunnel-watchdog budget
+        # as the XLA sweep): classic reach-1 plans are ~20x cheaper
+        # per pair than the brute sweep and never came close, but the
+        # GENERALIZED small-box plans can approach all-pairs padded
+        # work — and the triclinic per-pair mode runs its 27-candidate
+        # search per pair (~27x the ortho distance math).  Estimate a
+        # frame from the plan's padded-pair cost and shrink the chunk
+        # so one execution stays under the budget.
+        if jax.default_backend() == "tpu":
+            import os as _os
+
+            budget = float(
+                _os.environ.get("MDTPU_EXEC_BUDGET_S", 20.0)
+            )
+            small_box = any(
+                n <= 2 * m + 1
+                for n, m in zip(plan["n_cells_dim"], plan["reach"])
+            ) or plan["reach"] != tuple(
+                1 for _ in plan["reach"]
+            )
+            tri_pp_mode = triclinic and (
+                small_box or any(
+                    n < 3 for n in plan["n_cells_dim"]
+                )
+            )
+            rate = 7.0e8 if tri_pp_mode else 1.5e10
+            est_frame = plan["_cost"] / rate
+            max_frames = max(1, int(budget / max(1e-9, est_frame)))
+            frame_bytes = (
+                len(self._atom_indices) * 3
+                * np.dtype(self._stream_dtype()).itemsize
+            )
+            self._chunk_bytes = min(
+                self._chunk_bytes, max_frames * frame_bytes
+            )
 
         def kernel_box(dims):
             # Orthorhombic: the (3,) lengths; triclinic: the (3, 3)
-            # lower-triangular box matrix (the kernel's triclinic
-            # mode: per-neighbor-block lattice image shifts).
+            # lower-triangular box matrix (per-neighbor-block lattice
+            # image shifts, or the per-pair small-box search).  2-D
+            # drop_axis grids pass the full (3,) lengths — the kernel
+            # reads only its grid axes.
             if triclinic:
                 return triclinic_matrices(dims).astype(jnp.float32)
             return dims[:3].astype(jnp.float32)
@@ -814,6 +860,10 @@ class RadialDistributionFunction(DynamicAnalysisBase):
             if triclinic:
                 h = triclinic_matrices(dims)
                 return h[0, 0] * h[1, 1] * h[2, 2]
+            if drop is not None:
+                # 2-D analysis: the normalization extent is the AREA
+                # of the kept axes (XLA route parity).
+                return dims[:3].prod() / dims[drop]
             return dims[:3].prod()
 
         def update(carry, positions, dimensions, mask):
@@ -841,6 +891,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                         capacity2=plan["capacity2"],
                         n_bins=n_bins, precision="exact",
                         exclusion=exclusion,
+                        axes=axes, reach=plan["reach"],
                     )
                     occ = jnp.maximum(
                         occ1 - np.int32(plan["capacity"]),
@@ -856,6 +907,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                         capacity=plan["capacity"],
                         n_bins=n_bins, precision="exact",
                         exclusion=kernel_exclusion,
+                        axes=axes, reach=plan["reach"],
                     )
                     if self_pairs:
                         counts = counts.at[0].add(
@@ -2748,11 +2800,12 @@ class VanHoveFunction(SerialAnalysisBase):
 
     def _use_cell_kernel(self) -> bool:
         """Route the distinct-part pair sweeps through the Pallas
-        cross cell kernel (same eligibility as the RDF: real TPU,
-        box at least 3 histogram ranges per axis — perpendicular
-        widths for triclinic cells — any uniform ``range``, incl.
-        ``range[0] > 0`` via the offset-grid binning).
-        ``MDTPU_VANHOVE_IMPL=xla`` forces the brute tiled sweep."""
+        cross cell kernel (same eligibility as the RDF: real TPU, ANY
+        periodic box — generalized reach / per-pair triclinic
+        minimum image for boxes under 3 histogram ranges per axis —
+        any uniform ``range``, incl. ``range[0] > 0`` via the
+        offset-grid binning).  ``MDTPU_VANHOVE_IMPL=xla`` forces the
+        brute tiled sweep."""
 
         import os
 
@@ -2765,11 +2818,7 @@ class VanHoveFunction(SerialAnalysisBase):
         dims = self.universe.dimensions
         if dims is None:
             return False
-        return bool(
-            np.all(
-                np.floor(self._cell_plan_box() / self._range[1]) >= 3
-            )
-        )
+        return bool(np.all(self._cell_plan_box() > 0))
 
     def _cell_plan_box(self):
         return _pallas_plan_extents(
@@ -2860,7 +2909,18 @@ class VanHoveFunction(SerialAnalysisBase):
                 self._carry["max_occ"] = jnp.full(
                     (), -(2**30), jnp.int32
                 )
-                est_sweep = n_entities / 6.0e5
+                # Padded-pair plan cost over the kernel rate: classic
+                # reach-1 plans reproduce the old n/6e5 heuristic
+                # within ~2x; generalized small-box plans (near
+                # all-pairs work, or the ~27x-slower triclinic
+                # per-pair search) are far costlier per sweep and the
+                # lag-split/chunk caps must see that.
+                tri_pp_mode = self._triclinic and (
+                    plan["reach"] != (1, 1, 1)
+                    or any(n < 3 for n in plan["n_cells_dim"])
+                )
+                rate = 7.0e8 if tri_pp_mode else 1.5e10
+                est_sweep = plan["_cost"] / rate
             else:
                 est_sweep = n_entities * n_entities / 3.3e9
             import os as _os
@@ -2883,14 +2943,15 @@ class VanHoveFunction(SerialAnalysisBase):
             )
             # When even ONE frame's full selected-lag sweep exceeds
             # the budget (brute path at large N x many lags — the
-            # round-3 watchdog kill), split the LAG GRID across
-            # executions of one compiled step (below).
-            if not use_cell:
-                lags_per_exec = max(
-                    1, int(budget / max(1e-9, est_sweep))
-                )
-                if lags_per_exec < n_sel:
-                    split_lags = lags_per_exec
+            # round-3 watchdog kill; round 5: also the generalized
+            # small-box cell plans, whose padded work approaches
+            # all-pairs), split the LAG GRID across executions of one
+            # compiled step (below).
+            lags_per_exec = max(
+                1, int(budget / max(1e-9, est_sweep))
+            )
+            if lags_per_exec < n_sel:
+                split_lags = lags_per_exec
 
         if use_cell:
             from ..ops.pallas_cell_histogram import (
@@ -2980,6 +3041,7 @@ class VanHoveFunction(SerialAnalysisBase):
                                 n_bins=self._n_bins,
                                 precision=precision,
                                 exclusion=(1, 1),
+                                reach=cell_plan["reach"],
                             )
                         )
                         cd = cd32.astype(jnp.float64)
@@ -3057,28 +3119,32 @@ class VanHoveFunction(SerialAnalysisBase):
             self._prepare_lag_split(
                 split_lags, n_sel, n_lags, lag_range, edges, seg,
                 masses, n_entities, triclinic, self_part, precision,
+                cell_plan=self._cell_plan if use_cell else None,
             )
 
     def _prepare_lag_split(
         self, lags_per_exec, n_sel, n_lags, lag_range, edges, seg,
         masses, n_entities, triclinic, self_part, precision,
+        cell_plan=None,
     ) -> None:
-        """Brute-path watchdog escape: one compiled per-frame step
-        parameterized by a traced LAG SUBSET, executed
+        """Watchdog escape for over-budget frames: one compiled
+        per-frame step parameterized by a traced LAG SUBSET, executed
         ``ceil(n_sel / k)`` times per frame so no single device
         execution exceeds the ~20 s budget that kills the tunnel
         worker (round-3 bisection).  ``advance=1`` on the first group
         performs the ring/frame/volume bookkeeping; later groups only
-        sweep their lags against the already-updated ring."""
+        sweep their lags against the already-updated ring.
+        ``cell_plan`` switches the distinct sweep from the brute
+        tiled pass to the Pallas cross cell kernel (round 5: the
+        generalized small-box plans can also exceed the budget)."""
 
         import warnings
 
         warnings.warn(
-            "VanHoveFunction brute distinct-part sweep exceeds the "
+            "VanHoveFunction distinct-part sweep exceeds the "
             f"per-execution budget; splitting the {n_sel}-lag grid "
             f"into groups of {lags_per_exec} across executions "
-            "(slower per frame; the Pallas cell kernel route avoids "
-            "this entirely).",
+            "(slower per frame).",
             stacklevel=2,
         )
         k = int(lags_per_exec)
@@ -3092,8 +3158,23 @@ class VanHoveFunction(SerialAnalysisBase):
             )
         groups = [jnp.asarray(g) for g in groups]
         n_bins = self._n_bins
+        use_cell = cell_plan is not None
+        if use_cell:
+            from ..ops.pallas_cell_histogram import (
+                cross_pair_histogram_pallas,
+            )
+
+            cell_cap = int(cell_plan["capacity"])
+            cell_r_max = float(self._range[1])
+            cell_r_min = float(self._range[0])
 
         def split_step(carry, pos, box, vol, valid, lag_sub, advance):
+            if use_cell and not triclinic:
+                # wrapped coordinates for the cell build (see
+                # scan_step); padded frames carry zero boxes
+                boxf = box.astype(pos.dtype)
+                safe = jnp.where(boxf > 0, boxf, 1.0)
+                pos = pos - safe * jnp.floor(pos / safe)
             adv = advance > 0
             took = jnp.logical_and(
                 jnp.logical_not(adv), valid > 0
@@ -3111,7 +3192,7 @@ class VanHoveFunction(SerialAnalysisBase):
             ).astype(jnp.float64)
 
             def lag_body(i, acc):
-                counts_s, counts_d, m2, m4 = acc
+                counts_s, counts_d, m2, m4, occ = acc
                 raw = lag_sub[i]
                 inb = (raw < np.int32(n_sel)).astype(jnp.float64)
                 lag = jnp.minimum(raw, np.int32(n_sel - 1))
@@ -3140,24 +3221,58 @@ class VanHoveFunction(SerialAnalysisBase):
                             n_bins,
                         )
                     counts_s = counts_s.at[lag].add(cs * ok)
-                cd = radial_histogram_frame(
-                    past, pos, box, edges, exclusion=(1, 1),
-                    precision=precision,
-                )
+                if use_cell:
+                    kbox = (
+                        box if triclinic else box[:3]
+                    ).astype(jnp.float32)
+                    cd32, occ1, occ2 = cross_pair_histogram_pallas(
+                        past.astype(jnp.float32),
+                        pos.astype(jnp.float32),
+                        box=kbox,
+                        r_max=cell_r_max,
+                        r_min=cell_r_min,
+                        n_cells_dim=cell_plan["n_cells_dim"],
+                        capacity1=cell_cap,
+                        capacity2=cell_cap,
+                        n_bins=n_bins,
+                        precision=precision,
+                        exclusion=(1, 1),
+                        reach=cell_plan["reach"],
+                    )
+                    cd = cd32.astype(jnp.float64)
+                    excess = jnp.maximum(occ1, occ2) - np.int32(
+                        cell_cap
+                    )
+                    occ = jnp.maximum(
+                        occ,
+                        jnp.where(
+                            ok > 0, excess, np.int32(-(2**30))
+                        ),
+                    )
+                else:
+                    cd = radial_histogram_frame(
+                        past, pos, box, edges, exclusion=(1, 1),
+                        precision=precision,
+                    )
                 counts_d = counts_d.at[lag].add(
                     jnp.where(ok > 0, cd, 0.0)
                 )
-                return counts_s, counts_d, m2, m4
+                return counts_s, counts_d, m2, m4, occ
 
-            counts_s, counts_d, m2, m4 = jax.lax.fori_loop(
+            occ0 = (
+                carry["max_occ"]
+                if use_cell
+                else jnp.zeros((), jnp.int32)
+            )
+            counts_s, counts_d, m2, m4, occ = jax.lax.fori_loop(
                 0, k, lag_body,
                 (
                     carry["self"], carry["distinct"],
-                    carry["m2"], carry["m4"],
+                    carry["m2"], carry["m4"], occ0,
                 ),
             )
             advf = adv.astype(jnp.float64)
-            return {
+            new_carry = {
                 "ring": ring,
                 "self": counts_s,
                 "distinct": counts_d,
@@ -3168,6 +3283,9 @@ class VanHoveFunction(SerialAnalysisBase):
                 + vol.astype(jnp.float64) * (valid > 0) * advf,
                 "frame": fi + (valid > 0),
             }
+            if use_cell:
+                new_carry["max_occ"] = occ
+            return new_carry
 
         inner = jax.jit(split_step)
 

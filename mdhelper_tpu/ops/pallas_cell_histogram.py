@@ -55,6 +55,7 @@ from .doublefloat import (
     df_add,
     df_ge,
     df_lt,
+    df_min,
     df_sub,
     df_sum3,
     df_square,
@@ -135,6 +136,7 @@ def pallas_cell_plan_search(
     *,
     n_atoms2=None,
     capacity_sigmas=4.0,
+    _force_generalized=False,
 ):
     """Cost-driven cell-grid search (host side): pick ``n_cells_dim``
     to minimize the kernel's padded pair work.
@@ -162,39 +164,118 @@ def pallas_cell_plan_search(
     ``n_atoms2 is not None`` plans the cross kernel: BOTH groups share
     one grid (the kernel requirement) and the returned dict carries
     ``capacity`` / ``capacity2``.  Set ``MDTPU_CELL_SEARCH=0`` to
-    disable the search (naive finest-grid plans; the A/B knob).
+    disable the search (naive finest-grid plans; the A/B knob; only
+    meaningful in the legacy space).
+
+    ``box`` may have 2 entries (the ``drop_axis`` grids — plan over
+    the two kept extents).  Boxes under 3 cutoffs on some axis search
+    the GENERALIZED space instead: grids from 1 cell per axis up,
+    including cells narrower than the cutoff swept with per-axis
+    ``reach`` (see :func:`_neighbor_tables_general`); the returned
+    ``reach`` tuple must be passed to the kernel wrappers.  A legacy
+    box whose every legal reach-1 plan exceeds the ~1024-lane
+    capacity budget (extremely dense 3-cutoff boxes) also falls
+    through to the generalized space.
     """
 
+    import itertools
     import os
 
     box = np.asarray(box, dtype=float)
-    max_dims = np.maximum(3, np.floor(box / r_max).astype(int))
+    d = len(box)
+    floors = np.floor(box / r_max).astype(int)
     cross = n_atoms2 is not None
-    n_nbr = 27 if cross else 14
+    # LEGACY space (every axis >= 3 cutoff-wide cells): reach-1 grids
+    # from 3 cells up to the finest legal, half/27-style sweeps —
+    # byte-for-byte the pre-round-5 behavior.  Otherwise the
+    # GENERALIZED space: any grid from 1 cell per axis up (including
+    # cells NARROWER than the cutoff, swept with per-axis reach
+    # ``m_i = floor(r_max / w_i) + 1`` and deduped wrapped neighbor
+    # tables), which serves small boxes and 2-D ``drop_axis`` grids
+    # without ever falling back to the O(N^2) sweep.
+    legacy = (not _force_generalized) and bool(
+        np.all(floors >= 3)
+    )
+
+    def reach_for(dims):
+        if legacy:
+            return (1,) * d
+        return tuple(
+            int(np.floor(r_max * n / b + 1e-9)) + 1
+            for n, b in zip(dims, box)
+        )
+
+    one_reach = (1,) * d
+    legacy_full = 3 ** d
 
     def plan_for(dims):
-        nx, ny, nz = (int(d) for d in dims)
-        n_cells = nx * ny * nz
+        dims = tuple(int(x) for x in dims)
+        n_cells = 1
+        for x in dims:
+            n_cells *= x
         c1 = _aligned_capacity(n_atoms, n_cells, capacity_sigmas)
+        c2 = c1
+        if legacy:
+            reach = one_reach
+            n_full = legacy_full
+            half_ok = True
+        else:
+            reach = reach_for(dims)
+            n_full = 1
+            half_ok = True
+            for n_ax, m in zip(dims, reach):
+                k = 2 * m + 1
+                n_full *= n_ax if n_ax < k else k
+                if n_ax < k:
+                    half_ok = False
         plan = {
-            "n_cells_dim": (nx, ny, nz),
+            "n_cells_dim": dims,
             "n_cells": n_cells,
             "capacity": c1,
+            "reach": reach,
         }
-        c2 = c1
         if cross:
             c2 = _aligned_capacity(
                 n_atoms2, n_cells, capacity_sigmas
             )
             plan["capacity2"] = c2
+        if cross:
+            n_eff = n_full
+        else:
+            n_eff = (n_full - 1) // 2 + 1 if half_ok else n_full
         plan["_tables_bytes"] = (
             4 * _ROWS * n_cells * (c1 + (c2 if cross else 0))
         )
-        plan["_cost"] = n_cells * n_nbr * c1 * c2
+        pair_work = c1 * c2
+        if not legacy:
+            # Per-block fixed costs (DMA, setup) break the cost tie
+            # between all-neighbor grids of different granularity;
+            # without it a 1-cell and a 16^3 all-pairs grid cost the
+            # same padded pairs and the search degenerates.
+            pair_work += 64.0 * (c1 + c2)
+        plan["_cost"] = n_cells * n_eff * pair_work
         return plan
 
-    fallback = plan_for(max_dims)
-    if os.environ.get("MDTPU_CELL_SEARCH", "1") == "0":
+    if legacy:
+        fallback = plan_for(np.maximum(3, floors))
+        lo = 3
+        max_dims = np.maximum(3, floors)
+    else:
+        fallback = None
+        lo = 1
+        # allow subdivision down to ~64 atoms mean per cell (capacity
+        # then snaps to the 128-lane floor)
+        n_target = (
+            int(
+                np.ceil(
+                    (max(n_atoms, n_atoms2 or 0) / 64.0)
+                    ** (1.0 / d)
+                )
+            )
+            + 1
+        )
+        max_dims = np.maximum(3, np.maximum(floors, n_target))
+    if legacy and os.environ.get("MDTPU_CELL_SEARCH", "1") == "0":
         return fallback
 
     def axis_candidates(m):
@@ -207,35 +288,68 @@ def pallas_cell_plan_search(
         # would otherwise visit ~37M triples).
         m = int(m)
         if m <= 16:
-            return list(range(3, m + 1))
-        vals = {3, m}
-        v = 3.0
+            return list(range(lo, m + 1))
+        vals = {lo, m}
+        v = float(lo)
         while v < m:
             vals.add(int(round(v)))
             v *= 1.08
         return sorted(vals)
 
     best = None
-    for nx in axis_candidates(max_dims[0]):
-        for ny in axis_candidates(max_dims[1]):
-            for nz in axis_candidates(max_dims[2]):
-                plan = plan_for((nx, ny, nz))
-                key = (plan["_cost"], plan["n_cells"])
-                if best is None or key < best[0]:
-                    best = (key, plan)
-    return fallback if best is None else best[1]
+    best_any = None
+    for dims in itertools.product(
+        *[axis_candidates(m) for m in max_dims]
+    ):
+        plan = plan_for(dims)
+        key = (plan["_cost"], plan["n_cells"])
+        if best_any is None or key < best_any[0]:
+            best_any = (key, plan)
+        # (cap, cap) pair blocks above ~1024 lanes blow the VMEM
+        # budget for the materialized index matrix; prefer plans
+        # under it (generalized grids can always subdivide).
+        if plan["capacity"] <= 1024 and (
+            plan.get("capacity2", 0) <= 1024
+        ):
+            if best is None or key < best[0]:
+                best = (key, plan)
+    if best is not None:
+        return best[1]
+    if legacy:
+        # Every legal reach-1 plan is over the capacity budget (a
+        # very dense barely-3-cutoff box): subdivide instead.
+        return pallas_cell_plan_search(
+            n_atoms, box, r_max, n_atoms2=n_atoms2,
+            capacity_sigmas=capacity_sigmas,
+            _force_generalized=True,
+        )
+    if best_any is not None:
+        return best_any[1]
+    return fallback
 
 
-def _cell_sweep_ok(box, dims, n_cells_dim, r_max):
-    """Is the 27-cell neighbor sweep complete for this box?  A cell
-    must be at least ``r_max`` wide — EXCEPT on axes clamped to the
-    3-cell minimum, where the +-1 neighborhood already spans the whole
-    axis and every pair is examined regardless of cell width."""
+def _cell_sweep_ok(extents, n_cells_dim, reach, r_max):
+    """Is the neighbor sweep complete for this box?  Cells at offset
+    ``m_i + 1`` (the first excluded ring) have a minimum per-pair
+    separation of ``m_i * w_i`` along axis ``i``, so completeness is
+    ``m_i * extents_i / n_i >= r_max`` — EXCEPT on axes where the
+    deduped neighborhood already spans every cell
+    (``n_i <= 2 m_i + 1``), where all pairs are examined regardless
+    of cell width.  ``extents`` is the runtime per-axis box length
+    (orthorhombic) or perpendicular width (triclinic per-pair mode);
+    with ``reach == (1, ...)`` this is the classic
+    cell-at-least-``r_max``-wide rule."""
 
     whole_axis = jnp.asarray(
-        [n == 3 for n in n_cells_dim], dtype=bool
+        [n <= 2 * m + 1 for n, m in zip(n_cells_dim, reach)],
+        dtype=bool,
     )
-    wide_enough = box * np.float32(1 + 1e-6) >= dims * np.float32(r_max)
+    dims = jnp.asarray(n_cells_dim, jnp.float32)
+    mr = jnp.asarray(reach, jnp.float32)
+    wide_enough = (
+        extents * mr * np.float32(1 + 1e-6)
+        >= dims * np.float32(r_max)
+    )
     return (wide_enough | whole_axis).all()
 
 
@@ -304,9 +418,9 @@ def _fast_index_from_dist(dist, bin_consts, n_bins):
     return jnp.where(dist < e0, np.int32(n_bins), idx)
 
 
-def _bin_fast(ip, jp, box, bin_consts, n_bins):
+def _bin_fast(ip, jp, box, bin_consts, n_bins, axes=(0, 1, 2)):
     d2 = None
-    for k in range(3):
+    for k in axes:
         delta = ip[k, :][:, None] - jp[k, :][None, :]
         delta = delta - box[k] * jnp.round(delta / box[k])
         d2 = delta * delta if d2 is None else d2 + delta * delta
@@ -388,19 +502,29 @@ def _exact_index_from_d2(d2, bin_consts, n_bins):
     )
 
 
-def _bin_exact(ip, jp, box, bin_consts, n_bins):
+def _bin_exact(ip, jp, box, bin_consts, n_bins, axes=(0, 1, 2)):
     """Exact double-float bin assignment: float32-estimated index with
-    a +-1 correction against the exact (k*dr)^2 boundaries."""
+    a +-1 correction against the exact (k*dr)^2 boundaries.
+
+    ``axes`` restricts the distance to a coordinate subset (the 2-D
+    ``drop_axis`` kernels).  Dropping an axis matches the XLA route's
+    zeroed-coordinate convention bit-for-bit: a zero double-float
+    component is an exact identity under ``df_add``, so summing two
+    components equals the XLA path's three-component sum with its
+    zeroed term."""
 
     components = []
-    for k in range(3):
+    for k in axes:
         s, e = two_diff(ip[k, :][:, None], jp[k, :][None, :])
         # Wrapped inputs give s in (-L, L), so the image multiple m is
         # in {-1, 0, 1} and m * L is exact in float32 — no two_prod.
         m = jnp.round(s / box[k])
         d = df_sub((s, e), (m * box[k], np.float32(0.0)))
         components.append(df_square(d))
-    d2 = df_sum3(*components)
+    if len(components) == 3:
+        d2 = df_sum3(*components)
+    else:
+        d2 = df_add(*components)
     return _exact_index_from_d2(d2, bin_consts, n_bins)
 
 
@@ -431,6 +555,100 @@ def _bin_exact_shift(ip, jp, shift, bin_consts, n_bins):
         components.append(df_square(d))
     d2 = df_sum3(*components)
     return _exact_index_from_d2(d2, bin_consts, n_bins)
+
+
+#: candidate image-multiple shifts for the per-pair triclinic
+#: minimum-image search: zero first, then the 26 non-zero {-1, 0, 1}^3
+#: combinations in lexicographic order — the SAME candidate order as
+#: the XLA oracle (``ops/histogram._exact_d2_triclinic``; order only
+#: matters for the doc, the min is value-associative).
+_TRI_PP_SHIFTS = [(0, 0, 0)] + [
+    (sx, sy, sz)
+    for sx in (-1, 0, 1)
+    for sy in (-1, 0, 1)
+    for sz in (-1, 0, 1)
+    if (sx, sy, sz) != (0, 0, 0)
+]
+
+
+def _bin_fast_tri27(ip, jp, hm_ref, bin_consts, n_bins):
+    """Fast-path PER-PAIR triclinic minimum-image binning (the
+    small-box / subdivided-grid kernels, where per-block shifts are
+    not the minimum image): fractional fold + 26-shift search, the
+    in-kernel analog of ``ops/histogram._min_image_distance``.
+
+    ``hm_ref`` is the flat ``(18,)`` scalar-prefetch array holding the
+    row-major lower-triangular box matrix H (entries 0-8) and its
+    inverse (entries 9-17)."""
+
+    delta = [
+        ip[k, :][:, None] - jp[k, :][None, :] for k in range(3)
+    ]
+    frac = []
+    for k in range(3):
+        f = (
+            delta[0] * hm_ref[9 + k]
+            + delta[1] * hm_ref[12 + k]
+            + delta[2] * hm_ref[15 + k]
+        )
+        frac.append(f - jnp.round(f))
+    base = []
+    for k in range(3):
+        # lower-triangular H: rows j >= k contribute to column k
+        b = frac[k] * hm_ref[3 * k + k]
+        for j in range(k + 1, 3):
+            b = b + frac[j] * hm_ref[3 * j + k]
+        base.append(b)
+    d2 = base[0] * base[0] + base[1] * base[1] + base[2] * base[2]
+    for shift in _TRI_PP_SHIFTS[1:]:
+        cand2 = None
+        for k in range(3):
+            sv = np.float32(shift[k]) * hm_ref[3 * k + k]
+            for j in range(k + 1, 3):
+                sv = sv + np.float32(shift[j]) * hm_ref[3 * j + k]
+            c = base[k] + sv
+            cand2 = c * c if cand2 is None else cand2 + c * c
+        d2 = jnp.minimum(d2, cand2)
+    return _fast_index_from_dist(jnp.sqrt(d2), bin_consts, n_bins)
+
+
+def _bin_exact_tri27(ip, jp, hm_ref, bin_consts, n_bins):
+    """Exact PER-PAIR triclinic minimum-image binning: replicates
+    ``ops/histogram._exact_d2_triclinic`` operation-for-operation —
+    f32 fractional rounding for the base image multiple, all 27
+    candidates evaluated in error-free double-float, minimum taken in
+    double-float — so the small-box Pallas route bins bin-edge tie
+    pairs exactly like the XLA 27-image sweep.  ``hm_ref`` as in
+    :func:`_bin_fast_tri27`."""
+
+    s_hi, s_lo = [], []
+    for k in range(3):
+        s, e = two_diff(ip[k, :][:, None], jp[k, :][None, :])
+        s_hi.append(s)
+        s_lo.append(e)
+    n0 = []
+    for k in range(3):
+        f = (
+            s_hi[0] * hm_ref[9 + k]
+            + s_hi[1] * hm_ref[12 + k]
+            + s_hi[2] * hm_ref[15 + k]
+        )
+        n0.append(jnp.round(f))
+    best = None
+    for shift in _TRI_PP_SHIFTS:
+        m = [n0[j] + np.float32(shift[j]) for j in range(3)]
+        components = []
+        for k in range(3):
+            # t = sum_{j >= k} m_j * H[j, k] (lower-triangular),
+            # df-accumulated in ascending j — the oracle's order.
+            t = two_prod(m[k], hm_ref[3 * k + k])
+            for j in range(k + 1, 3):
+                t = df_add(t, two_prod(m[j], hm_ref[3 * j + k]))
+            d = df_sub((s_hi[k], s_lo[k]), t)
+            components.append(df_square(d))
+        d2 = df_sum3(*components)
+        best = d2 if best is None else df_min(best, d2)
+    return _exact_index_from_d2(best, bin_consts, n_bins)
 
 
 def _digit_contract(
@@ -576,6 +794,86 @@ def _neighbor_tables(n_cells_dim):
     return full, full_img, half, half_img
 
 
+@functools.lru_cache(maxsize=None)
+def _neighbor_tables_general(n_cells_dim, reach):
+    """Deduped neighbor tables for ANY cell grid — 2-D (``drop_axis``)
+    or 3-D dims, per-axis reach ``m_i`` (the cell count covering
+    ``r_max``: offsets in ``[-m_i, m_i]``; ``m_i = 1`` is the classic
+    one-ring sweep, ``m_i > 1`` serves grids whose cells are narrower
+    than the cutoff).  Returns ``(full, half)``:
+
+    * ``full`` — ``(n_cells, n_full)`` int32: every DISTINCT wrapped
+      neighbor of each home cell within the reach block.  Axes with
+      ``n_i <= 2 m_i + 1`` contribute every cell along that axis
+      exactly once (the wrap would otherwise alias offsets — the
+      small-box case), so each cell PAIR appears exactly once per
+      direction and per-pair minimum-image math counts every atom
+      pair once.  The home cell is always column 0 (the ordered
+      self-sweep masks identical atoms on that block only).
+    * ``half`` — ``(n_cells, n_half)`` Newton's-third-law table (home
+      cell first, then the positive-lexicographic offsets), or
+      ``None`` when some axis has ``n_i < 2 m_i + 1`` (wrapped
+      offsets then collide and the single-visit property breaks).
+    """
+
+    import itertools
+
+    dims = tuple(int(n) for n in n_cells_dim)
+    reach = tuple(int(m) for m in reach)
+    d = len(dims)
+    strides = [1] * d
+    for ax in range(d - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * dims[ax + 1]
+    n_cells = int(np.prod(dims))
+    grids = np.meshgrid(
+        *[np.arange(n) for n in dims], indexing="ij"
+    )
+
+    # Full table: per-axis distinct wrapped coordinates, home first.
+    per_axis = []
+    for ax in range(d):
+        n, m = dims[ax], reach[ax]
+        if n <= 2 * m + 1:
+            # every cell along the axis, starting at the home coord
+            offs = np.arange(n)
+        else:
+            offs = np.concatenate(
+                ([0], np.arange(-m, 0), np.arange(1, m + 1))
+            )
+        per_axis.append(
+            (np.arange(n)[:, None] + offs[None, :]) % n
+        )  # (n_ax, k_ax); column 0 == home coordinate
+    parts = []
+    for ax in range(d):
+        arr = per_axis[ax][grids[ax]]  # dims + (k_ax,)
+        shape = list(arr.shape[:d]) + [1] * d
+        shape[d + ax] = arr.shape[-1]
+        parts.append(arr.reshape(shape) * strides[ax])
+    cid = parts[0]
+    for p in parts[1:]:
+        cid = cid + p
+    full = cid.reshape(n_cells, -1).astype(np.int32)
+
+    if all(n >= 2 * m + 1 for n, m in zip(dims, reach)):
+        zero = (0,) * d
+        offsets = list(
+            itertools.product(*[range(-m, m + 1) for m in reach])
+        )
+        half_offs = [zero] + [o for o in offsets if o > zero]
+        cols = []
+        for o in half_offs:
+            c = np.zeros(dims, dtype=np.int64)
+            for ax in range(d):
+                c = c + (
+                    (grids[ax] + o[ax]) % dims[ax]
+                ) * strides[ax]
+            cols.append(c.reshape(-1))
+        half = np.stack(cols, axis=-1).astype(np.int32)
+    else:
+        half = None
+    return full, half
+
+
 #: the 27 per-axis wrap-count combinations indexed by
 #: ``k = (wx+1)*9 + (wy+1)*3 + (wz+1)`` (k == 13 is the zero image).
 _IMAGE_COMBOS = np.array(
@@ -683,7 +981,7 @@ def _triclinic_wrap_cells(positions, box_matrix, n_cells_dim):
 
 def _slot_table(
     positions, n_cells_dim, capacity, cell_size, *,
-    ex_i=None, ex_j=None, cell_xyz=None,
+    ex_i=None, ex_j=None, cell_xyz=None, axes=None,
 ):
     """Device cell build: returns the ``(8, n_cells * capacity)`` slot
     table (xyz + id rows), the ``(n_cells,)`` occupancy, and the max
@@ -693,25 +991,29 @@ def _slot_table(
     e``) stored as float32 — exact below 2^24 atoms — so the kernel
     masks excluded pairs with one VPU compare per side.  ``cell_xyz``
     overrides the orthorhombic ``positions / cell_size`` assignment
-    (the triclinic fractional build).
+    (the triclinic fractional build).  ``n_cells_dim`` may have 2
+    entries (the ``drop_axis`` grids); ``axes`` then names the
+    coordinate columns the grid spans (cell assignment ignores the
+    dropped axis, but all three coordinate rows are packed — the
+    kernel's distance math selects its own axes).
     """
 
-    nx, ny, nz = n_cells_dim
+    dims = tuple(int(x) for x in n_cells_dim)
+    if axes is None:
+        axes = tuple(range(len(dims)))
     n = positions.shape[0]
-    n_cells = nx * ny * nz
+    n_cells = int(np.prod(dims))
     if cell_xyz is None:
         cell_xyz = jnp.clip(
             jax.lax.convert_element_type(
-                positions / cell_size, jnp.int32
+                positions[:, list(axes)] / cell_size, jnp.int32
             ),
             0,
-            jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32),
+            jnp.asarray([d - 1 for d in dims], dtype=jnp.int32),
         )
-    cid = (
-        cell_xyz[:, 0] * np.int32(ny * nz)
-        + cell_xyz[:, 1] * np.int32(nz)
-        + cell_xyz[:, 2]
-    )
+    cid = cell_xyz[:, 0]
+    for ax in range(1, len(dims)):
+        cid = cid * np.int32(dims[ax]) + cell_xyz[:, ax]
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
     cell_range = jnp.arange(n_cells, dtype=jnp.int32)
@@ -746,25 +1048,39 @@ def _slot_table(
 def _kernel(
     nbr_ref, occ_ref, box_ref, pos_ref, out_ref,
     *, capacity, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows, asym=False,
+    n_nbr=14, axes=(0, 1, 2), ordered=False, tri_pp=False,
 ):
-    """Half-shell (Newton's-third-law) sweep: neighbor 0 is the cell
-    itself, masked to the strict upper slot triangle; neighbors 1-13
-    are the positive-lexicographic offsets.  Every unordered pair is
-    examined exactly ONCE (half the pair math of a full 27-cell
-    sweep); the wrapper doubles the counts to restore the ordered-pair
+    """Self-group sweep over the neighbor table (home cell = column
+    0 of every row, visited first).
+
+    HALF-SHELL mode (``ordered=False``, the default): neighbors 1..
+    ``n_nbr``-1 are the positive-lexicographic offsets, the home
+    block is masked to the strict upper slot triangle, and every
+    unordered pair is examined exactly ONCE (half the pair math);
+    the wrapper doubles the counts to restore the ordered-pair
     convention.  Valid because the self-RDF masks (identical-atom
     drop, ``(e, e)`` tile exclusion) are symmetric.
 
-    ``asym`` serves asymmetric ``(e0, e1)`` tiles on the same sweep:
-    each unordered pair contributes its ordered-pair multiplicity
-    ``[a//e0 != b//e1] + [b//e0 != a//e1]`` in {0, 1, 2} through the
-    contraction weights (no doubling in the wrapper; diagonal (i, i)
-    pairs are restored host-side)."""
+    ``asym`` serves asymmetric ``(e0, e1)`` tiles on the half-shell
+    sweep: each unordered pair contributes its ordered-pair
+    multiplicity ``[a//e0 != b//e1] + [b//e0 != a//e1]`` in
+    {0, 1, 2} through the contraction weights (no doubling in the
+    wrapper; diagonal (i, i) pairs are restored host-side).
+
+    ORDERED mode (``ordered=True``; the small-box / deduped-table
+    route): every distinct neighbor is swept per direction, the home
+    block drops identical atoms by the id row instead of the
+    triangle, exclusion is the plain ordered ``i//e0 != j//e1`` mask
+    (asymmetric tiles need no weights), and the wrapper does NOT
+    double.  ``axes`` selects the distance components (2-D
+    ``drop_axis`` grids); ``tri_pp`` switches to the per-pair
+    triclinic minimum-image search (``box_ref`` is then the flat
+    (18,) H+inverse array, see :func:`_bin_exact_tri27`)."""
 
     c = pl.program_id(0)
     cap = capacity
     bins_i32 = np.int32(n_bins)
-    box = (box_ref[0], box_ref[1], box_ref[2])
+    box = None if tri_pp else tuple(box_ref[k] for k in range(3))
 
     i_start = c * np.int32(cap)
     ip = pos_ref[:, pl.ds(pl.multiple_of(i_start, 128), cap)]
@@ -782,17 +1098,28 @@ def _kernel(
         j_occ = occ_ref[j_cell]
         j_valid = lane < j_occ  # (1, cap)
 
-        if exact:
-            idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
+        if tri_pp:
+            idx = (_bin_exact_tri27 if exact else _bin_fast_tri27)(
+                ip, jp, box_ref, bin_consts, n_bins
+            )
+        elif exact:
+            idx = _bin_exact(ip, jp, box, bin_consts, n_bins, axes)
         else:
-            idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
+            idx = _bin_fast(ip, jp, box, bin_consts, n_bins, axes)
 
-        # The self block keeps only the strict upper slot triangle
-        # (which also drops identical atoms); distinct cells never
-        # share an atom, so no atom-id compare is needed.
+        # Half-shell: the self block keeps only the strict upper slot
+        # triangle (which also drops identical atoms); distinct cells
+        # never share an atom, so no atom-id compare is needed.
+        # Ordered: the self block drops identical atoms by id.
         valid = i_valid & j_valid & (idx < bins_i32)
         if self_cell:
-            valid = valid & upper
+            if ordered:
+                valid = valid & (
+                    ip[_ROW_AID, :][:, None]
+                    != jp[_ROW_AID, :][None, :]
+                )
+            else:
+                valid = valid & upper
         if exclude:
             valid = valid & (ei != jp[_ROW_EX_J, :][None, :])
         idx = jnp.where(valid, idx, bins_i32)
@@ -805,16 +1132,16 @@ def _kernel(
 
     acc = jnp.zeros((n_coarse, n_fine), jnp.float32)
     acc = block_acc(acc, c, True)
-    # TRACED i32 bounds (folding c*14 into them) are load-bearing:
+    # TRACED i32 bounds (folding c*n_nbr into them) are load-bearing:
     # static bounds make fori_loop carry a Python-int counter that
     # canonicalizes to i64 under x64, and any narrowing use of it
     # (the flat-table index arithmetic) recurses Mosaic's 64-bit
     # convert lowering at trace time (chip-only; interpret mode and
     # the CPU tests never see it).  Traced bounds take the while->
     # fori path whose induction var is a native i32.
-    base = c * np.int32(14)
+    base = c * np.int32(n_nbr)
     acc = jax.lax.fori_loop(
-        base + np.int32(1), base + np.int32(14),
+        base + np.int32(1), base + np.int32(n_nbr),
         lambda nb, a: block_acc(a, nbr_ref[nb], False),
         acc,
     )
@@ -991,40 +1318,53 @@ def _upper_or_all(slot_col, lane, nb, cap):
 def _kernel_stream(
     nbr_ref, occ_ref, box_ref, ipos_ref, jpos_ref, out_ref,
     *, capacity, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows, asym=False,
+    n_nbr=14, axes=(0, 1, 2), ordered=False, tri_pp=False,
 ):
     """Streaming-block variant of :func:`_kernel` for slot tables too
     large to hold resident in VMEM (~16 MB/core): the grid is
-    ``(n_cells, 14)`` and the index maps DMA only the home cell's
+    ``(n_cells, n_nbr)`` and the index maps DMA only the home cell's
     ``(8, capacity)`` block plus the one neighbor block selected by
-    the scalar-prefetched half-shell table — VMEM holds two blocks
+    the scalar-prefetched neighbor table — VMEM holds two blocks
     and the accumulator instead of the whole table, removing the
     ~300k-atom compile ceiling (at 500k atoms the resident table is
-    34 MB and Mosaic refuses the kernel)."""
+    34 MB and Mosaic refuses the kernel).  ``ordered`` / ``axes`` /
+    ``tri_pp`` as in :func:`_kernel` (``nb == 0`` is the home
+    block)."""
 
     c = pl.program_id(0)
     nb = pl.program_id(1)
     cap = capacity
     bins_i32 = np.int32(n_bins)
-    box = (box_ref[0], box_ref[1], box_ref[2])
+    box = None if tri_pp else tuple(box_ref[k] for k in range(3))
 
     ip = ipos_ref[...]
     jp = jpos_ref[...]
     i_occ = occ_ref[c]
-    j_occ = occ_ref[nbr_ref[c * np.int32(14) + nb]]
+    j_occ = occ_ref[nbr_ref[c * np.int32(n_nbr) + nb]]
     slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
-    if exact:
-        idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
+    if tri_pp:
+        idx = (_bin_exact_tri27 if exact else _bin_fast_tri27)(
+            ip, jp, box_ref, bin_consts, n_bins
+        )
+    elif exact:
+        idx = _bin_exact(ip, jp, box, bin_consts, n_bins, axes)
     else:
-        idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
+        idx = _bin_fast(ip, jp, box, bin_consts, n_bins, axes)
 
-    valid = (
-        (slot_col < i_occ)
-        & (lane < j_occ)
-        & (idx < bins_i32)
-        & _upper_or_all(slot_col, lane, nb, cap)
-    )
+    valid = (slot_col < i_occ) & (lane < j_occ) & (idx < bins_i32)
+    if ordered:
+        # home block (nb == 0): drop identical atoms by id row
+        valid = valid & (
+            (
+                ip[_ROW_AID, :][:, None]
+                != jp[_ROW_AID, :][None, :]
+            )
+            | (nb > np.int32(0))
+        )
+    else:
+        valid = valid & _upper_or_all(slot_col, lane, nb, cap)
     if exclude:
         valid = valid & (
             ip[_ROW_EX_I, :][:, None] != jp[_ROW_EX_J, :][None, :]
@@ -1125,29 +1465,34 @@ def _cross_kernel_stream(
     nbr_ref, occ1_ref, occ2_ref, box_ref,
     ipos_ref, jpos_ref, out_ref,
     *, cap1, cap2, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows,
+    n_nbr=27, axes=(0, 1, 2), tri_pp=False,
 ):
     """Streaming-block variant of :func:`_cross_kernel`: grid
-    ``(n_cells, 27)``, group-1 home block + the group-2 neighbor
-    block selected by the prefetched full-shell table."""
+    ``(n_cells, n_nbr)``, group-1 home block + the group-2 neighbor
+    block selected by the prefetched neighbor table."""
 
     c = pl.program_id(0)
     nb = pl.program_id(1)
     bins_i32 = np.int32(n_bins)
-    box = (box_ref[0], box_ref[1], box_ref[2])
+    box = None if tri_pp else tuple(box_ref[k] for k in range(3))
 
     ip = ipos_ref[...]
     jp = jpos_ref[...]
     slot_col = jax.lax.broadcasted_iota(jnp.int32, (cap1, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap2), 1)
 
-    if exact:
-        idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
+    if tri_pp:
+        idx = (_bin_exact_tri27 if exact else _bin_fast_tri27)(
+            ip, jp, box_ref, bin_consts, n_bins
+        )
+    elif exact:
+        idx = _bin_exact(ip, jp, box, bin_consts, n_bins, axes)
     else:
-        idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
+        idx = _bin_fast(ip, jp, box, bin_consts, n_bins, axes)
 
     valid = (
         (slot_col < occ1_ref[c])
-        & (lane < occ2_ref[nbr_ref[c * np.int32(27) + nb]])
+        & (lane < occ2_ref[nbr_ref[c * np.int32(n_nbr) + nb]])
         & (idx < bins_i32)
     )
     if exclude:
@@ -1259,7 +1604,7 @@ def _exclusion_ids(n, exclusion):
     jax.jit,
     static_argnames=(
         "n_cells_dim", "capacity", "n_bins", "r_max", "r_min",
-        "precision", "exclusion",
+        "precision", "exclusion", "axes", "reach",
     ),
 )
 def cell_pair_histogram_pallas(
@@ -1273,6 +1618,8 @@ def cell_pair_histogram_pallas(
     precision: str = "fast",
     exclusion=(1, 1),
     r_min: float = 0.0,
+    axes=(0, 1, 2),
+    reach=None,
 ):
     r"""All-pairs histogram on ``[0, r_max]`` via the Pallas cell-list
     kernel; returns ``(counts, max_occupancy)``.
@@ -1309,11 +1656,36 @@ def cell_pair_histogram_pallas(
     The cell build (ids, argsort, searchsorted, padded slot-table
     gather) runs as regular XLA ops; only the pair sweep is the Pallas
     kernel.
+
+    GENERALIZED grids (round 5): ``n_cells_dim`` may have 2 entries —
+    ``axes`` then names the two coordinate columns the grid (and the
+    distance) spans, the 2-D ``drop_axis`` RDF.  ``reach`` (from the
+    plan search) widens the neighbor sweep to ``[-m_i, m_i]`` for
+    grids whose cells are narrower than the cutoff; whenever some
+    axis has ``n_i < 2 m_i + 1`` (small boxes) the sweep switches
+    from the half-shell to the ORDERED full deduped-table sweep
+    (per-pair minimum-image math counts every ordered pair exactly
+    once; identical atoms drop by the id row; no doubling).
+    Triclinic boxes off the reach-1/>=3-cells legacy path use the
+    per-pair 27-candidate minimum-image search
+    (:func:`_bin_exact_tri27`) instead of per-block shifts — any
+    box size, same binning as the XLA oracle.
     """
 
     n = positions.shape[0]
-    nx, ny, nz = n_cells_dim
-    n_cells = nx * ny * nz
+    dims_t = tuple(int(x) for x in n_cells_dim)
+    d = len(dims_t)
+    axes = tuple(axes)
+    if len(axes) != d:
+        raise ValueError(
+            "len(axes) must match len(n_cells_dim) — 2-D grids "
+            "require an explicit axes= naming the two kept "
+            "coordinate columns"
+        )
+    reach = (
+        (1,) * d if reach is None else tuple(int(m) for m in reach)
+    )
+    n_cells = int(np.prod(dims_t))
     n_fine = 16
     n_coarse = _cdiv(n_bins + 1, n_fine)
     # bf16 one-hot rows must fill whole (16, 128) sublane tiles.
@@ -1321,28 +1693,63 @@ def cell_pair_histogram_pallas(
     box = jnp.asarray(box, dtype=jnp.float32)
     triclinic = box.ndim == 2
     positions = positions.astype(jnp.float32)
-    dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
 
-    asym = exclusion is not None and exclusion[0] != exclusion[1]
-    _, _, half_shell, half_img = _neighbor_tables(n_cells_dim)
-    ex_i, ex_j, exclude = _exclusion_ids(n, exclusion)
+    legacy_tri = (
+        triclinic
+        and reach == (1, 1, 1)
+        and all(nd >= 3 for nd in dims_t)
+    )
+    tri_pp = triclinic and not legacy_tri
+    asym_excl = (
+        exclusion is not None and exclusion[0] != exclusion[1]
+    )
+    ex_i, ex_j, have_excl = _exclusion_ids(n, exclusion)
+
+    if legacy_tri:
+        _, _, nbr_tab, half_img = _neighbor_tables(dims_t)
+        ordered = False
+        n_nbr = 14
+    else:
+        full_tab, half_tab = _neighbor_tables_general(dims_t, reach)
+        # Triclinic per-pair sweeps always run ordered (the 27-
+        # candidate search is symmetric, but the half-shell saving is
+        # not worth a second code path for the small-box case).
+        ordered = tri_pp or half_tab is None
+        nbr_tab = full_tab if ordered else half_tab
+        n_nbr = nbr_tab.shape[1]
+
     if triclinic:
         positions, cell_xyz = _triclinic_wrap_cells(
-            positions, box, n_cells_dim
+            positions, box, dims_t
         )
         pos_table, occupancy, max_occupancy = _slot_table(
-            positions, n_cells_dim, capacity, None,
+            positions, dims_t, capacity, None,
             ex_i=ex_i, ex_j=ex_j, cell_xyz=cell_xyz,
         )
-        sh_hi, sh_lo = _image_shift_table(box)
-        sweep_ok = _triclinic_sweep_ok(box, dims, r_max)
+        if legacy_tri:
+            sh_hi, sh_lo = _image_shift_table(box)
+            dims_f = jnp.asarray(dims_t, jnp.float32)
+            sweep_ok = _triclinic_sweep_ok(box, dims_f, r_max)
+        else:
+            from .histogram import _inv3
+
+            box_arg = jnp.concatenate(
+                [box.reshape(-1), _inv3(box).reshape(-1)]
+            )
+            sweep_ok = _cell_sweep_ok(
+                triclinic_perpendicular_widths(box),
+                dims_t, reach, r_max,
+            )
     else:
         box = box.reshape(3)
+        box_axes = box[np.asarray(axes)]
+        dims_f = jnp.asarray(dims_t, jnp.float32)
         pos_table, occupancy, max_occupancy = _slot_table(
-            positions, n_cells_dim, capacity, box / dims,
-            ex_i=ex_i, ex_j=ex_j,
+            positions, dims_t, capacity, box_axes / dims_f,
+            ex_i=ex_i, ex_j=ex_j, axes=axes,
         )
-        sweep_ok = _cell_sweep_ok(box, dims, n_cells_dim, r_max)
+        box_arg = box
+        sweep_ok = _cell_sweep_ok(box_axes, dims_t, reach, r_max)
 
     bin_consts = _bin_boundary_constants(r_max, n_bins, r_min)
 
@@ -1353,12 +1760,14 @@ def cell_pair_histogram_pallas(
     while capacity % chunk_rows:
         chunk_rows //= 2
 
+    use_asym = asym_excl and not ordered
     common = dict(
         capacity=capacity, n_bins=n_bins,
         n_coarse=n_rows, n_fine=n_fine,
         bin_consts=bin_consts,
         exact=(precision == "exact"),
-        exclude=exclude and not asym, asym=asym,
+        exclude=have_excl and (ordered or not asym_excl),
+        asym=use_asym,
         chunk_rows=chunk_rows,
     )
     stream = _use_stream_blocks(_ROWS * n_cells * capacity * 4)
@@ -1369,7 +1778,7 @@ def cell_pair_histogram_pallas(
     )
     if stream:
         # Per-(cell, neighbor) blocks: the scalar-prefetched
-        # half-shell table drives the j-block DMA via the index map,
+        # neighbor table drives the j-block DMA via the index map,
         # so VMEM holds two (8, capacity) blocks instead of the whole
         # table (the resident layout caps out near 300k atoms).
         block = pl.BlockSpec(
@@ -1380,47 +1789,53 @@ def cell_pair_histogram_pallas(
         jblock = pl.BlockSpec(
             (_ROWS, capacity),
             lambda c, nb, nbr, *s: (
-                jnp.int32(0), nbr[c * 14 + nb]
+                jnp.int32(0), nbr[c * n_nbr + nb]
             ),
             memory_space=pltpu.VMEM,
         )
-        if triclinic:
+        if legacy_tri:
             kernel = functools.partial(_kernel_tri_stream, **common)
             n_prefetch = 5
             args = (
-                jnp.asarray(half_shell.reshape(-1)),
+                jnp.asarray(nbr_tab.reshape(-1)),
                 jnp.asarray(half_img.reshape(-1)),
                 occupancy, sh_hi, sh_lo, pos_table, pos_table,
             )
         else:
-            kernel = functools.partial(_kernel_stream, **common)
+            kernel = functools.partial(
+                _kernel_stream, n_nbr=n_nbr, axes=axes,
+                ordered=ordered, tri_pp=tri_pp, **common,
+            )
             n_prefetch = 3
             args = (
-                jnp.asarray(half_shell.reshape(-1)), occupancy, box,
-                pos_table, pos_table,
+                jnp.asarray(nbr_tab.reshape(-1)), occupancy,
+                box_arg, pos_table, pos_table,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
-            grid=(n_cells, 14),
+            grid=(n_cells, n_nbr),
             in_specs=[block, jblock],
             out_specs=out_spec,
         )
     else:
-        if triclinic:
+        if legacy_tri:
             kernel = functools.partial(_kernel_tri, **common)
             n_prefetch = 5
             args = (
-                jnp.asarray(half_shell.reshape(-1)),
+                jnp.asarray(nbr_tab.reshape(-1)),
                 jnp.asarray(half_img.reshape(-1)),
                 occupancy, sh_hi, sh_lo, pos_table,
             )
         else:
-            kernel = functools.partial(_kernel, **common)
+            kernel = functools.partial(
+                _kernel, n_nbr=n_nbr, axes=axes,
+                ordered=ordered, tri_pp=tri_pp, **common,
+            )
             n_prefetch = 3
             args = (
-            jnp.asarray(half_shell.reshape(-1)), occupancy, box,
-            pos_table,
-        )
+                jnp.asarray(nbr_tab.reshape(-1)), occupancy,
+                box_arg, pos_table,
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
             grid=(n_cells,),
@@ -1440,18 +1855,21 @@ def cell_pair_histogram_pallas(
         interpret=jax.default_backend() != "tpu",
     )(*args)
     counts = counts2d[:n_coarse].reshape(-1)[:n_bins]
-    if asym:
-        # The kernel already accumulated ordered-pair multiplicities;
-        # add back the diagonal (i, i) pairs the slot triangle drops
-        # but the tile rule keeps (i//e0 != i//e1; distance exactly 0
-        # -> bin 0), matching the XLA full-product sweep.  With an
-        # offset grid (r_min > 0) zero distances are out of range.
+    if asym_excl:
+        # Half-shell: the kernel accumulated ordered-pair
+        # multiplicities through the contraction weights; ordered:
+        # the plain mask already counts ordered pairs.  Either way,
+        # add back the diagonal (i, i) pairs the identical-atom drop
+        # removes but the tile rule keeps (i//e0 != i//e1; distance
+        # exactly 0 -> bin 0), matching the XLA full-product sweep.
+        # With an offset grid (r_min > 0) zero distances are out of
+        # range.
         e0, e1 = (int(e) for e in exclusion)
         ar = np.arange(n)
         n_diag = int(np.sum(ar // e0 != ar // e1))
         if n_diag and r_min == 0.0:
             counts = counts.at[0].add(np.float32(n_diag))
-    else:
+    elif not ordered:
         # Each unordered pair was counted once; restore the
         # ordered-pair convention of the XLA kernel / oracle.
         counts = counts * np.float32(2)
@@ -1462,15 +1880,17 @@ def cell_pair_histogram_pallas(
 def _cross_kernel(
     nbr_ref, occ1_ref, occ2_ref, box_ref, pos1_ref, pos2_ref, out_ref,
     *, cap1, cap2, n_bins, n_coarse, n_fine, bin_consts, exact, exclude, chunk_rows,
+    n_nbr=27, axes=(0, 1, 2), tri_pp=False,
 ):
     """Cross-group variant of :func:`_kernel`: i atoms from group 1's
     slot table, j atoms from group 2's; no identical-atom handling
     (the groups must be disjoint), optional tile exclusion via the id
-    rows."""
+    rows.  ``n_nbr`` / ``axes`` / ``tri_pp`` as in :func:`_kernel`
+    (the deduped general tables serve any box size)."""
 
     c = pl.program_id(0)
     bins_i32 = np.int32(n_bins)
-    box = (box_ref[0], box_ref[1], box_ref[2])
+    box = None if tri_pp else tuple(box_ref[k] for k in range(3))
 
     ip = pos1_ref[:, pl.ds(pl.multiple_of(c * np.int32(cap1), 128), cap1)]
     i_occ = occ1_ref[c]
@@ -1488,10 +1908,14 @@ def _cross_kernel(
         ]
         j_valid = lane < occ2_ref[j_cell]
 
-        if exact:
-            idx = _bin_exact(ip, jp, box, bin_consts, n_bins)
+        if tri_pp:
+            idx = (_bin_exact_tri27 if exact else _bin_fast_tri27)(
+                ip, jp, box_ref, bin_consts, n_bins
+            )
+        elif exact:
+            idx = _bin_exact(ip, jp, box, bin_consts, n_bins, axes)
         else:
-            idx = _bin_fast(ip, jp, box, bin_consts, n_bins)
+            idx = _bin_fast(ip, jp, box, bin_consts, n_bins, axes)
 
         valid = i_valid & j_valid & (idx < bins_i32)
         if exclude:
@@ -1504,8 +1928,8 @@ def _cross_kernel(
         )
 
     # traced i32 bounds: see the neighbor loop in _kernel
-    base = c * np.int32(27)
-    acc = jax.lax.fori_loop(base, base + np.int32(27), nb_body, acc)
+    base = c * np.int32(n_nbr)
+    acc = jax.lax.fori_loop(base, base + np.int32(n_nbr), nb_body, acc)
 
     @pl.when(c == 0)
     def _():
@@ -1520,7 +1944,7 @@ def _cross_kernel(
     jax.jit,
     static_argnames=(
         "n_cells_dim", "capacity1", "capacity2", "n_bins",
-        "r_max", "r_min", "precision", "exclusion",
+        "r_max", "r_min", "precision", "exclusion", "axes", "reach",
     ),
 )
 def cross_pair_histogram_pallas(
@@ -1536,6 +1960,8 @@ def cross_pair_histogram_pallas(
     precision: str = "fast",
     exclusion=None,
     r_min: float = 0.0,
+    axes=(0, 1, 2),
+    reach=None,
 ):
     r"""Cross-group cutoff histogram: every (group-1, group-2) pair on
     uniform bins ``[r_min, r_max]`` (``r_min > 0`` switches to the
@@ -1554,16 +1980,38 @@ def cross_pair_histogram_pallas(
 
     TRICLINIC cells: pass the ``(3, 3)`` lower-triangular box matrix
     as ``box`` (see :func:`cell_pair_histogram_pallas`).
+
+    GENERALIZED grids (2-D ``axes`` grids, per-axis ``reach``, any
+    box size): see :func:`cell_pair_histogram_pallas` — the cross
+    sweep is ordered by construction, so only the deduped full table
+    changes.
     """
 
-    nx, ny, nz = n_cells_dim
-    n_cells = nx * ny * nz
+    dims_t = tuple(int(x) for x in n_cells_dim)
+    d = len(dims_t)
+    axes = tuple(axes)
+    if len(axes) != d:
+        raise ValueError(
+            "len(axes) must match len(n_cells_dim) — 2-D grids "
+            "require an explicit axes= naming the two kept "
+            "coordinate columns"
+        )
+    reach = (
+        (1,) * d if reach is None else tuple(int(m) for m in reach)
+    )
+    n_cells = int(np.prod(dims_t))
     n_fine = 16
     n_coarse = _cdiv(n_bins + 1, n_fine)
     n_rows = _cdiv(n_coarse, 16) * 16
     box = jnp.asarray(box, dtype=jnp.float32)
     triclinic = box.ndim == 2
-    dims = jnp.asarray([nx, ny, nz], dtype=jnp.float32)
+
+    legacy_tri = (
+        triclinic
+        and reach == (1, 1, 1)
+        and all(nd >= 3 for nd in dims_t)
+    )
+    tri_pp = triclinic and not legacy_tri
 
     exclude = exclusion is not None
     ex1 = ex2 = None
@@ -1578,31 +2026,53 @@ def cross_pair_histogram_pallas(
             // np.int32(e1)
         ).astype(jnp.float32)
 
-    full_shell, full_img, _, _ = _neighbor_tables(n_cells_dim)
+    if legacy_tri:
+        full_shell, full_img, _, _ = _neighbor_tables(dims_t)
+        n_nbr = 27
+    else:
+        full_shell, _ = _neighbor_tables_general(dims_t, reach)
+        full_img = None
+        n_nbr = full_shell.shape[1]
     positions1 = positions1.astype(jnp.float32)
     positions2 = positions2.astype(jnp.float32)
+    box_arg = box
     if triclinic:
         positions1, cells1 = _triclinic_wrap_cells(
-            positions1, box, n_cells_dim
+            positions1, box, dims_t
         )
         positions2, cells2 = _triclinic_wrap_cells(
-            positions2, box, n_cells_dim
+            positions2, box, dims_t
         )
         cell_size = None
-        sh_hi, sh_lo = _image_shift_table(box)
-        sweep_ok = _triclinic_sweep_ok(box, dims, r_max)
+        if legacy_tri:
+            sh_hi, sh_lo = _image_shift_table(box)
+            dims_f = jnp.asarray(dims_t, jnp.float32)
+            sweep_ok = _triclinic_sweep_ok(box, dims_f, r_max)
+        else:
+            from .histogram import _inv3
+
+            box_arg = jnp.concatenate(
+                [box.reshape(-1), _inv3(box).reshape(-1)]
+            )
+            sweep_ok = _cell_sweep_ok(
+                triclinic_perpendicular_widths(box),
+                dims_t, reach, r_max,
+            )
     else:
         box = box.reshape(3)
-        cell_size = box / dims
+        box_axes = box[np.asarray(axes)]
+        dims_f = jnp.asarray(dims_t, jnp.float32)
+        cell_size = box_axes / dims_f
         cells1 = cells2 = None
-        sweep_ok = _cell_sweep_ok(box, dims, n_cells_dim, r_max)
+        box_arg = box
+        sweep_ok = _cell_sweep_ok(box_axes, dims_t, reach, r_max)
     t1, occ1, max1 = _slot_table(
-        positions1, n_cells_dim, capacity1,
-        cell_size, ex_i=ex1, ex_j=ex1, cell_xyz=cells1,
+        positions1, dims_t, capacity1,
+        cell_size, ex_i=ex1, ex_j=ex1, cell_xyz=cells1, axes=axes,
     )
     t2, occ2, max2 = _slot_table(
-        positions2, n_cells_dim, capacity2,
-        cell_size, ex_i=ex2, ex_j=ex2, cell_xyz=cells2,
+        positions2, dims_t, capacity2,
+        cell_size, ex_i=ex2, ex_j=ex2, cell_xyz=cells2, axes=axes,
     )
 
     bin_consts = _bin_boundary_constants(r_max, n_bins, r_min)
@@ -1637,11 +2107,11 @@ def cross_pair_histogram_pallas(
         jblock = pl.BlockSpec(
             (_ROWS, capacity2),
             lambda c, nb, nbr, *s: (
-                jnp.int32(0), nbr[c * 27 + nb]
+                jnp.int32(0), nbr[c * n_nbr + nb]
             ),
             memory_space=pltpu.VMEM,
         )
-        if triclinic:
+        if legacy_tri:
             kernel = functools.partial(
                 _cross_kernel_tri_stream, **common
             )
@@ -1652,20 +2122,23 @@ def cross_pair_histogram_pallas(
                 occ1, occ2, sh_hi, sh_lo, t1, t2,
             )
         else:
-            kernel = functools.partial(_cross_kernel_stream, **common)
+            kernel = functools.partial(
+                _cross_kernel_stream, n_nbr=n_nbr, axes=axes,
+                tri_pp=tri_pp, **common,
+            )
             n_prefetch = 4
             args = (
                 jnp.asarray(full_shell.reshape(-1)), occ1, occ2,
-                box, t1, t2,
+                box_arg, t1, t2,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
-            grid=(n_cells, 27),
+            grid=(n_cells, n_nbr),
             in_specs=[iblock, jblock],
             out_specs=out_spec,
         )
     else:
-        if triclinic:
+        if legacy_tri:
             kernel = functools.partial(_cross_kernel_tri, **common)
             n_prefetch = 6
             args = (
@@ -1674,11 +2147,14 @@ def cross_pair_histogram_pallas(
                 occ1, occ2, sh_hi, sh_lo, t1, t2,
             )
         else:
-            kernel = functools.partial(_cross_kernel, **common)
+            kernel = functools.partial(
+                _cross_kernel, n_nbr=n_nbr, axes=axes,
+                tri_pp=tri_pp, **common,
+            )
             n_prefetch = 4
             args = (
                 jnp.asarray(full_shell.reshape(-1)), occ1, occ2,
-                box, t1, t2,
+                box_arg, t1, t2,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,

@@ -540,9 +540,137 @@ def bonded():
     )
 
 
+def rdf_drop_axis():
+    """2-D drop_axis RDF through the NEW round-5 Pallas cell route
+    (grid over the kept axes, half-shell 2-D sweep) — chip oracle
+    mandatory for every new kernel route."""
+
+    n, box, r_max, n_bins, n_frames = 12_000, 26.0, 6.0, 100, 4
+    pos = rng.random((n_frames, n, 3)) * box
+    u = _universe(pos, np.array([box] * 3))
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    a = RadialDistributionFunction(
+        u.atoms, n_bins=n_bins, range=(0.0, r_max),
+        drop_axis="y", verbose=False,
+    )
+    a.run()
+    assert a._use_pallas_cell_kernel(), "expected the Pallas route"
+    counts = np.zeros(n_bins)
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    box32 = np.float64(np.float32(box))
+    for f in range(n_frames):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        p2 = p.copy()
+        p2[:, 1] = 0.0
+        counts += _pair_hist_chunked(
+            p2, np.array([box32, np.inf, box32]), edges
+        )
+    counts[0] += n_frames * n  # self pairs at 2-D distance 0
+    got = np.asarray(a.results.counts, dtype=np.float64)
+    err = np.abs(got - counts).max() / max(counts.max(), 1)
+    np.testing.assert_array_equal(got, counts)
+    _report("rdf_drop_axis", err, pairs=int(counts.sum()))
+
+
+def rdf_small_box():
+    """Small-box (under 3 cutoffs per axis) RDF through the NEW
+    round-5 ordered deduped-table Pallas route."""
+
+    n, box, r_max, n_bins, n_frames = 12_000, 15.0, 6.0, 80, 4
+    pos = rng.random((n_frames, n, 3)) * box
+    u = _universe(pos, np.array([box] * 3))
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    a = RadialDistributionFunction(
+        u.atoms, n_bins=n_bins, range=(0.0, r_max), verbose=False,
+    )
+    a.run()
+    assert a._use_pallas_cell_kernel(), "expected the Pallas route"
+    counts = np.zeros(n_bins)
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    box32 = np.float64(np.float32(box))
+    for f in range(n_frames):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        counts += _pair_hist_chunked(p, box32, edges)
+    counts[0] += n_frames * n
+    got = np.asarray(a.results.counts, dtype=np.float64)
+    err = np.abs(got - counts).max() / max(counts.max(), 1)
+    np.testing.assert_array_equal(got, counts)
+    _report("rdf_small_box", err, pairs=int(counts.sum()))
+
+
+def rdf_small_box_triclinic():
+    """Small triclinic box through the NEW round-5 per-pair
+    27-candidate minimum-image Pallas route (tri_pp kernels)."""
+
+    from mdhelper_tpu.algorithm.topology import triclinic_matrices
+    from mdhelper_tpu.analysis.structure import (
+        RadialDistributionFunction,
+    )
+
+    n, r_max, n_bins, n_frames = 8_000, 6.0, 60, 3
+    dims6 = np.array([15.0, 14.5, 14.0, 80.0, 95.0, 100.0])
+    h = np.asarray(triclinic_matrices(dims6), np.float64)
+    frac = rng.random((n_frames, n, 3))
+    pos = frac @ h
+    u = _universe(pos, dims6)
+    a = RadialDistributionFunction(
+        u.atoms, n_bins=n_bins, range=(0.0, r_max), verbose=False,
+    )
+    a.run()
+    assert a._use_pallas_cell_kernel(), "expected the Pallas route"
+    # f64 27-image oracle over the f32-rounded stream
+    h32 = np.asarray(h, np.float32).astype(np.float64)
+    shifts = np.array(
+        [
+            w @ h32
+            for w in np.stack(
+                np.meshgrid(*[[-1, 0, 1]] * 3), -1
+            ).reshape(-1, 3)
+        ]
+    )
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    counts = np.zeros(n_bins)
+    block = 500
+    for f in range(n_frames):
+        # in-box fixtures: the kernel's fractional fold is the
+        # identity, so the 27-image search over the raw f32-rounded
+        # coordinates IS the oracle (same as vanhove_triclinic)
+        pw = pos[f].astype(np.float32).astype(np.float64)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            delta = pw[lo:hi, None, :] - pw[None, :, :]
+            d2 = (
+                (delta[None] + shifts[:, None, None, :]) ** 2
+            ).sum(-1).min(axis=0)
+            dist = np.sqrt(d2)
+            rows = np.arange(lo, hi)
+            dist[rows - lo, rows] = np.inf
+            counts += np.histogram(dist, bins=edges)[0]
+    counts[0] += n_frames * n
+    got = np.asarray(a.results.counts, dtype=np.float64)
+    # the kernel wraps fractionally in f32; the f64 oracle's wrap can
+    # differ by 1 ulp at cell faces — tie pairs may straddle edges
+    diff = np.abs(got - counts).sum()
+    total = counts.sum()
+    assert diff <= max(4e-7 * total, 8), (diff, total)
+    _report(
+        "rdf_small_box_triclinic", diff / max(total, 1),
+        pairs=int(total), straddles=int(diff),
+    )
+
+
 CHECKS = {
     "rdf_asym": rdf_asym,
     "rdf_offset": rdf_offset,
+    "rdf_drop_axis": rdf_drop_axis,
+    "rdf_small_box": rdf_small_box,
+    "rdf_small_box_triclinic": rdf_small_box_triclinic,
     "vanhove_triclinic": vanhove_triclinic,
     "orientation": orientation,
     "densitymaps": densitymaps,
