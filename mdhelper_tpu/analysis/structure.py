@@ -989,11 +989,11 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if np.isnan(np.asarray(self._carry["counts"])).any():
             raise RuntimeError(
                 "A frame's box shrank below the planned cell grid "
-                "(n_cells_dim * r_max over the box lengths — "
-                "perpendicular widths for triclinic cells); the "
-                "27-cell sweep would miss pairs. Re-plan against the "
-                "smallest box along the trajectory or use a non-TPU "
-                "backend."
+                "(reach * box / n_cells_dim under r_max on some "
+                "axis — perpendicular widths for triclinic cells); "
+                "the neighbor sweep would miss pairs. Re-plan "
+                "against the smallest box along the trajectory or "
+                "use a non-TPU backend."
             )
 
     def _conclude(self) -> None:
