@@ -173,7 +173,7 @@ def pallas_cell_plan_search(
     including cells narrower than the cutoff swept with per-axis
     ``reach`` (see :func:`_neighbor_tables_general`); the returned
     ``reach`` tuple must be passed to the kernel wrappers.  A legacy
-    box whose every legal reach-1 plan exceeds the ~1024-lane
+    box whose every legal reach-1 plan exceeds the ~512-lane
     capacity budget (extremely dense 3-cutoff boxes) also falls
     through to the generalized space.
     """
@@ -305,11 +305,14 @@ def pallas_cell_plan_search(
         key = (plan["_cost"], plan["n_cells"])
         if best_any is None or key < best_any[0]:
             best_any = (key, plan)
-        # (cap, cap) pair blocks above ~1024 lanes blow the VMEM
-        # budget for the materialized index matrix; prefer plans
-        # under it (generalized grids can always subdivide).
-        if plan["capacity"] <= 1024 and (
-            plan.get("capacity2", 0) <= 1024
+        # Scoped-VMEM budget: the exact-binning elementwise chain
+        # materializes a handful of (cap_i, cap_j) f32 intermediates
+        # on the Mosaic stack — measured on chip, cap 896 blows the
+        # 16 MB scoped limit (26.8 MB) while cap <= 512 fits with
+        # room for the 27-candidate triclinic chain.  Prefer plans
+        # within it (grids can always subdivide).
+        if plan["capacity"] <= 512 and (
+            plan.get("capacity2", 0) <= 512
         ):
             if best is None or key < best[0]:
                 best = (key, plan)

@@ -29,6 +29,7 @@ WORKER = textwrap.dedent(
     jax.config.update("jax_enable_x64", True)
 
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    ckpt_dir = sys.argv[4]
 
     from mdhelper_tpu.parallel.mesh import initialize_distributed
 
@@ -134,6 +135,32 @@ WORKER = textwrap.dedent(
         dm.results.dipoles[:, 0], ref_dipoles, rtol=1e-9, atol=1e-9
     )
 
+    # Kill-and-resume of a store-type analysis ACROSS HOSTS (round
+    # 5): a checkpointed partial run stopping mid-stream, then a
+    # fresh instance resuming from the checkpoint, must reproduce
+    # the uninterrupted run exactly.  Per-host checkpoint files;
+    # store extras are re-assembled globally every chunk via
+    # parallel.mesh.fetch_global, so each host's checkpoint holds
+    # the FULL store and the resume's straddling chunk (stop=6 with
+    # 4-frame chunks -> resume chunk [4..7] masks frames 4-5) must
+    # not double-count on either host.
+    import os as _os
+
+    ckpt = _os.path.join(ckpt_dir, f"dm_{pid}.npz")
+
+    def dm_new():
+        a = DipoleMoment(u_q.atoms, parallel=True, verbose=False)
+        a._chunk_bytes = 4 * N * 3 * 8
+        return a
+
+    dm_new().run(stop=6, checkpoint=ckpt)
+    assert _os.path.exists(ckpt)
+    resumed = dm_new().run(checkpoint=ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(resumed.results.dipoles),
+        np.asarray(dm.results.dipoles),
+    )
+
     print(f"proc {pid} OK", flush=True)
     """
 )
@@ -152,7 +179,10 @@ def test_two_process_frame_sharding(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), "2", str(port)],
+            [
+                sys.executable, str(script), str(i), "2",
+                str(port), str(tmp_path),
+            ],
             env=env,
             cwd=os.path.dirname(os.path.dirname(__file__)),
             stdout=subprocess.PIPE,

@@ -144,7 +144,7 @@ def test_plan_search_spaces():
     # small box: generalized plan, capacities within the block budget
     plan = pallas_cell_plan_search(4000, [9.0, 9.0, 9.0], 4.0)
     assert len(plan["reach"]) == 3
-    assert plan["capacity"] <= 1024
+    assert plan["capacity"] <= 512
     # sweep completeness invariant: either whole-axis or
     # reach * cell_width covers the cutoff
     for n, m, b in zip(plan["n_cells_dim"], plan["reach"],
@@ -155,7 +155,7 @@ def test_plan_search_spaces():
     assert len(plan["n_cells_dim"]) == 2
     # dense legacy box falls through to subdivided generalized space
     plan = pallas_cell_plan_search(300_000, [12.5, 12.5, 12.5], 4.0)
-    assert plan["capacity"] <= 1024
+    assert plan["capacity"] <= 512
 
 
 # ------------------------------------------------------------------
