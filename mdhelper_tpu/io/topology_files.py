@@ -885,6 +885,12 @@ def read_prmtop(filename: str) -> dict:
     }
 
 
+def _read_tpr(filename: str) -> dict:
+    from .tpr import read_tpr
+
+    return read_tpr(filename)
+
+
 _PARSERS = {
     ".prmtop": read_prmtop,
     ".parm7": read_prmtop,
@@ -894,13 +900,14 @@ _PARSERS = {
     ".data": read_lammps_data,
     ".top": read_gmx_top,
     ".itp": read_gmx_top,
+    ".tpr": _read_tpr,
 }
 
 
 def read_topology_file(filename: str) -> dict:
     """Parse a topology file by extension (``.psf``, ``.pdb``,
     ``.gro``, ``.data``, ``.top``/``.itp``,
-    ``.prmtop``/``.parm7``)."""
+    ``.prmtop``/``.parm7``, ``.tpr``)."""
 
     import os
 

@@ -564,10 +564,10 @@ def rdf_drop_axis():
     for f in range(n_frames):
         p = pos[f].astype(np.float32).astype(np.float64)
         p2 = p.copy()
+        # zeroed dropped coordinate: its min-image contribution is 0
+        # under any finite box, matching the 2-D convention
         p2[:, 1] = 0.0
-        counts += _pair_hist_chunked(
-            p2, np.array([box32, np.inf, box32]), edges
-        )
+        counts += _pair_hist_chunked(p2, box32, edges)
     counts[0] += n_frames * n  # self pairs at 2-D distance 0
     got = np.asarray(a.results.counts, dtype=np.float64)
     err = np.abs(got - counts).max() / max(counts.max(), 1)
@@ -665,12 +665,525 @@ def rdf_small_box_triclinic():
     )
 
 
+# ---------------------------------------------------------------
+# round-5 sweep: one f64-oracle chip check per remaining
+# device-path analysis class (VERDICT round-4 weak #5)
+# ---------------------------------------------------------------
+
+
+def _tests_dir():
+    import os
+
+    d = os.path.join(__file__.rsplit("/", 2)[0], "tests")
+    if d not in sys.path:
+        sys.path.insert(0, d)
+
+
+def cluster():
+    """ClusterSizeDistribution DEVICE path (host KD-tree pipeline
+    disabled) vs a union-find f64 oracle."""
+
+    import os
+
+    os.environ["MDTPU_HOST_PIPELINE"] = "0"
+    from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
+
+    n, F, box, cutoff = 5_000, 4, 36.0, 2.2
+    pos = rng.random((F, n, 3)) * box
+    u = _universe(pos, np.array([box] * 3))
+    cl = ClusterSizeDistribution(u.atoms, cutoff, verbose=False)
+    cl.run()
+    assert not cl._host_pipeline, "expected the device path"
+    total = np.zeros(n, dtype=np.int64)
+    for f in range(F):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        d = _min_image(p[:, None] - p[None, :], box)
+        adj = (d**2).sum(-1) <= cutoff**2
+        # union-find
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i, j in zip(*np.nonzero(np.triu(adj, 1))):
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:
+                parent[ri] = rj
+        roots = np.array([find(i) for i in range(n)])
+        _, sizes = np.unique(roots, return_counts=True)
+        total += np.bincount(sizes - 1, minlength=n)
+        assert cl.results.n_clusters[f] == len(sizes)
+        assert cl.results.largest[f] == sizes.max()
+    np.testing.assert_array_equal(cl.results.size_counts, total)
+    _report("cluster", 0.0, clusters=int(cl.results.n_clusters.sum()))
+
+
+def hbonds():
+    """HydrogenBondAnalysis DEVICE path vs a vectorized geometric
+    oracle (distance + angle criteria per donor-H pair)."""
+
+    import os
+
+    os.environ["MDTPU_HOST_PIPELINE"] = "0"
+    from mdhelper_tpu.analysis.hbonds import HydrogenBondAnalysis
+    from mdhelper_tpu.core.universe import Universe
+
+    n_mol, F, box = 1_000, 3, 24.0
+    n = 3 * n_mol
+    names = np.array(["O", "H1", "H2"] * n_mol, dtype=object)
+    bonds = []
+    for m in range(n_mol):
+        o = 3 * m
+        bonds += [(o, o + 1), (o, o + 2)]
+    bonds = np.asarray(bonds)
+    pos = np.empty((F, n, 3))
+    for f in range(F):
+        centers = rng.random((n_mol, 3)) * box
+        d1 = rng.standard_normal((n_mol, 3))
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        d2 = rng.standard_normal((n_mol, 3))
+        d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+        pos[f, 0::3] = centers
+        pos[f, 1::3] = centers + 0.96 * d1
+        pos[f, 2::3] = centers + 0.96 * d2
+    pos %= box
+    u = Universe.from_arrays(
+        pos, np.array([box] * 3), names=names,
+        types=np.array(["O", "H", "H"] * n_mol, dtype=object),
+        resindices=np.repeat(np.arange(n_mol), 3), bonds=bonds,
+    )
+    hba = HydrogenBondAnalysis(
+        u, hydrogens_sel="name H*", acceptors_sel="name O*",
+        verbose=False,
+    )
+    hba.run()
+    assert not hba._host_pipeline, "expected the device path"
+    pairs = np.asarray(hba.results.pairs)
+    acc = np.asarray(hba.results.acceptors)
+    box32 = np.float64(np.float32(box))
+    counts = np.zeros(F)
+    for f in range(F):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        for d, h in pairs:
+            vhd = _min_image(p[d] - p[h], box32)
+            vda = _min_image(p[acc] - p[d], box32)
+            vha = _min_image(p[acc] - p[h], box32)
+            ok = (vda**2).sum(-1) <= 3.0**2
+            ok &= acc != d
+            den = np.linalg.norm(vhd) * np.linalg.norm(
+                vha, axis=-1
+            )
+            cos = (vha @ vhd) / np.where(den > 0, den, 1.0)
+            ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+            counts[f] += (ok & (den > 0) & (ang >= 150.0)).sum()
+    got = np.asarray(hba.results.counts, np.float64)
+    np.testing.assert_array_equal(got, counts)
+    _report("hbonds", 0.0, bonds=int(counts.sum()))
+
+
+def nematic():
+    from mdhelper_tpu.analysis.orientation import (
+        NematicOrderParameter,
+    )
+    from mdhelper_tpu.core.universe import Universe
+
+    n_mol, F, box = 20_000, 6, 60.0
+    centers = rng.random((F, n_mol, 3)) * box
+    axes = rng.standard_normal((F, n_mol, 3))
+    axes[:, : n_mol // 2] += 2.5  # partial alignment
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    pos = np.empty((F, 2 * n_mol, 3))
+    pos[:, 0::2] = centers
+    pos[:, 1::2] = centers + 1.3 * axes
+    u = Universe.from_arrays(
+        pos % box, np.array([box] * 3),
+        names=np.array(["B", "E"] * n_mol, dtype=object), dt=1.0,
+    )
+    nop = NematicOrderParameter(
+        u.select_atoms("name B"), u.select_atoms("name E"),
+        verbose=False,
+    )
+    nop.run()
+    err = 0.0
+    for f in range(F):
+        d = _min_image(
+            (pos[f, 1::2] - pos[f, 0::2]).astype(np.float32)
+            .astype(np.float64),
+            box,
+        )
+        uh = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        q = 1.5 * np.einsum("ni,nj->ij", uh, uh) / n_mol - 0.5 * np.eye(3)
+        vals, vecs = np.linalg.eigh(q)
+        p2 = vals[-1]
+        err = max(err, abs(nop.results.P2[f] - p2) / abs(p2))
+        align = abs(
+            np.dot(nop.results.director[f], vecs[:, -1])
+        )
+        assert align > 1 - 1e-6, align
+    assert err < 5e-6, err
+    _report("nematic", err, molecules=n_mol)
+
+
+def survival():
+    from mdhelper_tpu.analysis.dynamics import SurvivalProbability
+
+    n, T, box = 20_000, 16, 20.0
+    pos = np.cumsum(
+        0.4 * rng.standard_normal((T, n, 3)), axis=0
+    ) + rng.random((1, n, 3)) * box
+    pos %= box
+    u = _universe(pos, np.array([box] * 3), dt=2.0)
+    sp = SurvivalProbability(
+        u.atoms, ("slab", "z", 5.0, 15.0), verbose=False
+    )
+    sp.run()
+    p32 = pos.astype(np.float32).astype(np.float64)
+    member = (p32[:, :, 2] >= 5.0) & (p32[:, :, 2] < 15.0)
+    np.testing.assert_array_equal(
+        sp.results.n_in_zone, member.sum(axis=1)
+    )
+    h = member[:, member.any(axis=0)].astype(float)
+    acf = np.array(
+        [(h[: T - t] * h[t:]).sum() / (T - t) for t in range(T)]
+    )
+    np.testing.assert_allclose(
+        sp.results.intermittent, acf / acf[0], rtol=1e-8,
+        atol=1e-10,
+    )
+    surv = np.empty(T)
+    for t in range(T):
+        cur = h[: T - t].copy()
+        for k in range(1, t + 1):
+            cur = cur * h[k:k + T - t]
+        surv[t] = cur.sum() / (T - t)
+    np.testing.assert_allclose(
+        sp.results.survival, surv / surv[0], rtol=1e-8, atol=1e-10
+    )
+    _report("survival", 0.0, tracked=h.shape[1])
+
+
+def vacf_vdos():
+    from mdhelper_tpu.analysis.dynamics import VelocityAutocorrelation
+    from mdhelper_tpu.core.universe import Universe
+
+    n, T = 20_000, 24
+    v = rng.standard_normal((T, n, 3))
+    masses = np.abs(rng.standard_normal(n)) + 0.5
+    pos = rng.random((T, n, 3)) * 10.0
+    u = Universe.from_arrays(
+        pos, np.array([10.0] * 3), dt=0.5, velocities=v,
+        masses=masses,
+        types=np.array(["A"] * n, dtype=object),
+    )
+    vacf = VelocityAutocorrelation(u.atoms, verbose=False)
+    vacf.run()
+    v32 = v.astype(np.float32).astype(np.float64)
+    per_atom = np.zeros((T, n))
+    for t in range(T):
+        per_atom[t] = (
+            (v32[: T - t] * v32[t:]).sum(axis=-1).sum(axis=0)
+            / (T - t)
+        )
+    rel = np.abs(
+        np.asarray(vacf.results.vacf) - per_atom.mean(axis=1)
+    ) / np.abs(per_atom.mean(axis=1)).max()
+    assert rel.max() < 1e-5, rel.max()
+    weighted = per_atom @ masses
+    half = weighted.copy()
+    half[0] *= 0.5
+    vdos_o = 2 * 0.5 * np.fft.rfft(half).real
+    rel_v = np.abs(
+        np.asarray(vacf.results.vdos) - vdos_o
+    ).max() / np.abs(vdos_o).max()
+    assert rel_v < 1e-5, rel_v
+    _report("vacf_vdos", float(max(rel.max(), rel_v)), atoms=n)
+
+
+def overlap():
+    from mdhelper_tpu.analysis.dynamics import OverlapFunction
+
+    n, T, box, a = 10_000, 12, 30.0, 0.9
+    pos = np.empty((T, n, 3))
+    pos[0] = rng.random((n, 3)) * box
+    for f in range(1, T):
+        pos[f] = (pos[f - 1] + 0.4 * rng.standard_normal((n, 3))) % box
+    u = _universe(pos, np.array([box] * 3), dt=1.0)
+    ov = OverlapFunction(u.atoms, a, verbose=False)
+    ov.run()
+    p32 = pos.astype(np.float32).astype(np.float64)
+    box32 = np.float64(np.float32(box))
+    q_o = np.empty(T)
+    chi_o = np.empty(T)
+    for lag in range(T):
+        qs = []
+        for t0 in range(T - lag):
+            d = _min_image(p32[t0 + lag] - p32[t0], box32)
+            qs.append((np.linalg.norm(d, axis=1) < a).mean())
+        qs = np.array(qs)
+        q_o[lag] = qs.mean()
+        chi_o[lag] = n * (np.mean(qs**2) - qs.mean() ** 2)
+    np.testing.assert_allclose(
+        ov.results.Q, q_o, rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        ov.results.chi4, chi_o, rtol=1e-4, atol=1e-6
+    )
+    _report("overlap", float(np.abs(ov.results.Q - q_o).max()),
+            atoms=n)
+
+
+def _kabsch(a, b, w):
+    """weighted rotation aligning a onto b (both pre-centered)."""
+
+    h = (w[:, None] * a).T @ b
+    U, _, Vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.diag([1.0, 1.0, d])
+    return U @ D @ Vt
+
+
+def rmsd_rmsf():
+    from mdhelper_tpu.analysis.rmsd import RMSD, RMSF
+    from mdhelper_tpu.core.universe import Universe
+
+    n, T = 8_000, 10
+    ref = rng.random((n, 3)) * 20.0
+    pos = np.empty((T, n, 3))
+    for f in range(T):
+        # random rigid motion + noise
+        ang = rng.random(3) * 2 * np.pi
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.from_euler("xyz", ang).as_matrix()
+        pos[f] = (
+            (ref - ref.mean(0)) @ R.T
+            + ref.mean(0)
+            + rng.random(3) * 4
+            + 0.3 * rng.standard_normal((n, 3))
+        )
+    masses = np.abs(rng.standard_normal(n)) + 0.5
+    u = Universe.from_arrays(
+        pos, np.array([100.0] * 3), masses=masses,
+        types=np.array(["A"] * n, dtype=object),
+    )
+    r = RMSD(
+        u.atoms, reference=ref, weights="mass", verbose=False
+    )
+    r.run()
+    w = masses / masses.sum()
+    refc = ref - (w[:, None] * ref).sum(0)
+    err = 0.0
+    for f in range(T):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        pc = p - (w[:, None] * p).sum(0)
+        R = _kabsch(pc, refc, w)
+        dev = pc @ R - refc
+        rms = np.sqrt((w * (dev**2).sum(-1)).sum())
+        err = max(err, abs(r.results.rmsd[f] - rms) / rms)
+    assert err < 1e-5, err
+
+    f_out = RMSF(u.atoms, reference=ref, verbose=False)
+    f_out.run()
+    # oracle: align each frame (unweighted) to ref, mean + rmsf
+    wu = np.full(n, 1.0 / n)
+    refu = ref - ref.mean(0)
+    aligned = np.empty_like(pos)
+    for f in range(T):
+        p = pos[f].astype(np.float32).astype(np.float64)
+        pc = p - p.mean(0)
+        aligned[f] = pc @ _kabsch(pc, refu, wu)
+    mean = aligned.mean(0)
+    rmsf_o = np.sqrt(
+        ((aligned - mean) ** 2).sum(-1).mean(0)
+    )
+    err_f = np.abs(
+        np.asarray(f_out.results.rmsf) - rmsf_o
+    ).max() / rmsf_o.max()
+    assert err_f < 1e-4, err_f
+    _report("rmsd_rmsf", float(max(err, err_f)), atoms=n)
+
+
+def pca_tica():
+    from mdhelper_tpu.analysis.rmsd import (
+        PrincipalComponentAnalysis,
+        TICA,
+    )
+    from mdhelper_tpu.core.universe import Universe
+
+    n, T = 400, 50
+    base = rng.random((n, 3)) * 15.0
+    pos = base + 0.5 * rng.standard_normal((T, n, 3))
+    # slow collective mode for TICA
+    mode = rng.standard_normal((n, 3))
+    amp = np.cumsum(rng.standard_normal(T)) * 0.1
+    pos = pos + amp[:, None, None] * mode
+    u = Universe.from_arrays(
+        pos, np.array([100.0] * 3),
+        types=np.array(["A"] * n, dtype=object),
+    )
+    p = PrincipalComponentAnalysis(
+        u.atoms, reference=base, align=False, verbose=False
+    )
+    p.run()
+    X = pos.astype(np.float32).astype(np.float64).reshape(T, -1)
+    mean = X.mean(0)
+    cov = (X - mean).T @ (X - mean) / T
+    vals = np.linalg.eigvalsh(cov)[::-1]
+    got = np.asarray(p.results.variance)
+    k = min(10, len(vals))
+    rel = np.abs(got[:k] - vals[:k]) / max(vals[0], 1e-12)
+    assert rel.max() < 1e-4, rel.max()
+
+    t = TICA(
+        u.atoms, reference=base, lag=3, align=False, verbose=False
+    )
+    t.run()
+    # self-consistency oracle: the components solve the symmetrized
+    # generalized eigenproblem C_lag u = lambda C_0 u over the f64
+    # covariance built from the same stream
+    lag = 3
+    Xc = X - mean
+    c0 = Xc.T @ Xc / T
+    cl = Xc[:-lag].T @ Xc[lag:] / (T - lag)
+    cl = 0.5 * (cl + cl.T)
+    U = np.asarray(t.results.tica_components)
+    lam = np.asarray(t.results.eigenvalues)
+    resid = cl @ U - c0 @ U * lam[None, :]
+    scale = np.abs(cl @ U).max()
+    rel_t = np.abs(resid).max() / max(scale, 1e-12)
+    assert rel_t < 1e-3, rel_t
+    _report("pca_tica", float(max(rel.max(), rel_t)), frames=T)
+
+
+def contacts():
+    from mdhelper_tpu.analysis.contacts import NativeContacts
+
+    na, F, box = 4_000, 5, 40.0
+    pos = np.empty((F, 2 * na, 3))
+    pos[0] = rng.random((2 * na, 3)) * box
+    for f in range(1, F):
+        pos[f] = pos[f - 1] + 0.4 * rng.standard_normal(
+            (2 * na, 3)
+        )
+    u = _universe(pos % box, np.array([box] * 3))
+    ga, gb = u.atoms[:na], u.atoms[na:]
+    nc = NativeContacts(ga, gb, 4.0, method="soft", verbose=False)
+    nc.run()
+    pairs = np.asarray(nc.results.pairs)
+    r0 = np.asarray(nc.results.r0, np.float64)
+    box32 = np.float64(np.float32(box))
+    q_o = np.empty(F)
+    for f in range(F):
+        p = (pos[f] % box).astype(np.float32).astype(np.float64)
+        d = _min_image(
+            p[na + pairs[:, 1]] - p[pairs[:, 0]], box32
+        )
+        r = np.linalg.norm(d, axis=1)
+        q_o[f] = (
+            1.0 / (1.0 + np.exp(5.0 * (r - 1.8 * r0)))
+        ).mean()
+    rel = np.abs(np.asarray(nc.results.q) - q_o).max()
+    assert rel < 1e-5, rel
+    _report("contacts", float(rel), n_native=int(nc.results.n_native))
+
+
+def willard_chandler():
+    _tests_dir()
+    import test_analysis_interface as tai
+    from mdhelper_tpu.analysis.interface import (
+        WillardChandlerInterface,
+    )
+    from mdhelper_tpu.core.universe import Universe
+
+    box = np.array([24.0, 24.0, 32.0])
+    T, N, xi = 3, 20_000, 1.0
+    pos = rng.random((T, N, 3)) * np.array([box[0], box[1], 16.0])
+    pos[..., 2] += 8.0
+    u = Universe.from_arrays(pos, box, dt=1.0)
+    n_cells = (16, 16, 32)
+    wc = WillardChandlerInterface(
+        u.atoms, xi=xi, n_cells=n_cells, verbose=False
+    )
+    wc.run()
+    field, levels, heights = tai.oracle_pipeline(
+        pos.astype(np.float32).astype(np.float64), box, n_cells, xi
+    )
+    rel = np.abs(
+        np.asarray(wc.results.density_field) - field
+    ).max() / field.max()
+    assert rel < 1e-4, rel
+    hgot = np.asarray(wc.results.heights)
+    mask = np.isfinite(heights)
+    rel_h = np.abs(hgot[mask] - heights[mask]).max()
+    assert rel_h < 1e-3, rel_h
+    _report("willard_chandler", float(max(rel, rel_h)), atoms=N)
+
+
+def rouse_persistence():
+    _tests_dir()
+    import test_analysis_polymer as tap
+    from mdhelper_tpu.analysis import polymer
+    from mdhelper_tpu.core.universe import Universe
+
+    M, N_P, T = 300, 40, 20
+    starts = rng.random((T, M, 1, 3)) * 50.0
+    steps = rng.standard_normal((T, M, N_P, 3))
+    pos = (starts + 0.8 * np.cumsum(steps, axis=2)).reshape(
+        T, -1, 3
+    )
+    u = Universe.from_arrays(
+        pos, np.array([1000.0] * 3), dt=1.0,
+        resindices=np.repeat(np.arange(M), N_P),
+        types=np.array(["A"] * (M * N_P), dtype=object),
+    )
+    rm = polymer.RouseModes(
+        u.atoms, n_chains=M, n_monomers=N_P, n_modes=4,
+        unwrap=False, verbose=False,
+    )
+    rm.run()
+    p32 = pos.astype(np.float32).astype(np.float64)
+    amps = tap.oracle_rouse_amps(
+        p32.reshape(T, M, N_P, 3), 4
+    )
+    msa_o = (amps**2).sum(-1).mean(axis=(0, 1))
+    rel = np.abs(
+        rm.results.mean_square_amplitudes[0] - msa_o
+    ) / msa_o
+    assert rel.max() < 1e-4, rel.max()
+
+    pl = polymer.PersistenceLength(u.atoms, verbose=False)
+    pl.run()
+    ref_acf, ref_lb = tap.oracle_bond_acf(p32, M, N_P)
+    rel_p = np.abs(
+        np.asarray(pl.results.bond_acf[0]) - ref_acf
+    ).max()
+    assert rel_p < 1e-5, rel_p
+    _report(
+        "rouse_persistence", float(max(rel.max(), rel_p)),
+        chains=M,
+    )
+
+
 CHECKS = {
     "rdf_asym": rdf_asym,
     "rdf_offset": rdf_offset,
     "rdf_drop_axis": rdf_drop_axis,
     "rdf_small_box": rdf_small_box,
     "rdf_small_box_triclinic": rdf_small_box_triclinic,
+    "cluster": cluster,
+    "hbonds": hbonds,
+    "nematic": nematic,
+    "survival": survival,
+    "vacf_vdos": vacf_vdos,
+    "overlap": overlap,
+    "rmsd_rmsf": rmsd_rmsf,
+    "pca_tica": pca_tica,
+    "contacts": contacts,
+    "willard_chandler": willard_chandler,
+    "rouse_persistence": rouse_persistence,
     "vanhove_triclinic": vanhove_triclinic,
     "orientation": orientation,
     "densitymaps": densitymaps,
