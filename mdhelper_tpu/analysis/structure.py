@@ -754,6 +754,7 @@ class RadialDistributionFunction(DynamicAnalysisBase):
                 float(self._range[1]),
                 n_atoms2=self._n2 if cross else None,
                 capacity_sigmas=self._capacity_sigmas,
+                triclinic=self._triclinic,
             )
         return self._cell_plan_cache
 
@@ -821,21 +822,16 @@ class RadialDistributionFunction(DynamicAnalysisBase):
         if jax.default_backend() == "tpu":
             import os as _os
 
+            from ..ops.pallas_cell_histogram import plan_is_tri_pp
+
             budget = float(
                 _os.environ.get("MDTPU_EXEC_BUDGET_S", 20.0)
             )
-            small_box = any(
-                n <= 2 * m + 1
-                for n, m in zip(plan["n_cells_dim"], plan["reach"])
-            ) or plan["reach"] != tuple(
-                1 for _ in plan["reach"]
+            rate = (
+                7.0e8
+                if plan_is_tri_pp(plan, triclinic)
+                else 1.5e10
             )
-            tri_pp_mode = triclinic and (
-                small_box or any(
-                    n < 3 for n in plan["n_cells_dim"]
-                )
-            )
-            rate = 7.0e8 if tri_pp_mode else 1.5e10
             est_frame = plan["_cost"] / rate
             max_frames = max(1, int(budget / max(1e-9, est_frame)))
             frame_bytes = (
@@ -2903,6 +2899,7 @@ class VanHoveFunction(SerialAnalysisBase):
                     float(self._range[1]),
                     n_atoms2=n_entities,
                     capacity_sigmas=self._capacity_sigmas,
+                    triclinic=self._triclinic,
                 )
             if use_cell:
                 self._cell_plan = plan
@@ -2915,11 +2912,15 @@ class VanHoveFunction(SerialAnalysisBase):
                 # all-pairs work, or the ~27x-slower triclinic
                 # per-pair search) are far costlier per sweep and the
                 # lag-split/chunk caps must see that.
-                tri_pp_mode = self._triclinic and (
-                    plan["reach"] != (1, 1, 1)
-                    or any(n < 3 for n in plan["n_cells_dim"])
+                from ..ops.pallas_cell_histogram import (
+                    plan_is_tri_pp,
                 )
-                rate = 7.0e8 if tri_pp_mode else 1.5e10
+
+                rate = (
+                    7.0e8
+                    if plan_is_tri_pp(plan, self._triclinic)
+                    else 1.5e10
+                )
                 est_sweep = plan["_cost"] / rate
             else:
                 est_sweep = n_entities * n_entities / 3.3e9

@@ -136,6 +136,7 @@ def pallas_cell_plan_search(
     *,
     n_atoms2=None,
     capacity_sigmas=4.0,
+    triclinic=False,
     _force_generalized=False,
 ):
     """Cost-driven cell-grid search (host side): pick ``n_cells_dim``
@@ -308,11 +309,16 @@ def pallas_cell_plan_search(
         # Scoped-VMEM budget: the exact-binning elementwise chain
         # materializes a handful of (cap_i, cap_j) f32 intermediates
         # on the Mosaic stack — measured on chip, cap 896 blows the
-        # 16 MB scoped limit (26.8 MB) while cap <= 512 fits with
-        # room for the 27-candidate triclinic chain.  Prefer plans
-        # within it (grids can always subdivide).
-        if plan["capacity"] <= 512 and (
-            plan.get("capacity2", 0) <= 512
+        # 16 MB scoped limit (26.8 MB) for the orthorhombic chain
+        # while cap <= 512 fits; the triclinic PER-PAIR 27-candidate
+        # chain is ~16x hungrier (67.7 MB at cap 512, also measured)
+        # and needs cap <= 128.  Prefer plans within budget (grids
+        # can always subdivide).
+        cap_budget = (
+            128 if (triclinic and not legacy) else 512
+        )
+        if plan["capacity"] <= cap_budget and (
+            plan.get("capacity2", 0) <= cap_budget
         ):
             if best is None or key < best[0]:
                 best = (key, plan)
@@ -323,12 +329,25 @@ def pallas_cell_plan_search(
         # very dense barely-3-cutoff box): subdivide instead.
         return pallas_cell_plan_search(
             n_atoms, box, r_max, n_atoms2=n_atoms2,
-            capacity_sigmas=capacity_sigmas,
+            capacity_sigmas=capacity_sigmas, triclinic=triclinic,
             _force_generalized=True,
         )
     if best_any is not None:
         return best_any[1]
     return fallback
+
+
+def plan_is_tri_pp(plan, triclinic: bool) -> bool:
+    """Does this plan run the per-pair 27-candidate triclinic
+    kernels?  ONE definition, matching the kernel wrappers'
+    ``legacy_tri`` routing — the cost/chunk heuristics in the
+    analysis layer must not re-derive it (a round-5 review caught a
+    drifted copy costing a ~21x chunk shrink)."""
+
+    return triclinic and (
+        tuple(plan["reach"]) != (1,) * len(plan["reach"])
+        or any(n < 3 for n in plan["n_cells_dim"])
+    )
 
 
 def _cell_sweep_ok(extents, n_cells_dim, reach, r_max):

@@ -33,7 +33,8 @@ def _universe(pos, box_arr, **kw):
     n = pos.shape[1]
     kw.setdefault("types", np.array(["A"] * n, dtype=object))
     kw.setdefault("masses", np.ones(n))
-    return Universe.from_arrays(pos, box_arr, dt=1.0, **kw)
+    kw.setdefault("dt", 1.0)
+    return Universe.from_arrays(pos, box_arr, **kw)
 
 
 def _min_image(d, box):
@@ -679,20 +680,38 @@ def _tests_dir():
         sys.path.insert(0, d)
 
 
+class _force_device_path:
+    """Temporarily disable the host KD-tree pipelines so the check
+    exercises the DEVICE path — restored afterwards so later checks
+    in the same invocation keep their normal routing."""
+
+    def __enter__(self):
+        import os
+
+        self._prior = os.environ.get("MDTPU_HOST_PIPELINE")
+        os.environ["MDTPU_HOST_PIPELINE"] = "0"
+
+    def __exit__(self, *exc):
+        import os
+
+        if self._prior is None:
+            os.environ.pop("MDTPU_HOST_PIPELINE", None)
+        else:
+            os.environ["MDTPU_HOST_PIPELINE"] = self._prior
+
+
 def cluster():
     """ClusterSizeDistribution DEVICE path (host KD-tree pipeline
     disabled) vs a union-find f64 oracle."""
 
-    import os
-
-    os.environ["MDTPU_HOST_PIPELINE"] = "0"
     from mdhelper_tpu.analysis.cluster import ClusterSizeDistribution
 
     n, F, box, cutoff = 5_000, 4, 36.0, 2.2
     pos = rng.random((F, n, 3)) * box
     u = _universe(pos, np.array([box] * 3))
-    cl = ClusterSizeDistribution(u.atoms, cutoff, verbose=False)
-    cl.run()
+    with _force_device_path():
+        cl = ClusterSizeDistribution(u.atoms, cutoff, verbose=False)
+        cl.run()
     assert not cl._host_pipeline, "expected the device path"
     total = np.zeros(n, dtype=np.int64)
     for f in range(F):
@@ -725,9 +744,6 @@ def hbonds():
     """HydrogenBondAnalysis DEVICE path vs a vectorized geometric
     oracle (distance + angle criteria per donor-H pair)."""
 
-    import os
-
-    os.environ["MDTPU_HOST_PIPELINE"] = "0"
     from mdhelper_tpu.analysis.hbonds import HydrogenBondAnalysis
     from mdhelper_tpu.core.universe import Universe
 
@@ -755,11 +771,12 @@ def hbonds():
         types=np.array(["O", "H", "H"] * n_mol, dtype=object),
         resindices=np.repeat(np.arange(n_mol), 3), bonds=bonds,
     )
-    hba = HydrogenBondAnalysis(
-        u, hydrogens_sel="name H*", acceptors_sel="name O*",
-        verbose=False,
-    )
-    hba.run()
+    with _force_device_path():
+        hba = HydrogenBondAnalysis(
+            u, hydrogens_sel="name H*", acceptors_sel="name O*",
+            verbose=False,
+        )
+        hba.run()
     assert not hba._host_pipeline, "expected the device path"
     pairs = np.asarray(hba.results.pairs)
     acc = np.asarray(hba.results.acceptors)
@@ -1028,7 +1045,11 @@ def pca_tica():
         u.atoms, reference=base, align=False, verbose=False
     )
     p.run()
-    X = pos.astype(np.float32).astype(np.float64).reshape(T, -1)
+    # align=False still COM-centers every frame (the superposition
+    # base removes COM motion before any fit); the host pipeline
+    # consumes the raw f64 positions.
+    centered = pos - pos.mean(axis=1, keepdims=True)
+    X = centered.reshape(T, -1)
     mean = X.mean(0)
     cov = (X - mean).T @ (X - mean) / T
     vals = np.linalg.eigvalsh(cov)[::-1]
@@ -1043,7 +1064,7 @@ def pca_tica():
     t.run()
     # self-consistency oracle: the components solve the symmetrized
     # generalized eigenproblem C_lag u = lambda C_0 u over the f64
-    # covariance built from the same stream
+    # covariance built from the same (centered) stream
     lag = 3
     Xc = X - mean
     c0 = Xc.T @ Xc / T
@@ -1154,7 +1175,9 @@ def rouse_persistence():
     ) / msa_o
     assert rel.max() < 1e-4, rel.max()
 
-    pl = polymer.PersistenceLength(u.atoms, verbose=False)
+    pl = polymer.PersistenceLength(
+        u.atoms, n_chains=M, n_monomers=N_P, verbose=False
+    )
     pl.run()
     ref_acf, ref_lb = tap.oracle_bond_acf(p32, M, N_P)
     rel_p = np.abs(

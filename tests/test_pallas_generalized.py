@@ -465,3 +465,65 @@ def test_vanhove_small_box_cell_route_matches_xla(monkeypatch):
     np.testing.assert_array_equal(
         vx.results.counts_self, vp.results.counts_self
     )
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_vanhove_cell_lag_split_matches_xla(monkeypatch, triclinic):
+    """Round 5 allows the watchdog lag-split to combine with the
+    Pallas cell route (cell_plan= in _prepare_lag_split): a
+    sub-frame MDTPU_EXEC_BUDGET_S must split the lag grid across
+    executions of the cell-kernel step and still match the
+    unsplit XLA sweep bit-for-bit (occ threading, ring wrap and
+    advance bookkeeping included)."""
+
+    from mdhelper_tpu.analysis import structure as S
+    from mdhelper_tpu.core.universe import Universe
+
+    r = np.random.default_rng(67)
+    n, T = 160, 5
+    if triclinic:
+        from mdhelper_tpu.algorithm.topology import (
+            triclinic_matrices,
+        )
+
+        dims = np.array([9.0, 8.5, 8.0, 80.0, 95.0, 100.0])
+        h = np.asarray(triclinic_matrices(dims), np.float64)
+        traj = r.random((T, n, 3)) @ h
+    else:
+        dims = np.array([9.0] * 3)
+        traj = r.random((T, n, 3)) * 9.0
+    kw = dict(n_bins=16, range=(0.0, 3.5), n_lags=3, verbose=False)
+
+    def run(force_cell, split):
+        if split:
+            monkeypatch.setenv("MDTPU_EXEC_BUDGET_S", "1e-9")
+        else:
+            monkeypatch.delenv(
+                "MDTPU_EXEC_BUDGET_S", raising=False
+            )
+        u = Universe.from_arrays(traj, dims, dt=1.0)
+        if force_cell:
+            monkeypatch.setattr(
+                S.VanHoveFunction, "_use_cell_kernel",
+                lambda self: True,
+            )
+        else:
+            monkeypatch.setenv("MDTPU_VANHOVE_IMPL", "xla")
+        with np.errstate(all="ignore"):
+            import warnings as _w
+
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                vh = S.VanHoveFunction(u.atoms, **kw)
+                vh.run()
+        monkeypatch.undo()
+        return vh
+
+    ref = run(False, False)
+    split = run(True, True)
+    np.testing.assert_array_equal(
+        ref.results.counts_distinct, split.results.counts_distinct
+    )
+    np.testing.assert_array_equal(
+        ref.results.counts_self, split.results.counts_self
+    )
