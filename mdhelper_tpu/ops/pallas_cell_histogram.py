@@ -1606,6 +1606,24 @@ def _use_stream_blocks(total_table_bytes: int) -> bool:
     return total_table_bytes > _STREAM_TABLE_BYTES
 
 
+def _chunk_rows_for(capacity, n_fine, cap_j=None):
+    """One-hot contraction row-chunk: the largest DIVISOR of the
+    i-capacity whose live one-hot pair stays under ~8 MB.  The old
+    halve-until-divides walk degenerated for non-power-of-two
+    capacities (cap 384: budget 170 -> 85 -> ... -> 2, i.e. 192
+    sub-millimeter contractions per block and a ~10x kernel slowdown
+    measured on the 2-D drop_axis route); capacities are multiples
+    of 128, so a divisor at or near the budget always exists."""
+
+    cap_j = capacity if cap_j is None else cap_j
+    budget = max(8, (4 * 1024 * 1024) // (4 * n_fine * cap_j))
+    if budget >= capacity:
+        return capacity
+    return max(
+        d for d in range(1, budget + 1) if capacity % d == 0
+    )
+
+
 def _exclusion_ids(n, exclusion):
     """Per-atom ``(index // e0, index // e1)`` tile-exclusion ids as
     float32, or ``(None, None)`` when the identical-atom mask already
@@ -1776,11 +1794,7 @@ def cell_pair_histogram_pallas(
     bin_consts = _bin_boundary_constants(r_max, n_bins, r_min)
 
     # One-hot chunking: cap the live one-hot pair to ~8 MB.
-    chunk_rows = max(
-        8, min(capacity, (4 * 1024 * 1024) // (4 * n_fine * capacity))
-    )
-    while capacity % chunk_rows:
-        chunk_rows //= 2
+    chunk_rows = _chunk_rows_for(capacity, n_fine)
 
     use_asym = asym_excl and not ordered
     common = dict(
@@ -2098,12 +2112,7 @@ def cross_pair_histogram_pallas(
     )
 
     bin_consts = _bin_boundary_constants(r_max, n_bins, r_min)
-    chunk_rows = max(
-        8,
-        min(capacity1, (4 * 1024 * 1024) // (4 * n_fine * capacity2)),
-    )
-    while capacity1 % chunk_rows:
-        chunk_rows //= 2
+    chunk_rows = _chunk_rows_for(capacity1, n_fine, cap_j=capacity2)
 
     common = dict(
         cap1=capacity1, cap2=capacity2, n_bins=n_bins,

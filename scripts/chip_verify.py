@@ -614,7 +614,10 @@ def rdf_small_box_triclinic():
         RadialDistributionFunction,
     )
 
-    n, r_max, n_bins, n_frames = 8_000, 6.0, 60, 3
+    # small-box tri_pp is a near-all-pairs sweep with a 27-candidate
+    # per-pair search: keep the fixture moderate (the kernel alone is
+    # ~20 s/frame at 4k atoms in this regime)
+    n, r_max, n_bins, n_frames = 4_000, 6.0, 60, 2
     dims6 = np.array([15.0, 14.5, 14.0, 80.0, 95.0, 100.0])
     h = np.asarray(triclinic_matrices(dims6), np.float64)
     frac = rng.random((n_frames, n, 3))
