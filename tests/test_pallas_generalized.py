@@ -156,6 +156,17 @@ def test_plan_search_spaces():
     # dense legacy box falls through to subdivided generalized space
     plan = pallas_cell_plan_search(300_000, [12.5, 12.5, 12.5], 4.0)
     assert plan["capacity"] <= 512
+    # triclinic generalized plans run the per-pair 27-candidate
+    # kernels whose scoped-VMEM footprint caps capacity at 128
+    plan = pallas_cell_plan_search(
+        4000, [9.0, 9.0, 9.0], 4.0, triclinic=True
+    )
+    assert plan["capacity"] <= 128
+    # ... but a legacy-eligible triclinic box keeps the 512 budget
+    plan = pallas_cell_plan_search(
+        4000, [30.0, 30.0, 30.0], 5.0, triclinic=True
+    )
+    assert plan["reach"] == (1, 1, 1)
 
 
 # ------------------------------------------------------------------
